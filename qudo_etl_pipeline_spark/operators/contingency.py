@@ -1,0 +1,404 @@
+"""Contingency-table / chi-squared inference core.
+
+Re-implements the reference's ``ChiSquaredTester`` engine
+(reference: src/kraken/app/inference/chisquared_tester.py) as a
+single-shuffle Spark plan. The reference loops
+``clusters x variables`` times over the full pandas table, computing one
+``pd.crosstab`` per pair (chisquared_tester.py:1434-1589). Here the wide
+table is melted once (plans/melt.py) and ONE
+``groupBy(variable, cluster, value).count()`` produces every crosstab cell
+simultaneously; all remaining statistics are arithmetic over that
+aggregated (small) cell table — windows, joins and one Arrow-batched
+pandas UDF for the chi-squared survival function.
+
+Scale notes (100 TB design):
+- The only full-data shuffle is the cell aggregation, with map-side
+  partial aggregation; its output cardinality is
+  |variables| x |categories| x |clusters| — millions at worst, independent
+  of row count.
+- Everything downstream operates on that aggregated table; window
+  functions partition by ``variable`` (high cardinality, no skew pile-up).
+- No collect() on the big table; cluster sizes are a second map-side
+  combined aggregate over the same scan (Catalyst reuses the exchange
+  where possible).
+
+Semantics replicated from the reference (file:line cites):
+- "Not shown" rows excluded from crosstabs        (chisquared_tester.py:229-236)
+- Yates correction requested iff any cell <= 5    (chisquared_tester.py:244-256)
+  and (scipy semantics) applied iff dof == 1, clamped at |O-E|
+- degenerate tables -> p = 1.0                    (chisquared_tester.py:376-377)
+- adjusted residual rounded to 3 decimals         (chisquared_tester.py:475)
+- cell significant iff |z| >= 1.96 AND
+  chi2_sf(z^2, 1) <= alpha / (r*c)  [Bonferroni]  (chisquared_tester.py:544-552)
+- deliver stats: p rounded to 5, percentages to 2 (chisquared_tester.py:1546-1560)
+- 'not selected' stripped from significant-category lists and empty rows
+  dropped                                         (chisquared_tester.py:1653-1662)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.functions.stats import chi2_sf_udf
+from qudo_etl_pipeline_spark.plans.melt import melt
+
+NOT_SHOWN = "Not shown"
+NOT_SELECTED = "not selected"
+
+
+@dataclass
+class ContingencyTables:
+    """Aggregated crosstab state shared by every downstream statistic.
+
+    ``cells``  — one row per (variable, cluster, value) with ``observed``
+                 count and ``w_observed`` weighted count, *including*
+                 sentinel values (callers filter as needed).
+    ``cluster_sizes`` — one row per cluster: ``cluster_n`` rows,
+                 ``cluster_w`` total weight.
+    ``n_rows`` — total row count of the input table.
+    """
+
+    cells: DataFrame
+    cluster_sizes: DataFrame
+    n_rows: int
+    cluster_col: str
+    weighted: bool
+
+
+def contingency_tables(
+    wide: DataFrame,
+    cluster_col: str,
+    variables: list[str] | None = None,
+    weight_col: str | None = None,
+    id_vars: list[str] | None = None,
+) -> ContingencyTables:
+    """Melt ``wide`` and aggregate every crosstab cell in one shuffle."""
+    if variables is None:
+        excluded = {cluster_col, weight_col, *(id_vars or [])}
+        variables = [c for c in wide.columns if c not in excluded]
+
+    keep = [cluster_col] + ([weight_col] if weight_col else [])
+    long = melt(wide.select(*keep, *variables), id_vars=keep, value_vars=variables)
+
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    cells = (
+        long.filter(F.col("value").isNotNull())
+        .groupBy("variable", cluster_col, "value")
+        .agg(
+            F.count(F.lit(1)).alias("observed"),
+            F.sum(w).alias("w_observed"),
+        )
+    )
+
+    cluster_sizes = wide.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_n"),
+        F.sum(w).alias("cluster_w"),
+    )
+    n_rows = wide.count()
+    return ContingencyTables(
+        cells=cells,
+        cluster_sizes=cluster_sizes,
+        n_rows=n_rows,
+        cluster_col=cluster_col,
+        weighted=weight_col is not None,
+    )
+
+
+def _dense_grid(cells: DataFrame, cluster_col: str) -> DataFrame:
+    """Densify per-variable crosstabs to the full (value x cluster) grid.
+
+    Mirrors ``pd.crosstab`` shape semantics: only values and clusters that
+    actually occur for the variable (after the "Not shown" filter) form
+    the table; missing combinations are zero cells
+    (chisquared_tester.py:241-246).
+    """
+    observed = cells.filter(F.col("value") != NOT_SHOWN)
+    var_values = observed.select("variable", "value").distinct()
+    var_clusters = observed.select("variable", cluster_col).distinct()
+    grid = var_values.join(var_clusters, "variable")
+    return (
+        grid.join(observed, ["variable", cluster_col, "value"], "left")
+        .na.fill({"observed": 0, "w_observed": 0.0})
+    )
+
+
+def chi2_by_variable(tables: ContingencyTables) -> DataFrame:
+    """Per-variable chi-squared test over all crosstabs at once.
+
+    Returns: variable, chi2_stat, dof, p_value, yates, n_values, n_clusters.
+    Replicates scipy.stats.chi2_contingency as used by the reference
+    (chisquared_tester.py:331-379): Yates correction requested when any
+    observed cell <= 5, applied only when dof == 1, correction clamped so
+    |O-E| never increases; degenerate tables (dof <= 0) give p = 1.0.
+    """
+    cluster_col = tables.cluster_col
+    dense = _dense_grid(tables.cells, cluster_col)
+
+    w_var = Window.partitionBy("variable")
+    w_row = Window.partitionBy("variable", "value")
+    w_col = Window.partitionBy("variable", cluster_col)
+
+    dense = (
+        dense.withColumn("row_tot", F.sum("observed").over(w_row))
+        .withColumn("col_tot", F.sum("observed").over(w_col))
+        .withColumn("n", F.sum("observed").over(w_var))
+        .withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+    )
+
+    diff = F.col("observed") - F.col("expected")
+    corrected = F.greatest(F.abs(diff) - F.lit(0.5), F.lit(0.0))
+    per_var = dense.groupBy("variable").agg(
+        F.sum(F.pow(diff, 2) / F.col("expected")).alias("stat_plain"),
+        F.sum(F.pow(corrected, 2) / F.col("expected")).alias("stat_yates"),
+        F.min("observed").alias("min_observed"),
+        F.countDistinct("value").alias("n_values"),
+        F.countDistinct(cluster_col).alias("n_clusters"),
+    )
+
+    dof = (F.col("n_values") - 1) * (F.col("n_clusters") - 1)
+    yates = F.col("min_observed") <= 5
+    use_yates = yates & (dof == 1)
+    stat = F.when(use_yates, F.col("stat_yates")).otherwise(F.col("stat_plain"))
+
+    per_var = per_var.select(
+        "variable",
+        F.when(dof > 0, stat).alias("chi2_stat"),
+        dof.alias("dof"),
+        yates.alias("yates"),
+        "n_values",
+        "n_clusters",
+    )
+    p = chi2_sf_udf()
+    return per_var.withColumn(
+        "p_value",
+        F.when(F.col("dof") > 0, p(F.col("chi2_stat"), F.col("dof").cast("double")))
+        .otherwise(F.lit(1.0)),
+    )
+
+
+def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
+    """Adjusted residuals + Bonferroni post-hoc per crosstab cell.
+
+    Returns one row per (variable, cluster, value) of every variable whose
+    chi-squared p <= alpha, with ``adj_residual`` (rounded to 3, as the
+    reference does before squaring — chisquared_tester.py:475) and
+    ``post_hoc`` in {'pos','neg','neu'}.
+    """
+    cluster_col = tables.cluster_col
+    tests = chi2_by_variable(tables)
+    sig_vars = tests.filter(F.col("p_value") <= alpha).select(
+        "variable", "p_value", "chi2_stat", "n_values", "n_clusters"
+    )
+
+    dense = _dense_grid(tables.cells, cluster_col).join(
+        F.broadcast(sig_vars), "variable"
+    )
+
+    w_var = Window.partitionBy("variable")
+    w_row = Window.partitionBy("variable", "value")
+    w_col = Window.partitionBy("variable", cluster_col)
+    dense = (
+        dense.withColumn("row_tot", F.sum("observed").over(w_row))
+        .withColumn("col_tot", F.sum("observed").over(w_col))
+        .withColumn("n", F.sum("observed").over(w_var))
+        .withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+    )
+
+    adj_res = F.round(
+        (F.col("observed") - F.col("expected"))
+        / F.sqrt(
+            F.col("expected")
+            * (1 - F.col("row_tot") / F.col("n"))
+            * (1 - F.col("col_tot") / F.col("n"))
+        ),
+        3,
+    )
+    dense = dense.withColumn("adj_residual", adj_res)
+
+    p = chi2_sf_udf()
+    cell_p = p(F.col("adj_residual") * F.col("adj_residual"), F.lit(1.0))
+    bonferroni = F.lit(alpha) / (F.col("n_values") * F.col("n_clusters"))
+    significant = (F.abs(F.col("adj_residual")) >= 1.96) & (cell_p <= bonferroni)
+    post_hoc = (
+        F.when(significant & (F.col("observed") > F.col("expected")), F.lit("pos"))
+        .when(significant, F.lit("neg"))
+        .otherwise(F.lit("neu"))
+    )
+    return dense.withColumn("post_hoc", post_hoc).select(
+        "variable",
+        cluster_col,
+        "value",
+        "observed",
+        "w_observed",
+        "expected",
+        "adj_residual",
+        "post_hoc",
+        "p_value",
+        "chi2_stat",
+    )
+
+
+def _ordered_list(sort_key: Column, payload: Column) -> Column:
+    """collect_list with a deterministic order (by sort_key ascending)."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(sort_key.alias("k"), payload.alias("v")))),
+        lambda s: s["v"],
+    )
+
+
+def deliver_stats(
+    tables: ContingencyTables,
+    alpha: float = 0.05,
+    include_chi2_stat: bool = True,
+) -> DataFrame:
+    """The flagship inference output ("deliver_pg_stats").
+
+    One row per (significant variable, segment):
+      q_code, pop_mode, response_rate, mode_pop_perc, chi_2_result,
+      sig_more_category, category_percentages, targeting_seg
+      [+ chi2_stat] [+ weighted_pop_mode, weighted_pop_mode_perc,
+      weighted_category_percentages when the input was weighted]
+
+    Reference: chisquared_tester.py:1434-1589 (lazy path) and :1671-1731.
+    Divergence note: the reference's weighted_pop_mode takes
+    ``category_sizes.max()["category"]`` — the lexicographic max category,
+    an apparent bug (chisquared_tester.py:966-971). We compute the argmax
+    of the weighted count (the documented intent: "the category with the
+    highest weighted sum").
+    """
+    cluster_col = tables.cluster_col
+    cells = tables.cells
+    post = post_hoc_cells(tables, alpha=alpha)
+
+    # Per-(variable, cluster) denominators over non-null answers, sentinel
+    # values included — pandas value_counts(normalize=True) semantics
+    # (chisquared_tester.py:1527-1536).
+    denoms = cells.groupBy("variable", cluster_col).agg(
+        F.sum("observed").alias("answered_n"),
+        F.sum("w_observed").alias("answered_w"),
+    )
+
+    # Response rate: non-null share of the variable over the whole table
+    # (chisquared_tester.py:1503).
+    resp = cells.groupBy("variable").agg(
+        (F.sum("observed") / F.lit(tables.n_rows) * 100).alias("response_rate")
+    )
+
+    # Population mode within (cluster, variable), "Not shown" excluded; ties
+    # broken by ascending value like pandas .mode() (chisquared_tester.py:914-918).
+    w_mode = Window.partitionBy("variable", cluster_col).orderBy(
+        F.desc("observed"), F.asc("value")
+    )
+    w_wmode = Window.partitionBy("variable", cluster_col).orderBy(
+        F.desc("w_observed"), F.asc("value")
+    )
+    mode_src = cells.filter(F.col("value") != NOT_SHOWN)
+    modes = (
+        mode_src.withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select("variable", cluster_col,
+                F.col("value").alias("pop_mode"),
+                F.col("observed").alias("mode_count"))
+    )
+    wmodes = (
+        mode_src.withColumn("rn", F.row_number().over(w_wmode))
+        .filter(F.col("rn") == 1)
+        .select("variable", cluster_col,
+                F.col("value").alias("weighted_pop_mode"),
+                F.col("w_observed").alias("wmode_count"))
+    )
+
+    # Significant "more" categories per (variable, cluster): post_hoc ==
+    # 'pos', 'not selected' stripped (chisquared_tester.py:1653 +
+    # helper_functions.py:24-30); arrays ordered by category value like the
+    # crosstab index iteration (chisquared_tester.py:1516-1538).
+    pos = (
+        post.filter((F.col("post_hoc") == "pos") & (F.col("value") != NOT_SELECTED))
+        .join(denoms, ["variable", cluster_col])
+        .withColumn("cat_perc", F.round(F.col("observed") / F.col("answered_n") * 100, 2))
+        .withColumn("w_cat_perc", F.round(F.col("w_observed") / F.col("answered_w") * 100, 2))
+    )
+    pos_agg = pos.groupBy("variable", cluster_col).agg(
+        _ordered_list(F.col("value"), F.col("value")).alias("sig_more_category"),
+        _ordered_list(F.col("value"), F.col("cat_perc")).alias("category_percentages"),
+        _ordered_list(F.col("value"), F.col("w_cat_perc")).alias(
+            "weighted_category_percentages"
+        ),
+    )
+
+    cluster_sizes = tables.cluster_sizes
+
+    out = (
+        pos_agg.join(modes, ["variable", cluster_col])
+        .join(wmodes, ["variable", cluster_col])
+        .join(resp, "variable")
+        .join(
+            post.select("variable", cluster_col, "p_value", "chi2_stat").distinct(),
+            ["variable", cluster_col],
+        )
+        .join(F.broadcast(cluster_sizes), cluster_col)
+        .select(
+            F.col("variable").alias("q_code"),
+            "pop_mode",
+            "response_rate",
+            F.round(F.col("mode_count") / F.col("cluster_n") * 100, 2).alias(
+                "mode_pop_perc"
+            ),
+            F.round(F.col("p_value"), 5).alias("chi_2_result"),
+            "sig_more_category",
+            "category_percentages",
+            F.col(cluster_col).cast("string").alias("targeting_seg"),
+            *(
+                [F.round(F.col("chi2_stat"), 2).alias("chi2_stat")]
+                if include_chi2_stat
+                else []
+            ),
+            *(
+                [
+                    "weighted_pop_mode",
+                    F.round(F.col("wmode_count") / F.col("cluster_w") * 100, 0).alias(
+                        "weighted_pop_mode_perc"
+                    ),
+                    "weighted_category_percentages",
+                ]
+                if tables.weighted
+                else []
+            ),
+        )
+        .filter(F.size("sig_more_category") > 0)
+        .orderBy("chi_2_result", "q_code", "targeting_seg")
+    )
+    return out
+
+
+def discover_stats(deliver: DataFrame, n_feats: int = 10) -> DataFrame:
+    """Top-``n_feats`` variables per segment by ascending p-value.
+
+    Reference: seg_discover_stats_df (chisquared_tester.py:1671-1731) —
+    renames pop_mode->mode / mode_pop_perc->mode_perc, drops rows whose
+    mode is a sentinel, keeps the first n_feats per segment.
+    """
+    ranked = deliver.filter(
+        ~F.col("pop_mode").isin(NOT_SELECTED, NOT_SHOWN)
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("targeting_seg").orderBy(
+                F.asc("chi_2_result"), F.asc("q_code")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= n_feats)
+        .select(
+            "targeting_seg",
+            F.col("q_code"),
+            F.col("pop_mode").alias("mode"),
+            F.col("mode_pop_perc").alias("mode_perc"),
+            "sig_more_category",
+            "category_percentages",
+        )
+    )

@@ -1,0 +1,129 @@
+"""Contingency core vs a hand-rolled numpy oracle on a small fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.operators.contingency import (
+    chi2_by_variable,
+    contingency_tables,
+    deliver_stats,
+    discover_stats,
+    post_hoc_cells,
+)
+from qudo_etl_pipeline_spark.plans.melt import melt
+
+from tests.reference_stats import adjusted_residuals, chi2_contingency
+
+
+@pytest.fixture(scope="module")
+def survey_df(spark):
+    rng = np.random.default_rng(42)
+    n = 600
+    clusters = rng.choice(["c0", "c1", "c2"], size=n, p=[0.5, 0.3, 0.2])
+    rows = []
+    for i in range(n):
+        c = clusters[i]
+        # q_biased strongly depends on cluster; q_flat doesn't.
+        if c == "c0":
+            biased = rng.choice(["Agree", "Disagree"], p=[0.9, 0.1])
+        elif c == "c1":
+            biased = rng.choice(["Agree", "Disagree"], p=[0.2, 0.8])
+        else:
+            biased = rng.choice(["Agree", "Disagree", "Not shown"], p=[0.45, 0.45, 0.1])
+        flat = rng.choice(["x", "y", "z"])
+        weight = float(rng.uniform(0.5, 1.5))
+        rows.append((int(i), c, biased, str(flat), weight))
+    return spark.createDataFrame(
+        rows, "id long, cluster string, q_biased string, q_flat string, weight double"
+    )
+
+
+def crosstab_pandas(pdf, var, cluster_col="cluster"):
+    """pd.crosstab semantics incl. the Not-shown slice, as the reference does."""
+    import pandas as pd
+
+    d = pdf
+    if (d[var] == "Not shown").any():
+        d = d[d[var] != "Not shown"]
+    return pd.crosstab(d[var], d[cluster_col])
+
+
+def test_chi2_matches_numpy_oracle(spark, survey_df):
+    tables = contingency_tables(
+        survey_df, cluster_col="cluster", variables=["q_biased", "q_flat"],
+        weight_col="weight", id_vars=["id"],
+    )
+    got = {r["variable"]: r for r in chi2_by_variable(tables).collect()}
+    pdf = survey_df.toPandas()
+
+    for var in ["q_biased", "q_flat"]:
+        ct = crosstab_pandas(pdf, var)
+        below = (ct.values <= 5).any()
+        stat, p, dof, _ = chi2_contingency(ct.values, correction=below)
+        row = got[var]
+        assert row["dof"] == dof
+        assert row["chi2_stat"] == pytest.approx(stat, rel=1e-9)
+        assert row["p_value"] == pytest.approx(p, rel=1e-9, abs=1e-12)
+
+    assert got["q_biased"]["p_value"] < 0.05
+    assert got["q_flat"]["p_value"] > 0.05
+
+
+def test_post_hoc_matches_numpy_oracle(spark, survey_df):
+    tables = contingency_tables(
+        survey_df, cluster_col="cluster", variables=["q_biased", "q_flat"],
+        weight_col="weight", id_vars=["id"],
+    )
+    cells = post_hoc_cells(tables, alpha=0.05).collect()
+    assert all(r["variable"] == "q_biased" for r in cells)  # q_flat not significant
+
+    pdf = survey_df.toPandas()
+    ct = crosstab_pandas(pdf, "q_biased")
+    res = adjusted_residuals(ct.values)
+    r_cells = {
+        (v, c): round(res[i][j], 3)
+        for i, v in enumerate(ct.index)
+        for j, c in enumerate(ct.columns)
+    }
+    n_cells = ct.shape[0] * ct.shape[1]
+    for row in cells:
+        expect_z = r_cells[(row["value"], row["cluster"])]
+        assert row["adj_residual"] == pytest.approx(expect_z, abs=5e-4)
+        from qudo_etl_pipeline_spark.functions.stats import chi2_sf
+
+        sig = abs(expect_z) >= 1.96 and chi2_sf(expect_z**2, 1) <= 0.05 / n_cells
+        expect_label = "neu" if not sig else ("pos" if expect_z > 0 else "neg")
+        assert row["post_hoc"] == expect_label
+
+
+def test_deliver_and_discover_shapes(spark, survey_df):
+    tables = contingency_tables(
+        survey_df, cluster_col="cluster", variables=["q_biased", "q_flat"],
+        weight_col="weight", id_vars=["id"],
+    )
+    deliver = deliver_stats(tables).collect()
+    assert len(deliver) > 0
+    for r in deliver:
+        assert r["q_code"] == "q_biased"
+        assert len(r["sig_more_category"]) == len(r["category_percentages"])
+        assert "not selected" not in r["sig_more_category"]
+        assert 0 < r["mode_pop_perc"] <= 100
+        assert r["response_rate"] == pytest.approx(100.0)
+    ps = [r["chi_2_result"] for r in deliver]
+    assert ps == sorted(ps)
+
+    disc = discover_stats(deliver_stats(tables), n_feats=10).collect()
+    assert all(r["mode"] not in ("not selected", "Not shown") for r in disc)
+
+
+def test_melt_roundtrip_counts(spark, survey_df):
+    long = melt(survey_df, id_vars=["id", "cluster"], value_vars=["q_biased", "q_flat"])
+    assert long.count() == survey_df.count() * 2
+    assert set(long.columns) == {"id", "cluster", "variable", "value"}
+    back = (
+        long.groupBy("id", "cluster").pivot("variable").agg(F.first("value"))
+    )
+    assert back.count() == survey_df.count()
