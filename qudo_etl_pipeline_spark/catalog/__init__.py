@@ -1,0 +1,92 @@
+"""Query catalog: every operator exposed to the driver correctness gate.
+
+Each entry pairs a Spark DataFrame implementation with (where SQL can
+express it) an equivalent DuckDB oracle query. The driver compares the
+two at sf0.01 by row count + schema + order-insensitive value hash, so:
+
+- every computed column is explicitly aliased identically on both sides;
+- sums over doubles are computed exactly via DECIMAL casts, then cast
+  back to double (bit-identical across engines);
+- ratios/statistics are ROUND()ed to fixed decimals on both sides;
+- ranking queries always carry a deterministic tie-break key;
+- output types are restricted to bigint / double / string.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    """One catalog entry: Spark impl + optional DuckDB oracle SQL."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ids: list[str] = field(default_factory=list)
+    description: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    survey_ids: list[str] | None = None,
+    description: str = "",
+):
+    """Decorator registering a (spark_fn, oracle_sql) pair."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        doc_first = (fn.__doc__ or "").strip().splitlines()
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            spark=fn,
+            oracle=oracle,
+            survey_ids=survey_ids or [],
+            description=description or (doc_first[0] if doc_first else ""),
+        )
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    """All registered queries (imports every catalog module once)."""
+    from qudo_etl_pipeline_spark.catalog import (  # noqa: F401
+        contingency_q,
+        datapipe,
+        relational,
+        streaming_q,
+    )
+
+    return dict(_REGISTRY)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) column as a proper timestamp.
+
+    Spark has no nanosecond timestamp type and (by default) refuses
+    TIMESTAMP(NANOS) parquet. Read nanos as long, then floor-divide to
+    microseconds with integer DIV (a double division would lose precision
+    at 1e18 magnitudes) — the same ns->us truncation DuckDB's epoch_us
+    applies, keeping the oracle comparable.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df

@@ -1,0 +1,336 @@
+"""Training-data pipeline operators on documents/embeddings tables.
+
+Dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, fingerprinting),
+similarity search, and text analysis — each oracle-checked in DuckDB via
+the shared md5-prefix hash family (functions/hashing.py), which both
+engines compute identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.operators import dedup as D
+from qudo_etl_pipeline_spark.operators import similarity as SIM
+from qudo_etl_pipeline_spark.operators import text as TX
+
+# DuckDB fragment of the seeded md5-prefix hash (mirror of Spark's
+# functions.hashing.hash64 / token_hash64).
+def _dh(expr: str, seed: int) -> str:
+    return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT)"
+
+
+def _dh_raw(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# --- dedup ----------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT {_dh_raw('text')} AS text_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY 1
+    """,
+    survey_ids=["P7"],
+    description="Exact dedup: group by content hash, keep min doc_id",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    SELECT doc_id,
+           list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 0)})) AS mh0,
+           list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 1)})) AS mh1,
+           list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 2)})) AS mh2,
+           list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 3)})) AS mh3
+    FROM documents
+    """,
+    survey_ids=["P7"],
+    description="MinHash signatures (4 seeded hash functions, narrow map)",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"), n_hashes=4)
+
+
+@register(
+    "minhash_lsh_buckets",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 0)})) AS mh0,
+             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 1)})) AS mh1,
+             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 2)})) AS mh2,
+             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 3)})) AS mh3
+      FROM documents
+    )
+    SELECT doc_id, 0::BIGINT AS band,
+           {_dh_raw("mh0::VARCHAR || '_' || mh1::VARCHAR")} AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 1::BIGINT AS band,
+           {_dh_raw("mh2::VARCHAR || '_' || mh3::VARCHAR")} AS bucket FROM sig
+    """,
+    survey_ids=["P7"],
+    description="LSH banding of MinHash signatures (2 bands x 2 hashes)",
+)
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(load_table(spark, sf_dir, "documents"), n_hashes=4)
+    return D.lsh_bands(sigs, n_hashes=4, band_size=2)
+
+
+@register(
+    "ngram_jaccard_chain",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
+                 (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) AS jaccard
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 200
+    """,
+    survey_ids=["P7"],
+    description="Token-set Jaccard similarity over adjacent doc pairs",
+)
+def ngram_jaccard_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    a = toks.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("id_a"), F.col("t").alias("ta")
+    )
+    b = toks.select((F.col("doc_id") - 1).alias("join_id"),
+                    F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
+    return (
+        a.join(b, a.id_a == b.join_id)
+        .select("id_a", "id_b", F.round(inter * 1.0 / union, 6).alias("jaccard"))
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, {_dh('tok', 0)} AS h FROM th
+    ), votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM hashes GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register(
+    "simhash16",
+    oracle=_simhash_oracle(),
+    survey_ids=["P7"],
+    description="16-bit SimHash fingerprint per document (bit-vote aggregate)",
+)
+def simhash16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash16("text").alias("simhash"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3 THEN
+             list_min(list_transform(range(len(t) - 2), i ->
+               {_dh("array_to_string(list_slice(t, i + 1, i + 3), ' ')", 7)}))
+           ELSE {_dh('text', 7)} END AS fingerprint
+    FROM toks
+    """,
+    survey_ids=["P7", "P8"],
+    description="Rolling 3-gram shingle fingerprint (1-hash MinHash over shingles)",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --- text analysis --------------------------------------------------------
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+           ROUND(len(list_distinct(string_split(text, ' '))) * 1.0 /
+                 len(string_split(text, ' ')), 6) AS type_token_ratio,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    survey_ids=["P9"],
+    description="Token counting + type-token ratio per document",
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_EN = "'the','a','of','and','in','to','is'"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                             t -> list_contains([{_STOP_EN}], t))) AS stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_word_len,
+           ROUND(stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+             LEAST(1.0, ROUND(stop * 1.0 / n_tokens, 6) * 2 + 0.5) *
+             LEAST(1.0, n_tokens / 50.0) END, 6) AS quality_score
+    FROM base
+    """,
+    survey_ids=["P9", "P6"],
+    description="Heuristic quality scoring: word length, stopword density",
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    from qudo_etl_pipeline_spark.operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = ",\n           ".join(
+        "len(list_filter(string_split(text, ' '), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], t))) AS score_{lang}"
+        for lang in langs
+    )
+    # same strict-> argmax as the Spark side: first lang (sorted) wins ties
+    pred = "CASE"
+    cond = []
+    for lang in langs:
+        others = [f"score_{o}" for o in langs if o != lang]
+        # lang wins if strictly greater than all languages before it and
+        # greater-or-equal than all after it, with earlier-lang priority
+        prior = [f"score_{o} < score_{lang}" for o in langs[: langs.index(lang)]]
+        later = [f"score_{o} <= score_{lang}" for o in langs[langs.index(lang) + 1 :]]
+        conds = prior + later + [f"score_{lang} > -1"]
+        pred += f" WHEN {' AND '.join(conds)} THEN '{lang}'"
+    pred += " ELSE 'und' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {score_cols}
+      FROM documents
+    )
+    SELECT doc_id,
+           {', '.join(f'CAST(score_{lang} AS BIGINT) AS score_{lang}' for lang in langs)},
+           {pred} AS pred_lang,
+           lang AS claimed_lang,
+           CAST(CASE WHEN ({pred}) = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+    FROM scored
+    """
+
+
+@register(
+    "langid_heuristic",
+    oracle=_langid_oracle(),
+    survey_ids=["P9"],
+    description="Stopword-vote language identification with deterministic argmax",
+)
+def langid_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.langid_heuristic(load_table(spark, sf_dir, "documents"))
+
+
+# --- similarity search ----------------------------------------------------
+
+@register(
+    "ann_bruteforce_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, n.e) /
+                   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))),
+                   9) AS cos9
+      FROM v q JOIN v n ON q.vec_id < 10 AND q.vec_id <> n.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos9, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey_ids=["A10", "W2"],
+    description="Exact cosine top-5 neighbors for the first 10 vectors",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(vecs, queries, k=5)
+
+
+@register(
+    "embedding_centroid_norm",
+    oracle="""
+    WITH expanded AS (
+      SELECT label, u.pos, CAST(u.val AS DECIMAL(28,12)) AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS val,
+                           generate_subscripts(embedding, 1) - 1 AS pos) u
+    ), dims AS (
+      SELECT label, pos, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_val
+      FROM expanded GROUP BY label, pos
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           ROUND(sqrt(SUM(mean_val * mean_val)), 6) AS centroid_norm
+    FROM dims GROUP BY label
+    """,
+    survey_ids=["A8", "M3"],
+    description="Per-label embedding centroid norm (exact decimal dim-sums)",
+)
+def embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+             / F.count(F.lit(1))).alias("mean_val")
+        )
+    )
+    return dims.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.round(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 6).alias(
+            "centroid_norm"
+        )
+    )

@@ -1,0 +1,558 @@
+"""Relational operator catalog (SURVEY §2.2-§2.6) on the TPC-H-ish tables.
+
+Each query exercises one operator family from the reference inventory and
+is expressed Spark-first: filters/projections Catalyst can push into the
+parquet scan, broadcast joins for dimensions, window functions for
+top-k/rank/mode, exact DECIMAL arithmetic for money sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.catalog import load_table, register
+
+DEC = "decimal(18,4)"
+
+
+def _d(c) -> F.Column:
+    """Exact decimal view of a double column (cross-engine deterministic)."""
+    return (F.col(c) if isinstance(c, str) else c).cast(DEC)
+
+
+# --- scans / aggregations -------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ids=["S1", "A4", "A5", "A8"],
+    description="TPC-H Q1-style pricing summary: multi-agg groupBy with pushed-down date filter",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_d("l_extendedprice") * (F.lit(1) - _d("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(_d("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity < 5 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    survey_ids=["P6", "S1"],
+    description="Predicate + projection pushed to the parquet scan",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 5)
+        & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    survey_ids=["P7"],
+    description="Deduplication via dropDuplicates on a key pair",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").dropDuplicates(
+        ["o_custkey", "o_orderstatus"]
+    ).select("o_custkey", "o_orderstatus")
+
+
+@register(
+    "recode_case",
+    oracle="""
+    SELECT CASE l_returnflag WHEN 'R' THEN 'returned'
+                             WHEN 'A' THEN 'acknowledged'
+                             ELSE 'none' END AS flag_text,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    survey_ids=["P3", "J5"],
+    description="Value recode via broadcast map literal (dict-map remap)",
+)
+def recode_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    mapping = F.create_map(
+        F.lit("R"), F.lit("returned"), F.lit("A"), F.lit("acknowledged")
+    )
+    return (
+        li.withColumn(
+            "flag_text", F.coalesce(mapping[F.col("l_returnflag")], F.lit("none"))
+        )
+        .groupBy("flag_text")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "regex_extract_firstword",
+    oracle="""
+    SELECT regexp_extract(p_name, '^(\\w+)', 1) AS first_word, COUNT(*) AS n
+    FROM part GROUP BY 1
+    """,
+    survey_ids=["P8"],
+    description="Regex scalar extraction over a string column",
+)
+def regex_extract_firstword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.withColumn("first_word", F.regexp_extract("p_name", r"^(\w+)", 1))
+        .groupBy("first_word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "string_scalar_ops",
+    oracle="""
+    SELECT lower(p_type) AS type_lc,
+           CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brand_num,
+           COUNT(*) AS n
+    FROM part GROUP BY 1, 2
+    """,
+    survey_ids=["P9", "P10"],
+    description="String scalar ops: lower + split + cast",
+)
+def string_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.lower("p_type").alias("type_lc"),
+            F.split("p_brand", "#").getItem(1).cast("bigint").alias("brand_num"),
+        )
+        .groupBy("type_lc", "brand_num")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- joins ----------------------------------------------------------------
+
+@register(
+    "join_customer_geo",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    survey_ids=["J1", "J5", "A5"],
+    description="Fact-to-dimension equi-joins with broadcast dims",
+)
+def join_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_d("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_semi_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+    """,
+    survey_ids=["J3"],
+    description="Left-semi join (EXISTS): suppliers appearing in lineitem",
+)
+def join_semi_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "join_anti_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    survey_ids=["J3"],
+    description="Left-anti join (NOT EXISTS): customers with no orders",
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- pivots / crosstabs ---------------------------------------------------
+
+@register(
+    "pivot_status_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_ids=["A1"],
+    description="Crosstab / pivot count: order priority x status",
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )
+
+
+@register(
+    "crosstab_percent",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus), 6) AS pct_of_status
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """,
+    survey_ids=["A2"],
+    description="Column-percent of crosstab via window over the aggregate",
+)
+def crosstab_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus")
+    return counts.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 6).alias("pct_of_status"),
+    )
+
+
+# --- weighted aggregates / modes ------------------------------------------
+
+@register(
+    "weighted_avg_discount",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS wavg_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ids=["A5"],
+    description="Weighted mean by group (weighted sum / weight total)",
+)
+def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(_d("l_discount") * _d("l_quantity")).cast("double")
+            / F.sum(_d("l_quantity")).cast("double"),
+            6,
+        ).alias("wavg_discount")
+    )
+
+
+@register(
+    "group_mode_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+    survey_ids=["A6"],
+    description="Per-group mode via count + row_number window (tie: value asc)",
+)
+def group_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "distinct_parts_per_supplier",
+    oracle="""
+    SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    survey_ids=["A7"],
+    description="Exact distinct count per group",
+)
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+@register(
+    "cluster_share",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_ids=["A9", "M16"],
+    description="Proportion-of-total per group (cluster share)",
+)
+def cluster_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return counts.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
+@register(
+    "top_supplier_by_qty",
+    oracle="""
+    SELECT l_suppkey, total_qty FROM (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_suppkey
+    ) ORDER BY total_qty DESC, l_suppkey ASC LIMIT 1
+    """,
+    survey_ids=["A10"],
+    description="Argmax selection: orderBy desc + limit 1 with tie-break",
+)
+def top_supplier_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_d("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("l_suppkey"))
+        .limit(1)
+    )
+
+
+# --- windows / sorts / set ops / reshape ----------------------------------
+
+@register(
+    "topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, revenue FROM (
+      SELECT p_brand, p_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) DESC,
+                                         p_partkey ASC) AS rn
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_partkey
+    ) WHERE rn <= 3
+    """,
+    survey_ids=["W2", "J1"],
+    description="Top-k per group: revenue top-3 parts per brand",
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_d("l_extendedprice")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "revenue")
+    )
+
+
+@register(
+    "rank_suppliers_by_balance",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, rnk FROM (
+      SELECT s_nationkey, s_suppkey,
+             RANK() OVER (PARTITION BY s_nationkey
+                          ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+      FROM supplier
+    ) WHERE rnk <= 5
+    """,
+    survey_ids=["W1"],
+    description="Rank-over-metric per partition (rank-sum building block)",
+)
+def rank_suppliers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        s.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("s_nationkey", "s_suppkey", "rnk")
+    )
+
+
+@register(
+    "orders_sorted_top100",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    survey_ids=["W3"],
+    description="Global sort + limit (TopK physical op)",
+)
+def orders_sorted_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_totalprice"
+    ).limit(100)
+
+
+@register(
+    "union_parties",
+    oracle="""
+    SELECT kind, COUNT(*) AS n,
+           CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+    ) GROUP BY kind
+    """,
+    survey_ids=["R1"],
+    description="Vertical union of heterogeneous tables + aggregate",
+)
+def union_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_d("acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "explode_name_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+    ) GROUP BY token
+    """,
+    survey_ids=["R2", "W4"],
+    description="Explode tokenized strings to long form + count",
+)
+def explode_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    survey_ids=["A4", "A5"],
+    description="Tumbling 1-hour window aggregation over the event stream (batch form)",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    survey_ids=["S2", "P8"],
+    description="Semi-structured JSON extraction from a string column",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,157 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference operators (BASELINE.json north star): exact-hash dedup,
+MinHash signatures + LSH banding, SimHash, and n-gram Jaccard. All the
+per-document work is expressed with JVM-side higher-order array functions
+(split/transform/array_min) so signature computation is a narrow map with
+no shuffle; only candidate generation (groupBy bucket / self-join) shuffles,
+and it shuffles signatures (tiny) rather than documents.
+
+Scale design (100 TB corpus):
+- signatures are O(docs x n_seeds) longs — the self-join for candidates
+  happens on banded buckets, so each comparison group is tiny unless data
+  is pathologically self-similar; AQE skew-join handles hot buckets.
+- hashes are the cross-engine md5-prefix family (functions/hashing.py) so
+  every stage is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.functions.hashing import hash64
+
+# Spark-SQL fragment of the seeded 60-bit md5 hash, for use inside
+# higher-order-function lambdas (F.md5 etc. can't be used there directly
+# when building from strings).
+def _hash64_frag(expr: str, seed: int) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('{seed}:', {expr})), 1, 15), 16, 10) "
+        f"as bigint)"
+    )
+
+
+def tokens_col(text_col: str = "text", sep: str = " ") -> Column:
+    return F.split(F.col(text_col), sep)
+
+
+def exact_dup_hash(text_col: str = "text") -> Column:
+    """Content hash for exact dedup (group equal hashes, keep min id)."""
+    return hash64(F.col(text_col))
+
+
+def minhash_col(text_col: str, seed: int, sep: str = " ") -> Column:
+    """MinHash signature component: min over tokens of seeded hash64.
+
+    A narrow expression (split -> transform -> array_min): no explode, no
+    shuffle; whole-stage codegen keeps it JVM-side.
+    """
+    return F.expr(
+        f"array_min(transform(split({text_col}, '{sep}'), "
+        f"t -> {_hash64_frag('t', seed)}))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = 4
+) -> DataFrame:
+    """doc_id + mh0..mh{n-1} MinHash signature columns."""
+    return df.select(
+        id_col,
+        *[minhash_col(text_col, s).alias(f"mh{s}") for s in range(n_hashes)],
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    band_size: int = 2,
+) -> DataFrame:
+    """Long-form (doc_id, band, bucket): hash of each band's signature slice.
+
+    Docs sharing (band, bucket) are near-dup candidates; the candidate
+    self-join happens on this tiny frame, never on document text.
+    """
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [f"mh{b * band_size + i}" for i in range(band_size)]
+        bucket = hash64(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).cast("bigint").alias("band"),
+                bucket.alias("bucket"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH bucket."""
+    left = bands.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+    )
+    right = bands.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_tokens(a_tokens: Column, b_tokens: Column) -> Column:
+    """Jaccard similarity of two token-array columns (distinct tokens)."""
+    a = F.array_distinct(a_tokens)
+    b = F.array_distinct(b_tokens)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash16(text_col: str = "text", sep: str = " ") -> Column:
+    """16-bit SimHash over distinct tokens as a pure column expression.
+
+    bit_i(fingerprint) = 1 iff sum over tokens of (+1 if bit_i(hash64(t))
+    else -1) > 0. Uses aggregate() over the token array — narrow, no
+    shuffle, oracle-expressible in DuckDB with the same md5 hash family.
+    """
+    th = f"transform(array_distinct(split({text_col}, '{sep}')), t -> {_hash64_frag('t', 0)})"
+    bit_sums = ", ".join(
+        f"sum(case when (shiftright(h, {i}) & 1) = 1 then 1 else -1 end)"
+        for i in range(16)
+    )
+    # aggregate token-hash array into 16 bit-vote counters, then pack bits
+    votes = f"""
+      aggregate({th},
+                array_repeat(0L, 16),
+                (acc, h) -> transform(acc, (v, i) ->
+                    v + (case when (shiftright(h, i) & 1) = 1 then 1L else -1L end)))
+    """
+    packed = f"""
+      aggregate(zip_with({votes}, sequence(0, 15), (v, i) -> struct(v as v, i as i)),
+                0L,
+                (acc, s) -> acc + (case when s.v > 0 then shiftleft(1L, s.i) else 0L end))
+    """
+    return F.expr(packed)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: one keeper row (min id) per distinct content hash."""
+    return (
+        df.select(F.col(id_col), exact_dup_hash(text_col).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns.
+
+Beyond-reference operators (BASELINE.json north star): brute-force cosine
+top-k as the exact baseline, and an LSH-bucketed variant as the scale
+path. Dot products use zip_with + aggregate (JVM-side, codegen) over
+array<double>; no Python in the hot loop.
+
+Scale design (100 TB / billions of vectors):
+- brute force is O(Q x N) — fine when the query side is small and
+  broadcastable, which is the common "dedup this batch against itself"
+  shape at bounded k;
+- the LSH variant buckets vectors by random-hyperplane signs so candidate
+  generation is a bucket equi-join (shuffle on signature, not on vectors);
+- IVF-style coarse quantization can reuse the same shape with learned
+  centroids (ml layer) instead of random planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x all vectors, window top-k.
+
+    Returns (query_id, neighbor_id, rank, cosine). Deterministic: ranking
+    uses the cosine rounded to 9 decimals with neighbor id as tie-break,
+    so results are reproducible across engines and runs.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("cos9"), 6).alias("cosine"),
+        )
+    )
+
+
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign-bit signature per vector.
+
+    Planes are generated deterministically from the seed via a hash-based
+    pseudo-random (-1/+1) pattern so the operator needs no stored model
+    and the oracle can reproduce it. Vectors in the same bucket are
+    likely-close in cosine; ANN search = brute force within buckets.
+    """
+    if dim is None:
+        dim = len(
+            vectors.select(vec_col).limit(1).collect()[0][0]
+        )
+    sig = F.lit(0).cast("bigint")
+    v = _as_double(F.col(vec_col))
+    for p in range(n_planes):
+        # deterministic +-1 plane: sign from a bit-mix of (seed, p, i)
+        plane = F.array(
+            *[
+                F.lit(1.0 if ((seed * 1_000_003 + p * 10_007 + i * 101) % 7) < 3 else -1.0)
+                for i in range(dim)
+            ]
+        )
+        proj = dot(v, plane)
+        sig = sig + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
+    return vectors.select(F.col(id_col), sig.alias("bucket"))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k within LSH buckets (self-join on bucket, window top-k)."""
+    buckets = hyperplane_lsh_buckets(
+        vectors, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    tagged = vectors.join(buckets, id_col)
+    a = tagged.select(
+        F.col("bucket"),
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    b = tagged.select(
+        F.col("bucket"),
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("cos9"), 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every catalog query on Spark AND its oracle SQL on DuckDB against
+the same parquet tables, then compares row count, column names, and
+order-insensitive values. Run before every commit that touches the
+catalog:
+
+    python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df, float_round=None):
+    """Canonical form: sorted column names, rows sorted by string repr."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    row.append("NaN")
+                else:
+                    row.append(repr(round(v, float_round) if float_round else v))
+            else:
+                row.append(repr(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from qudo_etl_pipeline_spark.catalog import registry
+    from qudo_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    specs = registry()
+    failures = []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.spark(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if spec.oracle is None:
+            status = "rows-only"
+            ok = len(sdf) >= 0
+            print(f"{'ok  ' if ok else 'FAIL'} {name:32s} [{status}] "
+                  f"rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(spec.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(
+                f"schema spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+            )
+        if not problems:
+            s_rows, o_rows = canon(sdf), canon(odf)
+            if s_rows != o_rows:
+                n_bad = sum(1 for a, b in zip(s_rows, o_rows) if a != b)
+                problems.append(f"values differ in ~{n_bad} rows")
+                for a, b in list(zip(s_rows, o_rows))[:200]:
+                    if a != b:
+                        problems.append(f"  spark : {a}\n  oracle: {b}")
+                        break
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems[:3]))
+        else:
+            print(f"ok   {name:32s} rows={len(sdf)} ({time.time()-t0:.1f}s)")
+
+    print()
+    if failures:
+        print(f"FAILED: {len(failures)} queries: {failures}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
