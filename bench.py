@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is forced with the noop sink (full computation, no result
+materialization on the driver) after a warm-up of the session. Queries
+cover the engine's hot paths: scan+agg, join+window top-k, the melt ->
+one-shuffle contingency inference, dedup signatures, ANN top-k, and
+sessionization windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "topk_parts_per_brand",
+    "deliver_stats_planted",
+    "chi2_stat_by_variable",
+    "minhash_signatures",
+    "simhash16",
+    "ann_bruteforce_topk",
+    "user_sessions",
+    "events_hourly",
+    "dedup_exact_groups",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from qudo_etl_pipeline_spark.catalog import registry
+    from qudo_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    specs = registry()
+
+    # warm up the JVM / parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.time()
+        df = spec.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,9 @@ def contingency_tables(
     long = melt(wide.select(*keep, *variables), id_vars=keep, value_vars=variables)
 
     w = F.col(weight_col) if weight_col else F.lit(1.0)
+    # THE one big-data shuffle. The result is tiny (|vars| x |values| x
+    # |clusters|), so cache it: every downstream statistic (chi2, post-hoc,
+    # modes, denominators) re-reads it instead of re-scanning the input.
     cells = (
         long.filter(F.col("value").isNotNull())
         .groupBy("variable", cluster_col, "value")
@@ -91,13 +94,15 @@ def contingency_tables(
             F.count(F.lit(1)).alias("observed"),
             F.sum(w).alias("w_observed"),
         )
+        .cache()
     )
 
     cluster_sizes = wide.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("cluster_n"),
         F.sum(w).alias("cluster_w"),
-    )
-    n_rows = wide.count()
+    ).cache()
+    # total rows without another scan of the wide input
+    n_rows = cluster_sizes.agg(F.sum("cluster_n")).collect()[0][0]
     return ContingencyTables(
         cells=cells,
         cluster_sizes=cluster_sizes,
