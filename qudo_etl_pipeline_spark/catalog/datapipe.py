@@ -301,6 +301,113 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_candidate_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 0)})) AS mh0,
+             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 1)})) AS mh1,
+             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 2)})) AS mh2,
+             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 3)})) AS mh3
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, 0::BIGINT AS band,
+             {_dh_raw("mh0::VARCHAR || '_' || mh1::VARCHAR")} AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1::BIGINT AS band,
+             {_dh_raw("mh2::VARCHAR || '_' || mh3::VARCHAR")} AS bucket FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    """,
+    survey_ids=["P7", "J3"],
+    description="MinHash-LSH candidate pairs (bucket self-join on signatures)",
+)
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(load_table(spark, sf_dir, "documents"), n_hashes=4)
+    return D.lsh_candidate_pairs(D.lsh_bands(sigs, n_hashes=4, band_size=2))
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(ROUND(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9) >= 0.35
+    """,
+    survey_ids=["P7", "J3"],
+    description="Embedding-cosine near-duplicate pairs above a threshold",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    v = e.select(
+        "vec_id", SIM._as_double(F.col("embedding")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    cos9 = F.round(SIM.cosine(F.col("ea"), F.col("eb")), 9)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos9.alias("cos9"))
+        .filter(F.col("cos9") >= 0.35)
+        .select("id_a", "id_b", F.round("cos9", 6).alias("cosine"))
+    )
+
+
+def _ann_lsh_oracle(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """Mirror of similarity.hyperplane_lsh_buckets with planes inlined."""
+    bucket_terms = []
+    for p in range(n_planes):
+        vals = ", ".join(
+            "1.0" if ((seed * 1_000_003 + p * 10_007 + i * 101) % 7) < 3 else "-1.0"
+            for i in range(dim)
+        )
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{vals}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), buck AS (
+      SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   9) AS cos9
+      FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos9, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_ann_lsh_oracle(),
+    survey_ids=["A10", "W2", "J3"],
+    description="ANN top-5 within hyperplane-LSH buckets (the scale path)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.lsh_topk(load_table(spark, sf_dir, "embeddings"), k=5, dim=64)
+
+
+@register(
     "embedding_centroid_norm",
     oracle="""
     WITH expanded AS (

@@ -69,6 +69,39 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_agg",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+             event_id
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(make_timestamp(MIN(epoch_us(ts))), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    survey_ids=["W1"],
+    description="Built-in session_window gap sessionization (batch/stream-agnostic)",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.streaming.sessions import session_window_counts
+
+    return session_window_counts(load_events(spark, sf_dir), gap="30 minutes")
+
+
+@register(
     "user_sessions",
     oracle="""
     WITH ordered AS (

@@ -122,10 +122,12 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k within LSH buckets (self-join on bucket, window top-k)."""
     buckets = hyperplane_lsh_buckets(
-        vectors, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+        vectors, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col,
+        dim=dim,
     )
     tagged = vectors.join(buckets, id_col)
     a = tagged.select(

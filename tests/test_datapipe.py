@@ -1,0 +1,222 @@
+"""Unit tests for dedup / text / similarity / multimodal / streaming ops
+against tiny hand-computed fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.operators import dedup as D
+from qudo_etl_pipeline_spark.operators import multimodal as MM
+from qudo_etl_pipeline_spark.operators import similarity as SIM
+from qudo_etl_pipeline_spark.operators import text as TX
+
+
+def ref_hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),          # exact dup of 0
+        (2, "the dog sat on the mat"),          # near dup
+        (3, "completely different text here"),
+        (4, "a b"),                              # shorter than a 3-shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["text_hash"]: r for r in D.exact_dedup(docs).collect()}
+    h = ref_hash64("the cat sat on the mat")
+    assert out[h]["n_docs"] == 2
+    assert out[h]["keeper_id"] == 0
+    assert len(out) == 4
+
+
+def test_minhash_matches_python(spark, docs):
+    out = {r["doc_id"]: r for r in D.minhash_signatures(docs, n_hashes=2).collect()}
+    for doc_id, text in [(0, "the cat sat on the mat"), (3, "completely different text here")]:
+        toks = text.split(" ")
+        for s in range(2):
+            expected = min(ref_hash64(f"{s}:{t}") for t in toks)
+            assert out[doc_id][f"mh{s}"] == expected
+    # exact dups share signatures; near dups share some
+    assert out[0]["mh0"] == out[1]["mh0"]
+
+
+def test_lsh_candidates_contain_exact_dups(spark, docs):
+    sigs = D.minhash_signatures(docs, n_hashes=4)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(D.lsh_bands(sigs)).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide
+
+
+def test_jaccard(spark, docs):
+    t = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("t"))
+    a = t.filter(F.col("doc_id") == 0).select(F.col("t").alias("ta"))
+    b = t.filter(F.col("doc_id") == 2).select(F.col("t").alias("tb"))
+    j = a.crossJoin(b).select(
+        D.jaccard_tokens(F.col("ta"), F.col("tb")).alias("j")
+    ).collect()[0]["j"]
+    # tokens: {the,cat,sat,on,mat} vs {the,dog,sat,on,mat}: inter 4, union 6
+    assert j == pytest.approx(4 / 6)
+
+
+def test_simhash_identical_and_bits(spark, docs):
+    out = {r["doc_id"]: r["sh"] for r in
+           docs.select("doc_id", D.simhash16("text").alias("sh")).collect()}
+    assert out[0] == out[1]
+    assert 0 <= out[0] < 2**16
+    # python mirror for doc 4 ("a b")
+    hs = [ref_hash64("0:a"), ref_hash64("0:b")]
+    expected = 0
+    for i in range(16):
+        vote = sum(1 if (h >> i) & 1 else -1 for h in hs)
+        if vote > 0:
+            expected |= 1 << i
+    assert out[4] == expected
+
+
+def test_doc_fingerprint_short_doc_fallback(spark, docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in TX.doc_fingerprint(docs).collect()}
+    assert out[4] == ref_hash64("7:a b")  # whole-text fallback
+    shingles = ["the cat sat", "cat sat on", "sat on the", "on the mat"]
+    assert out[0] == min(ref_hash64(f"7:{s}") for s in shingles)
+
+
+def test_token_stats(spark, docs):
+    out = {r["doc_id"]: r for r in TX.token_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 6
+    assert out[0]["n_unique_tokens"] == 5
+    assert out[0]["type_token_ratio"] == pytest.approx(round(5 / 6, 6))
+
+
+def test_langid_scores(spark):
+    rows = [
+        (0, "the cat and the dog in a house", "en"),
+        (1, "el gato y la casa en que es", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in TX.langid_heuristic(df).collect()}
+    assert out[0]["pred_lang"] == "en" and out[0]["is_match"] == 1
+    assert out[1]["pred_lang"] == "es" and out[1]["is_match"] == 1
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),   # closest to 0
+        (2, [0.5, 0.5]),
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+    assert out[0]["cosine"] <= 1.0
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=16).astype(float).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ann = SIM.lsh_topk(df, k=3, n_planes=4, dim=16).collect()
+    assert len(ann) > 0
+    # every ANN neighbor must share the query's bucket
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in SIM.hyperplane_lsh_buckets(df, n_planes=4, dim=16).collect()
+    }
+    for r in ann:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(media_id=1, kind="image", payload=bytes(range(100)),
+            meta=Row(format="png", width=10, height=10, sample_rate=None,
+                     duration_ms=None)),
+        Row(media_id=2, kind="video", payload=b"\x01\x02" * 500,
+            meta=Row(format="mp4", width=64, height=48, sample_rate=None,
+                     duration_ms=3500)),
+        Row(media_id=3, kind="audio", payload=None,
+            meta=Row(format="wav", width=None, height=None, sample_rate=16000,
+                     duration_ms=2000)),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_multimodal_features(spark, media):
+    out = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert out[1]["n_bytes"] == 100
+    assert len(out[1]["features"]) == MM.N_FEATURES
+    assert out[1]["features"][0] == pytest.approx(49.5)  # mean of 0..99
+    assert out[3]["n_bytes"] == 0
+    assert all(f == 0.0 for f in out[3]["features"])
+    # deterministic: second run identical
+    again = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert again[2]["features"] == out[2]["features"]
+
+
+def test_multimodal_real_decoder_stubbed(spark, media):
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, decoder="real")
+
+
+def test_frame_sample_plan(spark, media):
+    frames = MM.frame_sample_plan(media, every_ms=1000).collect()
+    # 3500ms video at 1 fps -> frames 0,1,2 (n = floor(3.5) - 1 + 1)
+    idxs = sorted(r["frame_idx"] for r in frames)
+    assert idxs == [0, 1, 2]
+    assert all(r["media_id"] == 2 for r in frames)
+    assert {r["frame_ts_ms"] for r in frames} == {0, 1000, 2000}
+
+
+def test_resize_meta(spark, media):
+    out = MM.resize_meta(media, 32, 32).filter(F.col("media_id") == 1).collect()[0]
+    assert out["meta"]["width"] == 32 and out["meta"]["height"] == 32
+    assert out["meta"]["format"] == "png"
+
+
+def test_stateful_running_counts_stream(spark, tmp_path):
+    import pandas as pd
+
+    src = str(tmp_path / "events_in")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {"user_id": [1, 1, 2, 2, 2], "value": [1.0] * 5}
+    ).to_parquet(src + "/part0.parquet")
+
+    from qudo_etl_pipeline_spark.streaming.sessions import (
+        running_user_counts_stream,
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = running_user_counts_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = {
+        r["user_id"]: r["total_events"]
+        for r in spark.sql("SELECT * FROM running_counts").collect()
+    }
+    assert res == {1: 2, 2: 3}
