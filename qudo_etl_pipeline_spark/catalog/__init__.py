@@ -61,6 +61,7 @@ def registry() -> dict[str, QuerySpec]:
     from qudo_etl_pipeline_spark.catalog import (  # noqa: F401
         contingency_q,
         datapipe,
+        ml_q,
         relational,
         streaming_q,
     )

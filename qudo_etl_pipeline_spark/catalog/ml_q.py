@@ -1,0 +1,471 @@
+"""Catalog entries for the ML layer (SURVEY §2.7).
+
+Planted-label queries make the quality metrics oracle-checkable: a
+deterministic "clustering" (l_returnflag / c_mktsegment / price bands)
+stands in for model output, so Davies-Bouldin / Calinski-Harabasz /
+silhouette / ARI / Cochran's Q reduce to closed-form SQL DuckDB can run.
+Actual MLlib fits (seed-dependent, not SQL-expressible) are registered
+without oracles -> the driver's weaker rows-only check (per the
+contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.ml import clustering as C
+from qudo_etl_pipeline_spark.ml import features as FE
+from qudo_etl_pipeline_spark.ml import quality as Q
+
+# shared planted features: 3-d lineitem projection, cluster = l_returnflag
+_LI_FEATS = """
+    SELECT l_returnflag AS cl,
+           l_quantity AS f1,
+           l_extendedprice / 1000.0 AS f2,
+           l_discount * 10.0 AS f3
+    FROM lineitem
+"""
+
+
+def _lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("cl"),
+        F.array(
+            F.col("l_quantity").cast("double"),
+            (F.col("l_extendedprice") / 1000.0).cast("double"),
+            (F.col("l_discount") * 10.0).cast("double"),
+        ).alias("features"),
+    )
+
+
+@register(
+    "cluster_centroid_stats",
+    oracle=f"""
+    WITH s AS ({_LI_FEATS})
+    SELECT cl AS cluster, COUNT(*) AS n,
+           ROUND(AVG(f1), 6) AS c1, ROUND(AVG(f2), 6) AS c2,
+           ROUND(AVG(f3), 6) AS c3,
+           ROUND((SUM(f1*f1 + f2*f2 + f3*f3)
+                  - COUNT(*) * (AVG(f1)*AVG(f1) + AVG(f2)*AVG(f2) + AVG(f3)*AVG(f3)))
+                 / COUNT(*), 4) AS wss_mean
+    FROM s GROUP BY cl
+    """,
+    survey_ids=["M14", "M15", "A4"],
+    description="Per-cluster sufficient stats: n, centroid, mean within-SS",
+)
+def cluster_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = Q.cluster_stats(_lineitem_features(spark, sf_dir), pred="cl")
+    return stats.select(
+        F.col("cluster"),
+        F.col("n"),
+        F.round(F.col("centroid")[0], 6).alias("c1"),
+        F.round(F.col("centroid")[1], 6).alias("c2"),
+        F.round(F.col("centroid")[2], 6).alias("c3"),
+        F.round(
+            (
+                F.col("ssn")
+                - F.col("n")
+                * F.aggregate(
+                    F.col("centroid"), F.lit(0.0), lambda a, v: a + v * v
+                )
+            )
+            / F.col("n"),
+            4,
+        ).alias("wss_mean"),
+    )
+
+
+@register(
+    "calinski_harabasz_planted",
+    oracle=f"""
+    WITH s AS ({_LI_FEATS}),
+    c AS (
+      SELECT cl, COUNT(*) AS n, AVG(f1) AS m1, AVG(f2) AS m2, AVG(f3) AS m3,
+             SUM(f1*f1 + f2*f2 + f3*f3) AS ssn
+      FROM s GROUP BY cl
+    ),
+    g AS (
+      SELECT SUM(n) AS n_tot, COUNT(*) AS k,
+             SUM(n*m1)/SUM(n) AS g1, SUM(n*m2)/SUM(n) AS g2, SUM(n*m3)/SUM(n) AS g3
+      FROM c
+    )
+    SELECT ROUND(
+      (SELECT SUM(n * ((m1-g1)*(m1-g1) + (m2-g2)*(m2-g2) + (m3-g3)*(m3-g3)))
+         FROM c, g) / ((SELECT k FROM g) - 1)
+      /
+      ((SELECT SUM(ssn - n * (m1*m1 + m2*m2 + m3*m3)) FROM c)
+         / ((SELECT n_tot FROM g) - (SELECT k FROM g))), 4) AS calinski_harabasz
+    """,
+    survey_ids=["M15"],
+    description="Calinski-Harabasz index over the planted lineitem clustering",
+)
+def calinski_harabasz_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = Q.calinski_harabasz(_lineitem_features(spark, sf_dir), pred="cl")
+    return spark.createDataFrame(
+        [(round(ch, 4),)], "calinski_harabasz: double"
+    )
+
+
+@register(
+    "davies_bouldin_planted",
+    oracle=f"""
+    WITH s AS ({_LI_FEATS}),
+    c AS (
+      SELECT cl, COUNT(*) AS n, AVG(f1) AS m1, AVG(f2) AS m2, AVG(f3) AS m3
+      FROM s GROUP BY cl
+    ),
+    sc AS (
+      SELECT c.cl, c.m1, c.m2, c.m3,
+             AVG(sqrt((s.f1-c.m1)*(s.f1-c.m1) + (s.f2-c.m2)*(s.f2-c.m2)
+                      + (s.f3-c.m3)*(s.f3-c.m3))) AS scatter
+      FROM s JOIN c ON s.cl = c.cl
+      GROUP BY c.cl, c.m1, c.m2, c.m3
+    )
+    SELECT ROUND(AVG(worst), 6) AS davies_bouldin FROM (
+      SELECT a.cl,
+             MAX((a.scatter + b.scatter)
+                 / sqrt((a.m1-b.m1)*(a.m1-b.m1) + (a.m2-b.m2)*(a.m2-b.m2)
+                        + (a.m3-b.m3)*(a.m3-b.m3))) AS worst
+      FROM sc a JOIN sc b ON a.cl <> b.cl
+      GROUP BY a.cl
+    )
+    """,
+    survey_ids=["M14"],
+    description="Davies-Bouldin index over the planted lineitem clustering",
+)
+def davies_bouldin_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = Q.davies_bouldin(_lineitem_features(spark, sf_dir), pred="cl")
+    return spark.createDataFrame([(round(db, 6),)], "davies_bouldin: double")
+
+
+@register(
+    "silhouette_exact_planted",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id, c_mktsegment AS cl,
+             c_acctbal / 1000.0 AS f1, CAST(c_nationkey AS DOUBLE) AS f2
+      FROM customer WHERE c_custkey <= 200
+    ),
+    pm AS (
+      SELECT a.id AS ia, a.cl AS pa, b.cl AS pb,
+             AVG(sqrt((a.f1-b.f1)*(a.f1-b.f1) + (a.f2-b.f2)*(a.f2-b.f2))) AS mdist
+      FROM pts a JOIN pts b ON a.id <> b.id
+      GROUP BY a.id, a.cl, b.cl
+    ),
+    pp AS (
+      SELECT ia, pa,
+             MAX(CASE WHEN pb = pa THEN mdist END) AS a_i,
+             MIN(CASE WHEN pb <> pa THEN mdist END) AS b_i
+      FROM pm GROUP BY ia, pa
+    )
+    SELECT ia AS row_id,
+           ROUND(CASE WHEN a_i IS NULL OR b_i IS NULL THEN 0.0
+                      ELSE (b_i - a_i) / GREATEST(a_i, b_i) END, 6) AS silhouette
+    FROM pp
+    """,
+    survey_ids=["M13"],
+    description="Per-point exact Euclidean silhouette on a planted clustering",
+)
+def silhouette_exact_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    df = cust.select(
+        F.col("c_custkey").alias("row_id"),
+        F.col("c_mktsegment").alias("cl"),
+        F.array(
+            (F.col("c_acctbal") / 1000.0).cast("double"),
+            F.col("c_nationkey").cast("double"),
+        ).alias("features"),
+    )
+    pts = Q.silhouette_pointwise(df, pred="cl", id_col="row_id")
+    return pts.select(
+        "row_id", F.round("silhouette", 6).alias("silhouette")
+    )
+
+
+@register(
+    "ari_planted",
+    oracle="""
+    WITH lab AS (
+      SELECT o_orderpriority AS a,
+             CAST(FLOOR(o_totalprice / 60000.0) AS BIGINT) AS b
+      FROM orders
+    ),
+    cont AS (SELECT a, b, COUNT(*) AS nij FROM lab GROUP BY a, b),
+    s AS (
+      SELECT SUM(nij*(nij-1)/2.0) AS sum_nij2, SUM(nij) AS n FROM cont
+    ),
+    sa AS (SELECT SUM(ai*(ai-1)/2.0) AS sum_ai2 FROM
+           (SELECT SUM(nij) AS ai FROM cont GROUP BY a)),
+    sb AS (SELECT SUM(bj*(bj-1)/2.0) AS sum_bj2 FROM
+           (SELECT SUM(nij) AS bj FROM cont GROUP BY b))
+    SELECT ROUND(
+      (s.sum_nij2 - sa.sum_ai2 * sb.sum_bj2 / (s.n*(s.n-1)/2.0))
+      / ((sa.sum_ai2 + sb.sum_bj2) / 2.0
+         - sa.sum_ai2 * sb.sum_bj2 / (s.n*(s.n-1)/2.0)), 6) AS ari
+    FROM s, sa, sb
+    """,
+    survey_ids=["M19"],
+    description="Adjusted Rand index (closed form) between two planted labelings",
+)
+def ari_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("a"),
+        F.floor(F.col("o_totalprice") / 60000.0).cast("long").alias("b"),
+    )
+    ari = Q.adjusted_rand_index(lab, "a", "b")
+    return spark.createDataFrame([(round(ari, 6),)], "ari: double")
+
+
+@register(
+    "cochrans_q_planted",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS b0,
+             CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS b1,
+             CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS b2,
+             CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS b3
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT SUM(b0) AS t0, SUM(b1) AS t1, SUM(b2) AS t2, SUM(b3) AS t3,
+             SUM(b0+b1+b2+b3) AS n,
+             SUM((b0+b1+b2+b3)*(b0+b1+b2+b3)) AS sum_r2
+      FROM b
+    )
+    SELECT ROUND((4-1) * (4.0*(t0*t0 + t1*t1 + t2*t2 + t3*t3) - CAST(n AS DOUBLE)*n)
+                 / (4.0*n - sum_r2), 6) AS q,
+           CAST(3 AS BIGINT) AS dof,
+           ROUND(((4-1) * (4.0*(t0*t0 + t1*t1 + t2*t2 + t3*t3) - CAST(n AS DOUBLE)*n)
+                  / (4.0*n - sum_r2) - 3)
+                 / ((4-1) * (4.0*(t0*t0 + t1*t1 + t2*t2 + t3*t3) - CAST(n AS DOUBLE)*n)
+                    / (4.0*n - sum_r2)) * 100, 3) AS i2
+    FROM agg
+    """,
+    survey_ids=["M32"],
+    description="Cochran's Q + I^2 over planted binary treatment columns",
+)
+def cochrans_q_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("int").alias("b0"),
+        (F.col("l_linestatus") == "F").cast("int").alias("b1"),
+        (F.col("l_discount") > 0.05).cast("int").alias("b2"),
+        (F.col("l_quantity") > 25).cast("int").alias("b3"),
+    )
+    q, dof = Q.cochrans_q(li, ["b0", "b1", "b2", "b3"])
+    i2 = Q.i2_score(q, dof)
+    return spark.createDataFrame(
+        [(round(q, 6), dof, i2)], "q: double, dof: bigint, i2: double"
+    )
+
+
+@register(
+    "rank_sum_selection",
+    oracle="""
+    WITH m AS (
+      SELECT s_nationkey AS nation,
+             CAST(COUNT(*) AS DOUBLE) AS silhouette,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS davies_bouldin,
+             CAST(MAX(s_acctbal) AS DOUBLE) AS calinski_harabasz
+      FROM supplier GROUP BY s_nationkey
+    ),
+    r AS (
+      SELECT nation,
+             RANK() OVER (ORDER BY silhouette ASC)
+               + (COUNT(*) OVER (PARTITION BY silhouette) - 1) / 2.0 AS silhouette_rank,
+             RANK() OVER (ORDER BY davies_bouldin DESC)
+               + (COUNT(*) OVER (PARTITION BY davies_bouldin) - 1) / 2.0 AS davies_bouldin_rank,
+             RANK() OVER (ORDER BY calinski_harabasz ASC)
+               + (COUNT(*) OVER (PARTITION BY calinski_harabasz) - 1) / 2.0 AS calinski_harabasz_rank
+      FROM m
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, silhouette_rank, davies_bouldin_rank,
+           calinski_harabasz_rank,
+           silhouette_rank + davies_bouldin_rank + calinski_harabasz_rank AS rank_sum
+    FROM r
+    """,
+    survey_ids=["W1", "A10"],
+    description="Rank-sum model selection with pandas average-tie semantics",
+)
+def rank_sum_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    m = sup.groupBy(F.col("s_nationkey").cast("long").alias("nation")).agg(
+        F.count(F.lit(1)).cast("double").alias("silhouette"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("davies_bouldin"),
+        F.max("s_acctbal").cast("double").alias("calinski_harabasz"),
+    )
+    return Q.rank_cluster_metrics(m).select(
+        "nation",
+        "silhouette_rank",
+        "davies_bouldin_rank",
+        "calinski_harabasz_rank",
+        "rank_sum",
+    )
+
+
+@register(
+    "label_encode_codes",
+    oracle="""
+    SELECT p_brand AS value,
+           CAST(DENSE_RANK() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS code
+    FROM (SELECT DISTINCT p_brand FROM part)
+    """,
+    survey_ids=["M1"],
+    description="LabelEncoder parity: sorted-distinct-value codes",
+)
+def label_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    enc = FE.label_encode(part, ["p_brand"], suffix="__code")
+    return (
+        enc.select(
+            F.col("p_brand").alias("value"),
+            F.col("p_brand__code").cast("long").alias("code"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "standardize_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT c_mktsegment,
+             (c_acctbal - AVG(c_acctbal) OVER ()) / STDDEV_POP(c_acctbal) OVER () AS z
+      FROM customer
+    )
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(AVG(z), 6) AS mean_z
+    FROM s GROUP BY c_mktsegment
+    """,
+    survey_ids=["M2"],
+    description="Population-std z-score (sklearn StandardScaler parity)",
+)
+def standardize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    scaled, _ = FE.standardize(cust, ["c_acctbal"])
+    return scaled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 6).alias("mean_z"),
+    )
+
+
+@register(
+    "kmeans_assign_fixed",
+    oracle="""
+    WITH s AS (
+      SELECT l_quantity AS f1, l_extendedprice / 1000.0 AS f2, l_discount * 10.0 AS f3
+      FROM lineitem
+    ),
+    d AS (
+      SELECT sqrt((f1-10)*(f1-10) + (f2-20)*(f2-20) + (f3-0.2)*(f3-0.2)) AS d0,
+             sqrt((f1-25)*(f1-25) + (f2-50)*(f2-50) + (f3-0.5)*(f3-0.5)) AS d1,
+             sqrt((f1-40)*(f1-40) + (f2-80)*(f2-80) + (f3-0.8)*(f3-0.8)) AS d2
+      FROM s
+    )
+    SELECT CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+                WHEN d1 <= d2 THEN 1 ELSE 2 END AS cluster,
+           COUNT(*) AS n,
+           ROUND(AVG(LEAST(d0, d1, d2)), 4) AS mean_dist
+    FROM d GROUP BY 1
+    """,
+    survey_ids=["M4"],
+    description="KMeans assignment step against fixed literal centroids",
+)
+def kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _lineitem_features(spark, sf_dir)
+    cents = [[10.0, 20.0, 0.2], [25.0, 50.0, 0.5], [40.0, 80.0, 0.8]]
+    dists = [
+        F.sqrt(
+            Q._sq_dist(
+                F.col("features"),
+                F.array(*[F.lit(v) for v in c]),
+            )
+        ).alias(f"d{i}")
+        for i, c in enumerate(cents)
+    ]
+    d = feats.select(*dists)
+    cluster = (
+        F.when((F.col("d0") <= F.col("d1")) & (F.col("d0") <= F.col("d2")), 0)
+        .when(F.col("d1") <= F.col("d2"), 1)
+        .otherwise(2)
+    )
+    return (
+        d.select(
+            cluster.alias("cluster"),
+            F.least("d0", "d1", "d2").alias("dmin"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dmin"), 4).alias("mean_dist"),
+        )
+    )
+
+
+# ---- MLlib fits: seed-dependent, not SQL-expressible -> rows-only ----
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=None,
+    survey_ids=["M4", "M16"],
+    description="Multi-seed KMeans on the embeddings table; best-by-rank-sum "
+    "cluster sizes (rows-only check: MLlib k-means|| is seed- but not "
+    "SQL-reproducible)",
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("features"),
+        "label",
+    )
+    fit = C.kmeans_multi_seed(emb, k=4, seeds=[1, 42, 100], max_workers=3)
+    if fit is None:
+        return spark.createDataFrame([], "prediction: int, n: bigint")
+    return (
+        fit["labels"]
+        .groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prediction")
+    )
+
+
+@register(
+    "optimal_k_embeddings",
+    oracle=None,
+    survey_ids=["M11", "M12"],
+    description="Optimal-k search (elbow + rank-sum) on embeddings (rows-only)",
+)
+def optimal_k_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("features")
+    )
+    best = C.optimal_k(emb, ks=[3, 4, 5, 6], seed=42, max_workers=2)
+    return spark.createDataFrame([(best,)], "best_k: bigint")
+
+
+@register(
+    "gmm_pca_embeddings",
+    oracle=None,
+    survey_ids=["M3", "M7"],
+    description="PCA (cum-var component pick) + GaussianMixture with manual "
+    "BIC/AIC on embeddings (rows-only)",
+)
+def gmm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("features")
+    )
+    proj, n_comp = FE.pca_transform(emb, n_components=8)
+    fit = C.gmm_fit(proj, k=4, seed=42)
+    if fit is None:
+        return spark.createDataFrame(
+            [], "n_components: bigint, k: bigint, n_clusters_found: bigint"
+        )
+    found = fit["labels"].select("prediction").distinct().count()
+    return spark.createDataFrame(
+        [(n_comp, 4, found)],
+        "n_components: bigint, k: bigint, n_clusters_found: bigint",
+    )

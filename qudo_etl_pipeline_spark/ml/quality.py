@@ -1,0 +1,487 @@
+"""Cluster-quality metrics as DataFrame aggregations.
+
+Re-implements the reference's metric layer (reference:
+src/kraken/app/metrics.py:24-174,578-633) without sklearn/statsmodels:
+
+- cluster proportions + balance predicate      (metrics.py:24-38; clustering.py:792-809)
+- Davies-Bouldin / Calinski-Harabasz           (metrics.py:85-90; sklearn formulae)
+- exact Euclidean silhouette                   (metrics.py:73-84)
+- adjusted Rand index (closed form)            (metrics.py:268,301)
+- Cochran's Q -> I^2 variability               (metrics.py:578-633)
+- rank-sum model selection (pandas .rank()
+  average-tie semantics, BIC x1.3 weight)      (metrics.py:127-146)
+- random-baseline ratios                       (metrics.py:149-174)
+
+Error-value semantics are replicated exactly because they feed the
+rank-sum selection: silhouette -> 0, Davies-Bouldin -> 999,
+Calinski-Harabasz -> 0 on degenerate inputs (metrics.py:75-90).
+
+Scale notes (100 TB design):
+- Centroids/within-dispersion come from ONE map-side-combined pass
+  (`Summarizer` on a vector column — JVM-side, no explode of rows x dims).
+- Davies-Bouldin needs mean *Euclidean* (not squared) distance to the
+  centroid, so one more pass joins the k-row broadcast centroid table.
+- Pairwise centroid arithmetic is driver-side numpy on k rows (k <= 10).
+- The exact silhouette is O(n^2) BY DEFINITION (sklearn's too) — it
+  exists for parity tests / small slices; the scale path is
+  `silhouette_squared` (MLlib ClusteringEvaluator, O(n)).
+- ARI / Cochran's Q are single aggregations (closed forms over group
+  counts), independent of row count after the shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+FEATURES = "features"  # array<double>
+PREDICTION = "prediction"
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance between two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sq_norm(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def cluster_sizes(df: DataFrame, pred: str = PREDICTION) -> DataFrame:
+    """Per-cluster row count and share of total (metrics.py:24-38)."""
+    total = Window.partitionBy()
+    return (
+        df.groupBy(pred)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.col("n") / F.sum("n").over(total))
+    )
+
+
+def balance_ok(
+    df: DataFrame,
+    pred: str = PREDICTION,
+    lo: float = 0.02,
+    hi: float = 0.55,
+) -> bool:
+    """Reject clustering unless every cluster share is in (lo, hi)
+    (clustering.py:117-118,792-809)."""
+    shares = [r["share"] for r in cluster_sizes(df, pred).collect()]
+    return all(lo < s < hi for s in shares)
+
+
+def cluster_stats(
+    df: DataFrame, features: str = FEATURES, pred: str = PREDICTION
+) -> DataFrame:
+    """One-pass per-cluster sufficient statistics.
+
+    Returns (cluster, n, centroid: array<double>, ssn: sum of squared
+    norms). Within-cluster squared dispersion follows as
+    ``ssn - n * ||centroid||^2`` — no second scan needed.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    vec = array_to_vector(F.col(features).cast("array<double>"))
+    return (
+        df.groupBy(F.col(pred).alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            Summarizer.mean(vec).alias("_cvec"),
+            F.sum(_sq_norm(F.col(features).cast("array<double>"))).alias("ssn"),
+        )
+        .select(
+            "cluster",
+            "n",
+            vector_to_array(F.col("_cvec")).alias("centroid"),
+            "ssn",
+        )
+    )
+
+
+def calinski_harabasz(
+    df: DataFrame, features: str = FEATURES, pred: str = PREDICTION
+) -> float:
+    """CH = (B/(k-1)) / (W/(n-k)); 0 on degenerate input (metrics.py:85-90)."""
+    stats = cluster_stats(df, features, pred).collect()
+    k = len(stats)
+    n = sum(r["n"] for r in stats)
+    if k < 2 or n <= k:
+        return 0.0
+    dim = len(stats[0]["centroid"])
+    gmean = [
+        sum(r["n"] * r["centroid"][d] for r in stats) / n for d in range(dim)
+    ]
+    b = sum(
+        r["n"] * sum((r["centroid"][d] - gmean[d]) ** 2 for d in range(dim))
+        for r in stats
+    )
+    w = sum(
+        r["ssn"] - r["n"] * sum(c * c for c in r["centroid"]) for r in stats
+    )
+    if w <= 0:
+        return 0.0
+    return (b / (k - 1)) / (w / (n - k))
+
+
+def davies_bouldin(
+    df: DataFrame, features: str = FEATURES, pred: str = PREDICTION
+) -> float:
+    """DB = mean_i max_{j != i} (S_i+S_j)/d(c_i,c_j); 999 on degenerate
+    input (metrics.py:85-90). S_i = mean Euclidean distance to centroid."""
+    stats = cluster_stats(df, features, pred)
+    k = stats.count()
+    if k < 2:
+        return 999.0
+    cent = stats.select("cluster", "centroid")
+    scatter_rows = (
+        df.join(
+            F.broadcast(cent), F.col(pred) == F.col("cluster"), "inner"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.avg(
+                F.sqrt(
+                    _sq_dist(
+                        F.col(features).cast("array<double>"),
+                        F.col("centroid"),
+                    )
+                )
+            ).alias("scatter")
+        )
+        .join(cent, "cluster")
+        .collect()
+    )
+    s = {r["cluster"]: r["scatter"] for r in scatter_rows}
+    c = {r["cluster"]: r["centroid"] for r in scatter_rows}
+    keys = sorted(s)
+    worst = []
+    for i in keys:
+        best = 0.0
+        for j in keys:
+            if i == j:
+                continue
+            d = math.sqrt(sum((a - b) ** 2 for a, b in zip(c[i], c[j])))
+            if d == 0:
+                return 999.0
+            best = max(best, (s[i] + s[j]) / d)
+        worst.append(best)
+    return sum(worst) / k
+
+
+def silhouette_pointwise(
+    df: DataFrame,
+    features: str = FEATURES,
+    pred: str = PREDICTION,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Per-point exact Euclidean silhouette s(i) (sklearn semantics).
+
+    O(n^2) self-join — parity/test path only; use `silhouette_squared`
+    at scale. Singleton clusters get s(i) = 0 (sklearn convention).
+    """
+    a = df.select(
+        F.col(id_col).alias("ia"),
+        F.col(features).cast("array<double>").alias("fa"),
+        F.col(pred).alias("pa"),
+    )
+    b = df.select(
+        F.col(id_col).alias("ib"),
+        F.col(features).cast("array<double>").alias("fb"),
+        F.col(pred).alias("pb"),
+    )
+    pair_means = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .groupBy("ia", "pa", "pb")
+        .agg(F.avg(F.sqrt(_sq_dist(F.col("fa"), F.col("fb")))).alias("mdist"))
+    )
+    per_point = pair_means.groupBy("ia", "pa").agg(
+        F.max(F.when(F.col("pb") == F.col("pa"), F.col("mdist"))).alias("a_i"),
+        F.min(F.when(F.col("pb") != F.col("pa"), F.col("mdist"))).alias("b_i"),
+    )
+    return per_point.select(
+        F.col("ia").alias(id_col),
+        F.col("pa").alias(pred),
+        F.when(F.col("a_i").isNull() | F.col("b_i").isNull(), F.lit(0.0))
+        .otherwise(
+            (F.col("b_i") - F.col("a_i"))
+            / F.greatest(F.col("a_i"), F.col("b_i"))
+        )
+        .alias("silhouette"),
+    )
+
+
+def silhouette_exact(
+    df: DataFrame,
+    features: str = FEATURES,
+    pred: str = PREDICTION,
+    id_col: str = "row_id",
+) -> float:
+    """Mean exact silhouette; 0 on degenerate input (metrics.py:75-84)."""
+    k = df.select(pred).distinct().count()
+    n = df.count()
+    if k < 2 or k >= n:
+        return 0.0
+    row = (
+        silhouette_pointwise(df, features, pred, id_col)
+        .agg(F.avg("silhouette").alias("s"))
+        .collect()[0]
+    )
+    return float(row["s"])
+
+
+def silhouette_squared(
+    df: DataFrame, features: str = FEATURES, pred: str = PREDICTION
+) -> float:
+    """O(n) squared-Euclidean silhouette via MLlib ClusteringEvaluator.
+
+    The scale path: mathematically the squared-distance variant, so NOT
+    bit-identical to sklearn's Euclidean silhouette — documented delta;
+    the rank-sum comparator only needs a consistent ordering.
+    Fallback 0 on failure (metrics.py:75-84).
+    """
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    try:
+        vdf = df.select(
+            F.col(pred).cast("double").alias(PREDICTION),
+            array_to_vector(F.col(features).cast("array<double>")).alias(
+                FEATURES
+            ),
+        )
+        ev = ClusteringEvaluator(
+            featuresCol=FEATURES,
+            predictionCol=PREDICTION,
+            metricName="silhouette",
+        )
+        return float(ev.evaluate(vdf))
+    except Exception:
+        return 0.0
+
+
+def pair_confusion_sums(df: DataFrame, col_a: str, col_b: str) -> dict:
+    """Sufficient statistics for ARI from the label contingency table."""
+    cont = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("nij"))
+
+    def comb2(c: Column) -> Column:
+        return c * (c - F.lit(1)) / F.lit(2.0)
+
+    row = cont.agg(
+        F.sum(comb2(F.col("nij"))).alias("sum_nij2"),
+        F.sum("nij").alias("n"),
+    ).collect()[0]
+    arow = (
+        cont.groupBy(col_a)
+        .agg(F.sum("nij").alias("ai"))
+        .agg(F.sum(comb2(F.col("ai"))).alias("sum_ai2"))
+        .collect()[0]
+    )
+    brow = (
+        cont.groupBy(col_b)
+        .agg(F.sum("nij").alias("bj"))
+        .agg(F.sum(comb2(F.col("bj"))).alias("sum_bj2"))
+        .collect()[0]
+    )
+    return {
+        "sum_nij2": float(row["sum_nij2"]),
+        "sum_ai2": float(arow["sum_ai2"]),
+        "sum_bj2": float(brow["sum_bj2"]),
+        "n": int(row["n"]),
+    }
+
+
+def adjusted_rand_index(df: DataFrame, col_a: str, col_b: str) -> float:
+    """Closed-form ARI from groupBy counts (metrics.py:268,301).
+
+    ARI = (Sum_ij C(n_ij,2) - E) / (M - E), with
+    E = Sum_i C(a_i,2) * Sum_j C(b_j,2) / C(n,2),
+    M = (Sum_i C(a_i,2) + Sum_j C(b_j,2)) / 2.
+    Perfect-agreement degenerate case -> 1.0 (sklearn convention).
+    """
+    s = pair_confusion_sums(df, col_a, col_b)
+    cn2 = s["n"] * (s["n"] - 1) / 2.0
+    if cn2 == 0:
+        return 1.0
+    expected = s["sum_ai2"] * s["sum_bj2"] / cn2
+    maximum = (s["sum_ai2"] + s["sum_bj2"]) / 2.0
+    if maximum == expected:
+        return 1.0
+    return (s["sum_nij2"] - expected) / (maximum - expected)
+
+
+def cochrans_q(df: DataFrame, cols: list[str]) -> tuple[float, int]:
+    """Cochran's Q over k binary columns (statsmodels formula;
+    metrics.py:613-617).
+
+    Q = (k-1) * (k * Sum_j T_j^2 - N^2) / (k*N - Sum_i R_i^2),
+    T_j column totals, R_i row totals, N grand total. df = k-1.
+    Single aggregation pass. Raises ZeroDivisionError on a degenerate
+    matrix (every row all-0/all-1) — callers skip, matching the
+    reference's try/continue (metrics.py:610-612,625-627).
+    """
+    k = len(cols)
+    rowsum = sum((F.col(c).cast("long") for c in cols), F.lit(0))
+    aggs = [F.sum(F.col(c).cast("long")).alias(f"t_{i}") for i, c in enumerate(cols)]
+    aggs += [
+        F.sum(rowsum).alias("n_total"),
+        F.sum(rowsum * rowsum).alias("sum_r2"),
+    ]
+    r = df.agg(*aggs).collect()[0]
+    n_total = r["n_total"] or 0
+    sum_t2 = sum(r[f"t_{i}"] ** 2 for i in range(k))
+    denom = k * n_total - r["sum_r2"]
+    if denom == 0:
+        raise ZeroDivisionError("degenerate binary matrix for Cochran's Q")
+    q = (k - 1) * (k * sum_t2 - n_total * n_total) / denom
+    return float(q), k - 1
+
+
+def i2_score(q: float, dof: int) -> float:
+    """I^2 = (Q - df)/Q * 100, rounded 3 (metrics.py:614-617)."""
+    return round((q - dof) / q * 100, 3)
+
+
+def variability(
+    df: DataFrame,
+    q_code_cols: dict[str, list[str]],
+    pred: str = PREDICTION,
+) -> dict:
+    """Mean positive I^2 across question groups, overall and per cluster
+    (metrics.py:578-633). `q_code_cols` maps question code -> its binary
+    `_tgt` columns (name-registry driven, as the reference's regex)."""
+
+    def mean_i2(frame: DataFrame) -> float:
+        scores = []
+        for cols in q_code_cols.values():
+            try:
+                q, dof = cochrans_q(frame, cols)
+            except ZeroDivisionError:
+                continue
+            i2 = i2_score(q, dof)
+            if i2 > 0:
+                scores.append(i2)
+        return round(sum(scores) / len(scores), 3) if scores else float("nan")
+
+    results: dict = {"all_clusters": mean_i2(df)}
+    clusters = sorted(
+        r[pred] for r in df.select(pred).distinct().collect()
+    )
+    for cl in clusters:
+        results[cl] = mean_i2(df.filter(F.col(pred) == cl))
+    return results
+
+
+def avg_rank(col: str, ascending: bool = True) -> Column:
+    """pandas ``Series.rank()`` average-tie semantics as a window expr:
+    rank(v) = |{x < v}| + (|{x == v}| + 1)/2."""
+    order = F.col(col).asc() if ascending else F.col(col).desc()
+    rnk = F.rank().over(Window.orderBy(order))
+    ties = F.count(F.lit(1)).over(Window.partitionBy(col))
+    return rnk + (ties - F.lit(1)) / F.lit(2.0)
+
+
+def rank_cluster_metrics(
+    metrics_df: DataFrame, information_criterions: bool = False
+) -> DataFrame:
+    """Rank-sum model selection (metrics.py:127-146): silhouette asc,
+    davies_bouldin desc, calinski asc; with ICs, bic/aic desc and the
+    bic rank weighted x1.3 AFTER ranking. Winner = max rank_sum."""
+    out = (
+        metrics_df.withColumn("silhouette_rank", avg_rank("silhouette"))
+        .withColumn("davies_bouldin_rank", avg_rank("davies_bouldin", False))
+        .withColumn("calinski_harabasz_rank", avg_rank("calinski_harabasz"))
+    )
+    rank_cols = ["silhouette_rank", "davies_bouldin_rank", "calinski_harabasz_rank"]
+    if information_criterions:
+        out = (
+            out.withColumn("bic_rank", avg_rank("bic", False) * F.lit(1.3))
+            .withColumn("aic_rank", avg_rank("aic", False))
+        )
+        rank_cols += ["bic_rank", "aic_rank"]
+    total = sum((F.col(c) for c in rank_cols), F.lit(0.0))
+    return out.withColumn("rank_sum", total)
+
+
+def cluster_quality(
+    df: DataFrame,
+    features: str = FEATURES,
+    pred: str = PREDICTION,
+    n_seed=None,
+    exact_silhouette: bool = False,
+    id_col: str = "row_id",
+) -> dict:
+    """get_cluster_metrics equivalent (metrics.py:42-124): silhouette /
+    davies_bouldin / calinski_harabasz / proportions with the reference's
+    exact fallback values."""
+    sizes = cluster_sizes(df, pred).collect()
+    k = len(sizes)
+    if exact_silhouette:
+        sil = silhouette_exact(df, features, pred, id_col)
+    else:
+        sil = silhouette_squared(df, features, pred)
+    try:
+        db = davies_bouldin(df, features, pred)
+        ch = calinski_harabasz(df, features, pred)
+    except Exception:
+        db, ch = 999.0, 0.0
+    return {
+        "n_seed": n_seed if n_seed is not None else "No seed selected",
+        "n_clusters": k,
+        "silhouette": sil,
+        "davies_bouldin": db,
+        "calinski_harabasz": ch,
+        "cluster_proportions": {r[pred]: r["share"] for r in sizes},
+    }
+
+
+def random_checker(
+    df: DataFrame,
+    features: str = FEATURES,
+    pred: str = PREDICTION,
+    cluster_metrics: dict | None = None,
+    n_runs: int = 10,
+    seed: int = 42,
+) -> dict:
+    """Random-baseline ratios (metrics.py:149-174): mean metric over
+    `n_runs` random labelings; note the reference's randint(0, k) is
+    INCLUSIVE — k+1 possible random labels — replicated here."""
+    cluster_metrics = dict(cluster_metrics or {})
+    k = df.select(pred).distinct().count()
+    accum = {"silhouette": 0.0, "davies_bouldin": 0.0, "calinski_harabasz": 0.0}
+    for i in range(n_runs):
+        rnd = df.withColumn(
+            "_rand_label",
+            F.floor(F.rand(seed + i) * (k + 1)).cast("int"),
+        )
+        accum["silhouette"] += silhouette_squared(rnd, features, "_rand_label")
+        try:
+            accum["davies_bouldin"] += davies_bouldin(rnd, features, "_rand_label")
+            accum["calinski_harabasz"] += calinski_harabasz(
+                rnd, features, "_rand_label"
+            )
+        except Exception:
+            accum["davies_bouldin"] += 999.0
+    mean = {m: v / n_runs for m, v in accum.items()}
+    cluster_metrics["calinski_harabasz_random_ratio"] = (
+        cluster_metrics.get("calinski_harabasz", 0.0)
+        / mean["calinski_harabasz"]
+        if mean["calinski_harabasz"]
+        else float("nan")
+    )
+    cluster_metrics["davies_bouldin_random_ratio"] = (
+        mean["davies_bouldin"] / cluster_metrics.get("davies_bouldin", 999.0)
+        if cluster_metrics.get("davies_bouldin")
+        else float("nan")
+    )
+    cluster_metrics["silhouette_random_ratio"] = (
+        abs(cluster_metrics.get("silhouette", 0.0) / mean["silhouette"])
+        if mean["silhouette"]
+        else float("nan")
+    )
+    return cluster_metrics

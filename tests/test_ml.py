@@ -1,0 +1,163 @@
+"""Tests for ml/features.py and ml/clustering.py (reference:
+src/kraken/app/clustering.py). Label-identity with sklearn is impossible
+(k-means++ vs k-means||) — these assert structure: encode/scale/PCA
+numerics, balance/rank semantics, blob recovery via ARI."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.ml import clustering as C
+from qudo_etl_pipeline_spark.ml import features as FE
+from qudo_etl_pipeline_spark.ml import quality as Q
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rng = np.random.default_rng(7)
+    xs, labels = [], []
+    for c, center in enumerate([(0, 0), (8, 0), (0, 8)]):
+        pts = rng.normal(loc=center, scale=0.8, size=(80, 2))
+        xs.append(pts)
+        labels += [c] * 80
+    X = np.vstack(xs)
+    rows = [
+        (int(i), [float(v) for v in X[i]], int(labels[i]))
+        for i in range(len(X))
+    ]
+    df = spark.createDataFrame(
+        rows, "row_id: long, features: array<double>, truth: int"
+    )
+    return df.cache(), X, np.array(labels)
+
+
+def test_sniff_numeric_columns(spark):
+    df = spark.createDataFrame(
+        [("1", "a", 1.5, "2x"), ("2", "b", 2.5, "3")],
+        "num_str: string, cat: string, dbl: double, mixed: string",
+    )
+    got = set(FE.sniff_numeric_columns(df))
+    assert got == {"num_str", "dbl"}
+
+
+def test_label_encode_sorted_order(spark):
+    """sklearn LabelEncoder parity: codes follow sorted value order —
+    numerics numerically, strings lexicographically (clustering.py:103)."""
+    df = spark.createDataFrame(
+        [("banana", "10"), ("apple", "9"), ("cherry", "10"), ("apple", "100")],
+        "fruit: string, n: string",
+    )
+    maps = FE.build_code_maps(df, ["fruit", "n"])
+    assert maps["fruit"] == {"apple": 0, "banana": 1, "cherry": 2}
+    assert maps["n"] == {"9": 0, "10": 1, "100": 2}  # numeric sort
+    enc = FE.label_encode(df, ["fruit", "n"], code_maps=maps)
+    rows = {(r["fruit"], r["n"]) for r in df.collect()}
+    got = enc.collect()
+    assert all(isinstance(r["fruit"], int) for r in got)
+
+
+def test_standardize_population_std(spark):
+    vals = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x: double")
+    out, stats = FE.standardize(df, ["x"])
+    got = sorted(r["x"] for r in out.collect())
+    arr = np.array(vals)
+    expect = sorted((arr - arr.mean()) / arr.std())  # ddof=0
+    assert got == pytest.approx(expect, rel=1e-12)
+    # replay on new data with fitted stats
+    df2 = spark.createDataFrame([(10.0,)], "x: double")
+    out2, _ = FE.standardize(df2, ["x"], stats=stats)
+    assert out2.collect()[0]["x"] == pytest.approx(
+        (10.0 - arr.mean()) / arr.std(), rel=1e-12
+    )
+
+
+def test_pca_component_selection(spark):
+    """Variance concentrated on one axis -> 1 component crosses 0.5."""
+    rng = np.random.default_rng(5)
+    X = np.column_stack(
+        [rng.normal(0, 10, 300), rng.normal(0, 1, 300), rng.normal(0, 0.1, 300)]
+    )
+    df = spark.createDataFrame(
+        [([float(v) for v in row],) for row in X], "features: array<double>"
+    )
+    n, _ = FE.find_n_components(df)
+    assert n == 1
+    proj, n_used = FE.pca_transform(df, n_components=2)
+    row = proj.first()
+    assert n_used == 2 and len(row["features"]) == 2
+
+
+def test_elbow_index():
+    # sharp elbow at index 2 on a synthetic cost curve
+    costs = [100.0, 60.0, 30.0, 28.0, 26.5, 25.0]
+    assert C.elbow_index(costs) == 2
+    assert C.elbow_index([5.0, 4.0]) == 0
+
+
+def test_kmeans_multi_seed_recovers_blobs(spark, blobs):
+    df, X, truth = blobs
+    fit = C.kmeans_multi_seed(df, k=3, seeds=[1, 42], max_workers=2)
+    assert fit is not None
+    labeled = fit["labels"].withColumnRenamed("prediction", "pred")
+    ari = Q.adjusted_rand_index(labeled, "truth", "pred")
+    assert ari > 0.95
+    assert fit["metrics"]["n_clusters"] == 3
+    shares = fit["metrics"]["cluster_proportions"].values()
+    assert all(0.02 < s < 0.55 for s in shares)
+
+
+def test_optimal_k_picks_three(spark, blobs):
+    df, _, _ = blobs
+    best = C.optimal_k(df, ks=[2, 3, 4, 5], seed=42, max_workers=2)
+    assert best == 3
+
+
+def test_gmm_fit_bic_aic(spark, blobs):
+    df, _, truth = blobs
+    fit = C.gmm_fit(df, k=3, seed=42)
+    assert fit is not None
+    assert fit["bic"] > fit["aic"]  # ln(240) > 2 per parameter
+    labeled = fit["labels"].withColumnRenamed("prediction", "pred")
+    assert Q.adjusted_rand_index(labeled, "truth", "pred") > 0.9
+
+
+def test_rules_based_labels(spark):
+    df = spark.createDataFrame(
+        [("Agree",), ("Disagree",), ("Agree",), ("Neutral",)],
+        "q1: string",
+    )
+    out = C.rules_based(df, "q1")
+    got = {(r["q1"], r["prediction"]) for r in out.collect()}
+    assert got == {("Agree", 0), ("Disagree", 1), ("Neutral", 2)}
+
+
+def test_hierarchical_offsets_and_ignore(spark, blobs):
+    df, _, _ = blobs
+    two_groups = df.withColumn(
+        "grp",
+        F.when(F.col("row_id") < 120, F.lit("a")).otherwise(F.lit("b")),
+    )
+    out = C.hierarchical_segmentation(
+        two_groups, "grp", hier_ks=[2], seed=42
+    )
+    by_grp = {
+        r["grp"]: r["labels"]
+        for r in out.groupBy("grp")
+        .agg(F.collect_set("prediction").alias("labels"))
+        .collect()
+    }
+    assert sorted(by_grp["a"]) == [0, 1]
+    assert sorted(by_grp["b"]) == [2, 3]  # offset past group a's k
+
+    ignored = C.hierarchical_segmentation(
+        two_groups, "grp", hier_ks=[2], seed=42, ignore_value="b"
+    )
+    vals = {
+        r["prediction"]
+        for r in ignored.filter(F.col("grp") == "b").select("prediction").distinct().collect()
+    }
+    assert vals == {-99}
