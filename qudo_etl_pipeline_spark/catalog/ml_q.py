@@ -469,3 +469,114 @@ def gmm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_comp, 4, found)],
         "n_components: bigint, k: bigint, n_clusters_found: bigint",
     )
+
+
+@register(
+    "kmodes_step_planted",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id, c_mktsegment AS a0,
+             CAST(c_nationkey % 5 AS VARCHAR) AS a1
+      FROM customer
+    ),
+    assigned AS (
+      SELECT id, a0, a1,
+             CASE WHEN (CASE WHEN a0 = 'BUILDING' THEN 0 ELSE 1 END
+                        + CASE WHEN a1 = '0' THEN 0 ELSE 1 END)
+                       <= (CASE WHEN a0 = 'MACHINERY' THEN 0 ELSE 1 END
+                           + CASE WHEN a1 = '3' THEN 0 ELSE 1 END)
+                  THEN 0 ELSE 1 END AS cluster
+      FROM pts
+    ),
+    m0 AS (
+      SELECT cluster, a0 AS mode_a0 FROM (
+        SELECT cluster, a0, ROW_NUMBER() OVER (
+          PARTITION BY cluster ORDER BY COUNT(*) DESC, a0 ASC) AS rn
+        FROM assigned GROUP BY cluster, a0
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cluster, a1 AS mode_a1 FROM (
+        SELECT cluster, a1, ROW_NUMBER() OVER (
+          PARTITION BY cluster ORDER BY COUNT(*) DESC, a1 ASC) AS rn
+        FROM assigned GROUP BY cluster, a1
+      ) WHERE rn = 1
+    )
+    SELECT n.cluster, n.n, m0.mode_a0, m1.mode_a1
+    FROM (SELECT cluster, COUNT(*) AS n FROM assigned GROUP BY cluster) n
+    JOIN m0 ON n.cluster = m0.cluster
+    JOIN m1 ON n.cluster = m1.cluster
+    """,
+    survey_ids=["M5", "A6"],
+    description="One KModes assign+update step against fixed literal modes",
+)
+def kmodes_step_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import kmodes as KM
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("row_id"),
+        F.col("c_mktsegment").alias("a0"),
+        (F.col("c_nationkey") % 5).cast("string").alias("a1"),
+    )
+    modes = [{"a0": "BUILDING", "a1": "0"}, {"a0": "MACHINERY", "a1": "3"}]
+    assigned = KM._assign(pts, modes, ["a0", "a1"], [], 0.0)
+    new_modes = KM._update_modes(assigned, modes, ["a0", "a1"], [])
+    sizes = assigned.groupBy(F.col("prediction").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mode_rows = spark.createDataFrame(
+        [(i, m["a0"], m["a1"]) for i, m in enumerate(new_modes)],
+        "cluster: int, mode_a0: string, mode_a1: string",
+    )
+    return sizes.join(mode_rows, "cluster")
+
+
+@register(
+    "kmodes_documents",
+    oracle=None,
+    survey_ids=["M5", "M6"],
+    description="Full deterministic KModes fit (Cao init, Lloyd loop) on "
+    "document metadata (rows-only: the iterative loop is not "
+    "SQL-expressible)",
+)
+def kmodes_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import kmodes as KM
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("row_id"),
+        F.col("lang").alias("a0"),
+        F.col("source").alias("a1"),
+        (F.col("n_chars") > 200).cast("string").alias("a2"),
+    )
+    fit = KM.kmodes_fit(docs, ["a0", "a1", "a2"], k=3)
+    return (
+        fit["labels"]
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "lca_documents",
+    oracle=None,
+    survey_ids=["M8"],
+    description="Multinomial-mixture EM (LCA) class sizes on document "
+    "metadata (rows-only: iterative EM)",
+)
+def lca_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import lca as LCA
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("row_id"),
+        F.col("lang").alias("a0"),
+        F.col("source").alias("a1"),
+        (F.col("n_chars") > 200).cast("string").alias("a2"),
+    )
+    fit = LCA.lca_fit(docs, ["a0", "a1", "a2"], k=3, seed=42, max_iter=30)
+    return (
+        fit["labels"]
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )

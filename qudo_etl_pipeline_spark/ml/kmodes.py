@@ -1,0 +1,285 @@
+"""KModes / KPrototypes as DataFrame-native Lloyd loops.
+
+Spark has no categorical clustering; the reference uses the `kmodes`
+library (reference: src/kraken/app/clustering.py:348-363,480-539 —
+KModes(init='Cao'), KPrototypes(init='Cao', n_init=1)). Re-expressed
+as iterative DataFrame programs:
+
+- **Cao init** (deterministic, no seed): density(x) = mean over
+  attributes of freq(x_attr)/n; first mode = argmax density; mode j =
+  argmax density(x) * min hamming distance to chosen modes. Frequencies
+  come from ONE melt+groupBy pass, applied back as broadcast map
+  literals; each selection step is a map-only scan + limit(1).
+- **Assign**: distance of every row to k literal modes is a codegen'd
+  column expression (sum of value mismatches; squared Euclidean + gamma
+  * mismatches for KPrototypes) — argmin with lowest-index tie-break
+  (kmodes lib argmin semantics). NO SHUFFLE.
+- **Update**: per (cluster, attribute) mode via groupBy count + window
+  row_number (count desc, value asc tie-break — np.unique order);
+  numeric centroids via avg. ONE shuffle per iteration, output
+  cardinality k x attrs x values (tiny).
+- **Converge**: stop when no row changes cluster or max_iter.
+- cost_ = sum of distances to own mode (kmodes lib .cost_).
+
+gamma (KPrototypes) defaults to 0.5 * mean population std of the
+numeric columns (kmodes lib default).
+
+Documented deltas: an emptied cluster keeps its previous mode (the lib
+re-seeds from a random point); KPrototypes numeric init takes the
+Cao-selected row's numeric values.
+
+Scale notes (100 TB design): per iteration exactly one shuffle (the
+mode-count aggregation, map-side combined); assignment is embarrassingly
+parallel; modes live driver-side (k x attrs literals). Iterations cap at
+`max_iter` — wall-clock is O(iterations) full scans, the same asymptotic
+shape as MLlib's own KMeans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _freq_maps(df: DataFrame, cols: list[str]) -> dict[str, dict]:
+    """Per-column value frequencies in one melt+groupBy pass."""
+    from qudo_etl_pipeline_spark.plans.melt import melt
+
+    rows = (
+        melt(df.select(cols), id_vars=[], value_vars=cols)
+        .groupBy("variable", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    maps: dict[str, dict] = {c: {} for c in cols}
+    for r in rows:
+        maps[r["variable"]][r["value"]] = r["n"]
+    return maps
+
+
+def _density_col(df: DataFrame, cols: list[str], n: int) -> Column:
+    """Cao density: mean over attributes of freq(value)/n."""
+    freqs = _freq_maps(df, cols)
+    parts = []
+    for c in cols:
+        entries = []
+        for v, cnt in freqs[c].items():
+            entries += [F.lit(v), F.lit(cnt / n)]
+        parts.append(F.create_map(*entries)[F.col(c).cast("string")])
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return total / F.lit(len(cols))
+
+
+def _hamming(cols: list[str], mode: dict) -> Column:
+    """Number of attributes differing from a literal mode row."""
+    terms = [
+        F.when(
+            F.col(c).cast("string").eqNullSafe(F.lit(mode[c])), 0
+        ).otherwise(1)
+        for c in cols
+    ]
+    return sum(terms[1:], terms[0])
+
+
+def _sq_euclid(cols: list[str], center: dict) -> Column:
+    terms = [
+        (F.col(c).cast("double") - F.lit(center[c]))
+        * (F.col(c).cast("double") - F.lit(center[c]))
+        for c in cols
+    ]
+    return sum(terms[1:], terms[0])
+
+
+def cao_init(
+    df: DataFrame,
+    cat_cols: list[str],
+    k: int,
+    num_cols: list[str] | None = None,
+    id_col: str = "row_id",
+) -> list[dict]:
+    """Deterministic Cao initialization; returns k mode rows as dicts."""
+    num_cols = num_cols or []
+    n = df.count()
+    dens = df.withColumn("_dens", _density_col(df, cat_cols, n))
+    sel_cols = [id_col, "_dens", *cat_cols, *num_cols]
+    first = (
+        dens.select(sel_cols)
+        .orderBy(F.col("_dens").desc(), F.col(id_col).asc())
+        .first()
+    )
+    modes = [
+        {c: str(first[c]) for c in cat_cols}
+        | {c: float(first[c]) for c in num_cols}
+    ]
+    for _ in range(1, k):
+        min_dist = F.least(
+            *[_hamming(cat_cols, m) for m in modes]
+        ) if len(modes) > 1 else _hamming(cat_cols, modes[0])
+        cand = (
+            dens.select(*sel_cols, (F.col("_dens") * min_dist).alias("_score"))
+            .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+            .first()
+        )
+        modes.append(
+            {c: str(cand[c]) for c in cat_cols}
+            | {c: float(cand[c]) for c in num_cols}
+        )
+    return modes
+
+
+def _assign(
+    df: DataFrame,
+    modes: list[dict],
+    cat_cols: list[str],
+    num_cols: list[str],
+    gamma: float,
+) -> DataFrame:
+    """Label every row with the argmin-distance mode (lowest-index ties)."""
+    dists = []
+    for i, m in enumerate(modes):
+        d = _hamming(cat_cols, m).cast("double")
+        if num_cols:
+            d = _sq_euclid(num_cols, m) + F.lit(gamma) * d
+        dists.append(d.alias(f"_d{i}"))
+    out = df.select("*", *dists)
+    pred = F.lit(0)
+    best = F.col("_d0")
+    for i in range(1, len(modes)):
+        pred = F.when(F.col(f"_d{i}") < best, i).otherwise(pred)
+        best = F.least(best, F.col(f"_d{i}"))
+    return out.withColumn("prediction", pred).withColumn("_dist", best).drop(
+        *[f"_d{i}" for i in range(len(modes))]
+    )
+
+
+def _update_modes(
+    assigned: DataFrame,
+    modes: list[dict],
+    cat_cols: list[str],
+    num_cols: list[str],
+) -> list[dict]:
+    """New modes: per-(cluster, attr) most-frequent value (count desc,
+    value asc tie-break) + numeric means. One shuffle."""
+    from qudo_etl_pipeline_spark.plans.melt import melt
+
+    counts = (
+        melt(
+            assigned.select("prediction", *cat_cols),
+            id_vars=["prediction"],
+            value_vars=cat_cols,
+        )
+        .groupBy("prediction", "variable", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("prediction", "variable").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    )
+    new_modes = [dict(m) for m in modes]  # emptied cluster keeps its mode
+    for r in top:
+        new_modes[r["prediction"]][r["variable"]] = r["value"]
+    if num_cols:
+        means = (
+            assigned.groupBy("prediction")
+            .agg(*[F.avg(F.col(c).cast("double")).alias(c) for c in num_cols])
+            .collect()
+        )
+        for r in means:
+            for c in num_cols:
+                new_modes[r["prediction"]][c] = float(r[c])
+    return new_modes
+
+
+def default_gamma(df: DataFrame, num_cols: list[str]) -> float:
+    """kmodes lib default: 0.5 * mean population std of numeric cols."""
+    if not num_cols:
+        return 0.0
+    row = df.agg(
+        *[F.stddev_pop(F.col(c).cast("double")).alias(c) for c in num_cols]
+    ).collect()[0]
+    return 0.5 * sum(row[c] or 0.0 for c in num_cols) / len(num_cols)
+
+
+def kmodes_fit(
+    df: DataFrame,
+    cat_cols: list[str],
+    k: int,
+    num_cols: list[str] | None = None,
+    gamma: float | None = None,
+    max_iter: int = 20,
+    id_col: str = "row_id",
+) -> dict:
+    """Full KModes (num_cols empty) / KPrototypes (num_cols given) fit.
+
+    Returns dict(labels=DataFrame with `prediction`, modes, cost, n_iter).
+    Deterministic: Cao init, fixed tie-breaks, no randomness.
+    """
+    num_cols = num_cols or []
+    if gamma is None:
+        gamma = default_gamma(df, num_cols)
+    df = df.cache()
+    try:
+        modes = cao_init(df, cat_cols, k, num_cols=num_cols, id_col=id_col)
+        prev = None
+        assigned = None
+        n_iter = 0
+        for it in range(max_iter):
+            assigned = _assign(df, modes, cat_cols, num_cols, gamma).cache()
+            n_iter = it + 1
+            if prev is not None:
+                moved = (
+                    assigned.select(id_col, "prediction")
+                    .join(
+                        prev.select(
+                            F.col(id_col).alias("_id"),
+                            F.col("prediction").alias("_p"),
+                        ),
+                        F.col(id_col) == F.col("_id"),
+                    )
+                    .filter(F.col("prediction") != F.col("_p"))
+                    .count()
+                )
+                prev.unpersist()
+                if moved == 0:
+                    break
+            prev = assigned
+            modes = _update_modes(assigned, modes, cat_cols, num_cols)
+        cost = assigned.agg(F.sum("_dist").alias("c")).collect()[0]["c"]
+        return {
+            "labels": assigned.drop("_dist"),
+            "modes": modes,
+            "cost": float(cost),
+            "n_iter": n_iter,
+            "k": k,
+            "gamma": gamma,
+        }
+    finally:
+        df.unpersist()
+
+
+def kprototypes_fit(
+    df: DataFrame,
+    cat_cols: list[str],
+    num_cols: list[str],
+    k: int,
+    gamma: float | None = None,
+    max_iter: int = 20,
+    id_col: str = "row_id",
+) -> dict:
+    """KPrototypes = KModes loop with mixed distance
+    sq_euclid(num) + gamma * hamming(cat) (clustering.py:328-346)."""
+    return kmodes_fit(
+        df,
+        cat_cols,
+        k,
+        num_cols=num_cols,
+        gamma=gamma,
+        max_iter=max_iter,
+        id_col=id_col,
+    )

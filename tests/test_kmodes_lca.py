@@ -1,0 +1,120 @@
+"""Tests for the custom categorical clusterers: KModes/KPrototypes
+Lloyd loops and the LCA multinomial-mixture EM (reference:
+src/kraken/app/clustering.py:348-363,480-539; lca.R:13-52).
+Planted-structure recovery (ARI), determinism, and cost/BIC behavior —
+not label identity with the kmodes/poLCA libraries (SURVEY §7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.ml import kmodes as KM
+from qudo_etl_pipeline_spark.ml import lca as LCA
+from qudo_etl_pipeline_spark.ml import quality as Q
+
+
+def _planted_categorical(spark, n_per=80, noise=0.15, seed=3):
+    """3 latent classes, 4 categorical questions, class-typical answers
+    corrupted with `noise` probability."""
+    rng = np.random.default_rng(seed)
+    typical = {
+        0: ("yes", "often", "red", "car"),
+        1: ("no", "never", "blue", "bike"),
+        2: ("maybe", "sometimes", "green", "walk"),
+    }
+    options = list(zip(*typical.values()))
+    rows = []
+    rid = 0
+    for cls, answers in typical.items():
+        for _ in range(n_per):
+            row = [
+                (
+                    str(rng.choice(options[q]))
+                    if rng.random() < noise
+                    else answers[q]
+                )
+                for q in range(4)
+            ]
+            rows.append((rid, cls, *row))
+            rid += 1
+    return spark.createDataFrame(
+        rows, "row_id: long, truth: int, q0: string, q1: string, q2: string, q3: string"
+    )
+
+
+@pytest.fixture(scope="module")
+def cat_df(spark):
+    return _planted_categorical(spark).cache()
+
+
+def test_kmodes_recovers_planted_classes(spark, cat_df):
+    fit = KM.kmodes_fit(cat_df, ["q0", "q1", "q2", "q3"], k=3)
+    ari = Q.adjusted_rand_index(fit["labels"], "truth", "prediction")
+    assert ari > 0.9
+    assert fit["cost"] > 0
+    # modes must be the class-typical answer tuples
+    mode_tuples = {tuple(m[c] for c in ["q0", "q1", "q2", "q3"]) for m in fit["modes"]}
+    assert ("yes", "often", "red", "car") in mode_tuples
+
+
+def test_kmodes_deterministic(spark, cat_df):
+    a = KM.kmodes_fit(cat_df, ["q0", "q1", "q2", "q3"], k=3)
+    b = KM.kmodes_fit(cat_df, ["q0", "q1", "q2", "q3"], k=3)
+    assert a["modes"] == b["modes"]
+    assert a["cost"] == b["cost"]
+    joined = (
+        a["labels"]
+        .select("row_id", F.col("prediction").alias("pa"))
+        .join(
+            b["labels"].select("row_id", F.col("prediction").alias("pb")),
+            "row_id",
+        )
+    )
+    assert joined.filter(F.col("pa") != F.col("pb")).count() == 0
+
+
+def test_kprototypes_mixed_distance(spark, cat_df):
+    """Numeric signal aligned with the classes must sharpen recovery."""
+    with_num = cat_df.withColumn(
+        "x",
+        F.col("truth").cast("double") * 10.0
+        + (F.rand(5) - 0.5),
+    )
+    fit = KM.kprototypes_fit(
+        with_num, ["q0", "q1", "q2", "q3"], ["x"], k=3
+    )
+    ari = Q.adjusted_rand_index(fit["labels"], "truth", "prediction")
+    assert ari > 0.95
+    assert fit["gamma"] > 0  # default 0.5 * mean pop-std of numerics
+    # numeric centroid of each cluster must sit near its class mean
+    xs = sorted(m["x"] for m in fit["modes"])
+    assert xs == pytest.approx([0.0, 10.0, 20.0], abs=1.0)
+
+
+def test_cao_init_deterministic_and_distinct(spark, cat_df):
+    m1 = KM.cao_init(cat_df, ["q0", "q1", "q2", "q3"], 3)
+    m2 = KM.cao_init(cat_df, ["q0", "q1", "q2", "q3"], 3)
+    assert m1 == m2
+    assert len({tuple(sorted(m.items())) for m in m1}) == 3
+
+
+def test_lca_recovers_planted_classes(spark, cat_df):
+    fit = LCA.lca_fit(cat_df, ["q0", "q1", "q2", "q3"], k=3, seed=42)
+    ari = Q.adjusted_rand_index(fit["labels"], "truth", "prediction")
+    assert ari > 0.9
+    assert fit["n_params"] == (3 - 1) + 3 * sum(
+        (3 - 1) for _ in range(4)
+    )
+    # priors come back near-uniform for balanced classes
+    assert all(abs(p - 1 / 3) < 0.1 for p in fit["pi"])
+    assert fit["bic"] > 0 and fit["bic"] > 2 * fit["n_params"]
+
+
+def test_lca_select_prefers_true_k(spark, cat_df):
+    best = LCA.lca_select(
+        cat_df, ["q0", "q1", "q2", "q3"], ks=[2, 3, 4], n_rep=2, seed=42
+    )
+    assert best["k"] == 3
