@@ -580,3 +580,162 @@ def lca_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")
     )
+
+
+@register(
+    "uniqueness_planted",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_returnflag AS seg,
+             l_linestatus || '|' || CAST(CAST(l_quantity / 10 AS INT) AS VARCHAR) AS pair
+      FROM lineitem
+    ),
+    dup AS (
+      SELECT pair, CASE WHEN COUNT(DISTINCT seg) > 1 THEN 1 ELSE 0 END AS dup
+      FROM pairs GROUP BY pair
+    )
+    SELECT seg, ROUND(1 - CAST(SUM(d.dup) AS DOUBLE) / COUNT(*), 6) AS uniqueness
+    FROM pairs p JOIN dup d ON p.pair = d.pair
+    GROUP BY seg
+    """,
+    survey_ids=["M28", "J3"],
+    description="Uniqueness: 1 - share of (q_code,category) pairs shared "
+    "with any other segment",
+)
+def uniqueness_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import business as B
+
+    li = load_table(spark, sf_dir, "lineitem")
+    deliver = li.select(
+        F.col("l_returnflag").alias("targeting_seg"),
+        F.col("l_linestatus").alias("q_code"),
+        F.array(
+            (F.col("l_quantity") / 10).cast("int").cast("string")
+        ).alias("sig_more_category"),
+    ).distinct()
+    u = B.uniqueness(deliver)
+    return spark.createDataFrame(
+        [(seg, round(val, 6)) for seg, val in sorted(u.items())],
+        "seg: string, uniqueness: double",
+    )
+
+
+@register(
+    "classification_metrics_planted",
+    oracle="""
+    WITH scored AS (
+      SELECT l_returnflag AS label,
+             CASE WHEN l_quantity > 25 THEN 'R' ELSE 'A' END AS pred
+      FROM lineitem
+    ),
+    conf AS (SELECT label, pred, COUNT(*) AS n FROM scored GROUP BY label, pred),
+    tot AS (SELECT SUM(n) AS n FROM conf),
+    per AS (
+      SELECT l.label,
+             l.actual,
+             COALESCE(p.predicted, 0) AS predicted,
+             COALESCE(t.tp, 0) AS tp
+      FROM (SELECT label, SUM(n) AS actual FROM conf GROUP BY label) l
+      LEFT JOIN (SELECT pred, SUM(n) AS predicted FROM conf GROUP BY pred) p
+        ON l.label = p.pred
+      LEFT JOIN (SELECT label, n AS tp FROM conf WHERE label = pred) t
+        ON l.label = t.label
+    ),
+    w AS (
+      SELECT
+        (SELECT CAST(SUM(tp) AS DOUBLE) / (SELECT n FROM tot) FROM per) AS acc,
+        (SELECT SUM(actual * CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE)/predicted ELSE 0 END)
+           / (SELECT n FROM tot) FROM per) AS prec_w,
+        (SELECT SUM(actual * CAST(tp AS DOUBLE)/actual) / (SELECT n FROM tot) FROM per) AS rec_w,
+        (SELECT SUM(actual *
+            CASE WHEN (CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE)/predicted ELSE 0 END
+                       + CAST(tp AS DOUBLE)/actual) > 0
+                 THEN 2 * (CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE)/predicted ELSE 0 END)
+                        * (CAST(tp AS DOUBLE)/actual)
+                      / ((CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE)/predicted ELSE 0 END)
+                         + CAST(tp AS DOUBLE)/actual)
+                 ELSE 0 END)
+           / (SELECT n FROM tot) FROM per) AS f1_w,
+        (SELECT SUM(CAST(actual AS DOUBLE) * predicted) / ((SELECT n FROM tot) * (SELECT n FROM tot))
+           FROM per) AS pe
+    )
+    SELECT ROUND(acc, 3) AS signal,
+           ROUND(f1_w, 3) AS f1_score,
+           ROUND(prec_w, 3) AS precision,
+           ROUND(rec_w, 3) AS recall_score,
+           ROUND((acc - pe) / (1 - pe), 3) AS cohen_kappa_score
+    FROM w
+    """,
+    survey_ids=["M33"],
+    description="Weighted classification metrics + Cohen's kappa from a "
+    "planted confusion matrix",
+)
+def classification_metrics_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import signal as S
+
+    scored = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("label"),
+        F.when(F.col("l_quantity") > 25, "R").otherwise("A").alias("pred"),
+    )
+    m = S.classification_metrics(scored, "label", "pred")
+    return spark.createDataFrame(
+        [(m["signal"], m["f1_score"], m["precision"], m["recall_score"],
+          m["cohen_kappa_score"])],
+        "signal: double, f1_score: double, precision: double, "
+        "recall_score: double, cohen_kappa_score: double",
+    )
+
+
+@register(
+    "communicability_planted",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS communicability
+    FROM customer
+    WHERE regexp_matches(c_name, '7|13')
+    GROUP BY c_mktsegment
+    """,
+    survey_ids=["M29", "A7"],
+    description="Communicability: distinct regex-matching codes per segment",
+)
+def communicability_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import business as B
+
+    deliver = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("targeting_seg"),
+        F.col("c_name").alias("q_code"),
+    )
+    c = B.communicability(deliver, pattern="7|13")
+    return spark.createDataFrame(
+        [(seg, int(n)) for seg, n in sorted(c["data"].items())],
+        "seg: string, communicability: bigint",
+    )
+
+
+@register(
+    "signal_loss_rf",
+    oracle=None,
+    survey_ids=["M33", "M18"],
+    description="RandomForest signal-loss on planted tgt features "
+    "(rows-only: MLlib RF is seed- but not SQL-reproducible)",
+)
+def signal_loss_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import signal as S
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") > 25).cast("int").alias("q1_tgt"),
+        (F.col("l_discount") > 0.05).cast("int").alias("q2_tgt"),
+        (F.col("l_tax") > 0.04).cast("int").alias("q3_tgt"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("prediction"),
+    )
+    out = S.signal_loss(li, ["q1_tgt", "q2_tgt", "q3_tgt"])
+    rows = [
+        (k, v["signal"], v["f1_score"], v["precision"], v["recall_score"],
+         v["cohen_kappa_score"])
+        for k, v in sorted(out.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "segment: string, signal: double, f1_score: double, precision: double, "
+        "recall_score: double, cohen_kappa_score: double",
+    )

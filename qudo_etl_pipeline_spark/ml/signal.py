@@ -1,0 +1,317 @@
+"""Signal-loss and consistency metrics.
+
+Re-implements (reference: src/kraken/app/metrics.py):
+
+- M33 RF signal loss (:714-779): RandomForest on the `_tgt` feature
+  columns predicting the cluster; accuracy / weighted precision /
+  recall / F1 / Cohen's kappa, overall on a 33% holdout and per
+  segment; RUS / ROS sampling variants and the per-metric argmax vote
+  picking the best sampler (:782-811).
+- M34 chi-squared-slice signal (:407-514): iterative mode-filter
+  `data_slicer` keeping >=25%->15% of segment rows, >=6 core columns,
+  then TP/FP/FN/TN accuracy of the slice as a segment classifier.
+- M18 model consistency (:234-270): 90/10 stratified split, refit on
+  train, ARI(predicted test labels, original test labels).
+- M20 label consistency (:273-308): refit on a stratified 90% sample,
+  ARI(refit labels, original labels) on that sample.
+
+Spark strategy: MLlib RandomForestClassifier; all classification
+metrics come from the k x k confusion matrix (one groupBy — row-count
+independent); samplers use `sampleBy` class fractions (RUS samples every
+class down to the minority size WITH replacement as the reference's
+RandomUnderSampler(replacement=True); ROS samples every class up to the
+majority size). SMOTE is replaced by within-class pair interpolation
+over `applyInPandas` — a documented delta from true k-NN SMOTE
+(imblearn is not a Spark-expressible dependency; SURVEY §2.7 M33).
+
+Scale notes: confusion matrices, slicer counts and consistency ARIs
+aggregate before collecting; nothing row-scale reaches the driver. The
+data_slicer loop is driver-CONTROLLED but each step is a lazy filter +
+count on the executors (the reference copies the pandas frame per step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.ml.quality import adjusted_rand_index
+
+
+def classification_metrics(
+    scored: DataFrame, label_col: str, pred_col: str
+) -> dict:
+    """accuracy / weighted precision / recall / f1 / Cohen's kappa from
+    the confusion matrix (sklearn 'weighted' average semantics,
+    metrics.py:761-766). Rounded 3 as the reference."""
+    conf = {
+        (r[label_col], r[pred_col]): r["n"]
+        for r in scored.groupBy(label_col, pred_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    labels = sorted({k[0] for k in conf} | {k[1] for k in conf})
+    n = sum(conf.values())
+    if n == 0:
+        return {
+            "signal": 0.0,
+            "f1_score": 0.0,
+            "precision": 0.0,
+            "recall_score": 0.0,
+            "cohen_kappa_score": 0.0,
+        }
+    tp = {c: conf.get((c, c), 0) for c in labels}
+    actual = {c: sum(v for (a, _), v in conf.items() if a == c) for c in labels}
+    predicted = {c: sum(v for (_, p), v in conf.items() if p == c) for c in labels}
+    acc = sum(tp.values()) / n
+
+    def safe(a, b):
+        return a / b if b else 0.0
+
+    prec_w = sum(actual[c] * safe(tp[c], predicted[c]) for c in labels) / n
+    rec_w = sum(actual[c] * safe(tp[c], actual[c]) for c in labels) / n
+    f1_w = (
+        sum(
+            actual[c]
+            * safe(
+                2 * safe(tp[c], predicted[c]) * safe(tp[c], actual[c]),
+                safe(tp[c], predicted[c]) + safe(tp[c], actual[c]),
+            )
+            for c in labels
+        )
+        / n
+    )
+    pe = sum(actual[c] * predicted[c] for c in labels) / (n * n)
+    kappa = safe(acc - pe, 1 - pe)
+    return {
+        "signal": round(acc, 3),
+        "f1_score": round(f1_w, 3),
+        "precision": round(prec_w, 3),
+        "recall_score": round(rec_w, 3),
+        "cohen_kappa_score": round(kappa, 3),
+    }
+
+
+def _resample(
+    df: DataFrame, target_col: str, sampling: str | None, seed: int
+) -> DataFrame:
+    """RUS/ROS/SMOTE-like resampling (metrics.py:742-750)."""
+    if sampling is None:
+        return df
+    counts = {
+        r[target_col]: r["n"]
+        for r in df.groupBy(target_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if sampling == "under":
+        m = min(counts.values())
+        fractions = {c: m / n for c, n in counts.items()}
+        return df.sampleBy(target_col, fractions, seed=seed)
+    if sampling == "over":
+        m = max(counts.values())
+        parts = [df]
+        for c, n in counts.items():
+            extra = m - n
+            if extra > 0:
+                parts.append(
+                    df.filter(F.col(target_col) == c).sample(
+                        withReplacement=True, fraction=extra / n, seed=seed
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    if sampling == "smote":
+        return _smote_like(df, target_col, counts, seed)
+    raise ValueError(f"unknown sampling {sampling!r}")
+
+
+def _smote_like(
+    df: DataFrame, target_col: str, counts: dict, seed: int
+) -> DataFrame:
+    """Minority-class oversampling by interpolating random same-class
+    row pairs (Arrow-batched, per-class groups). Documented delta from
+    true k-NN SMOTE."""
+    import pandas as pd
+
+    feature_cols = [c for c in df.columns if c != target_col]
+    m = max(counts.values())
+    schema = df.schema
+
+    def interp(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        need = m - len(pdf)
+        if need <= 0:
+            return pdf
+        rng = np.random.default_rng(seed + hash(str(pdf[target_col].iloc[0])) % 10000)
+        i = rng.integers(0, len(pdf), need)
+        j = rng.integers(0, len(pdf), need)
+        lam = rng.random(need)
+        synth = {}
+        for c in feature_cols:
+            a = pdf[c].to_numpy()[i].astype(float)
+            b = pdf[c].to_numpy()[j].astype(float)
+            synth[c] = np.rint(a + lam * (b - a)).astype(pdf[c].dtype)
+        synth[target_col] = pdf[target_col].iloc[0]
+        return pd.concat([pdf, pd.DataFrame(synth)], ignore_index=True)
+
+    return df.groupBy(target_col).applyInPandas(interp, schema=schema)
+
+
+def signal_loss(
+    df: DataFrame,
+    tgt_cols: list[str],
+    target_col: str = "prediction",
+    sampling: str | None = None,
+    seed: int = 42,
+) -> dict:
+    """M33: RF on tgt features -> cluster; 'all' on a 33% holdout plus
+    per-segment metrics on each segment's full rows (metrics.py:714-779)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    if not tgt_cols:
+        return {}
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in tgt_cols],
+        F.col(target_col).cast("double").alias("label"),
+    )
+    sampled = _resample(base, "label", sampling, seed)
+    assembler = VectorAssembler(inputCols=tgt_cols, outputCol="features")
+    train, test = assembler.transform(sampled).randomSplit(
+        [0.67, 0.33], seed=seed
+    )
+    rf = RandomForestClassifier(seed=seed, labelCol="label").fit(train)
+    result = {"all": classification_metrics(rf.transform(test), "label", "prediction")}
+    full = assembler.transform(base).cache()
+    try:
+        scored = rf.transform(full)
+        segments = sorted(
+            r["label"] for r in base.select("label").distinct().collect()
+        )
+        for seg in segments:
+            result[str(int(seg))] = classification_metrics(
+                scored.filter(F.col("label") == seg), "label", "prediction"
+            )
+    finally:
+        full.unpersist()
+    return result
+
+
+def best_signal_metric(
+    df: DataFrame,
+    tgt_cols: list[str],
+    target_col: str = "prediction",
+    seed: int = 42,
+) -> dict:
+    """Winner = per-metric argmax vote over rus/ros/none 'all' dicts
+    (metrics.py:782-811; pandas idxmax ties -> first column 'rus')."""
+    variants = {
+        "rus": signal_loss(df, tgt_cols, target_col, "under", seed),
+        "ros": signal_loss(df, tgt_cols, target_col, "over", seed),
+        "none": signal_loss(df, tgt_cols, target_col, None, seed),
+    }
+    order = ["rus", "ros", "none"]
+    votes: dict[str, int] = {k: 0 for k in order}
+    for metric in ["signal", "f1_score", "precision", "recall_score", "cohen_kappa_score"]:
+        best = max(order, key=lambda k: (variants[k]["all"][metric], -order.index(k)))
+        votes[best] += 1
+    winner = max(order, key=lambda k: (votes[k], -order.index(k)))
+    return variants[winner]
+
+
+def data_slicer(
+    df: DataFrame, tgt_cols: list[str], pop_modes: list
+) -> tuple[DataFrame, list[str], list[str], float]:
+    """M34 iterative mode-filter (metrics.py:407-437), replicated with
+    the reference's exact control flow (incl. min_count rebinding to the
+    CURRENT sliced size each sweep)."""
+    percent_retained = 0.25
+    min_count = percent_retained * df.count()
+    core_cols: list[str] = []
+    sub_cols: list[str] = []
+    data = df
+    while len(core_cols) < 6:
+        if percent_retained < 0.15:
+            break
+        core_cols = []
+        sub_cols = []
+        for col, mode in zip(tgt_cols, pop_modes):
+            filtered = data.filter(F.col(col).eqNullSafe(F.lit(mode)))
+            if filtered.count() < min_count:
+                sub_cols.append(col)
+            else:
+                data = filtered
+                core_cols.append(col)
+        percent_retained -= 0.01
+        min_count = percent_retained * data.count()
+    return data, core_cols, sub_cols, percent_retained
+
+
+def chi_square_signal(
+    sliced: DataFrame, original: DataFrame, seg, label_col: str = "prediction"
+) -> dict:
+    """TP/FP/FN/TN accuracy of a slice as a segment predictor
+    (metrics.py:440-460). Zeros on an empty slice."""
+    n_slice = sliced.count()
+    if n_slice == 0:
+        return {"signal": 0, "precision": 0, "recall_score": 0, "f1_score": 0}
+    tp = sliced.filter(F.col(label_col) == seg).count()
+    true = original.filter(F.col(label_col) == seg).count()
+    false = original.filter(F.col(label_col) != seg).count()
+    fp = n_slice - tp
+    fn = true - tp
+    tn = false - fp
+    try:
+        accuracy = round((tp + tn) / (tp + tn + fp + fn), 3)
+        precision = round(tp / (tp + fp), 3)
+        recall = round(tp / (tp + fn), 3)
+        f1 = round(2 * (precision * recall) / (precision + recall), 3)
+        return {
+            "signal": accuracy,
+            "precision": precision,
+            "recall_score": recall,
+            "f1_score": f1,
+        }
+    except ZeroDivisionError:
+        return {"signal": 0, "precision": 0, "recall_score": 0, "f1_score": 0}
+
+
+def model_consistency(
+    df: DataFrame,
+    refit,
+    label_col: str = "prediction",
+    test_frac: float = 0.1,
+    seed: int = 42,
+) -> float:
+    """M18 (metrics.py:234-270): stratified 90/10 split, `refit(train)`
+    returns a scorer mapping the test frame to new labels; ARI between
+    refit predictions and original test labels."""
+    labels = [r[label_col] for r in df.select(label_col).distinct().collect()]
+    fractions = {l: 1 - test_frac for l in labels}
+    train = df.sampleBy(label_col, fractions, seed=seed)
+    test = df.exceptAll(train)
+    predict = refit(train)
+    # the refit scorer writes `label_col`; keep the originals as _orig
+    test_renamed = test.withColumnRenamed(label_col, "_orig")
+    scored = predict(test_renamed)
+    return adjusted_rand_index(scored, "_orig", label_col)
+
+
+def label_consistency(
+    df: DataFrame,
+    refit,
+    label_col: str = "prediction",
+    train_frac: float = 0.9,
+    seed: int = 42,
+) -> float:
+    """M20 (metrics.py:273-308): refit on a stratified 90% sample; ARI
+    between refit labels and the original labels on that sample."""
+    labels = [r[label_col] for r in df.select(label_col).distinct().collect()]
+    fractions = {l: train_frac for l in labels}
+    train = df.sampleBy(label_col, fractions, seed=seed)
+    train_renamed = train.withColumnRenamed(label_col, "_orig")
+    predict = refit(train_renamed)
+    scored = predict(train_renamed)
+    return adjusted_rand_index(scored, "_orig", label_col)
