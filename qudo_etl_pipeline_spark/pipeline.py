@@ -1,0 +1,242 @@
+"""End-to-end segmentation pipeline: the reference's Dagster asset chain
+as one Spark driver program.
+
+Re-implements (reference: src/kraken/app/main.py:45-183,
+clustering.py:1079-1187, SegmentationConfig.py:4-18):
+
+1. clean + recode the respondent table       (main.py:66-80)
+2. scheme -> column selection + _tgt tagging (main.py:94-126)
+3. per scheme, fan out the algorithm families
+   kmeans(+pca) / kmodes-or-kprototypes / gmm / rules / lca
+   (clustering.py:1085-1127, dispatch :1179-1187); family choice
+   kmodes-vs-kprototypes by presence of numeric columns
+   (clustering.py:220-234)
+4. per family: optimal-k, multi-seed fit, balance filter, rank-sum
+   best (clustering.py:391-478,627-713)
+5. chi-squared inference -> deliver/discover stats (§3.3 single-shuffle
+   plan) and get_all_metrics                  (main.py:158; metrics.py:814-911)
+6. sinks: metrics CSV + per-scheme Parquet results replacing the
+   reference's pickles                        (main.py:160-182; SURVEY S5-S7)
+
+The reference forks joblib child processes per family and re-pickles
+the table into each (clustering.py:1085-1088); here the cleaned encoded
+table is cached ONCE on the executors and families run as concurrent
+MLlib jobs from driver threads — no data movement between stages.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.ml import clustering as C
+from qudo_etl_pipeline_spark.ml import features as FE
+from qudo_etl_pipeline_spark.ml import kmodes as KM
+from qudo_etl_pipeline_spark.ml import lca as LCA
+from qudo_etl_pipeline_spark.ml.business import get_all_metrics
+from qudo_etl_pipeline_spark.operators import cleaning as CL
+from qudo_etl_pipeline_spark.operators.contingency import (
+    contingency_tables,
+    deliver_stats,
+    discover_stats,
+)
+
+
+@dataclass
+class SegmentationConfig:
+    """SegmentationConfig.py:4-18 equivalent."""
+
+    survey_name: str
+    schemes: dict[str, list[str]] = field(default_factory=dict)
+    weight_col: str | None = None
+    conf_interval: float = 0.95
+    id_col: str = "alchemer_id"
+    rules_col: str | None = None
+    algorithms: tuple[str, ...] = ("kmeans", "gmm", "kmodes", "rules_based")
+    include_lca: bool = False
+    ks: list[int] | None = None
+    seeds: list[int] | None = None
+
+
+def select_scheme_columns(
+    df: DataFrame, fragments: list[str], id_col: str
+) -> list[str]:
+    """Column selection by fragment (main.py:102-138): keep columns whose
+    name contains any requested fragment; 'all' keeps everything."""
+    if not fragments or any(f.lower() == "all" for f in fragments):
+        return [c for c in df.columns if c != id_col]
+    return [
+        c
+        for c in df.columns
+        if c != id_col and any(f.lower() in c.lower() for f in fragments)
+    ]
+
+
+def _family_kmeans(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+    feats = FE.assemble_array(encoded, cols)
+    std, _ = FE.standardize(feats.select(cfg.id_col, *cols), cols)
+    std = FE.assemble_array(std, cols)
+    proj, _ = FE.pca_transform(std)
+    best_k = C.optimal_k(proj, ks=cfg.ks or [3, 4, 5], seed=42, max_workers=2)
+    fit = C.kmeans_multi_seed(
+        proj, k=best_k, seeds=cfg.seeds or [1, 42, 100], max_workers=2
+    )
+    return ("kmeans_and_pca", fit)
+
+
+def _family_gmm(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+    feats = FE.assemble_array(encoded, cols)
+    fit = C.gmm_multi_seed(
+        feats, k=(cfg.ks or [3])[0], seeds=cfg.seeds or [42, 100], max_workers=2
+    )
+    return ("bmm", fit)
+
+
+def _family_kmodes(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+    fit = KM.kmodes_fit(encoded, cols, k=(cfg.ks or [3])[0], id_col=cfg.id_col)
+    fit["seed"] = None
+    return ("kmodes", fit)
+
+
+def _family_rules(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+    if not cfg.rules_col:
+        return ("rules_based", None)
+    labeled = C.rules_based(encoded, cfg.rules_col)
+    return ("rules_based", {"labels": labeled, "k": None, "seed": None})
+
+
+def _family_lca(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+    fit = LCA.lca_select(
+        encoded, cols, ks=cfg.ks or [3], n_rep=1, max_iter=30
+    )
+    return ("lca", fit)
+
+
+_FAMILIES = {
+    "kmeans": _family_kmeans,
+    "gmm": _family_gmm,
+    "kmodes": _family_kmodes,
+    "rules_based": _family_rules,
+    "lca": _family_lca,
+}
+
+
+def run_scheme(
+    spark: SparkSession,
+    cleaned: DataFrame,
+    scheme_cols: list[str],
+    cfg: SegmentationConfig,
+) -> dict:
+    """One segmentation scheme: families -> inference -> metrics
+    (clustering.py:1079-1138)."""
+    code_maps = FE.build_code_maps(cleaned, scheme_cols)
+    encoded = FE.label_encode(cleaned, scheme_cols, code_maps=code_maps).cache()
+    algos = list(cfg.algorithms) + (["lca"] if cfg.include_lca else [])
+    with ThreadPoolExecutor(max_workers=len(algos)) as pool:
+        fits = list(
+            pool.map(
+                lambda a: _FAMILIES[a](encoded, scheme_cols, cfg), algos
+            )
+        )
+    results = {}
+    for algo, fit in fits:
+        if fit is None:
+            results[algo] = {
+                "labels": None,
+                "metrics": {"algorithm": algo, "n_clusters": "no balanced clustering"},
+            }
+            continue
+        labeled = fit["labels"]
+        # inference runs on the ORIGINAL (string) answers + prediction
+        with_pred = cleaned.join(
+            labeled.select(cfg.id_col, "prediction"), cfg.id_col
+        )
+        tables = contingency_tables(
+            with_pred,
+            cluster_col="prediction",
+            variables=scheme_cols,
+            weight_col=cfg.weight_col,
+            id_vars=[cfg.id_col],
+        )
+        deliver = deliver_stats(tables, alpha=1 - cfg.conf_interval)
+        discover = discover_stats(deliver)
+        feats = FE.assemble_array(encoded, scheme_cols).join(
+            labeled.select(cfg.id_col, "prediction"), cfg.id_col
+        )
+        tgt_cols = [c for c in scheme_cols if "tgt" in c.lower()]
+        metrics = get_all_metrics(
+            feats,
+            deliver=deliver,
+            tgt_cols=tgt_cols,
+            n_seed=fit.get("seed"),
+            with_random_baseline=False,
+        )
+        metrics["algorithm"] = algo
+        results[algo] = {
+            "labels": labeled,
+            "deliver": deliver,
+            "discover": discover,
+            "metrics": metrics,
+        }
+    encoded.unpersist()
+    return results
+
+
+def run_all_segmentations(
+    spark: SparkSession,
+    responses: DataFrame,
+    cfg: SegmentationConfig,
+    questions: DataFrame | None = None,
+    output_dir: str | None = None,
+) -> dict:
+    """The full main.py:45-183 flow. Returns
+    {scheme: {algorithm: {labels, deliver, discover, metrics}}} and
+    (optionally) writes metrics CSV + deliver/discover Parquet."""
+    cleaned = CL.clean_responses(responses, questions=questions).cache()
+    all_results: dict = {}
+    for scheme, fragments in (cfg.schemes or {"all": ["all"]}).items():
+        cols = select_scheme_columns(cleaned, fragments, cfg.id_col)
+        cols = [
+            c
+            for c in cols
+            if c not in CL.inference_excluded_cols(cleaned.columns)
+        ]
+        all_results[scheme] = run_scheme(spark, cleaned, cols, cfg)
+    cleaned.unpersist()
+
+    if output_dir:
+        metrics_rows = []
+        for scheme, by_algo in all_results.items():
+            for algo, res in by_algo.items():
+                m = res["metrics"]
+                metrics_rows.append(
+                    (
+                        cfg.survey_name,
+                        scheme,
+                        algo,
+                        float(m.get("silhouette") or 0.0),
+                        float(m.get("davies_bouldin") or 0.0),
+                        float(m.get("calinski_harabasz") or 0.0),
+                        str(m.get("n_clusters")),
+                    )
+                )
+                if res.get("deliver") is not None:
+                    res["deliver"].write.mode("overwrite").parquet(
+                        f"{output_dir}/{scheme}/{algo}/deliver"
+                    )
+                    res["discover"].write.mode("overwrite").parquet(
+                        f"{output_dir}/{scheme}/{algo}/discover"
+                    )
+        metrics_df = spark.createDataFrame(
+            metrics_rows,
+            "survey: string, scheme: string, algorithm: string, "
+            "silhouette: double, davies_bouldin: double, "
+            "calinski_harabasz: double, n_clusters: string",
+        )
+        metrics_df.coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(f"{output_dir}/metrics_csv")
+    return all_results

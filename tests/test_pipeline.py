@@ -1,0 +1,88 @@
+"""End-to-end pipeline test (reference: src/kraken/app/main.py:45-183)
+on the deterministic survey fixtures, plus the work-queue protocol."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark import workqueue as WQ
+from qudo_etl_pipeline_spark.pipeline import (
+    SegmentationConfig,
+    run_all_segmentations,
+    select_scheme_columns,
+)
+from tests.fixtures import make_responses
+
+
+@pytest.fixture(scope="module")
+def responses(spark):
+    return spark.createDataFrame(make_responses(n=600))
+
+
+def test_select_scheme_columns(spark, responses):
+    cols = select_scheme_columns(responses, ["fin_", "psy_"], "alchemer_id")
+    assert set(cols) == {"fin_uk_risk_rb", "fin_uk_goal_fb", "psy_ww_openness_sc"}
+    assert "alchemer_id" not in select_scheme_columns(responses, ["all"], "alchemer_id")
+
+
+def test_end_to_end_segmentation(spark, responses, tmp_path):
+    cfg = SegmentationConfig(
+        survey_name="fixture_survey",
+        schemes={
+            "behavioral": [
+                "weightgain_", "fin_uk_risk", "tech_", "psy_", "fin_uk_goal",
+            ]
+        },
+        weight_col="weight",
+        rules_col="fin_uk_goal_fb",
+        algorithms=("kmeans", "kmodes", "rules_based"),
+        ks=[3],
+        seeds=[1, 42],
+    )
+    out = run_all_segmentations(
+        spark, responses, cfg, output_dir=str(tmp_path / "out")
+    )
+    by_algo = out["behavioral"]
+    assert set(by_algo) == {"kmeans_and_pca", "kmodes", "rules_based"}
+    for algo, res in by_algo.items():
+        assert res["labels"] is not None, algo
+        m = res["metrics"]
+        assert m["algorithm"] == algo
+        # every family found planted structure -> some significant vars
+        assert res["deliver"].count() > 0, algo
+        deliver_cols = set(res["deliver"].columns)
+        assert {"q_code", "pop_mode", "chi_2_result", "targeting_seg"} <= deliver_cols
+        # p-values significant at alpha=0.05 only
+        assert res["deliver"].filter(F.col("chi_2_result") > 0.05).count() == 0
+    # sinks materialized
+    metrics_csv = spark.read.option("header", True).csv(
+        str(tmp_path / "out" / "metrics_csv")
+    )
+    assert metrics_csv.count() == 3
+    deliver_rt = spark.read.parquet(
+        str(tmp_path / "out" / "behavioral" / "kmeans_and_pca" / "deliver")
+    )
+    assert deliver_rt.count() == by_algo["kmeans_and_pca"]["deliver"].count()
+
+
+def test_workqueue_protocol(tmp_path):
+    qp = str(tmp_path / "queue.json")
+    surveys = [
+        {"survey_name": "s1", "processed_by": ["kraken"]},
+        {"survey_name": "s2", "processed_by": []},
+    ]
+    with open(qp, "w") as fh:
+        json.dump(surveys, fh)
+    loaded = WQ.collected_surveys(qp)
+    nxt = WQ.next_survey(loaded)
+    assert nxt["survey_name"] == "s1"  # kraken's tag is not ours
+    WQ.mark_processed(qp, "s1")
+    nxt2 = WQ.next_survey(WQ.collected_surveys(qp))
+    assert nxt2["survey_name"] == "s2"
+    WQ.mark_processed(qp, "s2")
+    assert WQ.next_survey(WQ.collected_surveys(qp)) is None
+    assert WQ.collected_surveys(str(tmp_path / "missing.json")) == []
