@@ -1,0 +1,556 @@
+"""Coverage catalog: queries claiming the SURVEY §2 operators not yet
+exercised by another catalog module — cleaning transforms (P1/P2/P4/P5),
+join shapes (J2/J4), reshapes (R3/R4/R5/R6), population modes (M27), and
+the ML/business operators whose loops are driver-composed
+(M9/M10/M17/M20/M30/M31/M34/M36).
+
+Planted derivations rename TPC-H-ish columns into the survey naming
+conventions the operators key on (the testdata has no real survey table;
+the conventions, not the data, carry the behavior — SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.operators import cleaning as CL
+
+
+@register(
+    "cleaning_pipeline_planted",
+    oracle="""
+    WITH survey AS (
+      SELECT c_custkey AS alchemer_id,
+             c_mktsegment AS "FIN_UK_SEG_FB",
+             CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_name END AS psy_ww_brand_gg,
+             c_acctbal AS resp_time_secs,        -- P1: dropped (_time)
+             CAST(c_nationkey AS DOUBLE) AS weight_scaled
+      FROM customer
+    ),
+    cleaned AS (
+      SELECT alchemer_id,
+             "FIN_UK_SEG_FB" AS fin_uk_seg_fb_tgt,   -- P4: lowercase + _tgt
+             COALESCE(psy_ww_brand_gg, 'not selected') AS psy_ww_brand_gg_tgt,
+             weight_scaled
+      FROM survey
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(4 AS BIGINT) AS n_cols,
+           CAST(SUM(CASE WHEN psy_ww_brand_gg_tgt = 'not selected' THEN 1 ELSE 0 END) AS BIGINT) AS n_not_selected,
+           COUNT(DISTINCT fin_uk_seg_fb_tgt) AS n_segments
+    FROM cleaned
+    """,
+    survey_ids=["P1", "P2", "P4", "P5"],
+    description="Cleaning pipeline: _time drop, lowercase, NA sentinel fill, "
+    "_tgt tagging, fragment selection",
+)
+def cleaning_pipeline_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    survey = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("alchemer_id"),
+        F.col("c_mktsegment").alias("FIN_UK_SEG_FB"),
+        F.when(F.col("c_nationkey") % 7 == 0, None)
+        .otherwise(F.col("c_name"))
+        .alias("psy_ww_brand_gg"),
+        F.col("c_acctbal").alias("resp_time_secs"),
+        F.col("c_nationkey").cast("double").alias("weight_scaled"),
+    )
+    cleaned = CL.fill_na_policy(CL.drop_time_cols(survey))  # P1 + P2 (+lowercase)
+    cleaned = CL.rename_columns(cleaned, CL.add_tgt_tag(cleaned.columns))  # P4
+    frag_cols = CL.select_columns_by_fragments(
+        cleaned, ["fin_", "psy_", "alchemer", "weight"]
+    )  # P5
+    cleaned = cleaned.select(*frag_cols)
+    return cleaned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(len(cleaned.columns)).cast("long").alias("n_cols"),
+        F.sum(
+            (F.col("psy_ww_brand_gg_tgt") == "not selected").cast("long")
+        ).alias("n_not_selected"),
+        F.countDistinct("fin_uk_seg_fb_tgt").alias("n_segments"),
+    )
+
+
+@register(
+    "join_manual_segments",
+    oracle="""
+    WITH seg AS (
+      SELECT DISTINCT c_custkey AS id,
+             CASE WHEN c_custkey % 3 = 0 THEN 'manual_a' ELSE 'manual_b' END AS manual_seg
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT COALESCE(s.manual_seg, 'unassigned') AS manual_seg,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c LEFT JOIN seg s ON c.c_custkey = s.id
+    GROUP BY 1
+    """,
+    survey_ids=["J2"],
+    description="Left join of manual segment labels on differently-named keys",
+)
+def join_manual_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    seg = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.when(F.col("c_custkey") % 3 == 0, "manual_a")
+            .otherwise("manual_b")
+            .alias("manual_seg"),
+        )
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(seg), cust.c_custkey == seg.id, "left")
+        .select(
+            F.coalesce(F.col("manual_seg"), F.lit("unassigned")).alias(
+                "manual_seg"
+            ),
+            "c_acctbal",
+        )
+        .groupBy("manual_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "positional_join",
+    oracle="""
+    WITH a AS (
+      SELECT s_name, ROW_NUMBER() OVER (ORDER BY s_suppkey) AS rn
+      FROM supplier
+    ),
+    b AS (
+      SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn
+      FROM nation
+    )
+    SELECT a.rn, a.s_name, b.n_name
+    FROM a JOIN b ON a.rn = b.rn
+    """,
+    survey_ids=["J4"],
+    description="Positional alignment as an explicit row_number equi-join "
+    "(no implicit row order in Spark)",
+)
+def positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_name",
+        F.row_number().over(Window.orderBy("s_suppkey")).alias("rn"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_name",
+        F.row_number().over(Window.orderBy("n_nationkey")).alias("rn"),
+    )
+    return sup.join(nat, "rn").select("rn", "s_name", "n_name")
+
+
+@register(
+    "transpose_region_counts",
+    oracle="""
+    SELECT 'n_nations' AS stat,
+           CAST(SUM(CASE WHEN r.r_name = 'AFRICA' THEN 1 ELSE 0 END) AS BIGINT) AS africa,
+           CAST(SUM(CASE WHEN r.r_name = 'AMERICA' THEN 1 ELSE 0 END) AS BIGINT) AS america,
+           CAST(SUM(CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END) AS BIGINT) AS asia,
+           CAST(SUM(CASE WHEN r.r_name = 'EUROPE' THEN 1 ELSE 0 END) AS BIGINT) AS europe,
+           CAST(SUM(CASE WHEN r.r_name = 'MIDDLE EAST' THEN 1 ELSE 0 END) AS BIGINT) AS middle_east
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    survey_ids=["R3", "R4"],
+    description="Transpose via melt->pivot: per-region counts become columns",
+)
+def transpose_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    counts = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(
+            F.lower(F.regexp_replace("r_name", " ", "_")).alias("region")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.withColumn("stat", F.lit("n_nations"))
+        .groupBy("stat")
+        .pivot(
+            "region", ["africa", "america", "asia", "europe", "middle_east"]
+        )
+        .sum("n")
+    )
+
+
+@register(
+    "systematic_sample",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+    survey_ids=["R5"],
+    description="Deterministic systematic sample (key-mod) — df.sample's "
+    "seeded Bernoulli variant is engine-specific, so the oracle-checkable "
+    "path samples by key residue",
+)
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
+    "set_ops_except_intersect",
+    oracle="""
+    SELECT 'except' AS op, COUNT(*) AS n FROM (
+      SELECT DISTINCT p_type FROM part WHERE p_size > 40
+      EXCEPT
+      SELECT DISTINCT p_type FROM part WHERE p_brand = 'Brand#11'
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+      SELECT DISTINCT p_type FROM part WHERE p_size > 40
+      INTERSECT
+      SELECT DISTINCT p_type FROM part WHERE p_brand = 'Brand#11'
+    )
+    """,
+    survey_ids=["R6"],
+    description="Set difference/intersection of distinct value sets",
+)
+def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") > 40).select("p_type").distinct()
+    brand = part.filter(F.col("p_brand") == "Brand#11").select("p_type").distinct()
+    ex = big.exceptAll(big.intersect(brand)).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("except").alias("op"), "n")
+    inter = big.intersect(brand).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    return ex.unionByName(inter)
+
+
+@register(
+    "population_modes_planted",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderstatus AS cluster,
+             1.0 + (o_orderkey % 3) AS w,
+             o_orderpriority AS p1,
+             CASE WHEN o_totalprice < 100000 THEN 'not selected'
+                  ELSE o_orderpriority END AS p2
+      FROM orders
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, ROUND(SUM(w), 2) AS wsum FROM src
+    ),
+    rowvals AS (
+      SELECT cluster, w,
+             CASE WHEN len(list_distinct([p1, p2])) = 1
+                       AND list_distinct([p1, p2])[1] = 'not selected'
+                  THEN list_distinct([p1, p2])
+                  ELSE list_filter(list_distinct([p1, p2]), x -> x <> 'not selected')
+             END AS vals
+      FROM src
+    ),
+    exploded AS (
+      SELECT cluster, w, UNNEST(vals) AS value FROM rowvals
+    ),
+    counts AS (
+      SELECT cluster, value, COUNT(*) AS n, SUM(w) AS wn
+      FROM exploded GROUP BY cluster, value
+    ),
+    ranked AS (
+      SELECT cluster, value, n, wn,
+             ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY wn DESC, value ASC) AS rw,
+             ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, value ASC) AS ru
+      FROM counts
+    )
+    SELECT w.cluster,
+           'priority' AS shortname,
+           w.value AS weighted_mode,
+           ROUND(w.wn / (SELECT wsum FROM tot), 2) AS weighted_mode_prop,
+           u.value AS unweighted_mode,
+           ROUND(CAST(u.n AS DOUBLE) / (SELECT n FROM tot), 2) AS unweighted_mode_prop
+    FROM (SELECT * FROM ranked WHERE rw = 1) w
+    JOIN (SELECT * FROM ranked WHERE ru = 1) u ON w.cluster = u.cluster
+    """,
+    survey_ids=["M27", "W4", "R2", "A5", "A6"],
+    description="Population modes: multi-select collect-distinct, sentinel "
+    "strip, weighted + unweighted modal answer per cluster",
+)
+def population_modes_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.popmodes import population_modes
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("cluster"),
+        (1.0 + (F.col("o_orderkey") % 3)).alias("w"),
+        F.col("o_orderpriority").alias("p1"),
+        F.when(F.col("o_totalprice") < 100000, "not selected")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p2"),
+    )
+    return population_modes(
+        src, {"priority": ["p1", "p2"]}, cluster_col="cluster", weight_col="w"
+    )
+
+
+@register(
+    "rules_based_codes",
+    oracle="""
+    WITH codes AS (
+      SELECT o_orderpriority,
+             CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS prediction
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    )
+    SELECT c.prediction, COUNT(*) AS n
+    FROM orders o JOIN codes c ON o.o_orderpriority = c.o_orderpriority
+    GROUP BY c.prediction
+    """,
+    survey_ids=["M9"],
+    description="Rules-based segmentation: sorted-value label codes of one "
+    "answer column",
+)
+def rules_based_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml.clustering import rules_based
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority")
+    labeled = rules_based(o, "o_orderpriority")
+    return labeled.groupBy("prediction").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "social_presence_planted",
+    oracle="""
+    WITH lab AS (
+      SELECT c_mktsegment AS prediction,
+             CASE WHEN c_acctbal > 5000 THEN 'Facebook' ELSE 'Twitter' END AS mc_platform
+      FROM customer
+    )
+    SELECT prediction,
+           ROUND(SUM(CASE WHEN mc_platform = 'Facebook' THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 3) AS share
+    FROM lab GROUP BY prediction
+    """,
+    survey_ids=["M30", "A9"],
+    description="Social presence: per-cluster share answering the detected "
+    "mc_ platform column",
+)
+def social_presence_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml.business import social_presence
+
+    lab = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("prediction"),
+        F.when(F.col("c_acctbal") > 5000, "Facebook")
+        .otherwise("Twitter")
+        .alias("mc_platform"),
+    )
+    sp = social_presence(lab, "Facebook")
+    return spark.createDataFrame(
+        sorted(sp.items()), "prediction: string, share: double"
+    )
+
+
+@register(
+    "magnitude_planted",
+    oracle="""
+    WITH labeled AS (
+      SELECT o_orderstatus AS seg, o_orderpriority, o_totalprice FROM orders
+    ),
+    pct AS (
+      SELECT seg, ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM labeled), 2) AS share
+      FROM labeled GROUP BY seg
+    ),
+    sig AS (
+      SELECT seg, COUNT(DISTINCT o_orderpriority) AS n_sig
+      FROM labeled WHERE o_totalprice > 150000
+      GROUP BY seg
+    )
+    SELECT p.seg,
+           ROUND(COALESCE(s.n_sig, 0) / 5.0 * p.share, 3) AS magnitude
+    FROM pct p LEFT JOIN sig s ON p.seg = s.seg
+    """,
+    survey_ids=["M31"],
+    description="Magnitude: cluster share x significant-tgt-variable ratio",
+)
+def magnitude_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml.business import magnitude
+
+    o = load_table(spark, sf_dir, "orders")
+    labeled = o.select(F.col("o_orderstatus").alias("prediction"))
+    deliver = (
+        o.filter(F.col("o_totalprice") > 150000)
+        .select(
+            F.col("o_orderstatus").alias("targeting_seg"),
+            F.concat(F.col("o_orderpriority"), F.lit("_tgt")).alias("q_code"),
+        )
+        .distinct()
+    )
+    tgt_cols = [f"prio_{i}_tgt" for i in range(5)]  # 5 priority levels
+    m = magnitude(deliver, labeled, tgt_cols)
+    rows = [
+        (seg, val) for seg, val in sorted(m.items()) if seg != "all_clusters"
+    ]
+    return spark.createDataFrame(rows, "seg: string, magnitude: double")
+
+
+@register(
+    "sig_spread_planted",
+    oracle="""
+    WITH deliver AS (
+      SELECT DISTINCT p_brand AS seg,
+             replace(p_type, ' ', '_') AS q_code,
+             CASE WHEN p_size <= 25 THEN 0.01 ELSE 0.5 END AS chi2
+      FROM part
+    ),
+    overall AS (
+      SELECT string_split(q_code, '_')[1] AS prefix, COUNT(*) AS n_all
+      FROM deliver GROUP BY 1
+    ),
+    sig AS (
+      SELECT seg, string_split(q_code, '_')[1] AS prefix, COUNT(*) AS n_sig
+      FROM deliver WHERE chi2 <= 0.05 GROUP BY seg, string_split(q_code, '_')[1]
+    )
+    SELECT s.seg, s.prefix, ROUND(CAST(s.n_sig AS DOUBLE) / o.n_all, 6) AS proportion
+    FROM sig s JOIN overall o ON s.prefix = o.prefix
+    """,
+    survey_ids=["M36", "P8"],
+    description="Significant-variable spread: per-question-prefix share of "
+    "significant variables per segment",
+)
+def sig_spread_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml.business import (
+        significant_variables_and_spread,
+    )
+
+    deliver = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.col("p_brand").alias("targeting_seg"),
+            F.regexp_replace("p_type", " ", "_").alias("q_code"),
+            F.when(F.col("p_size") <= 25, 0.01).otherwise(0.5).alias(
+                "chi_2_result"
+            ),
+        )
+        .distinct()
+    )
+    _, _, groups, _ = significant_variables_and_spread(deliver)
+    rows = [
+        (seg, prefix, round(prop, 6))
+        for seg, by_prefix in groups.items()
+        for prefix, prop in by_prefix.items()
+    ]
+    return spark.createDataFrame(
+        rows, "seg: string, prefix: string, proportion: double"
+    )
+
+
+@register(
+    "hierarchical_segmentation_rows",
+    oracle=None,
+    survey_ids=["M10"],
+    description="Two-level hierarchical segmentation with global label "
+    "offsets and -99 ignore group (rows-only: nested MLlib fits)",
+)
+def hierarchical_segmentation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml.clustering import hierarchical_segmentation
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("features"),
+        (F.col("label") % 3).alias("grp"),
+    )
+    out = hierarchical_segmentation(
+        emb, "grp", hier_ks=[2], seed=42, ignore_value=2
+    )
+    return (
+        out.groupBy("grp")
+        .agg(
+            F.countDistinct("prediction").alias("n_labels"),
+            F.min("prediction").alias("min_label"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "random_baseline_rows",
+    oracle=None,
+    survey_ids=["M17", "M20"],
+    description="Random-baseline metric ratios + label-consistency ARI on a "
+    "planted clustering (rows-only: seeded randomness)",
+)
+def random_baseline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import quality as Q
+    from qudo_etl_pipeline_spark.ml.signal import label_consistency
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+        (F.col("label") % 4).alias("prediction"),
+    )
+    base = Q.cluster_quality(emb)
+    out = Q.random_checker(emb, cluster_metrics=base, n_runs=2)
+
+    def refit(train):
+        def predict(frame):
+            return frame.withColumn(
+                "prediction", (F.col("row_id") % 4).cast("int")
+            )
+
+        return predict
+
+    lc = label_consistency(emb, refit)
+    return spark.createDataFrame(
+        [
+            (
+                float(out["calinski_harabasz_random_ratio"]),
+                float(out["davies_bouldin_random_ratio"]),
+                float(lc),
+            )
+        ],
+        "ch_random_ratio: double, db_random_ratio: double, "
+        "label_consistency_ari: double",
+    )
+
+
+@register(
+    "data_slicer_rows",
+    oracle=None,
+    survey_ids=["M34"],
+    description="Iterative mode-filter slice signal (rows-only: "
+    "driver-controlled loop)",
+)
+def data_slicer_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml.signal import chi_square_signal, data_slicer
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") > 25).cast("int").alias("q1_tgt"),
+        (F.col("l_discount") > 0.05).cast("int").alias("q2_tgt"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("prediction"),
+    )
+    seg_rows = li.filter(F.col("prediction") == 1)
+    sliced, core, sub, pct = data_slicer(seg_rows, ["q1_tgt", "q2_tgt"], [1, 1])
+    sig = chi_square_signal(sliced, li, 1)
+    return spark.createDataFrame(
+        [
+            (
+                len(core),
+                len(sub),
+                round(pct, 2),
+                sig["signal"],
+                sig["recall_score"],
+            )
+        ],
+        "n_core: bigint, n_sub: bigint, pct_retained: double, "
+        "signal: double, recall_score: double",
+    )

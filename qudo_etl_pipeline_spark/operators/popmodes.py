@@ -1,0 +1,132 @@
+"""Population modes: per-(cluster, question) multi-select answer modes.
+
+Re-implements ``flag_not_selected`` / ``find_population_modes``
+(reference: src/kraken/app/inference/chisquared_tester.py:695-838, M27):
+a "question" spans several one-hot/multi-select sub-columns; per row the
+distinct answers across the sub-columns are collected (W4), 'not
+selected' is stripped UNLESS it is the only answer, rows explode to
+(cluster, answer) pairs (R2), and per (cluster, question) the weighted
+and unweighted modal answer and its share of the WHOLE sample are
+reported (A5/A6), rounded to 2.
+
+One plan computes every (question x cluster) simultaneously: each
+question contributes a select+explode branch (map-only), branches
+union, and ONE groupBy(question, cluster, value) aggregation feeds the
+window argmax. Ties resolve to the lexicographically smallest value
+(pandas groupby-sum index order + idxmax first-occurrence semantics).
+
+Scale notes: the union of per-question branches is narrow (3 columns);
+the single shuffle's output is |questions| x |clusters| x |answers| —
+independent of row count. The parquet cache round-trip (S6/S4) lives in
+sources/io.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NOT_SELECTED = "not selected"
+
+
+def _row_values(cols: list[str]):
+    """Distinct non-null answers across the question's sub-columns;
+    'not selected' stripped unless it is the only distinct answer
+    (chisquared_tester.py:745-752)."""
+    arr = F.array_distinct(
+        F.filter(
+            F.array(*[F.col(c).cast("string") for c in cols]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return F.when(
+        (F.size(arr) == 1) & (arr[0] == NOT_SELECTED), arr
+    ).otherwise(F.array_remove(arr, NOT_SELECTED))
+
+
+def population_modes(
+    df: DataFrame,
+    question_cols: dict[str, list[str]],
+    cluster_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """All (question, cluster) weighted + unweighted modes in one plan.
+
+    Output: cluster, shortname, weighted_mode, weighted_mode_prop,
+    unweighted_mode, unweighted_mode_prop (props = share of the WHOLE
+    sample, rounded 2 — chisquared_tester.py:760-771).
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    totals = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(w), 2).alias("wsum"),
+    ).collect()[0]
+    sample_total = totals["n"]
+    weighted_total = totals["wsum"] if weight_col else float(sample_total)
+
+    branches = []
+    for shortname, cols in question_cols.items():
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            continue
+        branches.append(
+            df.select(
+                F.col(cluster_col).alias("cluster"),
+                w.alias("_w"),
+                F.lit(shortname).alias("shortname"),
+                F.explode(_row_values(present)).alias("value"),
+            )
+        )
+    if not branches:
+        raise ValueError("no question columns present in the data")
+    long = branches[0]
+    for b in branches[1:]:
+        long = long.unionByName(b)
+
+    counts = long.groupBy("shortname", "cluster", "value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_w").alias("wn"),
+    )
+    win_w = Window.partitionBy("shortname", "cluster").orderBy(
+        F.col("wn").desc(), F.col("value").asc()
+    )
+    win_u = Window.partitionBy("shortname", "cluster").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    ranked = counts.select(
+        "shortname",
+        "cluster",
+        "value",
+        "n",
+        "wn",
+        F.row_number().over(win_w).alias("_rw"),
+        F.row_number().over(win_u).alias("_ru"),
+    )
+    weighted = ranked.filter(F.col("_rw") == 1).select(
+        "shortname",
+        "cluster",
+        F.col("value").alias("weighted_mode"),
+        F.round(F.col("wn") / F.lit(weighted_total), 2).alias(
+            "weighted_mode_prop"
+        ),
+    )
+    unweighted = ranked.filter(F.col("_ru") == 1).select(
+        "shortname",
+        "cluster",
+        F.col("value").alias("unweighted_mode"),
+        F.round(F.col("n") / F.lit(float(sample_total)), 2).alias(
+            "unweighted_mode_prop"
+        ),
+    )
+    return weighted.join(unweighted, ["shortname", "cluster"]).select(
+        "cluster",
+        "shortname",
+        "weighted_mode",
+        "weighted_mode_prop",
+        "unweighted_mode",
+        "unweighted_mode_prop",
+    )

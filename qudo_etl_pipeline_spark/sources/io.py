@@ -1,0 +1,93 @@
+"""IO module: the reference's source/sink surface, Spark-first.
+
+SURVEY §2.1 operator map (reference file:line in parens):
+
+- S1 Parquet scan  -> `read_parquet`      (main.py:24,66,74)
+- S2 JSON get      -> `read_json_table` (tabular) /
+                      `read_json_doc` (config documents —
+                      s3_data_fetching_functions.py:20-26,41-70)
+- S3 CSV scan      -> `read_csv`          (populate_curated_cols_s3.py:19)
+- S4 existence probe -> `exists` + `read_or_build_cache`
+                      (s3_data_fetching_functions.py:11-17;
+                       chisquared_tester.py:782-786)
+- S5 CSV sink      -> `write_csv_single`  (main.py:174 — single file,
+                      pandas to_csv parity)
+- S6 Parquet sink  -> `write_parquet`     (chisquared_tester.py:837-838)
+- S7 pickle sink   -> REPLACED by Parquet/JSON sinks (pickles are an
+                      engine-hostile format; SURVEY S7)
+- S8 JSON put      -> `write_json_doc`    (main.py:108-113; aws_init.py:72-78)
+
+Paths are plain Hadoop-FS URIs: local paths here, `s3a://...` on a real
+cluster (same code path — S3A credentials/endpoint come from Spark conf,
+never from this module). Config documents (queues, column lists) stay
+driver-side JSON; DATA always moves through the executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1: schema-on-read parquet scan."""
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """S3: CSV scan with header + schema inference."""
+    return spark.read.option("header", header).option(
+        "inferSchema", True
+    ).csv(path)
+
+
+def read_json_table(spark: SparkSession, path: str) -> DataFrame:
+    """S2 (tabular): newline-delimited / array JSON as a DataFrame."""
+    return spark.read.option("multiLine", True).json(path)
+
+
+def read_json_doc(path: str):
+    """S2 (config document): driver-side JSON object get."""
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def write_json_doc(path: str, obj) -> None:
+    """S8: driver-side JSON put."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(obj, fh, indent=2)
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    """S4: Hadoop-FS existence probe (works for local and s3a URIs)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6: parquet sink."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: single-file CSV sink (pandas ``to_csv`` parity: one file,
+    header row). coalesce(1) is deliberate — metrics tables are tiny."""
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def read_or_build_cache(
+    spark: SparkSession, path: str, build
+) -> DataFrame:
+    """S4+S6: the reference's population-modes cache protocol
+    (chisquared_tester.py:782-838): read the parquet if it exists,
+    else build, write, and re-read."""
+    if exists(spark, path):
+        return spark.read.parquet(path)
+    df = build()
+    write_parquet(df, path)
+    return spark.read.parquet(path)
