@@ -31,6 +31,13 @@ HEADLINE = [
     "user_sessions",
     "events_hourly",
     "dedup_exact_groups",
+    # ML / inference hot paths
+    "cluster_centroid_stats",
+    "davies_bouldin_planted",
+    "population_modes_planted",
+    "kmodes_step_planted",
+    "lsh_candidate_pairs",
+    "session_window_agg",
 ]
 
 

@@ -26,6 +26,16 @@ def _dh_raw(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def _shingles(col: str = "text", k: int = 3) -> str:
+    """DuckDB mirror of dedup._shingles_frag: word k-shingles."""
+    w = f"string_split({col}, ' ')"
+    parts = ", ".join(f"{w}[i + {j}]" for j in range(k))
+    return (
+        f"list_transform(generate_series(1, greatest(len({w}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
 # --- dedup ----------------------------------------------------------------
 
 @register(
@@ -46,10 +56,10 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_signatures",
     oracle=f"""
     SELECT doc_id,
-           list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 0)})) AS mh0,
-           list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 1)})) AS mh1,
-           list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 2)})) AS mh2,
-           list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 3)})) AS mh3
+           list_min(list_transform({_shingles()}, t -> {_dh('t', 0)})) AS mh0,
+           list_min(list_transform({_shingles()}, t -> {_dh('t', 1)})) AS mh1,
+           list_min(list_transform({_shingles()}, t -> {_dh('t', 2)})) AS mh2,
+           list_min(list_transform({_shingles()}, t -> {_dh('t', 3)})) AS mh3
     FROM documents
     """,
     survey_ids=["P7"],
@@ -64,10 +74,10 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sig AS (
       SELECT doc_id,
-             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 0)})) AS mh0,
-             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 1)})) AS mh1,
-             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 2)})) AS mh2,
-             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 3)})) AS mh3
+             list_min(list_transform({_shingles()}, t -> {_dh('t', 0)})) AS mh0,
+             list_min(list_transform({_shingles()}, t -> {_dh('t', 1)})) AS mh1,
+             list_min(list_transform({_shingles()}, t -> {_dh('t', 2)})) AS mh2,
+             list_min(list_transform({_shingles()}, t -> {_dh('t', 3)})) AS mh3
       FROM documents
     )
     SELECT doc_id, 0::BIGINT AS band,
@@ -305,10 +315,10 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sig AS (
       SELECT doc_id,
-             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 0)})) AS mh0,
-             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 1)})) AS mh1,
-             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 2)})) AS mh2,
-             list_min(list_transform(string_split(text, ' '), t -> {_dh('t', 3)})) AS mh3
+             list_min(list_transform({_shingles()}, t -> {_dh('t', 0)})) AS mh0,
+             list_min(list_transform({_shingles()}, t -> {_dh('t', 1)})) AS mh1,
+             list_min(list_transform({_shingles()}, t -> {_dh('t', 2)})) AS mh2,
+             list_min(list_transform({_shingles()}, t -> {_dh('t', 3)})) AS mh3
       FROM documents
     ), bands AS (
       SELECT doc_id, 0::BIGINT AS band,

@@ -41,25 +41,75 @@ def exact_dup_hash(text_col: str = "text") -> Column:
     return hash64(F.col(text_col))
 
 
-def minhash_col(text_col: str, seed: int, sep: str = " ") -> Column:
-    """MinHash signature component: min over tokens of seeded hash64.
+def _shingles_frag(text_col: str, k: int, sep: str = " ") -> str:
+    """Spark-SQL fragment: word k-shingles of a text column.
 
-    A narrow expression (split -> transform -> array_min): no explode, no
-    shuffle; whole-stage codegen keeps it JVM-side.
+    Shingling (not single words) is what makes MinHash discriminative:
+    over a small vocabulary nearly every document contains the
+    globally-minimal word, collapsing all buckets into one. Documents
+    shorter than k words yield one (padded) shingle; out-of-range
+    element_at is null and concat_ws skips nulls — same semantics in the
+    DuckDB oracle.
+    """
+    if k <= 1:
+        return f"split({text_col}, '{sep}')"
+    words = f"split({text_col}, '{sep}')"
+    parts = ", ".join(f"try_element_at({words}, i + {j})" for j in range(k))
+    return (
+        f"transform(sequence(1, greatest(size({words}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def minhash_col(
+    text_col: str, seed: int, sep: str = " ", shingle_size: int = 3
+) -> Column:
+    """MinHash signature component: min over word-shingles of seeded hash64.
+
+    A narrow expression (split -> shingle -> transform -> array_min): no
+    explode, no shuffle; whole-stage codegen keeps it JVM-side.
     """
     return F.expr(
-        f"array_min(transform(split({text_col}, '{sep}'), "
+        f"array_min(transform({_shingles_frag(text_col, shingle_size, sep)}, "
         f"t -> {_hash64_frag('t', seed)}))"
     )
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = 4
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 4,
+    shingle_size: int = 3,
 ) -> DataFrame:
-    """doc_id + mh0..mh{n-1} MinHash signature columns."""
-    return df.select(
+    """doc_id + mh0..mh{n-1} MinHash signature columns over k-shingles.
+
+    The shingle array materializes ONCE per row behind a projection
+    barrier; each seed then pays only its own hash pass — without this
+    Spark re-derives split+shingle per seed inside every lambda.
+    """
+    with_words = df.select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
+    )
+    if shingle_size <= 1:
+        shingle_expr = "_w"
+    else:
+        parts = ", ".join(
+            f"try_element_at(_w, i + {j})" for j in range(shingle_size)
+        )
+        shingle_expr = (
+            f"transform(sequence(1, greatest(size(_w) - {shingle_size - 1}, 1)), "
+            f"i -> concat_ws(' ', {parts}))"
+        )
+    with_sh = with_words.select(id_col, F.expr(shingle_expr).alias("_sh"))
+    return with_sh.select(
         id_col,
-        *[minhash_col(text_col, s).alias(f"mh{s}") for s in range(n_hashes)],
+        *[
+            F.expr(
+                f"array_min(transform(_sh, t -> {_hash64_frag('t', s)}))"
+            ).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ],
     )
 
 
@@ -73,22 +123,25 @@ def lsh_bands(
 
     Docs sharing (band, bucket) are near-dup candidates; the candidate
     self-join happens on this tiny frame, never on document text.
+
+    All bands come from ONE ``stack`` pass over the signature row — a
+    per-band union would re-derive the (expensive) signature expression
+    once per band, and the self-join downstream would double that again.
     """
-    bands = []
+    pairs = []
     for b in range(n_hashes // band_size):
         cols = [f"mh{b * band_size + i}" for i in range(band_size)]
-        bucket = hash64(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
-        bands.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).cast("bigint").alias("band"),
-                bucket.alias("bucket"),
-            )
+        concat = " || '_' || ".join(f"cast(`{c}` as string)" for c in cols)
+        bucket = (
+            f"cast(conv(substring(md5({concat}), 1, 15), 16, 10) as bigint)"
         )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+        pairs.append(f"cast({b} as bigint), {bucket}")
+    stack = (
+        f"stack({n_hashes // band_size}, "
+        + ", ".join(pairs)
+        + ") as (band, bucket)"
+    )
+    return signatures.select(F.col(id_col), F.expr(stack))
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # split small files into at least one partition per core so
+        # CPU-heavy per-row expressions (hashing, shingling) parallelize
+        # even when a table arrives as a single file; on a real cluster
+        # big tables already exceed this floor, so it is scale-neutral
+        .config("spark.sql.files.minPartitionNum", str(max(shuffle_partitions, cpus)))
+        # the 4 MB open-cost floor forces megabyte-scale files into one
+        # split, serializing CPU-heavy maps (md5 shingling) locally; 64 KB
+        # keeps small tables splittable without affecting multi-GB scans
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

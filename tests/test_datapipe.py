@@ -39,12 +39,22 @@ def test_exact_dedup(spark, docs):
     assert len(out) == 4
 
 
+def _shingles_py(text: str, k: int = 3) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return [" ".join(toks)]  # padded shingle: nulls skipped by concat_ws
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
 def test_minhash_matches_python(spark, docs):
     out = {r["doc_id"]: r for r in D.minhash_signatures(docs, n_hashes=2).collect()}
-    for doc_id, text in [(0, "the cat sat on the mat"), (3, "completely different text here")]:
-        toks = text.split(" ")
+    for doc_id, text in [
+        (0, "the cat sat on the mat"),
+        (3, "completely different text here"),
+        (4, "a b"),  # shorter than a 3-shingle
+    ]:
         for s in range(2):
-            expected = min(ref_hash64(f"{s}:{t}") for t in toks)
+            expected = min(ref_hash64(f"{s}:{t}") for t in _shingles_py(text))
             assert out[doc_id][f"mh{s}"] == expected
     # exact dups share signatures; near dups share some
     assert out[0]["mh0"] == out[1]["mh0"]
