@@ -134,11 +134,18 @@ def davies_bouldin(
 ) -> float:
     """DB = mean_i max_{j != i} (S_i+S_j)/d(c_i,c_j); 999 on degenerate
     input (metrics.py:85-90). S_i = mean Euclidean distance to centroid."""
-    stats = cluster_stats(df, features, pred)
-    k = stats.count()
+    # Exact DB needs two data passes (scatter = mean distance to centroid,
+    # which is not a moment): pass 1 collects the k centroids, pass 2
+    # joins them back as a LITERAL broadcast frame — re-using `stats`
+    # lazily here would re-run the centroid aggregation inside pass 2.
+    stats_rows = cluster_stats(df, features, pred).collect()
+    k = len(stats_rows)
     if k < 2:
         return 999.0
-    cent = stats.select("cluster", "centroid")
+    cent = df.sparkSession.createDataFrame(
+        [(r["cluster"], r["centroid"]) for r in stats_rows],
+        schema=cluster_stats(df, features, pred).select("cluster", "centroid").schema,
+    )
     scatter_rows = (
         df.join(
             F.broadcast(cent), F.col(pred) == F.col("cluster"), "inner"
@@ -154,11 +161,10 @@ def davies_bouldin(
                 )
             ).alias("scatter")
         )
-        .join(cent, "cluster")
         .collect()
     )
     s = {r["cluster"]: r["scatter"] for r in scatter_rows}
-    c = {r["cluster"]: r["centroid"] for r in scatter_rows}
+    c = {r["cluster"]: r["centroid"] for r in stats_rows}
     keys = sorted(s)
     worst = []
     for i in keys:
@@ -223,8 +229,10 @@ def silhouette_exact(
     id_col: str = "row_id",
 ) -> float:
     """Mean exact silhouette; 0 on degenerate input (metrics.py:75-84)."""
-    k = df.select(pred).distinct().count()
-    n = df.count()
+    kn = df.agg(
+        F.countDistinct(pred).alias("k"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    k, n = kn["k"], kn["n"]
     if k < 2 or k >= n:
         return 0.0
     row = (
@@ -267,27 +275,28 @@ def silhouette_squared(
 
 def pair_confusion_sums(df: DataFrame, col_a: str, col_b: str) -> dict:
     """Sufficient statistics for ARI from the label contingency table."""
-    cont = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("nij"))
-
-    def comb2(c: Column) -> Column:
-        return c * (c - F.lit(1)) / F.lit(2.0)
-
-    row = cont.agg(
-        F.sum(comb2(F.col("nij"))).alias("sum_nij2"),
-        F.sum("nij").alias("n"),
-    ).collect()[0]
-    arow = (
-        cont.groupBy(col_a)
-        .agg(F.sum("nij").alias("ai"))
-        .agg(F.sum(comb2(F.col("ai"))).alias("sum_ai2"))
-        .collect()[0]
+    # ONE scan of the data: collect the (k_a x k_b) contingency table —
+    # label-pair cardinality, tiny by construction — and fold the three
+    # comb2 sums driver-side instead of re-running the groupBy per sum.
+    cont = (
+        df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("nij")).collect()
     )
-    brow = (
-        cont.groupBy(col_b)
-        .agg(F.sum("nij").alias("bj"))
-        .agg(F.sum(comb2(F.col("bj"))).alias("sum_bj2"))
-        .collect()[0]
-    )
+
+    def comb2(c: float) -> float:
+        return c * (c - 1) / 2.0
+
+    ai: dict = {}
+    bj: dict = {}
+    sum_nij2 = 0.0
+    n = 0
+    for r in cont:
+        sum_nij2 += comb2(r["nij"])
+        ai[r[col_a]] = ai.get(r[col_a], 0) + r["nij"]
+        bj[r[col_b]] = bj.get(r[col_b], 0) + r["nij"]
+        n += r["nij"]
+    row = {"n": n, "sum_nij2": sum_nij2}
+    arow = {"sum_ai2": sum(comb2(v) for v in ai.values())}
+    brow = {"sum_bj2": sum(comb2(v) for v in bj.values())}
     return {
         "sum_nij2": float(row["sum_nij2"]),
         "sum_ai2": float(arow["sum_ai2"]),

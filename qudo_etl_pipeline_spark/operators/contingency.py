@@ -87,6 +87,13 @@ def contingency_tables(
     # THE one big-data shuffle. The result is tiny (|vars| x |values| x
     # |clusters|), so cache it: every downstream statistic (chi2, post-hoc,
     # modes, denominators) re-reads it instead of re-scanning the input.
+    # Lay the cached cells out hash-partitioned by `variable`: every
+    # downstream window, groupBy and join keys on `variable` (or a
+    # superset, which a hash layout on the subset satisfies), so they all
+    # reuse this one layout instead of re-exchanging the tiny table across
+    # `shuffle.partitions` mostly-empty tasks. The repartition carries no
+    # explicit partition count, so AQE right-sizes it from the measured
+    # cell-table size (session enables cached-plan output repartitioning).
     cells = (
         long.filter(F.col("value").isNotNull())
         .groupBy("variable", cluster_col, "value")
@@ -94,6 +101,7 @@ def contingency_tables(
             F.count(F.lit(1)).alias("observed"),
             F.sum(w).alias("w_observed"),
         )
+        .repartition("variable")
         .cache()
     )
 
@@ -130,7 +138,28 @@ def _dense_grid(cells: DataFrame, cluster_col: str) -> DataFrame:
     )
 
 
-def chi2_by_variable(tables: ContingencyTables) -> DataFrame:
+def _dense_with_expected(cells: DataFrame, cluster_col: str) -> DataFrame:
+    """Dense grid + row/col/grand totals + expected frequency per cell.
+
+    The shared physical input of the chi-squared statistics AND the
+    post-hoc residuals — built once so the (distinct x2 + join x2 +
+    3 windows) subplan is not compiled and executed twice per query.
+    """
+    dense = _dense_grid(cells, cluster_col)
+    w_var = Window.partitionBy("variable")
+    w_row = Window.partitionBy("variable", "value")
+    w_col = Window.partitionBy("variable", cluster_col)
+    return (
+        dense.withColumn("row_tot", F.sum("observed").over(w_row))
+        .withColumn("col_tot", F.sum("observed").over(w_col))
+        .withColumn("n", F.sum("observed").over(w_var))
+        .withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+    )
+
+
+def chi2_by_variable(
+    tables: ContingencyTables, dense: DataFrame | None = None
+) -> DataFrame:
     """Per-variable chi-squared test over all crosstabs at once.
 
     Returns: variable, chi2_stat, dof, p_value, yates, n_values, n_clusters.
@@ -140,18 +169,8 @@ def chi2_by_variable(tables: ContingencyTables) -> DataFrame:
     |O-E| never increases; degenerate tables (dof <= 0) give p = 1.0.
     """
     cluster_col = tables.cluster_col
-    dense = _dense_grid(tables.cells, cluster_col)
-
-    w_var = Window.partitionBy("variable")
-    w_row = Window.partitionBy("variable", "value")
-    w_col = Window.partitionBy("variable", cluster_col)
-
-    dense = (
-        dense.withColumn("row_tot", F.sum("observed").over(w_row))
-        .withColumn("col_tot", F.sum("observed").over(w_col))
-        .withColumn("n", F.sum("observed").over(w_var))
-        .withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("n"))
-    )
+    if dense is None:
+        dense = _dense_with_expected(tables.cells, cluster_col)
 
     diff = F.col("observed") - F.col("expected")
     corrected = F.greatest(F.abs(diff) - F.lit(0.5), F.lit(0.0))
@@ -193,31 +212,32 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     ``post_hoc`` in {'pos','neg','neu'}.
     """
     cluster_col = tables.cluster_col
-    tests = chi2_by_variable(tables)
+    # ONE dense-grid-with-totals subplan feeds both the chi-squared tests
+    # and the residuals; joining sig_vars only drops whole variables, and
+    # all totals are per-variable, so post-join values are identical to
+    # the reference's recomputation.
+    shared = _dense_with_expected(tables.cells, cluster_col)
+    tests = chi2_by_variable(tables, dense=shared)
     sig_vars = tests.filter(F.col("p_value") <= alpha).select(
         "variable", "p_value", "chi2_stat", "n_values", "n_clusters"
     )
 
-    dense = _dense_grid(tables.cells, cluster_col).join(
-        F.broadcast(sig_vars), "variable"
-    )
+    dense = shared.join(F.broadcast(sig_vars), "variable")
 
-    w_var = Window.partitionBy("variable")
-    w_row = Window.partitionBy("variable", "value")
-    w_col = Window.partitionBy("variable", cluster_col)
-    dense = (
-        dense.withColumn("row_tot", F.sum("observed").over(w_row))
-        .withColumn("col_tot", F.sum("observed").over(w_col))
-        .withColumn("n", F.sum("observed").over(w_var))
-        .withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("n"))
-    )
-
+    # try_divide, not /: the extracted python-UDF projection downstream is
+    # placed BELOW this join by Catalyst (its inputs are all left-side),
+    # so the residual is evaluated on rows the join later drops — e.g. a
+    # constant variable, whose divisor is exactly 0 (row_tot == n). Those
+    # rows never reach the output; the NULL only keeps ANSI mode from
+    # throwing on them.
     adj_res = F.round(
-        (F.col("observed") - F.col("expected"))
-        / F.sqrt(
-            F.col("expected")
-            * (1 - F.col("row_tot") / F.col("n"))
-            * (1 - F.col("col_tot") / F.col("n"))
+        F.try_divide(
+            F.col("observed") - F.col("expected"),
+            F.sqrt(
+                F.col("expected")
+                * (1 - F.col("row_tot") / F.col("n"))
+                * (1 - F.col("col_tot") / F.col("n"))
+            ),
         ),
         3,
     )

@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce the shuffle that lays out small cached frames
+        # (e.g. the contingency cell table) instead of pinning them at
+        # shuffle.partitions mostly-empty slices
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # split small files into at least one partition per core so
         # CPU-heavy per-row expressions (hashing, shingling) parallelize
