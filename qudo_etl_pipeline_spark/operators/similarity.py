@@ -96,6 +96,24 @@ def hyperplane_lsh_buckets(
     and the oracle can reproduce it. Vectors in the same bucket are
     likely-close in cosine; ANN search = brute force within buckets.
     """
+    return _tag_buckets(
+        vectors, n_planes=n_planes, seed=seed, vec_col=vec_col, dim=dim
+    ).select(F.col(id_col), F.col("bucket"))
+
+
+def _tag_buckets(
+    vectors: DataFrame,
+    n_planes: int,
+    seed: int,
+    vec_col: str,
+    dim: int | None,
+) -> DataFrame:
+    """``vectors`` + a ``bucket`` column — a narrow projection, no join.
+
+    Keeping the vector alongside its bucket matters at scale: attaching
+    the bucket via an id-join would shuffle the full vector table twice;
+    as a withColumn it is free.
+    """
     if dim is None:
         dim = len(
             vectors.select(vec_col).limit(1).collect()[0][0]
@@ -112,7 +130,7 @@ def hyperplane_lsh_buckets(
         )
         proj = dot(v, plane)
         sig = sig + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
-    return vectors.select(F.col(id_col), sig.alias("bucket"))
+    return vectors.withColumn("bucket", sig)
 
 
 def lsh_topk(
@@ -125,11 +143,9 @@ def lsh_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k within LSH buckets (self-join on bucket, window top-k)."""
-    buckets = hyperplane_lsh_buckets(
-        vectors, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col,
-        dim=dim,
+    tagged = _tag_buckets(
+        vectors, n_planes=n_planes, seed=seed, vec_col=vec_col, dim=dim
     )
-    tagged = vectors.join(buckets, id_col)
     a = tagged.select(
         F.col("bucket"),
         F.col(id_col).alias("query_id"),
