@@ -180,9 +180,153 @@ def adjusted_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_z_threshold_case(alpha: float = 0.05, max_m: int = 60) -> str:
+    """CASE expr: Bonferroni |z| threshold per m = n_values * n_clusters.
+
+    The cell test is ``chi2_sf(z^2, 1) <= alpha/m`` — monotone in |z|, so
+    it is equivalent to ``|z| >= z*(m)`` with z* bisected here from the
+    engine's own chi2_sf. This sidesteps DuckDB's missing erfc; the
+    1e-13-wide bracket is far below the 3-decimal rounding of z.
+    """
+    from qudo_etl_pipeline_spark.functions.stats import chi2_sf
+
+    cases = []
+    for m in range(2, max_m + 1):
+        target = alpha / m
+        lo, hi = 0.0, 50.0
+        for _ in range(200):
+            mid = (lo + hi) / 2.0
+            if chi2_sf(mid * mid, 1.0) > target:
+                lo = mid
+            else:
+                hi = mid
+        cases.append(f"WHEN {m} THEN {hi!r}")
+    return (
+        "CASE n_values * n_clusters " + " ".join(cases) + " ELSE 1e18 END"
+    )
+
+
+# Full SQL mirror of deliver_stats on the planted orders table. The
+# variable-level p-value uses the EXACT even-dof closed form
+# p = exp(-x/2) * sum_{k<dof/2} (x/2)^k / k!  (all dofs in this planted
+# schema are even: 3 clusters, 2/3/5-valued variables); the cell-level
+# dof=1 test is the precomputed |z| threshold above. Expression shapes
+# (operand order, *1.0 promotions, ROUND points) mirror the Spark plan
+# so doubles agree bit-for-bit after rounding.
+_DELIVER_ORACLE = f"""
+    WITH wide AS (
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'budget'
+                  WHEN o_totalprice < 250000 THEN 'mid'
+                  ELSE 'premium' END AS cluster,
+             CASE WHEN o_totalprice < 150000 THEN 'under150k'
+                  ELSE 'over150k' END AS q_band,
+             o_orderpriority AS q_priority,
+             o_orderstatus AS q_status
+      FROM orders
+    ), long AS (
+      SELECT cluster, 'q_band' AS variable, q_band AS value FROM wide
+      UNION ALL SELECT cluster, 'q_priority', q_priority FROM wide
+      UNION ALL SELECT cluster, 'q_status', q_status FROM wide
+    ), cells AS (
+      SELECT variable, cluster, value, COUNT(*) AS observed
+      FROM long WHERE value IS NOT NULL
+      GROUP BY variable, cluster, value
+    ), nrows AS (SELECT COUNT(*) AS n_rows FROM wide),
+    csize AS (SELECT cluster, COUNT(*) AS cluster_n FROM wide GROUP BY cluster),
+    obs AS (SELECT * FROM cells WHERE value <> 'Not shown'),
+    grid AS (
+      SELECT vv.variable, vv.value, vc.cluster
+      FROM (SELECT DISTINCT variable, value FROM obs) vv
+      JOIN (SELECT DISTINCT variable, cluster FROM obs) vc USING (variable)
+    ), dense AS (
+      SELECT g.variable, g.cluster, g.value, COALESCE(o.observed, 0) AS observed
+      FROM grid g LEFT JOIN obs o
+        ON g.variable = o.variable AND g.cluster = o.cluster AND g.value = o.value
+    ), tot AS (
+      SELECT *,
+             SUM(observed) OVER (PARTITION BY variable, value) AS row_tot,
+             SUM(observed) OVER (PARTITION BY variable, cluster) AS col_tot,
+             SUM(observed) OVER (PARTITION BY variable) AS n
+      FROM dense
+    ), pervar AS (
+      SELECT variable,
+             SUM(POW(observed - row_tot * col_tot * 1.0 / n, 2)
+                 / (row_tot * col_tot * 1.0 / n)) AS stat_plain,
+             SUM(POW(GREATEST(ABS(observed - row_tot * col_tot * 1.0 / n) - 0.5, 0), 2)
+                 / (row_tot * col_tot * 1.0 / n)) AS stat_yates,
+             MIN(observed) AS min_observed,
+             COUNT(DISTINCT value) AS n_values,
+             COUNT(DISTINCT cluster) AS n_clusters
+      FROM tot GROUP BY variable
+    ), tests AS (
+      SELECT variable,
+             CASE WHEN (n_values - 1) * (n_clusters - 1) = 1 AND min_observed <= 5
+                  THEN stat_yates ELSE stat_plain END AS chi2_stat,
+             (n_values - 1) * (n_clusters - 1) AS dof, n_values, n_clusters
+      FROM pervar
+    ), sigf AS (
+      SELECT variable, chi2_stat, dof, n_values, n_clusters,
+             LEAST(1.0, exp(-chi2_stat / 2) *
+                   list_sum(list_transform(generate_series(0, dof // 2 - 1),
+                                           k -> pow(chi2_stat / 2, k) / gamma(k + 1.0))))
+               AS p_value
+      FROM tests
+      WHERE dof > 0 AND dof % 2 = 0
+    ), sig AS (SELECT * FROM sigf WHERE p_value <= 0.05),
+    res AS (
+      SELECT t.variable, t.cluster, t.value, t.observed,
+             s.p_value, s.chi2_stat, s.n_values, s.n_clusters,
+             ROUND((t.observed - t.row_tot * t.col_tot * 1.0 / t.n)
+                   / SQRT((t.row_tot * t.col_tot * 1.0 / t.n)
+                          * (1 - t.row_tot * 1.0 / t.n)
+                          * (1 - t.col_tot * 1.0 / t.n)), 3) AS z
+      FROM tot t JOIN sig s USING (variable)
+    ), pos AS (
+      SELECT r.*, d.answered_n
+      FROM res r
+      JOIN (SELECT variable, cluster, SUM(observed) AS answered_n
+            FROM cells GROUP BY variable, cluster) d
+        ON r.variable = d.variable AND r.cluster = d.cluster
+      WHERE ABS(r.z) >= 1.96 AND ABS(r.z) >= {{thresh}}
+        AND r.z > 0 AND r.value <> 'not selected'
+    ), posagg AS (
+      SELECT variable, cluster,
+             array_to_string(list(value ORDER BY value), '|') AS sig_more_category,
+             array_to_string(list(CAST(ROUND(observed * 1.0 / answered_n * 100, 2)
+                                       AS VARCHAR) ORDER BY value), '|')
+               AS category_percentages
+      FROM pos GROUP BY variable, cluster
+    ), modes AS (
+      SELECT variable, cluster, value AS pop_mode, observed AS mode_count
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY variable, cluster
+                                         ORDER BY observed DESC, value ASC) AS rn
+            FROM cells WHERE value <> 'Not shown')
+      WHERE rn = 1
+    ), resp AS (
+      SELECT variable,
+             SUM(observed) * 1.0 / (SELECT n_rows FROM nrows) * 100 AS response_rate
+      FROM cells GROUP BY variable
+    )
+    SELECT p.variable AS q_code,
+           m.pop_mode,
+           ROUND(r.response_rate, 6) AS response_rate,
+           ROUND(m.mode_count * 1.0 / cs.cluster_n * 100, 2) AS mode_pop_perc,
+           ROUND(s.p_value, 5) AS chi_2_result,
+           p.sig_more_category,
+           p.category_percentages,
+           p.cluster AS targeting_seg,
+           ROUND(s.chi2_stat, 2) AS chi2_stat
+    FROM posagg p
+    JOIN modes m ON p.variable = m.variable AND p.cluster = m.cluster
+    JOIN sig s ON p.variable = s.variable
+    JOIN resp r ON p.variable = r.variable
+    JOIN csize cs ON p.cluster = cs.cluster
+"""
+
+
 @register(
     "deliver_stats_planted",
-    oracle=None,  # p-values + array columns: engine-native output, rows-only check
+    oracle=_DELIVER_ORACLE.format(thresh=_cell_z_threshold_case()),
     survey_ids=["M24", "M25", "M26", "A6", "A12", "W3"],
     description="Full deliver-stats inference on a planted-dependence table",
 )
