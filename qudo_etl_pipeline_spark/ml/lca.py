@@ -144,7 +144,10 @@ def lca_fit(
                 break
             loglik = new_ll
 
-        # final labels under the converged parameters
+        # Final E-step under the post-M-step parameters: labels AND the
+        # reported log-likelihood come from the SAME parameter set, so the
+        # BIC/AIC used by lca_select matches the returned model (the loop's
+        # running loglik is measured under the pre-update parameters).
         logp = []
         for c_i in range(k):
             expr = F.lit(math.log(max(pi[c_i], floor)))
@@ -152,6 +155,14 @@ def lca_fit(
                 expr = expr + _log_theta_col(c, theta[c_i][c], floor)
             logp.append(expr.alias(f"_lp{c_i}"))
         scored = df.select("*", *logp)
+        mx = F.greatest(*[F.col(f"_lp{i}") for i in range(k)])
+        lse = mx + F.log(
+            sum(
+                (F.exp(F.col(f"_lp{i}") - mx) for i in range(1, k)),
+                F.exp(F.col("_lp0") - mx),
+            )
+        )
+        loglik = scored.agg(F.sum(lse).alias("ll")).collect()[0]["ll"]
         pred = F.lit(0)
         best = F.col("_lp0")
         for i in range(1, k):

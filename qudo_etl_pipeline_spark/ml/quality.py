@@ -463,6 +463,9 @@ def random_checker(
     cluster_metrics = dict(cluster_metrics or {})
     k = df.select(pred).distinct().count()
     accum = {"silhouette": 0.0, "davies_bouldin": 0.0, "calinski_harabasz": 0.0}
+    # Per-metric run counts: a failed DB/CH run contributes its reference
+    # fallback (DB -> 999, CH -> 0.0, metrics.py:85-90) rather than
+    # silently shrinking one metric's numerator while dividing by n_runs.
     for i in range(n_runs):
         rnd = df.withColumn(
             "_rand_label",
@@ -476,6 +479,7 @@ def random_checker(
             )
         except Exception:
             accum["davies_bouldin"] += 999.0
+            accum["calinski_harabasz"] += 0.0
     mean = {m: v / n_runs for m, v in accum.items()}
     cluster_metrics["calinski_harabasz_random_ratio"] = (
         cluster_metrics.get("calinski_harabasz", 0.0)

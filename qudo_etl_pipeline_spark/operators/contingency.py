@@ -128,7 +128,14 @@ def _dense_grid(cells: DataFrame, cluster_col: str) -> DataFrame:
     the table; missing combinations are zero cells
     (chisquared_tester.py:241-246).
     """
-    observed = cells.filter(F.col("value") != NOT_SHOWN)
+    # The reference drops rows where EITHER side of the crosstab is the
+    # "Not shown" sentinel (chisquared_tester.py:229-236): filter the
+    # cluster label too (cast: cluster columns are usually numeric
+    # predictions, where the filter is a no-op).
+    observed = cells.filter(
+        (F.col("value") != NOT_SHOWN)
+        & (F.col(cluster_col).cast("string") != NOT_SHOWN)
+    )
     var_values = observed.select("variable", "value").distinct()
     var_clusters = observed.select("variable", cluster_col).distinct()
     grid = var_values.join(var_clusters, "variable")

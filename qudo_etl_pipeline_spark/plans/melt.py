@@ -36,10 +36,20 @@ def melt(
         value_vars = [c for c in df.columns if c not in id_vars]
     if not value_vars:
         raise ValueError("melt: no value_vars to unpivot")
+    # Survey column names are externally supplied: escape backticks in
+    # identifiers and backslashes/quotes in the label literal so a hostile
+    # name can't break (or inject into) the stack() SQL.
+    def _ident(c: str) -> str:
+        return c.replace("`", "``")
+
+    def _label(c: str) -> str:
+        return c.replace("\\", "\\\\").replace("'", "\\'")
+
     kv_pairs = ", ".join(
-        f"'{c}', cast(`{c}` as {value_type})" for c in value_vars
+        f"'{_label(c)}', cast(`{_ident(c)}` as {value_type})" for c in value_vars
     )
     stack_expr = (
-        f"stack({len(value_vars)}, {kv_pairs}) as (`{var_name}`, `{value_name}`)"
+        f"stack({len(value_vars)}, {kv_pairs}) as "
+        f"(`{_ident(var_name)}`, `{_ident(value_name)}`)"
     )
     return df.select(*[F.col(c) for c in id_vars], F.expr(stack_expr))
