@@ -120,6 +120,17 @@ def contingency_tables(
     )
 
 
+def _observed(cells: DataFrame, cluster_col: str) -> DataFrame:
+    """Crosstab input cells: the reference drops rows where EITHER side of
+    the crosstab is the "Not shown" sentinel (chisquared_tester.py:229-236).
+    The cluster cast makes the filter a typed no-op on numeric predictions.
+    """
+    return cells.filter(
+        (F.col("value") != NOT_SHOWN)
+        & (F.col(cluster_col).cast("string") != NOT_SHOWN)
+    )
+
+
 def _dense_grid(cells: DataFrame, cluster_col: str) -> DataFrame:
     """Densify per-variable crosstabs to the full (value x cluster) grid.
 
@@ -127,18 +138,21 @@ def _dense_grid(cells: DataFrame, cluster_col: str) -> DataFrame:
     actually occur for the variable (after the "Not shown" filter) form
     the table; missing combinations are zero cells
     (chisquared_tester.py:241-246).
+
+    Built as one groupBy(variable) + double explode rather than two
+    distinct-projections joined back: every step keys on ``variable`` so
+    the cached cells layout satisfies it and the whole densification adds
+    ZERO exchanges (the old shape compiled to 2 distincts + 2 joins,
+    re-executed per consuming branch).
     """
-    # The reference drops rows where EITHER side of the crosstab is the
-    # "Not shown" sentinel (chisquared_tester.py:229-236): filter the
-    # cluster label too (cast: cluster columns are usually numeric
-    # predictions, where the filter is a no-op).
-    observed = cells.filter(
-        (F.col("value") != NOT_SHOWN)
-        & (F.col(cluster_col).cast("string") != NOT_SHOWN)
+    observed = _observed(cells, cluster_col)
+    sets = observed.groupBy("variable").agg(
+        F.collect_set("value").alias("_vals"),
+        F.collect_set(cluster_col).alias("_cls"),
     )
-    var_values = observed.select("variable", "value").distinct()
-    var_clusters = observed.select("variable", cluster_col).distinct()
-    grid = var_values.join(var_clusters, "variable")
+    grid = sets.select(
+        "variable", F.explode("_vals").alias("value"), "_cls"
+    ).select("variable", "value", F.explode("_cls").alias(cluster_col))
     return (
         grid.join(observed, ["variable", cluster_col, "value"], "left")
         .na.fill({"observed": 0, "w_observed": 0.0})
@@ -219,24 +233,46 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     ``post_hoc`` in {'pos','neg','neu'}.
     """
     cluster_col = tables.cluster_col
-    # ONE dense-grid-with-totals subplan feeds both the chi-squared tests
-    # and the residuals; joining sig_vars only drops whole variables, and
-    # all totals are per-variable, so post-join values are identical to
-    # the reference's recomputation.
-    shared = _dense_with_expected(tables.cells, cluster_col)
-    tests = chi2_by_variable(tables, dense=shared)
-    sig_vars = tests.filter(F.col("p_value") <= alpha).select(
-        "variable", "p_value", "chi2_stat", "n_values", "n_clusters"
+    # LINEAR plan: the per-variable chi-squared statistic is computed as
+    # window aggregates over the dense grid instead of a groupBy that is
+    # broadcast-joined back onto its own input. The old shape recompiled
+    # the whole dense subplan once per consuming branch (73 exchanges in
+    # the executed deliver-stats plan); this one is a single chain of
+    # window ops over the cached, variable-partitioned cell table — the
+    # windows all key on `variable` (or supersets), so none re-exchange.
+    w_var = Window.partitionBy("variable")
+    dense = _dense_with_expected(tables.cells, cluster_col)
+
+    diff = F.col("observed") - F.col("expected")
+    corrected = F.greatest(F.abs(diff) - F.lit(0.5), F.lit(0.0))
+    dense = (
+        dense.withColumn(
+            "_stat_plain", F.sum(F.pow(diff, 2) / F.col("expected")).over(w_var)
+        )
+        .withColumn(
+            "_stat_yates", F.sum(F.pow(corrected, 2) / F.col("expected")).over(w_var)
+        )
+        .withColumn("_min_obs", F.min("observed").over(w_var))
+        .withColumn("n_values", F.size(F.collect_set("value").over(w_var)))
+        .withColumn("n_clusters", F.size(F.collect_set(cluster_col).over(w_var)))
     )
+    dof = (F.col("n_values") - 1) * (F.col("n_clusters") - 1)
+    use_yates = (F.col("_min_obs") <= 5) & (dof == 1)
+    stat = F.when(use_yates, F.col("_stat_yates")).otherwise(F.col("_stat_plain"))
+    p = chi2_sf_udf()
+    dense = dense.withColumn("dof", dof).withColumn(
+        "chi2_stat", F.when(F.col("dof") > 0, stat)
+    )
+    dense = dense.withColumn(
+        "p_value",
+        F.when(F.col("dof") > 0, p(F.col("chi2_stat"), F.col("dof").cast("double")))
+        .otherwise(F.lit(1.0)),
+    ).filter(F.col("p_value") <= alpha)
 
-    dense = shared.join(F.broadcast(sig_vars), "variable")
-
-    # try_divide, not /: the extracted python-UDF projection downstream is
-    # placed BELOW this join by Catalyst (its inputs are all left-side),
-    # so the residual is evaluated on rows the join later drops — e.g. a
-    # constant variable, whose divisor is exactly 0 (row_tot == n). Those
-    # rows never reach the output; the NULL only keeps ANSI mode from
-    # throwing on them.
+    # try_divide, not /: the p-value filter above only drops whole
+    # variables, so rows with a zero divisor (e.g. a constant variable,
+    # row_tot == n) can still be evaluated before being filtered. The NULL
+    # keeps ANSI mode from throwing on rows that never reach the output.
     adj_res = F.round(
         F.try_divide(
             F.col("observed") - F.col("expected"),
@@ -305,51 +341,64 @@ def deliver_stats(
     cells = tables.cells
     post = post_hoc_cells(tables, alpha=alpha)
 
-    # Per-(variable, cluster) denominators over non-null answers, sentinel
-    # values included — pandas value_counts(normalize=True) semantics
-    # (chisquared_tester.py:1527-1536).
-    denoms = cells.groupBy("variable", cluster_col).agg(
+    # ONE aggregation of the cell table computes, per (variable, cluster):
+    # the answer denominators (sentinel values INCLUDED — pandas
+    # value_counts(normalize=True) semantics, chisquared_tester.py:1527-1536)
+    # and both population modes ("Not shown" excluded, ties broken by
+    # ascending value like pandas .mode(), chisquared_tester.py:914-918).
+    # The mode argmax rides the same aggregate as a min-over-struct —
+    # (-count, value) orders by descending count then ascending value —
+    # replacing the old two-window + three-join shape. Response rate
+    # (chisquared_tester.py:1503) is a per-variable window over the
+    # grouped frame, so it still sums EVERY cluster's cells, including
+    # ones later dropped by the significance join.
+    mode_struct = F.when(
+        F.col("value") != NOT_SHOWN,
+        F.struct(
+            (-F.col("observed")).alias("neg_n"),
+            F.col("value").alias("v"),
+            F.col("observed").alias("n"),
+        ),
+    )
+    wmode_struct = F.when(
+        F.col("value") != NOT_SHOWN,
+        F.struct(
+            (-F.col("w_observed")).alias("neg_n"),
+            F.col("value").alias("v"),
+            F.col("w_observed").alias("n"),
+        ),
+    )
+    grp = cells.groupBy("variable", cluster_col).agg(
         F.sum("observed").alias("answered_n"),
         F.sum("w_observed").alias("answered_w"),
+        F.min(mode_struct).alias("_mode"),
+        F.min(wmode_struct).alias("_wmode"),
     )
-
-    # Response rate: non-null share of the variable over the whole table
-    # (chisquared_tester.py:1503).
-    resp = cells.groupBy("variable").agg(
-        (F.sum("observed") / F.lit(tables.n_rows) * 100).alias("response_rate")
-    )
-
-    # Population mode within (cluster, variable), "Not shown" excluded; ties
-    # broken by ascending value like pandas .mode() (chisquared_tester.py:914-918).
-    w_mode = Window.partitionBy("variable", cluster_col).orderBy(
-        F.desc("observed"), F.asc("value")
-    )
-    w_wmode = Window.partitionBy("variable", cluster_col).orderBy(
-        F.desc("w_observed"), F.asc("value")
-    )
-    mode_src = cells.filter(F.col("value") != NOT_SHOWN)
-    modes = (
-        mode_src.withColumn("rn", F.row_number().over(w_mode))
-        .filter(F.col("rn") == 1)
-        .select("variable", cluster_col,
-                F.col("value").alias("pop_mode"),
-                F.col("observed").alias("mode_count"))
-    )
-    wmodes = (
-        mode_src.withColumn("rn", F.row_number().over(w_wmode))
-        .filter(F.col("rn") == 1)
-        .select("variable", cluster_col,
-                F.col("value").alias("weighted_pop_mode"),
-                F.col("w_observed").alias("wmode_count"))
+    grp = grp.select(
+        "variable",
+        cluster_col,
+        "answered_n",
+        "answered_w",
+        F.col("_mode.v").alias("pop_mode"),
+        F.col("_mode.n").alias("mode_count"),
+        F.col("_wmode.v").alias("weighted_pop_mode"),
+        F.col("_wmode.n").alias("wmode_count"),
+        (
+            F.sum("answered_n").over(Window.partitionBy("variable"))
+            / F.lit(tables.n_rows)
+            * 100
+        ).alias("response_rate"),
     )
 
     # Significant "more" categories per (variable, cluster): post_hoc ==
     # 'pos', 'not selected' stripped (chisquared_tester.py:1653 +
     # helper_functions.py:24-30); arrays ordered by category value like the
-    # crosstab index iteration (chisquared_tester.py:1516-1538).
+    # crosstab index iteration (chisquared_tester.py:1516-1538). The
+    # per-variable p/chi2 ride along via first() — post carries them on
+    # every row, so no distinct-projection self-join is needed.
     pos = (
         post.filter((F.col("post_hoc") == "pos") & (F.col("value") != NOT_SELECTED))
-        .join(denoms, ["variable", cluster_col])
+        .join(grp, ["variable", cluster_col])
         .withColumn("cat_perc", F.round(F.col("observed") / F.col("answered_n") * 100, 2))
         .withColumn("w_cat_perc", F.round(F.col("w_observed") / F.col("answered_w") * 100, 2))
     )
@@ -359,19 +408,19 @@ def deliver_stats(
         _ordered_list(F.col("value"), F.col("w_cat_perc")).alias(
             "weighted_category_percentages"
         ),
+        F.first("p_value").alias("p_value"),
+        F.first("chi2_stat").alias("chi2_stat"),
+        F.first("pop_mode").alias("pop_mode"),
+        F.first("mode_count").alias("mode_count"),
+        F.first("weighted_pop_mode").alias("weighted_pop_mode"),
+        F.first("wmode_count").alias("wmode_count"),
+        F.first("response_rate").alias("response_rate"),
     )
 
     cluster_sizes = tables.cluster_sizes
 
     out = (
-        pos_agg.join(modes, ["variable", cluster_col])
-        .join(wmodes, ["variable", cluster_col])
-        .join(resp, "variable")
-        .join(
-            post.select("variable", cluster_col, "p_value", "chi2_stat").distinct(),
-            ["variable", cluster_col],
-        )
-        .join(F.broadcast(cluster_sizes), cluster_col)
+        pos_agg.join(F.broadcast(cluster_sizes), cluster_col)
         .select(
             F.col("variable").alias("q_code"),
             "pop_mode",
