@@ -76,6 +76,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + repartition to full parallelism IF the scan is narrow.
+
+    For CPU-bound per-row work (md5 shingling, tokenization) over a
+    small/single-row-group file, the scan yields fewer real partitions
+    than cores and the map runs nearly single-threaded; shuffling the raw
+    rows first is O(input bytes) — trivial exactly when the input is
+    small. On a big input (many files/row groups) the condition is false
+    and this is a no-op, so no full-data shuffle appears at scale.
+    """
+    df = load_table(spark, sf_dir, name)
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with its TIMESTAMP(NANOS) column as a proper timestamp.
 

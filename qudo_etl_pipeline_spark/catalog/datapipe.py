@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.catalog import load_table, load_table_spread, register
 from qudo_etl_pipeline_spark.operators import dedup as D
 from qudo_etl_pipeline_spark.operators import similarity as SIM
 from qudo_etl_pipeline_spark.operators import text as TX
@@ -36,6 +36,26 @@ def _shingles(col: str = "text", k: int = 3) -> str:
     )
 
 
+def _mh_base_cte(col: str = "text", k: int = 3) -> str:
+    """CTE body: per-doc 31-bit base hashes of the shingles (mirror of
+    dedup.minhash_signatures' `_hb` array)."""
+    from qudo_etl_pipeline_spark.operators.dedup import MINHASH_RANGE
+
+    return (
+        f"SELECT doc_id, list_transform({_shingles(col, k)}, "
+        f"t -> ({_dh_raw('t')} % {MINHASH_RANGE})) AS hb FROM documents"
+    )
+
+
+def _mh_sig(seed: int) -> str:
+    """Signature component over the `hb` array (mirror of the affine
+    universal hash in dedup.minhash_params)."""
+    from qudo_etl_pipeline_spark.operators.dedup import MINHASH_MOD, minhash_params
+
+    a, b = minhash_params(seed)
+    return f"list_min(list_transform(hb, h -> (({a} * h + {b}) % {MINHASH_MOD})))"
+
+
 # --- dedup ----------------------------------------------------------------
 
 @register(
@@ -49,36 +69,38 @@ def _shingles(col: str = "text", k: int = 3) -> str:
     description="Exact dedup: group by content hash, keep min doc_id",
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+    return D.exact_dedup(load_table_spread(spark, sf_dir, "documents"))
 
 
 @register(
     "minhash_signatures",
     oracle=f"""
+    WITH base AS ({_mh_base_cte()})
     SELECT doc_id,
-           list_min(list_transform({_shingles()}, t -> {_dh('t', 0)})) AS mh0,
-           list_min(list_transform({_shingles()}, t -> {_dh('t', 1)})) AS mh1,
-           list_min(list_transform({_shingles()}, t -> {_dh('t', 2)})) AS mh2,
-           list_min(list_transform({_shingles()}, t -> {_dh('t', 3)})) AS mh3
-    FROM documents
+           {_mh_sig(0)} AS mh0,
+           {_mh_sig(1)} AS mh1,
+           {_mh_sig(2)} AS mh2,
+           {_mh_sig(3)} AS mh3
+    FROM base
     """,
     survey_ids=["P7"],
-    description="MinHash signatures (4 seeded hash functions, narrow map)",
+    description="MinHash signatures (4-fn affine universal-hash family, narrow map)",
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_signatures(load_table(spark, sf_dir, "documents"), n_hashes=4)
+    return D.minhash_signatures(load_table_spread(spark, sf_dir, "documents"), n_hashes=4)
 
 
 @register(
     "minhash_lsh_buckets",
     oracle=f"""
-    WITH sig AS (
+    WITH base AS ({_mh_base_cte()}),
+    sig AS (
       SELECT doc_id,
-             list_min(list_transform({_shingles()}, t -> {_dh('t', 0)})) AS mh0,
-             list_min(list_transform({_shingles()}, t -> {_dh('t', 1)})) AS mh1,
-             list_min(list_transform({_shingles()}, t -> {_dh('t', 2)})) AS mh2,
-             list_min(list_transform({_shingles()}, t -> {_dh('t', 3)})) AS mh3
-      FROM documents
+             {_mh_sig(0)} AS mh0,
+             {_mh_sig(1)} AS mh1,
+             {_mh_sig(2)} AS mh2,
+             {_mh_sig(3)} AS mh3
+      FROM base
     )
     SELECT doc_id, 0::BIGINT AS band,
            {_dh_raw("mh0::VARCHAR || '_' || mh1::VARCHAR")} AS bucket FROM sig
@@ -90,7 +112,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="LSH banding of MinHash signatures (2 bands x 2 hashes)",
 )
 def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = D.minhash_signatures(load_table(spark, sf_dir, "documents"), n_hashes=4)
+    sigs = D.minhash_signatures(load_table_spread(spark, sf_dir, "documents"), n_hashes=4)
     return D.lsh_bands(sigs, n_hashes=4, band_size=2)
 
 
@@ -110,7 +132,7 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Token-set Jaccard similarity over adjacent doc pairs",
 )
 def ngram_jaccard_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
     )
@@ -157,7 +179,7 @@ def _simhash_oracle() -> str:
     description="16-bit SimHash fingerprint per document (bit-vote aggregate)",
 )
 def simhash16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash16("text").alias("simhash"))
 
 
@@ -178,7 +200,7 @@ def simhash16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Rolling 3-gram shingle fingerprint (1-hash MinHash over shingles)",
 )
 def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+    return TX.doc_fingerprint(load_table_spread(spark, sf_dir, "documents"))
 
 
 # --- text analysis --------------------------------------------------------
@@ -198,7 +220,7 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Token counting + type-token ratio per document",
 )
 def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.token_stats(load_table(spark, sf_dir, "documents"))
+    return TX.token_stats(load_table_spread(spark, sf_dir, "documents"))
 
 
 _STOP_EN = "'the','a','of','and','in','to','is'"
@@ -228,7 +250,7 @@ _STOP_EN = "'the','a','of','and','in','to','is'"
     description="Heuristic quality scoring: word length, stopword density",
 )
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+    return TX.quality_score(load_table_spread(spark, sf_dir, "documents"))
 
 
 def _langid_oracle() -> str:
@@ -275,7 +297,7 @@ def _langid_oracle() -> str:
     description="Stopword-vote language identification with deterministic argmax",
 )
 def langid_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.langid_heuristic(load_table(spark, sf_dir, "documents"))
+    return TX.langid_heuristic(load_table_spread(spark, sf_dir, "documents"))
 
 
 # --- similarity search ----------------------------------------------------
@@ -305,7 +327,7 @@ def langid_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Exact cosine top-5 neighbors for the first 10 vectors",
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load_table(spark, sf_dir, "embeddings")
+    vecs = load_table_spread(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 10)
     return SIM.brute_force_topk(vecs, queries, k=5)
 
@@ -313,13 +335,14 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lsh_candidate_pairs",
     oracle=f"""
-    WITH sig AS (
+    WITH base AS ({_mh_base_cte()}),
+    sig AS (
       SELECT doc_id,
-             list_min(list_transform({_shingles()}, t -> {_dh('t', 0)})) AS mh0,
-             list_min(list_transform({_shingles()}, t -> {_dh('t', 1)})) AS mh1,
-             list_min(list_transform({_shingles()}, t -> {_dh('t', 2)})) AS mh2,
-             list_min(list_transform({_shingles()}, t -> {_dh('t', 3)})) AS mh3
-      FROM documents
+             {_mh_sig(0)} AS mh0,
+             {_mh_sig(1)} AS mh1,
+             {_mh_sig(2)} AS mh2,
+             {_mh_sig(3)} AS mh3
+      FROM base
     ), bands AS (
       SELECT doc_id, 0::BIGINT AS band,
              {_dh_raw("mh0::VARCHAR || '_' || mh1::VARCHAR")} AS bucket FROM sig
@@ -335,7 +358,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="MinHash-LSH candidate pairs (bucket self-join on signatures)",
 )
 def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = D.minhash_signatures(load_table(spark, sf_dir, "documents"), n_hashes=4)
+    sigs = D.minhash_signatures(load_table_spread(spark, sf_dir, "documents"), n_hashes=4)
     return D.lsh_candidate_pairs(D.lsh_bands(sigs, n_hashes=4, band_size=2))
 
 
@@ -357,7 +380,7 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Embedding-cosine near-duplicate pairs above a threshold",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = load_table_spread(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     v = e.select(
         "vec_id", SIM._as_double(F.col("embedding")).alias("e")
     )
@@ -414,7 +437,7 @@ def _ann_lsh_oracle(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
     description="ANN top-5 within hyperplane-LSH buckets (the scale path)",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.lsh_topk(load_table(spark, sf_dir, "embeddings"), k=5, dim=64)
+    return SIM.lsh_topk(load_table_spread(spark, sf_dir, "embeddings"), k=5, dim=64)
 
 
 @register(
@@ -437,7 +460,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Per-label embedding centroid norm (exact decimal dim-sums)",
 )
 def embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_spread(spark, sf_dir, "embeddings")
     dims = (
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")

@@ -81,12 +81,24 @@ def contingency_tables(
         variables = [c for c in wide.columns if c not in excluded]
 
     keep = [cluster_col] + ([weight_col] if weight_col else [])
-    long = melt(wide.select(*keep, *variables), id_vars=keep, value_vars=variables)
+    # A constant pseudo-variable rides the melt so per-cluster row counts
+    # fall out of the SAME aggregation — cluster sizes must count every
+    # row (answered or not), which no real variable's cells can provide,
+    # and a separate groupBy over `wide` would be a second full-data scan.
+    row_marker = "__rows__"
+    while row_marker in variables:  # survey columns are externally named
+        row_marker += "_"
+    long = melt(
+        wide.select(*keep, *variables, F.lit("1").alias(row_marker)),
+        id_vars=keep,
+        value_vars=variables + [row_marker],
+    )
 
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    # THE one big-data shuffle. The result is tiny (|vars| x |values| x
-    # |clusters|), so cache it: every downstream statistic (chi2, post-hoc,
-    # modes, denominators) re-reads it instead of re-scanning the input.
+    # THE one big-data shuffle (and the only pass over the input). The
+    # result is tiny (|vars| x |values| x |clusters|), so cache it: every
+    # downstream statistic (chi2, post-hoc, modes, denominators, cluster
+    # sizes) re-reads it instead of re-scanning the input.
     # Lay the cached cells out hash-partitioned by `variable`: every
     # downstream window, groupBy and join keys on `variable` (or a
     # superset, which a hash layout on the subset satisfies), so they all
@@ -94,7 +106,7 @@ def contingency_tables(
     # `shuffle.partitions` mostly-empty tasks. The repartition carries no
     # explicit partition count, so AQE right-sizes it from the measured
     # cell-table size (session enables cached-plan output repartitioning).
-    cells = (
+    all_cells = (
         long.filter(F.col("value").isNotNull())
         .groupBy("variable", cluster_col, "value")
         .agg(
@@ -104,12 +116,15 @@ def contingency_tables(
         .repartition("variable")
         .cache()
     )
+    cells = all_cells.filter(F.col("variable") != row_marker)
 
-    cluster_sizes = wide.groupBy(cluster_col).agg(
-        F.count(F.lit(1)).alias("cluster_n"),
-        F.sum(w).alias("cluster_w"),
-    ).cache()
-    # total rows without another scan of the wide input
+    cluster_sizes = all_cells.filter(F.col("variable") == row_marker).select(
+        cluster_col,
+        F.col("observed").alias("cluster_n"),
+        F.col("w_observed").alias("cluster_w"),
+    )
+    # total rows without another scan of the wide input; this action also
+    # materializes the cell cache for every downstream statistic
     n_rows = cluster_sizes.agg(F.sum("cluster_n")).collect()[0][0]
     return ContingencyTables(
         cells=cells,

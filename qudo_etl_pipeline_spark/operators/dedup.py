@@ -32,6 +32,33 @@ def _hash64_frag(expr: str, seed: int) -> str:
     )
 
 
+def _hash64_raw_frag(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+# Universal-hash family for MinHash: every shingle is md5-hashed ONCE,
+# then each of the n signature components is a cheap affine transform
+# h_s(x) = (a_s * x + b_s) mod P over the 31-bit reduction of that base
+# hash. This replaces n md5 passes per shingle with one (the md5 is the
+# dominant per-row cost) and is the standard MinHash construction
+# (Broder 1997). All operands stay < 2^62, so the arithmetic is exact,
+# ANSI-safe, and bit-identical in DuckDB for the oracle.
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+MINHASH_RANGE = 2_147_483_648  # 2^31
+
+
+def minhash_params(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) for signature component `seed` (a != 0)."""
+    a = (seed * 2_654_435_761 + 1) % MINHASH_MOD
+    b = (seed * 1_013_904_223 + 12_345) % MINHASH_MOD
+    return (a or 1, b)
+
+
+def _affine_frag(hvar: str, seed: int) -> str:
+    a, b = minhash_params(seed)
+    return f"(({a}L * {hvar} + {b}L) % {MINHASH_MOD}L)"
+
+
 def tokens_col(text_col: str = "text", sep: str = " ") -> Column:
     return F.split(F.col(text_col), sep)
 
@@ -64,14 +91,17 @@ def _shingles_frag(text_col: str, k: int, sep: str = " ") -> str:
 def minhash_col(
     text_col: str, seed: int, sep: str = " ", shingle_size: int = 3
 ) -> Column:
-    """MinHash signature component: min over word-shingles of seeded hash64.
+    """MinHash signature component: min over word-shingles of the affine
+    universal hash over the md5 base hash (same family as
+    minhash_signatures).
 
     A narrow expression (split -> shingle -> transform -> array_min): no
     explode, no shuffle; whole-stage codegen keeps it JVM-side.
     """
+    base = f"({_hash64_raw_frag('t')} % {MINHASH_RANGE}L)"
     return F.expr(
         f"array_min(transform({_shingles_frag(text_col, shingle_size, sep)}, "
-        f"t -> {_hash64_frag('t', seed)}))"
+        f"t -> {_affine_frag(base, seed)}))"
     )
 
 
@@ -85,8 +115,11 @@ def minhash_signatures(
     """doc_id + mh0..mh{n-1} MinHash signature columns over k-shingles.
 
     The shingle array materializes ONCE per row behind a projection
-    barrier; each seed then pays only its own hash pass — without this
-    Spark re-derives split+shingle per seed inside every lambda.
+    barrier, then the md5 base-hash array materializes ONCE more; each
+    signature component pays only an affine transform + array_min over
+    the cached base hashes. Without the barriers Spark re-derives
+    split+shingle+md5 per seed inside every lambda — md5 being the
+    dominant per-row cost, that multiplies the hot path by n_hashes.
     """
     with_words = df.select(
         id_col, F.split(F.col(text_col), " ").alias("_w")
@@ -102,11 +135,15 @@ def minhash_signatures(
             f"i -> concat_ws(' ', {parts}))"
         )
     with_sh = with_words.select(id_col, F.expr(shingle_expr).alias("_sh"))
-    return with_sh.select(
+    base = f"({_hash64_raw_frag('t')} % {MINHASH_RANGE}L)"
+    with_base = with_sh.select(
+        id_col, F.expr(f"transform(_sh, t -> {base})").alias("_hb")
+    )
+    return with_base.select(
         id_col,
         *[
             F.expr(
-                f"array_min(transform(_sh, t -> {_hash64_frag('t', s)}))"
+                f"array_min(transform(_hb, h -> {_affine_frag('h', s)}))"
             ).alias(f"mh{s}")
             for s in range(n_hashes)
         ],

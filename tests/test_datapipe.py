@@ -54,7 +54,11 @@ def test_minhash_matches_python(spark, docs):
         (4, "a b"),  # shorter than a 3-shingle
     ]:
         for s in range(2):
-            expected = min(ref_hash64(f"{s}:{t}") for t in _shingles_py(text))
+            a, b = D.minhash_params(s)
+            expected = min(
+                (a * (ref_hash64(t) % D.MINHASH_RANGE) + b) % D.MINHASH_MOD
+                for t in _shingles_py(text)
+            )
             assert out[doc_id][f"mh{s}"] == expected
     # exact dups share signatures; near dups share some
     assert out[0]["mh0"] == out[1]["mh0"]
