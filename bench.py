@@ -54,8 +54,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     specs = registry()
 
-    # warm up the JVM / parquet footer caches with a trivial action
+    # warm up the JVM / parquet footer caches and the Arrow python worker
+    # pool with trivial actions (a deployed session pays both once)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.functions.stats import chi2_sf_udf
+
+    spark.range(1).select(
+        chi2_sf_udf()(F.lit(1.0), F.lit(1.0))
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
