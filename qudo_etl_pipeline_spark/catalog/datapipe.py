@@ -332,6 +332,71 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(vecs, queries, k=5)
 
 
+def _ivf_oracle(n_cells: int, dim: int, nprobe: int, k: int) -> str:
+    from qudo_etl_pipeline_spark.operators.similarity import demo_centroids
+
+    cents = ", ".join(
+        f"({ci}, [{', '.join(str(x) for x in c)}]::DOUBLE[])"
+        for ci, c in enumerate(demo_centroids(n_cells, dim))
+    )
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+    )
+    return f"""
+    WITH cent AS (SELECT * FROM (VALUES {cents}) AS t(cid, cv)),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vcell AS (
+      SELECT vec_id, e, cid AS cell FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {cos.format(a='v.e', b='c.cv')} DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, qe, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, q.e AS qe, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {cos.format(a='q.e', b='c.cv')} DESC, c.cid ASC) AS rn
+        FROM v q CROSS JOIN cent c WHERE q.vec_id < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             {cos.format(a='qe', b='e')} AS cos9
+      FROM qprobe JOIN vcell USING (cell)
+      WHERE query_id <> vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos9, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(n_cells=4, dim=64, nprobe=2, k=5),
+    survey_ids=["A10", "W2"],
+    description="IVF ANN top-5: nearest-cell quantization + nprobe=2 probe join",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.similarity import demo_centroids
+
+    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(
+        vecs, queries, demo_centroids(4, 64), nprobe=2, k=5
+    )
+
+
 @register(
     "lsh_candidate_pairs",
     oracle=f"""

@@ -133,6 +133,106 @@ def _tag_buckets(
     return vectors.withColumn("bucket", sig)
 
 
+def demo_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic centroid grid for oracle-checkable IVF runs.
+
+    Production IVF gets centroids from the ml layer (kmeans_fit over a
+    sample); this fixed formula exists so the DuckDB oracle can inline
+    the identical literals and hash-compare the full IVF pipeline.
+    """
+    return [
+        [((c * 31 + i * 17) % 7 - 3) / 10.0 for i in range(dim)]
+        for c in range(n_cells)
+    ]
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids by cosine (ties -> low id).
+
+    Pure column arithmetic over literal centroids: the coarse-quantizer
+    assignment is map-only — no join, no shuffle, whatever the row count.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.round(cosine(vec, F.array(*[F.lit(x) for x in c])), 9)).alias(
+                    "negcos"
+                ),
+                F.lit(ci).cast("bigint").alias("cell"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, nprobe).getField("cell")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid cell id per vector."""
+    v = _as_double(F.col(vec_col))
+    return vectors.withColumn(
+        "cell", _nearest_cells(v, centroids, 1)[0]
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score queries only against vectors in the nprobe
+    nearest cells (inverted-file search, the classic coarse-quantizer
+    ANN layout).
+
+    Scale shape: cell assignment is a narrow projection on both sides;
+    the only shuffle is the (broadcastable-query) equi-join on `cell`,
+    so candidate generation never moves vectors that share no probed
+    cell. With learned centroids (ml.clustering.kmeans_fit) this is
+    standard IVF-Flat; with `demo_centroids` every stage is
+    oracle-checkable.
+    """
+    tagged = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(tagged, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("cos9"), 6).alias("cosine"),
+        )
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     k: int = 5,

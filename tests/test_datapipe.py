@@ -124,6 +124,30 @@ def test_langid_scores(spark):
     assert out[1]["pred_lang"] == "es" and out[1]["is_match"] == 1
 
 
+def test_ivf_assign_and_probe(spark):
+    # two orthogonal centroids; vectors cluster cleanly around them
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (0, [1.0, 0.1]),   # cell 0
+        (1, [0.9, 0.2]),   # cell 0
+        (2, [0.1, 1.0]),   # cell 1
+        (3, [0.2, 0.9]),   # cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells = {r["vec_id"]: r["cell"] for r in SIM.ivf_assign(df, cents).collect()}
+    assert cells == {0: 0, 1: 0, 2: 1, 3: 1}
+
+    # nprobe=1: query 0 only sees its own cell -> neighbor 1 alone
+    out1 = SIM.ivf_topk(df, df.filter(F.col("vec_id") == 0), cents, nprobe=1, k=3).collect()
+    assert [r["neighbor_id"] for r in out1] == [1]
+    # nprobe=2 probes both cells -> same result set as brute force
+    out2 = SIM.ivf_topk(df, df.filter(F.col("vec_id") == 0), cents, nprobe=2, k=3).collect()
+    brute = SIM.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert {(r["neighbor_id"], r["rank"]) for r in out2} == {
+        (r["neighbor_id"], r["rank"]) for r in brute
+    }
+
+
 def test_brute_force_topk_orders_by_cosine(spark):
     rows = [
         (0, [1.0, 0.0]),
