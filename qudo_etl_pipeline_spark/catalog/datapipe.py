@@ -300,6 +300,25 @@ def langid_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.langid_heuristic(load_table_spread(spark, sf_dir, "documents"))
 
 
+@register(
+    "bpe_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]+')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           ROUND(length(text) * 1.0 /
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]+')), 6)
+             AS chars_per_token
+    FROM documents
+    """,
+    survey_ids=["P8"],
+    description="BPE-ish regex token counting vs whitespace tokens",
+)
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bpe_token_stats(load_table_spread(spark, sf_dir, "documents"))
+
+
 # --- similarity search ----------------------------------------------------
 
 @register(

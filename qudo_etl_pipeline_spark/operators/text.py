@@ -39,6 +39,35 @@ def token_stats(
     )
 
 
+# BPE-style pre-tokenization: letter runs, short digit groups (BPE vocabs
+# split long numbers), punctuation runs. Alternation branches match
+# disjoint character classes, so Java regex (Spark) and RE2 (DuckDB)
+# produce identical tokenizations.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]+"
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LLM-corpus token estimates: BPE-ish regex tokens vs whitespace.
+
+    The regex count approximates what a byte-pair tokenizer's
+    pre-tokenizer yields (words, <=3-digit number groups, punctuation
+    runs) — the standard cheap token-budget estimate for a pretraining
+    corpus. Pure column expressions; chars_per_token is the usual
+    compression diagnostic.
+    """
+    bpe = F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}', 0)")
+    n_bpe = F.size(bpe)
+    n_ws = F.size(F.split(F.col(text_col), " "))
+    return df.select(
+        F.col(id_col),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        n_ws.cast("bigint").alias("n_ws_tokens"),
+        F.round(F.length(text_col) / n_bpe, 6).alias("chars_per_token"),
+    )
+
+
 def _stopword_count(text_col: str, words: list[str]) -> Column:
     lst = ", ".join(f"'{w}'" for w in words)
     return F.expr(f"size(filter(split({text_col}, ' '), t -> t in ({lst})))")

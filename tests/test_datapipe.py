@@ -113,6 +113,16 @@ def test_token_stats(spark, docs):
     assert out[0]["type_token_ratio"] == pytest.approx(round(5 / 6, 6))
 
 
+def test_bpe_token_stats(spark):
+    rows = [(0, "hello, world! price 12345")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.bpe_token_stats(df).collect()[0]
+    # hello | , | world | ! | price | 123 | 45  -> 7 bpe tokens, 4 ws tokens
+    assert out["n_bpe_tokens"] == 7
+    assert out["n_ws_tokens"] == 4
+    assert out["chars_per_token"] == pytest.approx(round(len(rows[0][1]) / 7, 6))
+
+
 def test_langid_scores(spark):
     rows = [
         (0, "the cat and the dog in a house", "en"),
