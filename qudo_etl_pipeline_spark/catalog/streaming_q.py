@@ -69,6 +69,60 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_hourly_watermark",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, n
+    FROM agg
+    WHERE epoch_us(win_start) + 3600000000
+          <= (SELECT MAX(epoch_us(ts)) FROM events) - 3600000000
+    """,
+    survey_ids=["S1", "A4"],
+    description="Watermarked append-mode streaming agg: only closed windows emit",
+)
+def streaming_hourly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: a 1-hour watermark bounds the aggregation state
+    and append mode emits a window only once the watermark passes its end
+    (window.end <= max event time - delay). Open windows are withheld —
+    the exact contract a continuous pipeline relies on to produce
+    finalized, immutable hourly partitions. The drained availableNow run
+    makes that finalization set deterministic and oracle-checkable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
     "session_window_agg",
     oracle="""
     WITH ordered AS (
