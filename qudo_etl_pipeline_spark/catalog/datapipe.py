@@ -319,6 +319,93 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_token_stats(load_table_spread(spark, sf_dir, "documents"))
 
 
+# --- multimodal -----------------------------------------------------------
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table synthesized from documents: the text
+    bytes stand in for an opaque payload; kind cycles image/audio/video;
+    typed metadata follows operators.multimodal.MEDIA_META."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("synthetic").alias("format"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {_KIND_SQL} AS kind,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 251 AS BIGINT) AS mod_bucket
+    FROM documents
+    """,
+    survey_ids=["P6"],
+    description="Multimodal feature extraction: Arrow mapInPandas kernel "
+    "over binary payloads (decode stubbed, plumbing real)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators import multimodal as MM
+
+    feats = MM.extract_features(_media(spark, sf_dir), decoder="fake")
+    # mod_bucket comes OUT of the feature vector, proving the kernel's
+    # Arrow round-trip (features[7] = n_bytes % 251 by construction)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("features")[7].cast("bigint").alias("mod_bucket"),
+    )
+
+
+@register(
+    "multimodal_frame_plan",
+    oracle=f"""
+    WITH video AS (
+      SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(unnest(generate_series(0,
+                greatest(CAST(FLOOR(duration_ms / 1000) AS INT) - 1, 0))) AS BIGINT)
+             AS frame_idx,
+           CAST(unnest(generate_series(0,
+                greatest(CAST(FLOOR(duration_ms / 1000) AS INT) - 1, 0))) * 1000 AS BIGINT)
+             AS frame_ts_ms
+    FROM video
+    """,
+    survey_ids=["P6", "R2"],
+    description="Video frame-sampling plan from metadata only (payload pruned)",
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators import multimodal as MM
+
+    plan = MM.frame_sample_plan(_media(spark, sf_dir), every_ms=1000)
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+    )
+
+
 # --- similarity search ----------------------------------------------------
 
 @register(
