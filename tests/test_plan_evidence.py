@@ -1,0 +1,50 @@
+"""Physical-plan evidence tests.
+
+SCALING.md's claims about the scan layer are pinned here so a regression
+is a test failure, not a stale doc: filters reach the parquet scan
+(PushedFilters), projections prune the read schema (ReadSchema), and
+partitioned layouts prune directories (PartitionFilters).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag", "l_quantity"
+    )
+    plan = _formatted(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    # untouched wide columns must not be read
+    assert "l_comment" not in read_schema
+
+
+def test_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = _formatted(q)
+    part_filters = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "o_orderstatus" in part_filters
+    # the partition predicate must not appear as a post-scan Filter on data
+    assert q.count() == o.filter(F.col("o_orderstatus") == "F").count()
