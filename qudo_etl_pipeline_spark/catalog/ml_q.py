@@ -532,6 +532,61 @@ def kmodes_step_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kprototypes_step_planted",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id, c_mktsegment AS a0,
+             CAST(c_acctbal AS DOUBLE) / 1000.0 AS f1
+      FROM customer
+    ),
+    assigned AS (
+      SELECT id, a0, f1,
+             CASE WHEN ((f1 - 0.0) * (f1 - 0.0)
+                        + 0.5 * (CASE WHEN a0 = 'BUILDING' THEN 0 ELSE 1 END))
+                       <= ((f1 - 5.0) * (f1 - 5.0)
+                           + 0.5 * (CASE WHEN a0 = 'MACHINERY' THEN 0 ELSE 1 END))
+                  THEN 0 ELSE 1 END AS cluster
+      FROM pts
+    ),
+    m0 AS (
+      SELECT cluster, a0 AS mode_a0 FROM (
+        SELECT cluster, a0, ROW_NUMBER() OVER (
+          PARTITION BY cluster ORDER BY COUNT(*) DESC, a0 ASC) AS rn
+        FROM assigned GROUP BY cluster, a0
+      ) WHERE rn = 1
+    )
+    SELECT n.cluster, n.n, m0.mode_a0, n.new_f1
+    FROM (
+      SELECT cluster, COUNT(*) AS n, ROUND(AVG(f1), 6) AS new_f1
+      FROM assigned GROUP BY cluster
+    ) n JOIN m0 ON n.cluster = m0.cluster
+    """,
+    survey_ids=["M6", "A6", "A8"],
+    description="One KPrototypes assign+update step: mixed "
+    "sq_euclid + gamma*hamming distance against fixed prototypes",
+)
+def kprototypes_step_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import kmodes as KM
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("row_id"),
+        F.col("c_mktsegment").alias("a0"),
+        (F.col("c_acctbal").cast("double") / 1000.0).alias("f1"),
+    )
+    protos = [{"a0": "BUILDING", "f1": 0.0}, {"a0": "MACHINERY", "f1": 5.0}]
+    assigned = KM._assign(pts, protos, ["a0"], ["f1"], gamma=0.5)
+    new_protos = KM._update_modes(assigned, protos, ["a0"], ["f1"])
+    sizes = assigned.groupBy(F.col("prediction").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    proto_rows = spark.createDataFrame(
+        [(i, m["a0"], round(m["f1"], 6)) for i, m in enumerate(new_protos)],
+        "cluster: int, mode_a0: string, new_f1: double",
+    )
+    return sizes.join(proto_rows, "cluster")
+
+
+@register(
     "kmodes_documents",
     oracle=None,
     survey_ids=["M5", "M6"],
