@@ -9,14 +9,17 @@ selected' is stripped UNLESS it is the only answer, rows explode to
 and unweighted modal answer and its share of the WHOLE sample are
 reported (A5/A6), rounded to 2.
 
-One plan computes every (question x cluster) simultaneously: each
-question contributes a select+explode branch (map-only), branches
-union, and ONE groupBy(question, cluster, value) aggregation feeds the
-window argmax. Ties resolve to the lexicographically smallest value
-(pandas groupby-sum index order + idxmax first-occurrence semantics).
+One LINEAR plan computes every (question x cluster) simultaneously: a
+single scan builds an array of (question, answers) structs per row and
+explodes twice (map-only — no per-question re-scan, no union), ONE
+groupBy(question, cluster, value) aggregation counts the cells, and a
+second tiny aggregation picks both modes as min-over-struct argmaxes
+(no windows, no self-join of ranked branches). Ties resolve to the
+lexicographically smallest value (pandas groupby-sum index order +
+idxmax first-occurrence semantics).
 
-Scale notes: the union of per-question branches is narrow (3 columns);
-the single shuffle's output is |questions| x |clusters| x |answers| —
+Scale notes: the exploded frame is narrow (4 columns); the single
+full-data shuffle's output is |questions| x |clusters| x |answers| —
 independent of row count. The parquet cache round-trip (S6/S4) lives in
 sources/io.py.
 """
@@ -68,65 +71,66 @@ def population_modes(
     sample_total = totals["n"]
     weighted_total = totals["wsum"] if weight_col else float(sample_total)
 
-    branches = []
+    q_structs = []
     for shortname, cols in question_cols.items():
         present = [c for c in cols if c in df.columns]
         if not present:
             continue
-        branches.append(
-            df.select(
-                F.col(cluster_col).alias("cluster"),
-                w.alias("_w"),
+        q_structs.append(
+            F.struct(
                 F.lit(shortname).alias("shortname"),
-                F.explode(_row_values(present)).alias("value"),
+                _row_values(present).alias("vals"),
             )
         )
-    if not branches:
+    if not q_structs:
         raise ValueError("no question columns present in the data")
-    long = branches[0]
-    for b in branches[1:]:
-        long = long.unionByName(b)
+
+    long = (
+        df.select(
+            F.col(cluster_col).alias("cluster"),
+            w.alias("_w"),
+            F.explode(F.array(*q_structs)).alias("q"),
+        )
+        .select(
+            "cluster",
+            "_w",
+            F.col("q.shortname").alias("shortname"),
+            F.explode("q.vals").alias("value"),
+        )
+    )
 
     counts = long.groupBy("shortname", "cluster", "value").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_w").alias("wn"),
     )
-    win_w = Window.partitionBy("shortname", "cluster").orderBy(
-        F.col("wn").desc(), F.col("value").asc()
+    # Both modes from ONE aggregation: min over (-count, value) orders by
+    # descending count then ascending value — identical tie semantics to
+    # the reference's idxmax-first-occurrence.
+    modes = counts.groupBy("shortname", "cluster").agg(
+        F.min(
+            F.struct(
+                (-F.col("wn")).alias("k"),
+                F.col("value").alias("v"),
+                F.col("wn").alias("m"),
+            )
+        ).alias("_wm"),
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("k"),
+                F.col("value").alias("v"),
+                F.col("n").alias("m"),
+            )
+        ).alias("_um"),
     )
-    win_u = Window.partitionBy("shortname", "cluster").orderBy(
-        F.col("n").desc(), F.col("value").asc()
-    )
-    ranked = counts.select(
-        "shortname",
+    return modes.select(
         "cluster",
-        "value",
-        "n",
-        "wn",
-        F.row_number().over(win_w).alias("_rw"),
-        F.row_number().over(win_u).alias("_ru"),
-    )
-    weighted = ranked.filter(F.col("_rw") == 1).select(
         "shortname",
-        "cluster",
-        F.col("value").alias("weighted_mode"),
-        F.round(F.col("wn") / F.lit(weighted_total), 2).alias(
+        F.col("_wm.v").alias("weighted_mode"),
+        F.round(F.col("_wm.m") / F.lit(weighted_total), 2).alias(
             "weighted_mode_prop"
         ),
-    )
-    unweighted = ranked.filter(F.col("_ru") == 1).select(
-        "shortname",
-        "cluster",
-        F.col("value").alias("unweighted_mode"),
-        F.round(F.col("n") / F.lit(float(sample_total)), 2).alias(
+        F.col("_um.v").alias("unweighted_mode"),
+        F.round(F.col("_um.m") / F.lit(float(sample_total)), 2).alias(
             "unweighted_mode_prop"
         ),
-    )
-    return weighted.join(unweighted, ["shortname", "cluster"]).select(
-        "cluster",
-        "shortname",
-        "weighted_mode",
-        "weighted_mode_prop",
-        "unweighted_mode",
-        "unweighted_mode_prop",
     )
