@@ -324,6 +324,155 @@ _DELIVER_ORACLE = f"""
 """
 
 
+# Weighted variant: integer-valued double weights (1 + o_orderkey % 5) keep
+# every SUM exact in both engines, so the weighted modes/percentages are
+# bit-deterministic without DECIMAL plumbing.
+_DELIVER_WEIGHTED_ORACLE = f"""
+    WITH wide AS (
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'budget'
+                  WHEN o_totalprice < 250000 THEN 'mid'
+                  ELSE 'premium' END AS cluster,
+             CAST(1 + o_orderkey % 5 AS DOUBLE) AS w,
+             CASE WHEN o_totalprice < 150000 THEN 'under150k'
+                  ELSE 'over150k' END AS q_band,
+             o_orderpriority AS q_priority
+      FROM orders
+    ), long AS (
+      SELECT cluster, w, 'q_band' AS variable, q_band AS value FROM wide
+      UNION ALL SELECT cluster, w, 'q_priority', q_priority FROM wide
+    ), cells AS (
+      SELECT variable, cluster, value, COUNT(*) AS observed, SUM(w) AS wn
+      FROM long WHERE value IS NOT NULL
+      GROUP BY variable, cluster, value
+    ), nrows AS (SELECT COUNT(*) AS n_rows FROM wide),
+    csize AS (
+      SELECT cluster, COUNT(*) AS cluster_n, SUM(w) AS cluster_w
+      FROM wide GROUP BY cluster
+    ),
+    obs AS (SELECT * FROM cells WHERE value <> 'Not shown'),
+    grid AS (
+      SELECT vv.variable, vv.value, vc.cluster
+      FROM (SELECT DISTINCT variable, value FROM obs) vv
+      JOIN (SELECT DISTINCT variable, cluster FROM obs) vc USING (variable)
+    ), dense AS (
+      SELECT g.variable, g.cluster, g.value, COALESCE(o.observed, 0) AS observed
+      FROM grid g LEFT JOIN obs o
+        ON g.variable = o.variable AND g.cluster = o.cluster AND g.value = o.value
+    ), tot AS (
+      SELECT *,
+             SUM(observed) OVER (PARTITION BY variable, value) AS row_tot,
+             SUM(observed) OVER (PARTITION BY variable, cluster) AS col_tot,
+             SUM(observed) OVER (PARTITION BY variable) AS n
+      FROM dense
+    ), pervar AS (
+      SELECT variable,
+             SUM(POW(observed - row_tot * col_tot * 1.0 / n, 2)
+                 / (row_tot * col_tot * 1.0 / n)) AS stat_plain,
+             SUM(POW(GREATEST(ABS(observed - row_tot * col_tot * 1.0 / n) - 0.5, 0), 2)
+                 / (row_tot * col_tot * 1.0 / n)) AS stat_yates,
+             MIN(observed) AS min_observed,
+             COUNT(DISTINCT value) AS n_values,
+             COUNT(DISTINCT cluster) AS n_clusters
+      FROM tot GROUP BY variable
+    ), tests AS (
+      SELECT variable,
+             CASE WHEN (n_values - 1) * (n_clusters - 1) = 1 AND min_observed <= 5
+                  THEN stat_yates ELSE stat_plain END AS chi2_stat,
+             (n_values - 1) * (n_clusters - 1) AS dof, n_values, n_clusters
+      FROM pervar
+    ), sigf AS (
+      SELECT variable, chi2_stat, dof, n_values, n_clusters,
+             LEAST(1.0, exp(-chi2_stat / 2) *
+                   list_sum(list_transform(generate_series(0, dof // 2 - 1),
+                                           k -> pow(chi2_stat / 2, k) / gamma(k + 1.0))))
+               AS p_value
+      FROM tests
+      WHERE dof > 0 AND dof % 2 = 0
+    ), sig AS (SELECT * FROM sigf WHERE p_value <= 0.05),
+    res AS (
+      SELECT t.variable, t.cluster, t.value, t.observed,
+             s.p_value, s.n_values, s.n_clusters,
+             ROUND((t.observed - t.row_tot * t.col_tot * 1.0 / t.n)
+                   / SQRT((t.row_tot * t.col_tot * 1.0 / t.n)
+                          * (1 - t.row_tot * 1.0 / t.n)
+                          * (1 - t.col_tot * 1.0 / t.n)), 3) AS z
+      FROM tot t JOIN sig s USING (variable)
+    ), denoms AS (
+      SELECT variable, cluster, SUM(observed) AS answered_n, SUM(wn) AS answered_w
+      FROM cells GROUP BY variable, cluster
+    ), pos AS (
+      SELECT r.*, d.answered_n, d.answered_w, c.wn
+      FROM res r
+      JOIN denoms d ON r.variable = d.variable AND r.cluster = d.cluster
+      JOIN cells c ON r.variable = c.variable AND r.cluster = c.cluster
+                  AND r.value = c.value
+      WHERE ABS(r.z) >= 1.96 AND ABS(r.z) >= {{thresh}}
+        AND r.z > 0 AND r.value <> 'not selected'
+    ), posagg AS (
+      SELECT variable, cluster,
+             array_to_string(list(value ORDER BY value), '|') AS sig_more_category,
+             array_to_string(list(CAST(ROUND(wn / answered_w * 100, 2)
+                                       AS VARCHAR) ORDER BY value), '|')
+               AS weighted_category_percentages
+      FROM pos GROUP BY variable, cluster
+    ), wmodes AS (
+      SELECT variable, cluster, value AS weighted_pop_mode, wn AS wmode_count
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY variable, cluster
+                                         ORDER BY wn DESC, value ASC) AS rn
+            FROM cells WHERE value <> 'Not shown')
+      WHERE rn = 1
+    )
+    SELECT p.variable AS q_code,
+           ROUND(s.p_value, 5) AS chi_2_result,
+           p.sig_more_category,
+           p.weighted_category_percentages,
+           p.cluster AS targeting_seg,
+           wm.weighted_pop_mode,
+           ROUND(wm.wmode_count / cs.cluster_w * 100, 0) AS weighted_pop_mode_perc
+    FROM posagg p
+    JOIN wmodes wm ON p.variable = wm.variable AND p.cluster = wm.cluster
+    JOIN sig s ON p.variable = s.variable
+    JOIN csize cs ON p.cluster = cs.cluster
+"""
+
+
+@register(
+    "deliver_stats_weighted",
+    oracle=_DELIVER_WEIGHTED_ORACLE.format(thresh=_cell_z_threshold_case()),
+    survey_ids=["M25", "A5", "A6"],
+    description="Weighted deliver-stats: weighted modes, mode shares and "
+    "category percentages from the same single-shuffle plan",
+)
+def deliver_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_totalprice") < 100000, "budget")
+        .when(F.col("o_totalprice") < 250000, "mid")
+        .otherwise("premium")
+        .alias("cluster"),
+        (1 + F.col("o_orderkey") % 5).cast("double").alias("w"),
+        F.when(F.col("o_totalprice") < 150000, "under150k")
+        .otherwise("over150k")
+        .alias("q_band"),
+        F.col("o_orderpriority").alias("q_priority"),
+    )
+    t = contingency_tables(wide, "cluster", weight_col="w", id_vars=["id"])
+    d = deliver_stats(t, include_chi2_stat=False)
+    return d.select(
+        "q_code",
+        "chi_2_result",
+        F.concat_ws("|", "sig_more_category").alias("sig_more_category"),
+        F.concat_ws(
+            "|",
+            F.transform("weighted_category_percentages", lambda x: x.cast("string")),
+        ).alias("weighted_category_percentages"),
+        "targeting_seg",
+        "weighted_pop_mode",
+        "weighted_pop_mode_perc",
+    )
+
+
 @register(
     "deliver_stats_planted",
     oracle=_DELIVER_ORACLE.format(thresh=_cell_z_threshold_case()),
