@@ -534,6 +534,65 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_verified_pairs",
+    oracle=f"""
+    WITH base AS ({_mh_base_cte()}),
+    sig AS (
+      SELECT doc_id,
+             {_mh_sig(0)} AS mh0,
+             {_mh_sig(1)} AS mh1,
+             {_mh_sig(2)} AS mh2,
+             {_mh_sig(3)} AS mh3
+      FROM base
+    ), bands AS (
+      SELECT doc_id, 0::BIGINT AS band,
+             {_dh_raw("mh0::VARCHAR || '_' || mh1::VARCHAR")} AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1::BIGINT AS band,
+             {_dh_raw("mh2::VARCHAR || '_' || mh3::VARCHAR")} AS bucket FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ), toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
+                   (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
+               AS jaccard
+      FROM cand c JOIN toks a ON c.id_a = a.doc_id
+                  JOIN toks b ON c.id_b = b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+    survey_ids=["P7", "J3"],
+    description="Near-dup pipeline stage 2: LSH candidates verified by "
+    "true token Jaccard >= 0.5",
+)
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_spread(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=4)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sigs, n_hashes=4, band_size=2))
+    return D.verified_pairs(docs, cand, threshold=0.5)
+
+
+@register(
+    "neardup_groups_cc",
+    oracle=None,
+    survey_ids=["P7"],
+    description="Near-dup pipeline stage 3: connected-component dup groups "
+    "by min-label propagation (rows-only: data-dependent iteration)",
+)
+def neardup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_spread(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=4)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sigs, n_hashes=4, band_size=2))
+    verified = D.verified_pairs(docs, cand, threshold=0.5)
+    return D.neardup_groups(verified).orderBy("doc_id")
+
+
+@register(
     "embedding_neardup_pairs",
     oracle="""
     WITH v AS (

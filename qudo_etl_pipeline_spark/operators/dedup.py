@@ -197,6 +197,92 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def verified_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates verified by true token Jaccard >= threshold.
+
+    The second stage of the canonical near-dup pipeline: candidate
+    generation touched only signatures; verification joins the (small)
+    candidate set back to the token arrays — payload re-enters the plan
+    only for rows that survived banding.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_vid"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_vt"),
+    )
+    a = toks.select(F.col("_vid").alias("id_a"), F.col("_vt").alias("_ta"))
+    b = toks.select(F.col("_vid").alias("id_b"), F.col("_vt").alias("_tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_tokens(F.col("_ta"), F.col("_tb")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def neardup_groups(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over verified dup pairs: (doc_id, group_id)
+    with group_id = min doc id reachable through the pair graph.
+
+    Iterative min-label propagation — per iteration one join + one
+    aggregation over the PAIR set (never the corpus), converging in
+    O(diameter) rounds; near-dup clusters are tiny cliques in practice
+    so this terminates in 2-3 rounds. Driver holds only the convergence
+    flag; lineage is cut with localCheckpoint per round so plans don't
+    nest. Not SQL-expressible (data-dependent iteration) — verified by
+    unit tests on hand-computed components.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over its own and neighbors' labels
+        neighbor = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .union(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("group_id"))
+
+
 def jaccard_tokens(a_tokens: Column, b_tokens: Column) -> Column:
     """Jaccard similarity of two token-array columns (distinct tokens)."""
     a = F.array_distinct(a_tokens)

@@ -73,6 +73,22 @@ def test_lsh_candidates_contain_exact_dups(spark, docs):
     assert (0, 1) in pairs  # identical docs always collide
 
 
+def test_verified_pairs_and_groups(spark, docs):
+    sigs = D.minhash_signatures(docs, n_hashes=4)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sigs))
+    ver = D.verified_pairs(docs, cand, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ver.collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dups verify at jaccard 1
+    assert all(j >= 0.5 for j in pairs.values())
+
+    # hand-built graph: {1,2,3} chained, {5,6} separate
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    groups = {r["doc_id"]: r["group_id"] for r in D.neardup_groups(g).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
 def test_jaccard(spark, docs):
     t = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("t"))
     a = t.filter(F.col("doc_id") == 0).select(F.col("t").alias("ta"))
