@@ -59,6 +59,9 @@ class ContingencyTables:
     ``cluster_sizes`` — one row per cluster: ``cluster_n`` rows,
                  ``cluster_w`` total weight.
     ``n_rows`` — total row count of the input table.
+    ``_cached`` — the cached frame behind ``cells``/``cluster_sizes``;
+                 call :meth:`unpersist` when inference is done (long-lived
+                 drivers run many schemes x algorithms — pipeline.py).
     """
 
     cells: DataFrame
@@ -66,6 +69,11 @@ class ContingencyTables:
     n_rows: int
     cluster_col: str
     weighted: bool
+    _cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self._cached is not None:
+            self._cached.unpersist()
 
 
 def contingency_tables(
@@ -132,6 +140,7 @@ def contingency_tables(
         n_rows=n_rows,
         cluster_col=cluster_col,
         weighted=weight_col is not None,
+        _cached=all_cells,
     )
 
 

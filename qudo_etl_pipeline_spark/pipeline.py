@@ -161,7 +161,11 @@ def run_scheme(
             weight_col=cfg.weight_col,
             id_vars=[cfg.id_col],
         )
-        deliver = deliver_stats(tables, alpha=1 - cfg.conf_interval)
+        # deliver is tiny (significant variables x segments) but feeds
+        # discover, four business metrics and the parquet sink — cache it
+        # so each consumer reads the materialized frame instead of
+        # re-executing the inference arithmetic.
+        deliver = deliver_stats(tables, alpha=1 - cfg.conf_interval).cache()
         discover = discover_stats(deliver)
         feats = FE.assemble_array(encoded, scheme_cols).join(
             labeled.select(cfg.id_col, "prediction"), cfg.id_col
@@ -175,6 +179,7 @@ def run_scheme(
             with_random_baseline=False,
         )
         metrics["algorithm"] = algo
+        tables.unpersist()  # cell cache is per-(scheme, algo); release it
         results[algo] = {
             "labels": labeled,
             "deliver": deliver,
