@@ -60,6 +60,42 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_revenue_sql",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    survey_ids=["S1", "J1", "A5"],
+    description="spark.sql() surface: 3-table join + aggregate over temp views",
+)
+def nation_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the SQL front-end: register the scans as
+    temp views and let the parser/analyzer produce the plan — the
+    DataFrame catalog entries and this one meet in the same Catalyst
+    representation (broadcast join for nation, partial aggregation)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sql_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("sql_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_orders
+        FROM sql_orders o
+        JOIN sql_customer c ON o.o_custkey = c.c_custkey
+        JOIN sql_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
     "filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
