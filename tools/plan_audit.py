@@ -8,6 +8,11 @@ claims are reproducible:
     python tools/plan_audit.py [sf_dir] [query ...]
 
 Counts are plan properties (scale-invariant); run at any sf.
+
+Caveat: the executed-plan string repeats a cached frame's BUILD plan
+under every InMemoryTableScan reference, so queries that reuse a cache
+(the contingency family) over-count — treat numbers as upper bounds;
+the cache subtree executes once.
 """
 
 from __future__ import annotations
