@@ -58,7 +58,10 @@ class ContingencyTables:
                  sentinel values (callers filter as needed).
     ``cluster_sizes`` — one row per cluster: ``cluster_n`` rows,
                  ``cluster_w`` total weight.
-    ``n_rows`` — total row count of the input table.
+    ``n_rows`` — total row count of the input table (lazy: the first
+                 access runs the cluster-size aggregate, which also
+                 materializes the cell cache — construction itself
+                 launches NO job, so building the plan stays free).
     ``_cached`` — the cached frame behind ``cells``/``cluster_sizes``;
                  call :meth:`unpersist` when inference is done (long-lived
                  drivers run many schemes x algorithms — pipeline.py).
@@ -66,10 +69,18 @@ class ContingencyTables:
 
     cells: DataFrame
     cluster_sizes: DataFrame
-    n_rows: int
     cluster_col: str
     weighted: bool
     _cached: DataFrame | None = None
+    _n_rows: int | None = None
+
+    @property
+    def n_rows(self) -> int:
+        if self._n_rows is None:
+            self._n_rows = int(
+                self.cluster_sizes.agg(F.sum("cluster_n")).collect()[0][0]
+            )
+        return self._n_rows
 
     def unpersist(self) -> None:
         if self._cached is not None:
@@ -131,13 +142,9 @@ def contingency_tables(
         F.col("observed").alias("cluster_n"),
         F.col("w_observed").alias("cluster_w"),
     )
-    # total rows without another scan of the wide input; this action also
-    # materializes the cell cache for every downstream statistic
-    n_rows = cluster_sizes.agg(F.sum("cluster_n")).collect()[0][0]
     return ContingencyTables(
         cells=cells,
         cluster_sizes=cluster_sizes,
-        n_rows=n_rows,
         cluster_col=cluster_col,
         weighted=weight_col is not None,
         _cached=all_cells,
