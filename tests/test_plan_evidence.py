@@ -37,6 +37,45 @@ def test_filter_pushdown_and_column_pruning(spark):
     assert "l_comment" not in read_schema
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """Bucketing co-locates join keys at WRITE time: a join of two tables
+    bucketed the same way needs no shuffle at all — the layout strategy
+    SCALING.md prescribes for repeated fact-to-fact joins at scale."""
+    spark.sql("DROP TABLE IF EXISTS bj_orders")
+    spark.sql("DROP TABLE IF EXISTS bj_customer")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    try:
+        o.write.bucketBy(4, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable("bj_orders")
+        c.write.bucketBy(4, "c_custkey").sortBy("c_custkey").mode(
+            "overwrite"
+        ).saveAsTable("bj_customer")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bj_orders").join(
+                spark.table("bj_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = _formatted(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            assert j.count() == o.join(
+                c, o.o_custkey == c.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bj_orders")
+        spark.sql("DROP TABLE IF EXISTS bj_customer")
+
+
 def test_partition_pruning(spark, tmp_path):
     path = str(tmp_path / "orders_by_status")
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
