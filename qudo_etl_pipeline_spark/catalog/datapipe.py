@@ -319,6 +319,32 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_token_stats(load_table_spread(spark, sf_dir, "documents"))
 
 
+@register(
+    "corpus_length_quantiles",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS q25,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS median,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS q75,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    survey_ids=["A8"],
+    description="Per-language corpus length quantiles (exact interpolated "
+    "percentiles, the standard corpus-curation diagnostic)",
+)
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("q75"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
 # --- multimodal -----------------------------------------------------------
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
