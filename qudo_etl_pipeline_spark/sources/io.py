@@ -48,14 +48,42 @@ def read_json_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("multiLine", True).json(path)
 
 
-def read_json_doc(path: str):
-    """S2 (config document): driver-side JSON object get."""
+def read_json_doc(path: str, spark: SparkSession | None = None):
+    """S2 (config document): driver-side JSON object get.
+
+    Local paths use plain file IO; URI paths (`s3a://...`) go through
+    the Hadoop FS API when a session is supplied — same protocol the
+    reference's s3fs getters speak (s3_data_fetching_functions.py:20-26).
+    """
+    if "://" in path and spark is not None:
+        sc = spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        stream = fs.open(hpath)
+        try:
+            data = sc._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(data)
     with open(path) as fh:
         return json.load(fh)
 
 
-def write_json_doc(path: str, obj) -> None:
-    """S8: driver-side JSON put."""
+def write_json_doc(path: str, obj, spark: SparkSession | None = None) -> None:
+    """S8: driver-side JSON put (local file IO, or Hadoop FS for URIs)."""
+    payload = json.dumps(obj, indent=2)
+    if "://" in path and spark is not None:
+        sc = spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        stream = fs.create(hpath, True)
+        try:
+            stream.write(payload.encode("utf-8"))
+        finally:
+            stream.close()
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
         json.dump(obj, fh, indent=2)

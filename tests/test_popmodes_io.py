@@ -83,6 +83,11 @@ def test_io_roundtrips(spark, tmp_path):
     IO.write_json_doc(doc_path, {"cols": ["a", "b"]})
     assert IO.read_json_doc(doc_path) == {"cols": ["a", "b"]}
 
+    # URI paths route through the Hadoop FS API (the s3a:// code path)
+    uri = f"file://{tmp_path}/doc_uri.json"
+    IO.write_json_doc(uri, {"cols": ["c"]}, spark=spark)
+    assert IO.read_json_doc(uri, spark=spark) == {"cols": ["c"]}
+
     jt = str(tmp_path / "tbl.json")
     with open(jt, "w") as fh:
         fh.write('[{"x": 1}, {"x": 2}]')
