@@ -42,6 +42,27 @@ def session_window_counts(
     )
 
 
+def dedup_stream(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash wins,
+    across micro-batches.
+
+    Spark-first: ``dropDuplicates`` on a streaming frame is the built-in
+    stateful dedup operator (state = one entry per distinct hash, exactly
+    the structure a hand-rolled GroupState version would keep). For
+    unbounded streams add ``withWatermark`` on an event-time column +
+    ``dropDuplicatesWithinWatermark`` so the hash state expires; a
+    training-corpus backfill (availableNow) wants the unexpiring form —
+    a dup is a dup no matter how far apart the copies arrive.
+    """
+    from qudo_etl_pipeline_spark.operators.dedup import exact_dup_hash
+
+    return docs.withColumn(
+        "text_hash", exact_dup_hash(text_col)
+    ).dropDuplicates(["text_hash"])
+
+
 _STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
 _OUT_SCHEMA = T.StructType(
     [

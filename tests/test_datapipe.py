@@ -253,6 +253,46 @@ def test_resize_meta(spark, media):
     assert out["meta"]["format"] == "png"
 
 
+def test_dedup_stream_across_microbatches(spark, tmp_path):
+    """Streaming exact dedup keeps the FIRST occurrence of a content hash
+    even when the duplicate arrives in a later micro-batch (stateful
+    dropDuplicates)."""
+    import time
+
+    from qudo_etl_pipeline_spark.streaming.sessions import dedup_stream
+
+    d = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(d + "/b1")
+    time.sleep(1.1)  # distinct mtimes -> file source orders b1 before b2
+    spark.createDataFrame(
+        [(2, "alpha beta"), (3, "epsilon zeta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(d + "/b2")
+
+    schema = spark.read.parquet(d + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in spark.table("dedup_stream_t").collect()
+    )
+    assert len(q.recentProgress) >= 2  # genuinely cross-batch
+    assert rows == [(0, "alpha beta"), (1, "gamma delta"), (3, "epsilon zeta")]
+
+
 def test_stateful_running_counts_stream(spark, tmp_path):
     import pandas as pd
 
