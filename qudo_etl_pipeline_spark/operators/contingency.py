@@ -113,7 +113,14 @@ def contingency_tables(
         value_vars=variables + [row_marker],
     )
 
-    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    # null weights count as 0 (same as sum's null-skip) so w_observed is
+    # never NULL — the weighted-mode argmax sorts on a struct of it, and
+    # a NULL field would sort first instead of last
+    w = (
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+        if weight_col
+        else F.lit(1.0)
+    )
     # THE one big-data shuffle (and the only pass over the input). The
     # result is tiny (|vars| x |values| x |clusters|), so cache it: every
     # downstream statistic (chi2, post-hoc, modes, denominators, cluster

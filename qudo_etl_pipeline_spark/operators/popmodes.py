@@ -59,8 +59,11 @@ def population_modes(
     unweighted_mode, unweighted_mode_prop (props = share of the WHOLE
     sample, rounded 2 — chisquared_tester.py:760-771).
     """
+    # null weights count as 0 (same total as sum's null-skip) so group
+    # weighted counts are never NULL — a NULL struct field would sort
+    # FIRST under the min-over-struct argmax and steal the mode
     w = (
-        F.col(weight_col).cast("double")
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
         if weight_col
         else F.lit(1.0)
     )
