@@ -308,7 +308,7 @@ def langid_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_bpe_tokens,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            ROUND(length(text) * 1.0 /
-                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]+')), 6)
+                 NULLIF(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]+')), 0), 6)
              AS chars_per_token
     FROM documents
     """,

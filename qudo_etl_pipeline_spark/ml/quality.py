@@ -97,6 +97,11 @@ def cluster_stats(
     inside whole-stage codegen, where the previous Summarizer-on-vector +
     interpreted higher-order ``aggregate`` lambdas did not (~2x on a
     600k-row pass).
+
+    Contract: feature arrays must be FIXED-LENGTH (every producer in
+    this engine — assemble_array, the catalog projections — emits them
+    so). A ragged row indexes out of bounds, which ANSI mode turns into
+    a loud error rather than a silently skewed centroid.
     """
     dim = _feature_dim(df, features)
     f = F.col(features).cast("array<double>")
@@ -481,9 +486,9 @@ def random_checker(
     cluster_metrics = dict(cluster_metrics or {})
     k = df.select(pred).distinct().count()
     accum = {"silhouette": 0.0, "davies_bouldin": 0.0, "calinski_harabasz": 0.0}
-    # Per-metric run counts: a failed DB/CH run contributes its reference
-    # fallback (DB -> 999, CH -> 0.0, metrics.py:85-90) rather than
-    # silently shrinking one metric's numerator while dividing by n_runs.
+    # Per-metric fallbacks: each failed run contributes its reference
+    # fallback value (DB -> 999, CH -> 0.0, metrics.py:85-90), guarded
+    # independently so one metric's failure can't double-count the other.
     for i in range(n_runs):
         rnd = df.withColumn(
             "_rand_label",
@@ -492,11 +497,13 @@ def random_checker(
         accum["silhouette"] += silhouette_squared(rnd, features, "_rand_label")
         try:
             accum["davies_bouldin"] += davies_bouldin(rnd, features, "_rand_label")
+        except Exception:
+            accum["davies_bouldin"] += 999.0
+        try:
             accum["calinski_harabasz"] += calinski_harabasz(
                 rnd, features, "_rand_label"
             )
         except Exception:
-            accum["davies_bouldin"] += 999.0
             accum["calinski_harabasz"] += 0.0
     mean = {m: v / n_runs for m, v in accum.items()}
     cluster_metrics["calinski_harabasz_random_ratio"] = (

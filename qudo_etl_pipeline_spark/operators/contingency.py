@@ -216,49 +216,71 @@ def _dense_with_expected(cells: DataFrame, cluster_col: str) -> DataFrame:
     )
 
 
+def _chi2_parts() -> tuple[Column, Column]:
+    """(plain, Yates-corrected) per-cell chi-squared summands over the
+    dense grid's observed/expected columns."""
+    diff = F.col("observed") - F.col("expected")
+    corrected = F.greatest(F.abs(diff) - F.lit(0.5), F.lit(0.0))
+    return (
+        F.pow(diff, 2) / F.col("expected"),
+        F.pow(corrected, 2) / F.col("expected"),
+    )
+
+
+def _chi2_finalize(
+    df: DataFrame, stat_plain: str, stat_yates: str, min_obs: str
+) -> DataFrame:
+    """Shared scipy-semantics finalizer: adds dof / yates / chi2_stat /
+    p_value from the aggregated parts. One implementation serves both the
+    groupBy shape (chi2_by_variable) and the window shape (post_hoc_cells)
+    so the Yates gate and degenerate-table rule can never diverge.
+
+    Replicates scipy.stats.chi2_contingency as used by the reference
+    (chisquared_tester.py:331-379): Yates correction requested when any
+    observed cell <= 5, applied only when dof == 1, correction clamped so
+    |O-E| never increases; degenerate tables (dof <= 0) give p = 1.0.
+    Requires ``n_values``/``n_clusters`` columns on ``df``.
+    """
+    dof = (F.col("n_values") - 1) * (F.col("n_clusters") - 1)
+    yates = F.col(min_obs) <= 5
+    stat = F.when(yates & (dof == 1), F.col(stat_yates)).otherwise(
+        F.col(stat_plain)
+    )
+    p = chi2_sf_udf()
+    df = (
+        df.withColumn("dof", dof)
+        .withColumn("yates", yates)
+        .withColumn("chi2_stat", F.when(F.col("dof") > 0, stat))
+    )
+    return df.withColumn(
+        "p_value",
+        F.when(F.col("dof") > 0, p(F.col("chi2_stat"), F.col("dof").cast("double")))
+        .otherwise(F.lit(1.0)),
+    )
+
+
 def chi2_by_variable(
     tables: ContingencyTables, dense: DataFrame | None = None
 ) -> DataFrame:
     """Per-variable chi-squared test over all crosstabs at once.
 
     Returns: variable, chi2_stat, dof, p_value, yates, n_values, n_clusters.
-    Replicates scipy.stats.chi2_contingency as used by the reference
-    (chisquared_tester.py:331-379): Yates correction requested when any
-    observed cell <= 5, applied only when dof == 1, correction clamped so
-    |O-E| never increases; degenerate tables (dof <= 0) give p = 1.0.
+    Statistical semantics live in :func:`_chi2_finalize`.
     """
     cluster_col = tables.cluster_col
     if dense is None:
         dense = _dense_with_expected(tables.cells, cluster_col)
 
-    diff = F.col("observed") - F.col("expected")
-    corrected = F.greatest(F.abs(diff) - F.lit(0.5), F.lit(0.0))
+    plain, corrected = _chi2_parts()
     per_var = dense.groupBy("variable").agg(
-        F.sum(F.pow(diff, 2) / F.col("expected")).alias("stat_plain"),
-        F.sum(F.pow(corrected, 2) / F.col("expected")).alias("stat_yates"),
+        F.sum(plain).alias("stat_plain"),
+        F.sum(corrected).alias("stat_yates"),
         F.min("observed").alias("min_observed"),
         F.countDistinct("value").alias("n_values"),
         F.countDistinct(cluster_col).alias("n_clusters"),
     )
-
-    dof = (F.col("n_values") - 1) * (F.col("n_clusters") - 1)
-    yates = F.col("min_observed") <= 5
-    use_yates = yates & (dof == 1)
-    stat = F.when(use_yates, F.col("stat_yates")).otherwise(F.col("stat_plain"))
-
-    per_var = per_var.select(
-        "variable",
-        F.when(dof > 0, stat).alias("chi2_stat"),
-        dof.alias("dof"),
-        yates.alias("yates"),
-        "n_values",
-        "n_clusters",
-    )
-    p = chi2_sf_udf()
-    return per_var.withColumn(
-        "p_value",
-        F.when(F.col("dof") > 0, p(F.col("chi2_stat"), F.col("dof").cast("double")))
-        .otherwise(F.lit(1.0)),
+    return _chi2_finalize(per_var, "stat_plain", "stat_yates", "min_observed").select(
+        "variable", "chi2_stat", "dof", "yates", "n_values", "n_clusters", "p_value"
     )
 
 
@@ -281,31 +303,17 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     w_var = Window.partitionBy("variable")
     dense = _dense_with_expected(tables.cells, cluster_col)
 
-    diff = F.col("observed") - F.col("expected")
-    corrected = F.greatest(F.abs(diff) - F.lit(0.5), F.lit(0.0))
+    plain, corrected = _chi2_parts()
     dense = (
-        dense.withColumn(
-            "_stat_plain", F.sum(F.pow(diff, 2) / F.col("expected")).over(w_var)
-        )
-        .withColumn(
-            "_stat_yates", F.sum(F.pow(corrected, 2) / F.col("expected")).over(w_var)
-        )
+        dense.withColumn("_stat_plain", F.sum(plain).over(w_var))
+        .withColumn("_stat_yates", F.sum(corrected).over(w_var))
         .withColumn("_min_obs", F.min("observed").over(w_var))
         .withColumn("n_values", F.size(F.collect_set("value").over(w_var)))
         .withColumn("n_clusters", F.size(F.collect_set(cluster_col).over(w_var)))
     )
-    dof = (F.col("n_values") - 1) * (F.col("n_clusters") - 1)
-    use_yates = (F.col("_min_obs") <= 5) & (dof == 1)
-    stat = F.when(use_yates, F.col("_stat_yates")).otherwise(F.col("_stat_plain"))
-    p = chi2_sf_udf()
-    dense = dense.withColumn("dof", dof).withColumn(
-        "chi2_stat", F.when(F.col("dof") > 0, stat)
+    dense = _chi2_finalize(dense, "_stat_plain", "_stat_yates", "_min_obs").filter(
+        F.col("p_value") <= alpha
     )
-    dense = dense.withColumn(
-        "p_value",
-        F.when(F.col("dof") > 0, p(F.col("chi2_stat"), F.col("dof").cast("double")))
-        .otherwise(F.lit(1.0)),
-    ).filter(F.col("p_value") <= alpha)
 
     # try_divide, not /: the p-value filter above only drops whole
     # variables, so rows with a zero divisor (e.g. a constant variable,

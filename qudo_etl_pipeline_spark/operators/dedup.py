@@ -280,6 +280,12 @@ def neardup_groups(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"neardup_groups did not converge in {max_iter} iterations "
+            "(a component's diameter exceeds max_iter); raise max_iter — "
+            "returning partial labels would silently split dup groups"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("group_id"))
 
 

@@ -60,11 +60,15 @@ def bpe_token_stats(
     bpe = F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}', 0)")
     n_bpe = F.size(bpe)
     n_ws = F.size(F.split(F.col(text_col), " "))
+    # try_divide: a whitespace-only document has zero BPE tokens, and a
+    # plain / would throw DIVIDE_BY_ZERO under ANSI mode (on by default)
     return df.select(
         F.col(id_col),
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
         n_ws.cast("bigint").alias("n_ws_tokens"),
-        F.round(F.length(text_col) / n_bpe, 6).alias("chars_per_token"),
+        F.round(F.try_divide(F.length(text_col), n_bpe), 6).alias(
+            "chars_per_token"
+        ),
     )
 
 

@@ -235,6 +235,9 @@ def run_all_segmentations(
                     res["discover"].write.mode("overwrite").parquet(
                         f"{output_dir}/{scheme}/{algo}/discover"
                     )
+                    # sinks were the last cached readers; later accesses
+                    # (if any) lazily recompute
+                    res["deliver"].unpersist()
         metrics_df = spark.createDataFrame(
             metrics_rows,
             "survey: string, scheme: string, algorithm: string, "

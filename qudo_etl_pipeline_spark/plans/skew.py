@@ -44,12 +44,19 @@ _MERGE = {
 
 
 def _salt_col(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic row salt in [0, n_salts): hash of the whole row.
+    """Deterministic row salt in [0, n_salts): hash of the row PLUS its
+    position.
 
-    xxhash64 over all columns — no rand(), so task retries produce the
-    same salt and the plan stays deterministic end-to-end.
+    The position term (monotonically_increasing_id: partition id + offset
+    within the partition) matters because hot-key rows are often
+    byte-identical duplicates — a pure content hash would map them all to
+    ONE salt and the mitigation would be a no-op. No rand(): a task retry
+    re-scans the same split in the same order, so salts are stable.
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
+    )
 
 
 def salted_join(

@@ -130,13 +130,26 @@ def test_token_stats(spark, docs):
 
 
 def test_bpe_token_stats(spark):
-    rows = [(0, "hello, world! price 12345")]
+    rows = [(0, "hello, world! price 12345"), (1, "   ")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = TX.bpe_token_stats(df).collect()[0]
+    out = {r["doc_id"]: r for r in TX.bpe_token_stats(df).collect()}
     # hello | , | world | ! | price | 123 | 45  -> 7 bpe tokens, 4 ws tokens
-    assert out["n_bpe_tokens"] == 7
-    assert out["n_ws_tokens"] == 4
-    assert out["chars_per_token"] == pytest.approx(round(len(rows[0][1]) / 7, 6))
+    assert out[0]["n_bpe_tokens"] == 7
+    assert out[0]["n_ws_tokens"] == 4
+    assert out[0]["chars_per_token"] == pytest.approx(round(len(rows[0][1]) / 7, 6))
+    # whitespace-only doc: zero tokens -> null ratio, not a crash
+    assert out[1]["n_bpe_tokens"] == 0
+    assert out[1]["chars_per_token"] is None
+
+
+def test_neardup_groups_raises_on_nonconvergence(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_groups(chain, max_iter=2)
+    groups = {r["doc_id"]: r["group_id"] for r in D.neardup_groups(chain).collect()}
+    assert set(groups.values()) == {1}  # one chain, one group
 
 
 def test_langid_scores(spark):
