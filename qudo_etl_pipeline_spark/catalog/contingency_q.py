@@ -324,6 +324,50 @@ _DELIVER_ORACLE = f"""
 """
 
 
+@register(
+    "discover_stats_planted",
+    oracle=(
+        "SELECT targeting_seg, q_code, pop_mode AS mode, "
+        "mode_pop_perc AS mode_perc, sig_more_category, category_percentages "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY targeting_seg "
+        "ORDER BY chi_2_result ASC, q_code ASC) AS rn FROM ("
+        + _DELIVER_ORACLE.format(thresh=_cell_z_threshold_case())
+        + ") WHERE pop_mode NOT IN ('not selected', 'Not shown')) WHERE rn <= 2"
+    ),
+    survey_ids=["W2", "W3"],
+    description="Discover view: top-2 variables per segment by ascending "
+    "p-value from the deliver-stats output",
+)
+def discover_stats_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.contingency import discover_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_totalprice") < 100000, "budget")
+        .when(F.col("o_totalprice") < 250000, "mid")
+        .otherwise("premium")
+        .alias("cluster"),
+        F.when(F.col("o_totalprice") < 150000, "under150k")
+        .otherwise("over150k")
+        .alias("q_band"),
+        F.col("o_orderpriority").alias("q_priority"),
+        F.col("o_orderstatus").alias("q_status"),
+    )
+    t = contingency_tables(wide, "cluster", id_vars=["id"])
+    d = discover_stats(deliver_stats(t), n_feats=2)
+    return d.select(
+        "targeting_seg",
+        "q_code",
+        "mode",
+        "mode_perc",
+        F.concat_ws("|", "sig_more_category").alias("sig_more_category"),
+        F.concat_ws(
+            "|", F.transform("category_percentages", lambda x: x.cast("string"))
+        ).alias("category_percentages"),
+    )
+
+
 # Weighted variant: integer-valued double weights (1 + o_orderkey % 5) keep
 # every SUM exact in both engines, so the weighted modes/percentages are
 # bit-deterministic without DECIMAL plumbing.
