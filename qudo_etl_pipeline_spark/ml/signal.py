@@ -231,7 +231,12 @@ def data_slicer(
     min_count = percent_retained * df.count()
     core_cols: list[str] = []
     sub_cols: list[str] = []
+    # Each accepted filter is cached (and the previous cache released):
+    # the next candidate's count reads ONE cached frame + one filter
+    # instead of re-scanning the whole compounding filter chain from the
+    # base table — O(accepted) passes, not O(accepted^2).
     data = df
+    prev_cache = None
     while len(core_cols) < 6:
         if percent_retained < 0.15:
             break
@@ -242,7 +247,10 @@ def data_slicer(
             if filtered.count() < min_count:
                 sub_cols.append(col)
             else:
-                data = filtered
+                data = filtered.cache()
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                prev_cache = data
                 core_cols.append(col)
         percent_retained -= 0.01
         min_count = percent_retained * data.count()
@@ -254,12 +262,21 @@ def chi_square_signal(
 ) -> dict:
     """TP/FP/FN/TN accuracy of a slice as a segment predictor
     (metrics.py:440-460). Zeros on an empty slice."""
-    n_slice = sliced.count()
+    is_seg = (F.col(label_col) == seg).cast("long")
+    s = sliced.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(is_seg).alias("tp")
+    ).collect()[0]
+    n_slice = s["n"]
     if n_slice == 0:
         return {"signal": 0, "precision": 0, "recall_score": 0, "f1_score": 0}
-    tp = sliced.filter(F.col(label_col) == seg).count()
-    true = original.filter(F.col(label_col) == seg).count()
-    false = original.filter(F.col(label_col) != seg).count()
+    tp = s["tp"]
+    # NULL labels belong to neither count (the filter forms exclude them)
+    o = original.agg(
+        F.sum(is_seg).alias("true"),
+        F.sum((F.col(label_col) != seg).cast("long")).alias("false"),
+    ).collect()[0]
+    true = o["true"] or 0
+    false = o["false"] or 0
     fp = n_slice - tp
     fn = true - tp
     tn = false - fp
