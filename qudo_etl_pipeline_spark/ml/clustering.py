@@ -350,27 +350,36 @@ def hierarchical_segmentation(
     the loop is driver-side; each fit is a distributed MLlib job.
     """
     hier_ks = hier_ks or [2, 3]
-    groups = sorted(
-        r[pivot_col]
-        for r in df.select(pivot_col).distinct().collect()
-        if r[pivot_col] is not None
-    )
-    parts: list[DataFrame] = []
-    offset = 0
-    for g in groups:
-        sub = df.filter(F.col(pivot_col) == g)
-        if ignore_value is not None and g == ignore_value:
-            parts.append(sub.withColumn(PREDICTION, F.lit(-99)))
-            continue
-        best_k = optimal_k(sub, features_col, ks=hier_ks, seed=seed)
-        fit = kmeans_fit(sub, best_k, seed=seed, features_col=features_col)
-        parts.append(
-            fit["labels"].withColumn(
-                PREDICTION, F.col(PREDICTION) + F.lit(offset)
-            )
+    # every group runs |ks| optimal-k fits + 1 final fit, each an
+    # iterative scan of its slice — cache the input once so those reads
+    # hit memory instead of re-scanning the source per (group, k, iter);
+    # released after the eager fits (the returned lazy union then pays
+    # one uncached pass per group for the cheap transforms)
+    df = df.cache()
+    try:
+        groups = sorted(
+            r[pivot_col]
+            for r in df.select(pivot_col).distinct().collect()
+            if r[pivot_col] is not None
         )
-        offset += best_k
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        parts: list[DataFrame] = []
+        offset = 0
+        for g in groups:
+            sub = df.filter(F.col(pivot_col) == g)
+            if ignore_value is not None and g == ignore_value:
+                parts.append(sub.withColumn(PREDICTION, F.lit(-99)))
+                continue
+            best_k = optimal_k(sub, features_col, ks=hier_ks, seed=seed)
+            fit = kmeans_fit(sub, best_k, seed=seed, features_col=features_col)
+            parts.append(
+                fit["labels"].withColumn(
+                    PREDICTION, F.col(PREDICTION) + F.lit(offset)
+                )
+            )
+            offset += best_k
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    finally:
+        df.unpersist()
