@@ -345,6 +345,27 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_learned",
+    oracle=None,
+    survey_ids=["A10", "W2", "M4"],
+    description="IVF ANN with kmeans-learned centroids: the full "
+    "train-then-index path (rows-only: iterative kmeans training)",
+)
+def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import clustering as C
+
+    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    feats = vecs.select(
+        F.col("vec_id").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    fit = C.kmeans_fit(feats, k=4, seed=42)
+    centroids = [[float(x) for x in c] for c in fit["model"].clusterCenters()]
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(vecs, queries, centroids, nprobe=2, k=5)
+
+
 # --- multimodal -----------------------------------------------------------
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
