@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.functions.rounding import ref_round, ref_round_sql
 from qudo_etl_pipeline_spark.operators.contingency import (
     _dense_grid,
     chi2_by_variable,
@@ -133,14 +134,18 @@ def chi2_stat_by_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT variable, cluster, value,
            CAST(observed AS BIGINT) AS observed,
            ROUND(row_tot * col_tot * 1.0 / n, 6) AS expected,
-           ROUND((observed - row_tot * col_tot * 1.0 / n) /
-                 SQRT((row_tot * col_tot * 1.0 / n) *
-                      (1 - row_tot * 1.0 / n) * (1 - col_tot * 1.0 / n)), 3)
-             AS adj_residual,
+           {adjres} AS adj_residual,
            CAST(CASE WHEN observed > row_tot * col_tot * 1.0 / n
                      THEN 1 ELSE 0 END AS BIGINT) AS direction_pos
     FROM tot
-    """,
+    """.format(
+        adjres=ref_round_sql(
+            "(observed - row_tot * col_tot * 1.0 / n) /"
+            " SQRT((row_tot * col_tot * 1.0 / n) *"
+            " (1 - row_tot * 1.0 / n) * (1 - col_tot * 1.0 / n))",
+            3,
+        )
+    ),
     survey_ids=["M22", "M23", "A3"],
     description="Expected frequencies + adjusted residuals + direction per cell",
 )
@@ -164,7 +169,7 @@ def adjusted_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("observed").cast("bigint").alias("observed"),
         F.round("expected", 6).alias("expected"),
-        F.round(
+        ref_round(
             (F.col("observed") - F.col("expected"))
             / F.sqrt(
                 F.col("expected")
@@ -276,10 +281,10 @@ _DELIVER_ORACLE = f"""
     res AS (
       SELECT t.variable, t.cluster, t.value, t.observed,
              s.p_value, s.chi2_stat, s.n_values, s.n_clusters,
-             ROUND((t.observed - t.row_tot * t.col_tot * 1.0 / t.n)
+             {ref_round_sql('''(t.observed - t.row_tot * t.col_tot * 1.0 / t.n)
                    / SQRT((t.row_tot * t.col_tot * 1.0 / t.n)
                           * (1 - t.row_tot * 1.0 / t.n)
-                          * (1 - t.col_tot * 1.0 / t.n)), 3) AS z
+                          * (1 - t.col_tot * 1.0 / t.n))''', 3)} AS z
       FROM tot t JOIN sig s USING (variable)
     ), pos AS (
       SELECT r.*, d.answered_n
@@ -292,7 +297,7 @@ _DELIVER_ORACLE = f"""
     ), posagg AS (
       SELECT variable, cluster,
              array_to_string(list(value ORDER BY value), '|') AS sig_more_category,
-             array_to_string(list(CAST(ROUND(observed * 1.0 / answered_n * 100, 2)
+             array_to_string(list(CAST({ref_round_sql('observed * 1.0 / answered_n * 100', 2)}
                                        AS VARCHAR) ORDER BY value), '|')
                AS category_percentages
       FROM pos GROUP BY variable, cluster
@@ -310,12 +315,12 @@ _DELIVER_ORACLE = f"""
     SELECT p.variable AS q_code,
            m.pop_mode,
            ROUND(r.response_rate, 6) AS response_rate,
-           ROUND(m.mode_count * 1.0 / cs.cluster_n * 100, 2) AS mode_pop_perc,
-           ROUND(s.p_value, 5) AS chi_2_result,
+           {ref_round_sql('m.mode_count * 1.0 / cs.cluster_n * 100', 2)} AS mode_pop_perc,
+           {ref_round_sql('s.p_value', 5)} AS chi_2_result,
            p.sig_more_category,
            p.category_percentages,
            p.cluster AS targeting_seg,
-           ROUND(s.chi2_stat, 2) AS chi2_stat
+           {ref_round_sql('s.chi2_stat', 2)} AS chi2_stat
     FROM posagg p
     JOIN modes m ON p.variable = m.variable AND p.cluster = m.cluster
     JOIN sig s ON p.variable = s.variable
@@ -436,10 +441,10 @@ _DELIVER_WEIGHTED_ORACLE = f"""
     res AS (
       SELECT t.variable, t.cluster, t.value, t.observed,
              s.p_value, s.n_values, s.n_clusters,
-             ROUND((t.observed - t.row_tot * t.col_tot * 1.0 / t.n)
+             {ref_round_sql('''(t.observed - t.row_tot * t.col_tot * 1.0 / t.n)
                    / SQRT((t.row_tot * t.col_tot * 1.0 / t.n)
                           * (1 - t.row_tot * 1.0 / t.n)
-                          * (1 - t.col_tot * 1.0 / t.n)), 3) AS z
+                          * (1 - t.col_tot * 1.0 / t.n))''', 3)} AS z
       FROM tot t JOIN sig s USING (variable)
     ), denoms AS (
       SELECT variable, cluster, SUM(observed) AS answered_n, SUM(wn) AS answered_w
@@ -455,7 +460,7 @@ _DELIVER_WEIGHTED_ORACLE = f"""
     ), posagg AS (
       SELECT variable, cluster,
              array_to_string(list(value ORDER BY value), '|') AS sig_more_category,
-             array_to_string(list(CAST(ROUND(wn / answered_w * 100, 2)
+             array_to_string(list(CAST({ref_round_sql('wn / answered_w * 100', 2)}
                                        AS VARCHAR) ORDER BY value), '|')
                AS weighted_category_percentages
       FROM pos GROUP BY variable, cluster
@@ -467,12 +472,12 @@ _DELIVER_WEIGHTED_ORACLE = f"""
       WHERE rn = 1
     )
     SELECT p.variable AS q_code,
-           ROUND(s.p_value, 5) AS chi_2_result,
+           {ref_round_sql('s.p_value', 5)} AS chi_2_result,
            p.sig_more_category,
            p.weighted_category_percentages,
            p.cluster AS targeting_seg,
            wm.weighted_pop_mode,
-           ROUND(wm.wmode_count / cs.cluster_w * 100, 0) AS weighted_pop_mode_perc
+           {ref_round_sql('wm.wmode_count / cs.cluster_w * 100', 0)} AS weighted_pop_mode_perc
     FROM posagg p
     JOIN wmodes wm ON p.variable = wm.variable AND p.cluster = wm.cluster
     JOIN sig s ON p.variable = s.variable

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 from qudo_etl_pipeline_spark.operators import cleaning as CL
 
 
@@ -242,7 +243,7 @@ def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "population_modes_planted",
-    oracle="""
+    oracle=f"""
     WITH src AS (
       SELECT o_orderstatus AS cluster,
              1.0 + (o_orderkey % 3) AS w,
@@ -252,7 +253,7 @@ def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     tot AS (
-      SELECT COUNT(*) AS n, ROUND(SUM(w), 2) AS wsum FROM src
+      SELECT COUNT(*) AS n, {ref_round_sql('SUM(w)', 2)} AS wsum FROM src
     ),
     rowvals AS (
       SELECT cluster, w,
@@ -279,9 +280,9 @@ def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT w.cluster,
            'priority' AS shortname,
            w.value AS weighted_mode,
-           ROUND(w.wn / (SELECT wsum FROM tot), 2) AS weighted_mode_prop,
+           {ref_round_sql('w.wn / (SELECT wsum FROM tot)', 2)} AS weighted_mode_prop,
            u.value AS unweighted_mode,
-           ROUND(CAST(u.n AS DOUBLE) / (SELECT n FROM tot), 2) AS unweighted_mode_prop
+           {ref_round_sql('CAST(u.n AS DOUBLE) / (SELECT n FROM tot)', 2)} AS unweighted_mode_prop
     FROM (SELECT * FROM ranked WHERE rw = 1) w
     JOIN (SELECT * FROM ranked WHERE ru = 1) u ON w.cluster = u.cluster
     """,

@@ -1,0 +1,110 @@
+"""Reference-parity decimal rounding (Python ``round`` semantics).
+
+Every user-visible rounded number in the reference is produced by Python's
+built-in ``round`` (reference: src/kraken/app/inference/chisquared_tester.py
+:473, :757, :764, :769, :918, :969, :1527, :1535, :1547, :1553), which
+rounds the **true binary value** of the double to the nearest n-digit
+decimal, ties (exact binary midpoints) to even.
+
+Spark's ``F.round`` is HALF_UP and ``F.bround`` is HALF_EVEN — but both
+round the *shortest decimal representation* of the double
+(``BigDecimal.valueOf``), not its true binary value. The two semantics
+disagree on two classes of input:
+
+- exact binary midpoints, e.g. ``2/16 = 0.125`` → Python/bround 0.12,
+  F.round 0.13 (the round-2 failing property test);
+- values whose shortest repr *looks* like a midpoint but whose binary
+  value is off it, e.g. ``3/40 = 0.075`` (binary 0.074999…972) →
+  Python 0.07, but bround sees "0.075" and gives 0.08.
+
+:func:`ref_round` reproduces Python ``round`` exactly in pure JVM column
+arithmetic: an error-free Dekker/Veltkamp two-product splits ``x * 10^n``
+into ``p + err`` (both doubles, sum exact), and the round-half-even
+decision is taken on ``(frac(p) - 0.5) + err`` — the sign of which is the
+sign of the true distance from the midpoint. No UDF, no Python crossing,
+whole-stage-codegen friendly.
+
+:func:`ref_round_sql` emits the equivalent DuckDB SQL for oracle queries:
+DuckDB's ``printf('%.20f', x)`` is correctly rounded against the true
+binary value (unlike Java's zero-padding ``format``), and 20 fractional
+digits is provably enough — the nearest non-representable double to any
+n<=5-digit midpoint is ~1e-17 away, far above the 5e-21 quantization of
+the printf. (DuckDB's own ``round_even`` silently casts DECIMAL to DOUBLE
+and then uses shortest-repr semantics, so it cannot be used.)
+
+Both implementations pass through NULL / NaN / ±Inf / |x| >= 1e15
+unchanged (doubles >= 2^53 have no fractional digits to round anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Veltkamp splitter for IEEE doubles: 2^27 + 1.
+_SPLIT = 134217729.0
+# |x| above this bypasses rounding: x * 10^n approaches 2^63 (the floor()
+# BIGINT range) and such doubles are integers already at n >= 0 digits.
+_HUGE = 1e15
+
+
+def ref_round(col: Column | str, scale: int = 0) -> Column:
+    """Python-``round`` parity rounding of a double column to ``scale``.
+
+    Matches CPython ``round(x, scale)`` bit-for-bit for all finite
+    |x| < 1e15 and 0 <= scale <= 5 (property-tested in
+    tests/test_rounding.py against Python and the DuckDB mirror).
+    """
+    if not 0 <= scale <= 7:
+        raise ValueError(f"scale {scale} outside validated range [0, 7]")
+    x = F.col(col) if isinstance(col, str) else col
+    c = F.lit(float(10**scale))
+
+    # Error-free transformation: p + err == x * 10^scale exactly.
+    # 10^scale <= 1e7 fits in 24 bits, so it needs no splitting; both
+    # xh*c (27+24 bits) and xl*c (26+24 bits) are exact products.
+    p = x * c
+    big = x * F.lit(_SPLIT)
+    xh = big - (big - x)
+    xl = x - xh
+    err = (xh * c - p) + xl * c
+
+    k = F.floor(p)  # BIGINT
+    fr = p - k.cast("double")  # exact: p in [k, k+1), |p| < 2^52
+    # fr - 0.5 is exact whenever fr is near 0.5 (Sterbenz); elsewhere the
+    # rounding error cannot flip the sign of s. s's sign is the side of
+    # the true midpoint; s == 0 is an exact tie.
+    s = (fr - F.lit(0.5)) + err
+    odd = F.pmod(k, F.lit(2)) != 0
+    up = (s > 0) | ((s == 0) & odd)
+    k2 = F.when(up, k + 1).otherwise(k)
+    rounded = k2.cast("double") / c
+
+    return F.when(
+        x.isNull() | F.isnan(x) | (F.abs(x) >= F.lit(_HUGE)), x
+    ).otherwise(rounded)
+
+
+def ref_round_sql(expr: str, scale: int = 0) -> str:
+    """DuckDB SQL expression with the same Python-``round`` semantics.
+
+    ``expr`` must be a SQL expression of DOUBLE type (it is re-evaluated
+    several times — fine for the aggregated oracle frames this serves).
+    """
+    if not 0 <= scale <= 7:
+        raise ValueError(f"scale {scale} outside validated range [0, 7]")
+    c = 10**scale
+    x = f"CAST(({expr}) AS DOUBLE)"
+    # Exact 20-digit decimal expansion of the double, scaled. The DECIMAL
+    # multiply is exact (scale shift); 38-20=18 integer digits hold any
+    # |x| < 1e15 scaled by <= 1e7... within the guard below.
+    scaled = f"(CAST(printf('%.20f', {x}) AS DECIMAL(38,20)) * {c})"
+    k = f"CAST(FLOOR({scaled}) AS HUGEINT)"
+    fr = f"({scaled} - FLOOR({scaled}))"
+    up = f"(({fr}) > 0.5 OR (({fr}) = 0.5 AND ({k}) % 2 != 0))"
+    return (
+        f"(CASE WHEN ({expr}) IS NULL OR isnan({x}) OR isinf({x})"
+        f" OR ABS({x}) >= {_HUGE!r} THEN {x}"
+        f" ELSE CAST({k} + CASE WHEN {up} THEN 1 ELSE 0 END AS DOUBLE)"
+        f" / {c} END)"
+    )

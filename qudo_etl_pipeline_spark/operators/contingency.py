@@ -42,6 +42,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from qudo_etl_pipeline_spark.functions.rounding import ref_round
 from qudo_etl_pipeline_spark.functions.stats import chi2_sf_udf
 from qudo_etl_pipeline_spark.plans.melt import melt
 
@@ -319,7 +320,9 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     # variables, so rows with a zero divisor (e.g. a constant variable,
     # row_tot == n) can still be evaluated before being filtered. The NULL
     # keeps ANSI mode from throwing on rows that never reach the output.
-    adj_res = F.round(
+    # ref_round: Python-round parity (reference rounds z to 3 with Python
+    # round before squaring, chisquared_tester.py:473)
+    adj_res = ref_round(
         F.try_divide(
             F.col("observed") - F.col("expected"),
             F.sqrt(
@@ -445,8 +448,8 @@ def deliver_stats(
     pos = (
         post.filter((F.col("post_hoc") == "pos") & (F.col("value") != NOT_SELECTED))
         .join(grp, ["variable", cluster_col])
-        .withColumn("cat_perc", F.round(F.col("observed") / F.col("answered_n") * 100, 2))
-        .withColumn("w_cat_perc", F.round(F.col("w_observed") / F.col("answered_w") * 100, 2))
+        .withColumn("cat_perc", ref_round(F.col("observed") / F.col("answered_n") * 100, 2))
+        .withColumn("w_cat_perc", ref_round(F.col("w_observed") / F.col("answered_w") * 100, 2))
     )
     pos_agg = pos.groupBy("variable", cluster_col).agg(
         _ordered_list(F.col("value"), F.col("value")).alias("sig_more_category"),
@@ -471,22 +474,22 @@ def deliver_stats(
             F.col("variable").alias("q_code"),
             "pop_mode",
             "response_rate",
-            F.round(F.col("mode_count") / F.col("cluster_n") * 100, 2).alias(
+            ref_round(F.col("mode_count") / F.col("cluster_n") * 100, 2).alias(
                 "mode_pop_perc"
             ),
-            F.round(F.col("p_value"), 5).alias("chi_2_result"),
+            ref_round(F.col("p_value"), 5).alias("chi_2_result"),
             "sig_more_category",
             "category_percentages",
             F.col(cluster_col).cast("string").alias("targeting_seg"),
             *(
-                [F.round(F.col("chi2_stat"), 2).alias("chi2_stat")]
+                [ref_round(F.col("chi2_stat"), 2).alias("chi2_stat")]
                 if include_chi2_stat
                 else []
             ),
             *(
                 [
                     "weighted_pop_mode",
-                    F.round(F.col("wmode_count") / F.col("cluster_w") * 100, 0).alias(
+                    ref_round(F.col("wmode_count") / F.col("cluster_w") * 100, 0).alias(
                         "weighted_pop_mode_perc"
                     ),
                     "weighted_category_percentages",

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
 NOT_SELECTED = "not selected"
 
 
@@ -69,10 +71,14 @@ def population_modes(
     )
     totals = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(w), 2).alias("wsum"),
+        F.sum(w).alias("wsum"),
     ).collect()[0]
     sample_total = totals["n"]
-    weighted_total = totals["wsum"] if weight_col else float(sample_total)
+    # driver-side Python round == the reference's round(weights.sum(), 2)
+    # (chisquared_tester.py:757) — HALF_EVEN on the true binary value
+    weighted_total = (
+        round(totals["wsum"], 2) if weight_col else float(sample_total)
+    )
 
     q_structs = []
     for shortname, cols in question_cols.items():
@@ -125,15 +131,17 @@ def population_modes(
             )
         ).alias("_um"),
     )
+    # ref_round = Python-round parity (chisquared_tester.py:764,769) —
+    # HALF_EVEN on the true binary value, NOT F.round's HALF_UP
     return modes.select(
         "cluster",
         "shortname",
         F.col("_wm.v").alias("weighted_mode"),
-        F.round(F.col("_wm.m") / F.lit(weighted_total), 2).alias(
+        ref_round(F.col("_wm.m") / F.lit(weighted_total), 2).alias(
             "weighted_mode_prop"
         ),
         F.col("_um.v").alias("unweighted_mode"),
-        F.round(F.col("_um.m") / F.lit(float(sample_total)), 2).alias(
+        ref_round(F.col("_um.m") / F.lit(float(sample_total)), 2).alias(
             "unweighted_mode_prop"
         ),
     )
