@@ -19,6 +19,7 @@ from qudo_etl_pipeline_spark.functions.rounding import ref_round, ref_round_sql
 from qudo_etl_pipeline_spark.operators.contingency import (
     _dense_grid,
     chi2_by_variable,
+    cluster_mode_list,
     contingency_tables,
     deliver_stats,
 )
@@ -519,6 +520,65 @@ def deliver_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "targeting_seg",
         "weighted_pop_mode",
         "weighted_pop_mode_perc",
+    )
+
+
+@register(
+    "mode_list_planted",
+    oracle="""
+    WITH wide AS (
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'budget'
+                  WHEN o_totalprice < 250000 THEN 'mid'
+                  ELSE 'premium' END AS cluster,
+             CASE WHEN o_totalprice < 150000 THEN 'under150k'
+                  ELSE 'over150k' END AS q_band,
+             o_orderpriority AS q_priority,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderstatus END AS q_status
+      FROM orders
+    ), long AS (
+      SELECT cluster, 'q_band' AS variable, q_band AS value FROM wide
+      UNION ALL SELECT cluster, 'q_priority', q_priority FROM wide
+      UNION ALL SELECT cluster, 'q_status', q_status FROM wide
+      UNION ALL SELECT cluster, 'cluster', cluster FROM wide
+    ), counts AS (
+      SELECT cluster, variable, value, COUNT(*) AS n
+      FROM long GROUP BY cluster, variable, value
+    )
+    SELECT cluster, variable, value AS mode_value
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cluster, variable
+            ORDER BY n DESC, (value IS NULL) ASC, value ASC) AS rn
+          FROM counts)
+    WHERE rn = 1
+    """,
+    survey_ids=["M26", "A6"],
+    description="mode_list: per-cluster modal answer for every column "
+    "(nulls counted, pandas mode(dropna=False) tie order) — the third "
+    "element of the reference's return_API_data triple",
+)
+def mode_list_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_totalprice") < 100000, "budget")
+        .when(F.col("o_totalprice") < 250000, "mid")
+        .otherwise("premium")
+        .alias("cluster"),
+        F.when(F.col("o_totalprice") < 150000, "under150k")
+        .otherwise("over150k")
+        .alias("q_band"),
+        F.col("o_orderpriority").alias("q_priority"),
+        # planted nulls exercise the dropna=False branch
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("q_status"),
+    )
+    return cluster_mode_list(
+        wide,
+        cluster_col="cluster",
+        variables=["q_band", "q_priority", "q_status"],
+        id_vars=["id"],
     )
 
 

@@ -504,6 +504,64 @@ def deliver_stats(
     return out
 
 
+def cluster_mode_list(
+    wide: DataFrame,
+    cluster_col: str,
+    variables: list[str] | None = None,
+    id_vars: list[str] | None = None,
+) -> DataFrame:
+    """Per-cluster modal answer for every column — the third element of
+    the reference's ``return_API_data`` triple (M26).
+
+    Reference: chisquared_tester.py:1788-1792 — for each cluster group,
+    ``sub_frame.mode(dropna=False).head(1)``: per column the most
+    frequent value, with nulls counted as a value, ties broken by the
+    ascending sort pandas.mode applies (nulls last). The group sub-frame
+    includes the cluster column itself, so its (trivial) mode row is kept
+    for output-shape parity.
+
+    One melt + ONE full-data shuffle; output cardinality is
+    |columns| x |clusters| — independent of row count, same scale story
+    as the deliver-stats cell table. Output: cluster (string), variable,
+    mode_value.
+    """
+    if variables is None:
+        variables = [c for c in wide.columns if c not in set(id_vars or [])]
+    elif cluster_col not in variables:
+        variables = [*variables, cluster_col]
+    long = melt(
+        wide.select(cluster_col, *[c for c in variables if c != cluster_col]),
+        id_vars=[cluster_col],
+        value_vars=None,
+    ).unionByName(
+        # the cluster column's own melt row (cluster, 'cluster_col', cluster)
+        wide.select(
+            F.col(cluster_col),
+            F.lit(cluster_col).alias("variable"),
+            F.col(cluster_col).cast("string").alias("value"),
+        )
+    )
+    counts = long.groupBy(cluster_col, "variable", "value").agg(
+        F.count(F.lit(1)).alias("n")  # count(lit(1)) keeps null-value rows
+    )
+    # argmax as min-over-struct: (-count, nulls-last, value) reproduces
+    # pandas mode(dropna=False) tie order without a window
+    pick = counts.groupBy(cluster_col, "variable").agg(
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("value").isNull().cast("int").alias("null_last"),
+                F.col("value").alias("v"),
+            )
+        ).alias("_m")
+    )
+    return pick.select(
+        F.col(cluster_col).cast("string").alias("cluster"),
+        "variable",
+        F.col("_m.v").alias("mode_value"),
+    )
+
+
 def discover_stats(deliver: DataFrame, n_feats: int = 10) -> DataFrame:
     """Top-``n_feats`` variables per segment by ascending p-value.
 

@@ -39,6 +39,7 @@ from qudo_etl_pipeline_spark.ml import lca as LCA
 from qudo_etl_pipeline_spark.ml.business import get_all_metrics
 from qudo_etl_pipeline_spark.operators import cleaning as CL
 from qudo_etl_pipeline_spark.operators.contingency import (
+    cluster_mode_list,
     contingency_tables,
     deliver_stats,
     discover_stats,
@@ -167,6 +168,14 @@ def run_scheme(
         # re-executing the inference arithmetic.
         deliver = deliver_stats(tables, alpha=1 - cfg.conf_interval).cache()
         discover = discover_stats(deliver)
+        # third element of the reference's return_API_data triple
+        # (chisquared_tester.py:1788-1792): per-cluster modal answer
+        modes = cluster_mode_list(
+            with_pred,
+            cluster_col="prediction",
+            variables=scheme_cols,
+            id_vars=[cfg.id_col],
+        )
         feats = FE.assemble_array(encoded, scheme_cols).join(
             labeled.select(cfg.id_col, "prediction"), cfg.id_col
         )
@@ -184,6 +193,7 @@ def run_scheme(
             "labels": labeled,
             "deliver": deliver,
             "discover": discover,
+            "mode_list": modes,
             "metrics": metrics,
         }
     encoded.unpersist()

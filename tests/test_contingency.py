@@ -127,3 +127,34 @@ def test_melt_roundtrip_counts(spark, survey_df):
         long.groupBy("id", "cluster").pivot("variable").agg(F.first("value"))
     )
     assert back.count() == survey_df.count()
+
+
+def test_cluster_mode_list_matches_pandas_mode(spark):
+    """cluster_mode_list == per-cluster DataFrame.mode(dropna=False).head(1)
+    (reference chisquared_tester.py:1788-1792): nulls counted, ties to the
+    ascending-sorted first, nulls last on ties, cluster column included."""
+    from qudo_etl_pipeline_spark.operators.contingency import cluster_mode_list
+
+    rows = [
+        # c0: q1 tie a/b 2-2 -> 'a'; q2 mode is NULL (3 nulls vs 1 'x')
+        ("c0", "a", None),
+        ("c0", "a", None),
+        ("c0", "b", None),
+        ("c0", "b", "x"),
+        # c1: q1 clear mode 'z'; q2 tie NULL/'y' 1-1 -> 'y' (nulls last)
+        ("c1", "z", "y"),
+        ("c1", "z", None),
+    ]
+    df = spark.createDataFrame(rows, "cluster string, q1 string, q2 string")
+    got = {
+        (r["cluster"], r["variable"]): r["mode_value"]
+        for r in cluster_mode_list(df, "cluster", variables=["q1", "q2"]).collect()
+    }
+    assert got == {
+        ("c0", "q1"): "a",
+        ("c0", "q2"): None,
+        ("c0", "cluster"): "c0",
+        ("c1", "q1"): "z",
+        ("c1", "q2"): "y",
+        ("c1", "cluster"): "c1",
+    }

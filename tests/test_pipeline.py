@@ -58,6 +58,12 @@ def test_end_to_end_segmentation(spark, responses, tmp_path):
         assert {"q_code", "pop_mode", "chi_2_result", "targeting_seg"} <= deliver_cols
         # p-values significant at alpha=0.05 only
         assert res["deliver"].filter(F.col("chi_2_result") > 0.05).count() == 0
+        # return_API_data third element: one modal answer per
+        # (cluster, scheme column) plus the cluster column's own row
+        ml = res["mode_list"]
+        assert set(ml.columns) == {"cluster", "variable", "mode_value"}
+        n_clusters = res["labels"].select("prediction").distinct().count()
+        assert ml.count() > 0 and ml.count() % n_clusters == 0
     # sinks materialized
     metrics_csv = spark.read.option("header", True).csv(
         str(tmp_path / "out" / "metrics_csv")
