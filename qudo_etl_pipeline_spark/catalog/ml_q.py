@@ -638,6 +638,35 @@ def lca_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lca_mixed_documents",
+    oracle=None,
+    survey_ids=["M8"],
+    description="Mixed-type LCA (depmixS4-mix parity: multinomial + "
+    "gaussian factors) class sizes on document metadata (rows-only: "
+    "iterative EM)",
+)
+def lca_mixed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import lca as LCA
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("row_id"),
+        F.col("lang").alias("a0"),
+        F.col("source").alias("a1"),
+        F.col("n_chars").cast("double").alias("x0"),
+        F.length("text").cast("double").alias("x1"),
+    )
+    fit = LCA.lca_fit(
+        docs, ["a0", "a1"], k=3, seed=42, max_iter=30, num_cols=["x0", "x1"]
+    )
+    return (
+        fit["labels"]
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
+@register(
     "uniqueness_planted",
     oracle="""
     WITH pairs AS (

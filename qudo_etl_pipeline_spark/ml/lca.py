@@ -1,10 +1,15 @@
 """Latent Class Analysis: multinomial-mixture EM over DataFrames.
 
-The reference runs R's poLCA (reference: src/kraken/app/lca.R:13-52 —
-k in 3..8, nrep random restarts, min-BIC pick; invoked via rpy2 from
-clustering.py:834-904). There is no JVM/MLlib equivalent; this module
-implements the same model — a finite mixture of products of
-multinomials — as an EM loop where each step is a Spark plan:
+The reference runs R's poLCA for all-categorical inputs (reference:
+src/kraken/app/lca.R:13-52 — k in 3..8, nrep random restarts, min-BIC
+pick) and depmixS4's ``mix`` for MIXED numeric+categorical inputs
+(lca.R:54-101: independent mixture with multinomial factors for
+categoricals and gaussian mean/variance factors for numerics, k in
+2..8, min BIC — dispatched at clustering.py:862-867 when the feature
+set is the kprototypes kind). Both are invoked via rpy2 from
+clustering.py:834-904. There is no JVM/MLlib equivalent; this module
+implements both models — a finite mixture of independent per-column
+factors — as an EM loop where each step is a Spark plan:
 
 - **E-step** (map-only, no shuffle): per class c the row
   log-likelihood  log pi_c + sum_col log theta(c, col, x_col)  is a
@@ -54,6 +59,20 @@ def _log_theta_col(col: str, table: dict[str, float], floor: float) -> Column:
     )
 
 
+_VAR_FLOOR = 1e-6
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _gauss_logpdf(col: str, mu: float, var: float) -> Column:
+    """Per-row gaussian log-density as a column expression."""
+    v = max(var, _VAR_FLOOR)
+    x = F.col(col).cast("double")
+    return (
+        F.lit(-0.5 * (_LOG_2PI + math.log(v)))
+        - (x - F.lit(mu)) * (x - F.lit(mu)) / F.lit(2.0 * v)
+    )
+
+
 def lca_fit(
     df: DataFrame,
     cols: list[str],
@@ -62,11 +81,29 @@ def lca_fit(
     max_iter: int = 60,
     tol: float = 1e-4,
     smoothing: float = 1e-3,
+    num_cols: list[str] | None = None,
 ) -> dict:
     """One EM run. Returns dict(labels, pi, theta, loglik, bic, aic,
-    n_params, n_iter)."""
+    n_params, n_iter[, mu, var]).
+
+    With ``num_cols`` this is the reference's MIXED-type branch
+    (depmixS4 ``mix``, reference lca.R:54-101, dispatched when the
+    feature set has numeric columns — clustering.py:862-867): an
+    independent mixture whose per-class factors are multinomials for
+    ``cols`` and gaussians (per-class mean/variance) for ``num_cols``.
+    The gaussian sufficient statistics (sum r*x, sum r*x^2 per class)
+    ride the SAME single M-step aggregation as the class masses, so the
+    mixed model adds zero shuffles over the categorical one.
+    """
     floor = 1e-12
-    values = {c: sorted(m) for c, m in build_code_maps(df, cols).items()}
+    num_cols = list(num_cols or [])
+    if not cols and not num_cols:
+        raise ValueError("lca_fit: no columns to model")
+    values = (
+        {c: sorted(m) for c, m in build_code_maps(df, cols).items()}
+        if cols
+        else {}
+    )
     n = df.count()
     rng = np.random.default_rng(seed)
     pi = [1.0 / k] * k
@@ -78,6 +115,34 @@ def lca_fit(
             raw /= raw.sum()
             cls[c] = {v: float(p) for v, p in zip(values[c], raw)}
         theta.append(cls)
+
+    # gaussian init: class means spread over the per-column quantiles
+    # (one map-side-combined pass; k x |num_cols| driver-side floats).
+    # Quantile spread beats mean-jitter for well-separated components —
+    # two inits in one basin is a local optimum EM cannot escape.
+    mu: list[dict[str, float]] = [{} for _ in range(k)]
+    var: list[dict[str, float]] = [{} for _ in range(k)]
+    if num_cols:
+        probs = [(2 * i + 1) / (2 * k) for i in range(k)]
+        g = df.agg(
+            *[
+                F.var_pop(F.col(c).cast("double")).alias(f"v_{c}")
+                for c in num_cols
+            ],
+            *[
+                F.percentile_approx(
+                    F.col(c).cast("double"), probs, 10000
+                ).alias(f"q_{c}")
+                for c in num_cols
+            ],
+        ).collect()[0]
+        for c in num_cols:
+            g_var = max(float(g[f"v_{c}"] or 1.0), _VAR_FLOOR)
+            quants = g[f"q_{c}"] or [0.0] * k
+            jitter = 0.1 * math.sqrt(g_var)
+            for c_i in range(k):
+                mu[c_i][c] = float(quants[c_i]) + float(rng.normal()) * jitter
+                var[c_i][c] = g_var
 
     df = df.cache()
     loglik = -math.inf
@@ -91,6 +156,8 @@ def lca_fit(
                 expr = F.lit(math.log(max(pi[c_i], floor)))
                 for c in cols:
                     expr = expr + _log_theta_col(c, theta[c_i][c], floor)
+                for c in num_cols:
+                    expr = expr + _gauss_logpdf(c, mu[c_i][c], var[c_i][c])
                 logp.append(expr.alias(f"_lp{c_i}"))
             scored = df.select("*", *logp)
             mx = F.greatest(*[F.col(f"_lp{i}") for i in range(k)])
@@ -109,23 +176,47 @@ def lca_fit(
                 lse.alias("_ll"),
             ).cache()
 
-            # M-step: one shuffle for all theta counts
+            # M-step: one shuffle for all theta counts; the gaussian
+            # sufficient statistics ride the same aggregate
+            num_sums = []
+            for i in range(k):
+                for c in num_cols:
+                    x = F.col(c).cast("double")
+                    num_sums.append(
+                        F.sum(F.col(f"_r{i}") * x).alias(f"sx_{i}_{c}")
+                    )
+                    num_sums.append(
+                        F.sum(F.col(f"_r{i}") * x * x).alias(f"sxx_{i}_{c}")
+                    )
             agg_row = resp.agg(
                 F.sum("_ll").alias("ll"),
                 *[F.sum(f"_r{i}").alias(f"n{i}") for i in range(k)],
+                *num_sums,
             ).collect()[0]
             new_ll = agg_row["ll"]
             class_mass = [agg_row[f"n{i}"] for i in range(k)]
-            long = melt(
-                resp.select(*[f"_r{i}" for i in range(k)], *cols),
-                id_vars=[f"_r{i}" for i in range(k)],
-                value_vars=cols,
-            )
-            cell_rows = (
-                long.groupBy("variable", "value")
-                .agg(*[F.sum(f"_r{i}").alias(f"m{i}") for i in range(k)])
-                .collect()
-            )
+            for c_i in range(k):
+                m = max(class_mass[c_i], floor)
+                for c in num_cols:
+                    new_mu = agg_row[f"sx_{c_i}_{c}"] / m
+                    mu[c_i][c] = new_mu
+                    var[c_i][c] = max(
+                        agg_row[f"sxx_{c_i}_{c}"] / m - new_mu * new_mu,
+                        _VAR_FLOOR,
+                    )
+            if cols:
+                long = melt(
+                    resp.select(*[f"_r{i}" for i in range(k)], *cols),
+                    id_vars=[f"_r{i}" for i in range(k)],
+                    value_vars=cols,
+                )
+                cell_rows = (
+                    long.groupBy("variable", "value")
+                    .agg(*[F.sum(f"_r{i}").alias(f"m{i}") for i in range(k)])
+                    .collect()
+                )
+            else:  # pure-gaussian mixture: no multinomial factors
+                cell_rows = []
             resp.unpersist()
             pi = [m / n for m in class_mass]
             mass: dict[tuple[int, str, str], float] = {}
@@ -153,6 +244,8 @@ def lca_fit(
             expr = F.lit(math.log(max(pi[c_i], floor)))
             for c in cols:
                 expr = expr + _log_theta_col(c, theta[c_i][c], floor)
+            for c in num_cols:
+                expr = expr + _gauss_logpdf(c, mu[c_i][c], var[c_i][c])
             logp.append(expr.alias(f"_lp{c_i}"))
         scored = df.select("*", *logp)
         mx = F.greatest(*[F.col(f"_lp{i}") for i in range(k)])
@@ -171,13 +264,20 @@ def lca_fit(
         labels = scored.withColumn("prediction", pred).drop(
             *[f"_lp{i}" for i in range(k)]
         )
-        n_params = (k - 1) + k * sum(len(values[c]) - 1 for c in cols)
+        # gaussian factors add (mean, variance) per class per column
+        n_params = (
+            (k - 1)
+            + k * sum(len(values[c]) - 1 for c in cols)
+            + k * 2 * len(num_cols)
+        )
         bic = -2 * loglik + n_params * math.log(n)
         aic = -2 * loglik + 2 * n_params
         return {
             "labels": labels,
             "pi": pi,
             "theta": theta,
+            "mu": mu,
+            "var": var,
             "loglik": loglik,
             "bic": bic,
             "aic": aic,
@@ -197,14 +297,22 @@ def lca_select(
     n_rep: int = 3,
     seed: int = 42,
     max_iter: int = 60,
+    num_cols: list[str] | None = None,
 ) -> dict:
     """poLCA-style selection (lca.R:13-52): refit over k x restarts,
-    keep the minimum-BIC model. n_rep is a scaled-down nrep=100."""
+    keep the minimum-BIC model. n_rep is a scaled-down nrep=100.
+
+    With ``num_cols`` this is the mixed-type dispatch: the reference's
+    depmixS4 branch scans k in 2..8 and keeps the min-BIC mixture
+    (lca.R:90-99); pass ``ks=list(range(2, 9))`` for exact parity."""
     ks = ks or list(range(3, 9))
     best = None
     for k in ks:
         for rep in range(n_rep):
-            fit = lca_fit(df, cols, k, seed=seed + rep, max_iter=max_iter)
+            fit = lca_fit(
+                df, cols, k, seed=seed + rep, max_iter=max_iter,
+                num_cols=num_cols,
+            )
             if best is None or fit["bic"] < best["bic"]:
                 best = fit
     return best

@@ -76,7 +76,12 @@ def select_scheme_columns(
     ]
 
 
-def _family_kmeans(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+def _family_kmeans(
+    encoded: DataFrame,
+    cols: list[str],
+    cfg: SegmentationConfig,
+    num_cols: list[str],
+):
     feats = FE.assemble_array(encoded, cols)
     std, _ = FE.standardize(feats.select(cfg.id_col, *cols), cols)
     std = FE.assemble_array(std, cols)
@@ -88,7 +93,12 @@ def _family_kmeans(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig)
     return ("kmeans_and_pca", fit)
 
 
-def _family_gmm(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+def _family_gmm(
+    encoded: DataFrame,
+    cols: list[str],
+    cfg: SegmentationConfig,
+    num_cols: list[str],
+):
     feats = FE.assemble_array(encoded, cols)
     fit = C.gmm_multi_seed(
         feats, k=(cfg.ks or [3])[0], seeds=cfg.seeds or [42, 100], max_workers=2
@@ -96,22 +106,54 @@ def _family_gmm(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
     return ("bmm", fit)
 
 
-def _family_kmodes(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+def _family_kmodes(
+    encoded: DataFrame,
+    cols: list[str],
+    cfg: SegmentationConfig,
+    num_cols: list[str],
+):
+    # kmodes-vs-kprototypes by presence of numeric columns
+    # (clustering.py:220-234): numeric features switch the family to the
+    # mixed-distance variant, like the reference's dispatch
+    if num_cols:
+        cat = [c for c in cols if c not in num_cols]
+        fit = KM.kprototypes_fit(
+            encoded, cat, num_cols, k=(cfg.ks or [3])[0], id_col=cfg.id_col
+        )
+        fit["seed"] = None
+        return ("kprototypes", fit)
     fit = KM.kmodes_fit(encoded, cols, k=(cfg.ks or [3])[0], id_col=cfg.id_col)
     fit["seed"] = None
     return ("kmodes", fit)
 
 
-def _family_rules(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+def _family_rules(
+    encoded: DataFrame,
+    cols: list[str],
+    cfg: SegmentationConfig,
+    num_cols: list[str],
+):
     if not cfg.rules_col:
         return ("rules_based", None)
     labeled = C.rules_based(encoded, cfg.rules_col)
     return ("rules_based", {"labels": labeled, "k": None, "seed": None})
 
 
-def _family_lca(encoded: DataFrame, cols: list[str], cfg: SegmentationConfig):
+def _family_lca(
+    encoded: DataFrame,
+    cols: list[str],
+    cfg: SegmentationConfig,
+    num_cols: list[str],
+):
+    # mixed-type dispatch (clustering.py:862-867): numeric features send
+    # the survey to the depmixS4-style gaussian+multinomial mixture; the
+    # reference models the LABEL-ENCODED values in both branches
+    # (cluster_df = self.data_encoded, clustering.py:841-845), so the
+    # gaussian factors see encoded codes here too — same semantics.
+    cat = [c for c in cols if c not in num_cols]
     fit = LCA.lca_select(
-        encoded, cols, ks=cfg.ks or [3], n_rep=1, max_iter=30
+        encoded, cat, ks=cfg.ks or [3], n_rep=1, max_iter=30,
+        num_cols=num_cols or None,
     )
     return ("lca", fit)
 
@@ -135,11 +177,16 @@ def run_scheme(
     (clustering.py:1079-1138)."""
     code_maps = FE.build_code_maps(cleaned, scheme_cols)
     encoded = FE.label_encode(cleaned, scheme_cols, code_maps=code_maps).cache()
+    # numeric-vs-categorical sniff on the PRE-encoded data (the reference
+    # detects dtypes on self.data, clustering.py:207-234) drives the
+    # kmodes/kprototypes and pure/mixed-LCA family dispatch
+    num_cols = FE.sniff_numeric_columns(cleaned, scheme_cols)
     algos = list(cfg.algorithms) + (["lca"] if cfg.include_lca else [])
     with ThreadPoolExecutor(max_workers=len(algos)) as pool:
         fits = list(
             pool.map(
-                lambda a: _FAMILIES[a](encoded, scheme_cols, cfg), algos
+                lambda a: _FAMILIES[a](encoded, scheme_cols, cfg, num_cols),
+                algos,
             )
         )
     results = {}

@@ -118,3 +118,36 @@ def test_lca_select_prefers_true_k(spark, cat_df):
         cat_df, ["q0", "q1", "q2", "q3"], ks=[2, 3, 4], n_rep=2, seed=42
     )
     assert best["k"] == 3
+
+
+def test_lca_mixed_recovers_planted_classes(spark, cat_df):
+    """Mixed-type LCA (depmixS4 mix parity, lca.R:54-101): gaussian
+    factors for numeric columns join the multinomial EM. A numeric
+    signal aligned with the planted classes must be recovered."""
+    with_num = cat_df.withColumn(
+        "x", F.col("truth").cast("double") * 10.0 + (F.rand(7) - 0.5)
+    ).withColumn(
+        "y", F.col("truth").cast("double") * -3.0 + (F.rand(8) - 0.5)
+    )
+    fit = LCA.lca_fit(
+        with_num, ["q0", "q1"], k=3, seed=42, num_cols=["x", "y"]
+    )
+    ari = Q.adjusted_rand_index(fit["labels"], "truth", "prediction")
+    assert ari > 0.9
+    # (k-1) priors + k*(|v|-1) multinomial + k*2*|num| gaussian params
+    assert fit["n_params"] == 2 + 3 * (2 + 2) + 3 * 2 * 2
+    # class means must sit near the planted per-class numeric centers
+    xs = sorted(m["x"] for m in fit["mu"])
+    assert xs == pytest.approx([0.0, 10.0, 20.0], abs=1.5)
+    assert all(v["x"] < 2.0 for v in fit["var"])
+
+
+def test_lca_mixed_pure_gaussian(spark, cat_df):
+    """num_cols-only fit (no categorical factors) must also converge."""
+    with_num = cat_df.withColumn(
+        "x", F.col("truth").cast("double") * 10.0 + (F.rand(9) - 0.5)
+    )
+    fit = LCA.lca_fit(with_num, [], k=3, seed=1, num_cols=["x"])
+    ari = Q.adjusted_rand_index(fit["labels"], "truth", "prediction")
+    assert ari > 0.9
+    assert fit["n_params"] == 2 + 3 * 2

@@ -47,7 +47,9 @@ def test_end_to_end_segmentation(spark, responses, tmp_path):
         spark, responses, cfg, output_dir=str(tmp_path / "out")
     )
     by_algo = out["behavioral"]
-    assert set(by_algo) == {"kmeans_and_pca", "kmodes", "rules_based"}
+    # the fixture's scheme has numeric columns, so the kmodes family
+    # dispatches to kprototypes (clustering.py:220-234 parity)
+    assert set(by_algo) == {"kmeans_and_pca", "kprototypes", "rules_based"}
     for algo, res in by_algo.items():
         assert res["labels"] is not None, algo
         m = res["metrics"]
