@@ -94,18 +94,27 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its TIMESTAMP(NANOS) column as a proper timestamp.
+    """events table with its ``ts`` column normalized to plain TIMESTAMP.
 
-    Spark has no nanosecond timestamp type and (by default) refuses
-    TIMESTAMP(NANOS) parquet. Read nanos as long, then floor-divide to
-    microseconds with integer DIV (a double division would lose precision
-    at 1e18 magnitudes) — the same ns->us truncation DuckDB's epoch_us
-    applies, keeping the oracle comparable.
+    The driver-generated file has carried three encodings across rounds:
+    TIMESTAMP(NANOS) (readable only via nanosAsLong), TIMESTAMP_NTZ, and
+    plain TIMESTAMP. Normalize all of them so every consumer
+    (``unix_micros``, ``window``, ``date_format``) sees one type:
+
+    - bigint nanos: floor-divide to micros with integer DIV (a double
+      division would lose precision at 1e18 magnitudes) — the same
+      ns->us truncation DuckDB's epoch_us applies;
+    - TIMESTAMP_NTZ: cast to TIMESTAMP — the session timezone is pinned
+      to UTC (session.py), so the wall-clock is preserved and matches
+      DuckDB's naive timestamps.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -69,7 +69,9 @@ def _mh_sig(seed: int) -> str:
     description="Exact dedup: group by content hash, keep min doc_id",
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(load_table_spread(spark, sf_dir, "documents"))
+    # plain load_table: one 64-bit hash per row is NOT CPU-bound, so the
+    # spread repartition (an O(input-bytes) shuffle) only adds cost here
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
 @register(

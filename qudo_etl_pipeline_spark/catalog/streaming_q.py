@@ -17,6 +17,25 @@ from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.catalog import load_events, register
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events source with ``ts`` normalized to plain TIMESTAMP
+    (same three-encodings story as catalog.load_events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # streaming file source wants a directory; glob-filter to the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 _HOURLY_ORACLE = """
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type, COUNT(*) AS n,
@@ -32,16 +51,7 @@ _HOURLY_ORACLE = """
     description="Structured Streaming tumbling-window agg (complete mode, memory sink)",
 )
 def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # streaming file source wants a directory; glob-filter to the events file
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
@@ -92,15 +102,7 @@ def streaming_hourly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized, immutable hourly partitions. The drained availableNow run
     makes that finalization set deterministic and oracle-checkable.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")

@@ -269,7 +269,8 @@ def chi_square_signal(
     n_slice = s["n"]
     if n_slice == 0:
         return {"signal": 0, "precision": 0, "recall_score": 0, "f1_score": 0}
-    tp = s["tp"]
+    # sum over an all-NULL slice (labels all NULL) is NULL, not 0
+    tp = s["tp"] or 0
     # NULL labels belong to neither count (the filter forms exclude them)
     o = original.agg(
         F.sum(is_seg).alias("true"),

@@ -163,9 +163,15 @@ def _observed(cells: DataFrame, cluster_col: str) -> DataFrame:
     """Crosstab input cells: the reference drops rows where EITHER side of
     the crosstab is the "Not shown" sentinel (chisquared_tester.py:229-236).
     The cluster cast makes the filter a typed no-op on numeric predictions.
+
+    NULL clusters are excluded EXPLICITLY (not as a side effect of the
+    != comparison's NULL semantics): pd.crosstab drops NaN index/column
+    labels by default, so a row with no cluster contributes to no
+    crosstab — matching the reference.
     """
     return cells.filter(
-        (F.col("value") != NOT_SHOWN)
+        F.col(cluster_col).isNotNull()
+        & (F.col("value") != NOT_SHOWN)
         & (F.col(cluster_col).cast("string") != NOT_SHOWN)
     )
 

@@ -44,14 +44,19 @@ _MERGE = {
 
 
 def _salt_col(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic row salt in [0, n_salts): hash of the row PLUS its
-    position.
+    """Row salt in [0, n_salts): hash of the row PLUS its position.
 
     The position term (monotonically_increasing_id: partition id + offset
     within the partition) matters because hot-key rows are often
     byte-identical duplicates — a pure content hash would map them all to
-    ONE salt and the mitigation would be a no-op. No rand(): a task retry
-    re-scans the same split in the same order, so salts are stable.
+    ONE salt and the mitigation would be a no-op.
+
+    Stability caveat: the salt is stable only within a task retry of the
+    SAME input split (a retry re-scans the split in the same order).
+    If the upstream stage is recomputed with different partitioning, ids
+    — and therefore salts — change. Aggregate/join results stay correct
+    either way (the salt only spreads keys; phase 2 merges all salts),
+    so no consumer may rely on salt values across runs.
     """
     return F.pmod(
         F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]),

@@ -44,15 +44,13 @@ def get_spark(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
         )
         .config("spark.sql.session.timeZone", "UTC")
-        # split small files into at least one partition per core so
-        # CPU-heavy per-row expressions (hashing, shingling) parallelize
-        # even when a table arrives as a single file; on a real cluster
-        # big tables already exceed this floor, so it is scale-neutral
-        .config("spark.sql.files.minPartitionNum", str(max(shuffle_partitions, cpus)))
-        # the 4 MB open-cost floor forces megabyte-scale files into one
-        # split, serializing CPU-heavy maps (md5 shingling) locally; 64 KB
-        # keeps small tables splittable without affecting multi-GB scans
-        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        # NO files.minPartitionNum / lowered openCostInBytes here: parquet
+        # only splits at row-group boundaries, so forcing 32 input splits
+        # of a single-row-group file yields 31 EMPTY tasks per scan (pure
+        # scheduling overhead, zero parallelism) — measured as 1.2-2.4x
+        # slowdowns on cheap queries. CPU-heavy per-row operators opt into
+        # parallelism explicitly via catalog.load_table_spread, whose
+        # repartition actually redistributes rows.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -55,7 +55,13 @@ def read_json_doc(path: str, spark: SparkSession | None = None):
     the Hadoop FS API when a session is supplied — same protocol the
     reference's s3fs getters speak (s3_data_fetching_functions.py:20-26).
     """
-    if "://" in path and spark is not None:
+    if "://" in path:
+        if spark is None:
+            # without a session the URI would silently fall through to
+            # local file IO (opening a literal './s3a:/...' path)
+            raise ValueError(
+                f"read_json_doc: URI path {path!r} requires a SparkSession"
+            )
         sc = spark.sparkContext
         hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
@@ -74,6 +80,12 @@ def read_json_doc(path: str, spark: SparkSession | None = None):
 def write_json_doc(path: str, obj, spark: SparkSession | None = None) -> None:
     """S8: driver-side JSON put (local file IO, or Hadoop FS for URIs)."""
     payload = json.dumps(obj, indent=2)
+    if "://" in path and spark is None:
+        # a URI with no session would create a literal local 's3a:/...'
+        # directory instead of writing to the object store
+        raise ValueError(
+            f"write_json_doc: URI path {path!r} requires a SparkSession"
+        )
     if "://" in path and spark is not None:
         sc = spark.sparkContext
         hpath = sc._jvm.org.apache.hadoop.fs.Path(path)

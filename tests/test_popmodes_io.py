@@ -106,3 +106,16 @@ def test_read_or_build_cache(spark, tmp_path):
     assert first.count() == 3 and len(calls) == 1
     second = IO.read_or_build_cache(spark, path, build)
     assert second.count() == 3 and len(calls) == 1  # cache hit, no rebuild
+
+
+def test_json_doc_uri_without_session_raises(tmp_path):
+    """A URI path with spark=None must fail loudly, not write a literal
+    local 's3a:/...' directory (or read one)."""
+    import pytest
+
+    from qudo_etl_pipeline_spark.sources import io as IO
+
+    with pytest.raises(ValueError, match="requires a SparkSession"):
+        IO.write_json_doc("s3a://bucket/doc.json", {"a": 1})
+    with pytest.raises(ValueError, match="requires a SparkSession"):
+        IO.read_json_doc("s3a://bucket/doc.json")

@@ -206,3 +206,15 @@ def test_get_all_metrics_composition(spark, labeled, deliver):
         "message_reach", "num_sig_vars",
     ]:
         assert key in m, key
+
+
+def test_chi_square_signal_all_null_labels(spark):
+    """A non-empty slice whose labels are all NULL must yield zeros, not
+    a TypeError from NULL - int arithmetic."""
+    from qudo_etl_pipeline_spark.ml.signal import chi_square_signal
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, prediction string"
+    )
+    out = chi_square_signal(df, df, "segA")
+    assert out["signal"] == 0 and out["precision"] == 0
