@@ -719,6 +719,72 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(load_table_spread(spark, sf_dir, "embeddings"), k=5, dim=64)
 
 
+def _ann_lsh_multiprobe_oracle(
+    n_planes: int = 8, seed: int = 42, dim: int = 64, nprobe: int = 4, k: int = 5
+) -> str:
+    """Mirror of similarity.lsh_topk(nprobe>1): per-plane projections,
+    signature, margin-ordered single-bit flips, probed bucket join."""
+    from qudo_etl_pipeline_spark.operators.similarity import _plane_vectors
+
+    planes = _plane_vectors(n_planes, seed, dim)
+    proj_cols = ", ".join(
+        f"list_dot_product(e, [{', '.join(str(x) for x in pl)}]) AS p{p}"
+        for p, pl in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN p{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
+    )
+    margins = ", ".join(
+        f"{{'m': ROUND(ABS(p{p}), 6), 'p': {p}}}" for p in range(n_planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), proj AS (
+      SELECT vec_id, e, {proj_cols} FROM v
+    ), tagged AS (
+      SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket,
+             list_sort([{margins}]) AS ms
+      FROM proj
+    ), probes AS (
+      SELECT vec_id AS query_id, e AS qe,
+             unnest(list_distinct(list_prepend(bucket,
+               list_transform(ms[1:{nprobe - 1}],
+                 s -> xor(bucket, CAST(pow(2, s.p) AS BIGINT)))))) AS bucket
+      FROM tagged
+    ), scored AS (
+      SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qe, t.e) /
+                   (sqrt(list_dot_product(q.qe, q.qe)) *
+                    sqrt(list_dot_product(t.e, t.e))), 9) AS cos9
+      FROM probes q JOIN tagged t USING (bucket)
+      WHERE q.query_id <> t.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos9, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=_ann_lsh_multiprobe_oracle(),
+    survey_ids=["A10", "W2", "J3"],
+    description="Multi-probe LSH ANN top-5: each query also searches the "
+    "buckets of its 3 least-confident flipped signature bits — the recall "
+    "recovery path for near-boundary neighbors",
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.lsh_topk(
+        load_table_spread(spark, sf_dir, "embeddings"), k=5, dim=64, nprobe=4
+    )
+
+
 @register(
     "embedding_centroid_norm",
     oracle="""

@@ -101,6 +101,33 @@ def hyperplane_lsh_buckets(
     ).select(F.col(id_col), F.col("bucket"))
 
 
+def _plane_vectors(n_planes: int, seed: int, dim: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes: sign from a bit-mix of (seed, p, i).
+    Stored-model-free so the DuckDB oracle can inline identical literals."""
+    return [
+        [
+            1.0 if ((seed * 1_000_003 + p * 10_007 + i * 101) % 7) < 3 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _projections(vec: Column, planes: list[list[float]]) -> list[Column]:
+    return [
+        dot(vec, F.array(*[F.lit(x) for x in plane])) for plane in planes
+    ]
+
+
+def _sig_from_projs(projs: list[Column]) -> Column:
+    sig = F.lit(0).cast("bigint")
+    for p, proj in enumerate(projs):
+        sig = sig + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0)
+        )
+    return sig
+
+
 def _tag_buckets(
     vectors: DataFrame,
     n_planes: int,
@@ -118,19 +145,46 @@ def _tag_buckets(
         dim = len(
             vectors.select(vec_col).limit(1).collect()[0][0]
         )
-    sig = F.lit(0).cast("bigint")
     v = _as_double(F.col(vec_col))
-    for p in range(n_planes):
-        # deterministic +-1 plane: sign from a bit-mix of (seed, p, i)
-        plane = F.array(
+    planes = _plane_vectors(n_planes, seed, dim)
+    return vectors.withColumn("bucket", _sig_from_projs(_projections(v, planes)))
+
+
+def _probe_buckets(
+    vec: Column, n_planes: int, seed: int, dim: int, nprobe: int
+) -> Column:
+    """Multi-probe LSH bucket candidates (array of nprobe signatures).
+
+    The query's own signature first, then single-bit flips of the
+    lowest-|margin| planes — the buckets a near-miss neighbor most
+    likely landed in (classic multi-probe LSH: perturb the least
+    confident bits). Pure column arithmetic; map-only on the query side.
+    """
+    planes = _plane_vectors(n_planes, seed, dim)
+    projs = _projections(vec, planes)
+    sig = _sig_from_projs(projs)
+    # margins rounded to 6 decimals so the probe ORDER is reproducible
+    # across engines (ties then break on plane id) — same determinism
+    # device as the cos9 ranking round
+    margins = F.array_sort(
+        F.array(
             *[
-                F.lit(1.0 if ((seed * 1_000_003 + p * 10_007 + i * 101) % 7) < 3 else -1.0)
-                for i in range(dim)
+                F.struct(
+                    F.round(F.abs(projs[p]), 6).alias("m"),
+                    F.lit(p).alias("p"),
+                )
+                for p in range(n_planes)
             ]
         )
-        proj = dot(v, plane)
-        sig = sig + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
-    return vectors.withColumn("bucket", sig)
+    )
+    flips = F.slice(margins, 1, max(0, min(nprobe - 1, n_planes)))
+    flipped = F.transform(
+        flips,
+        lambda s: sig.bitwiseXOR(
+            F.pow(F.lit(2.0), s["p"].cast("double")).cast("bigint")
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(sig), flipped))
 
 
 def demo_centroids(n_cells: int, dim: int) -> list[list[float]]:
@@ -241,16 +295,38 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k within LSH buckets (self-join on bucket, window top-k)."""
+    """ANN top-k within LSH buckets (self-join on bucket, window top-k).
+
+    ``nprobe`` > 1 enables multi-probe: each query also searches the
+    buckets reached by flipping its ``nprobe - 1`` least-confident
+    signature bits, trading a proportional candidate-set increase for
+    recall — the standard answer to LSH's near-boundary misses. The
+    shuffle stays a bucket equi-join; vectors never pair without a
+    shared (possibly probed) bucket.
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).limit(1).collect()[0][0])
     tagged = _tag_buckets(
         vectors, n_planes=n_planes, seed=seed, vec_col=vec_col, dim=dim
     )
-    a = tagged.select(
-        F.col("bucket"),
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    )
+    if nprobe > 1:
+        a = vectors.select(
+            F.explode(
+                _probe_buckets(
+                    _as_double(F.col(vec_col)), n_planes, seed, dim, nprobe
+                )
+            ).alias("bucket"),
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+    else:
+        a = tagged.select(
+            F.col("bucket"),
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
     b = tagged.select(
         F.col("bucket"),
         F.col(id_col).alias("neighbor_id"),
@@ -265,6 +341,10 @@ def lsh_topk(
             F.round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
         )
     )
+    if nprobe > 1:
+        # a probed bucket can rediscover a pair found in the home bucket;
+        # dedup before ranking so a neighbor occupies one rank slot
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
