@@ -127,11 +127,21 @@ def _resample(
 
 
 def _smote_like(
-    df: DataFrame, target_col: str, counts: dict, seed: int
+    df: DataFrame, target_col: str, counts: dict, seed: int, k: int = 5
 ) -> DataFrame:
-    """Minority-class oversampling by interpolating random same-class
-    row pairs (Arrow-batched, per-class groups). Documented delta from
-    true k-NN SMOTE."""
+    """k-NN SMOTE (reference metrics.py:749-750, imblearn semantics):
+    each synthetic minority row interpolates between a class sample and
+    one of its ``k`` nearest SAME-CLASS neighbors (Euclidean), never a
+    random far pair — synthetic mass stays inside the class manifold
+    instead of bridging separated sub-clusters.
+
+    Arrow-batched ``applyInPandas`` per class: the kernel sees one class
+    at a time, so the O(n_c^2) neighbor search is bounded by the largest
+    class — the right trade at survey scale; a 100 TB corpus would
+    subsample the class before interpolation (same as imblearn does not,
+    but must). Values are re-rounded to the input dtype because the
+    pipeline's features are label-encoded ints.
+    """
     import pandas as pd
 
     feature_cols = [c for c in df.columns if c != target_col]
@@ -142,17 +152,25 @@ def _smote_like(
         import numpy as np
 
         need = m - len(pdf)
-        if need <= 0:
+        if need <= 0 or len(pdf) < 2:
             return pdf
         rng = np.random.default_rng(seed + hash(str(pdf[target_col].iloc[0])) % 10000)
-        i = rng.integers(0, len(pdf), need)
-        j = rng.integers(0, len(pdf), need)
-        lam = rng.random(need)
-        synth = {}
-        for c in feature_cols:
-            a = pdf[c].to_numpy()[i].astype(float)
-            b = pdf[c].to_numpy()[j].astype(float)
-            synth[c] = np.rint(a + lam * (b - a)).astype(pdf[c].dtype)
+        x = pdf[feature_cols].to_numpy(dtype=float)
+        n = len(x)
+        kk = min(k, n - 1)
+        # pairwise squared distances within the class; self excluded via
+        # +inf diagonal, then the kk nearest per row
+        d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+        np.fill_diagonal(d2, np.inf)
+        nn = np.argpartition(d2, kth=kk - 1, axis=1)[:, :kk]
+        i = rng.integers(0, n, need)
+        j = nn[i, rng.integers(0, kk, need)]
+        lam = rng.random(need)[:, None]
+        sx = x[i] + lam * (x[j] - x[i])
+        synth = {
+            c: np.rint(sx[:, ci]).astype(pdf[c].dtype)
+            for ci, c in enumerate(feature_cols)
+        }
         synth[target_col] = pdf[target_col].iloc[0]
         return pd.concat([pdf, pd.DataFrame(synth)], ignore_index=True)
 

@@ -218,3 +218,39 @@ def test_chi_square_signal_all_null_labels(spark):
     )
     out = chi_square_signal(df, df, "segA")
     assert out["signal"] == 0 and out["precision"] == 0
+
+
+def test_smote_interpolates_true_nearest_neighbors(spark):
+    """k-NN SMOTE property (reference metrics.py:749-750, imblearn
+    semantics): the minority class has two sub-clusters separated by a
+    wide gap. True k-NN interpolation synthesizes only WITHIN a
+    sub-cluster; random-pair interpolation (the old implementation)
+    would drop ~half its synthetic mass into the empty gap."""
+    from qudo_etl_pipeline_spark.ml.signal import _resample
+
+    rows = []
+    rid = 0
+    # majority class 0: 80 rows anywhere
+    for i in range(80):
+        rows.append((float(i % 7), float((i * 3) % 5), 0.0))
+    # minority class 1: two tight sub-clusters at x~0 and x~1000
+    for i in range(10):
+        rows.append((0.0 + i % 3, 0.0 + (i * 2) % 3, 1.0))
+        rows.append((1000.0 + i % 3, 1000.0 + (i * 2) % 3, 1.0))
+    df = spark.createDataFrame(rows, "f1 double, f2 double, label double")
+    counts = {
+        r["label"]: r["n"]
+        for r in df.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    out = _resample(df, "label", "smote", 42)
+    minority = [
+        (r["f1"], r["f2"])
+        for r in out.filter(F.col("label") == 1.0).collect()
+    ]
+    assert len(minority) == counts[0.0]  # topped up to majority size
+    # every minority point (original or synthetic) lies inside one of the
+    # sub-cluster boxes; nothing lands in the gap
+    for f1, f2 in minority:
+        in_low = f1 <= 10 and f2 <= 10
+        in_high = f1 >= 990 and f2 >= 990
+        assert in_low or in_high, (f1, f2)
