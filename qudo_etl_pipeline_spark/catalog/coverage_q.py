@@ -332,15 +332,16 @@ def rules_based_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "social_presence_planted",
-    oracle="""
+    oracle=f"""
     WITH lab AS (
       SELECT c_mktsegment AS prediction,
              CASE WHEN c_acctbal > 5000 THEN 'Facebook' ELSE 'Twitter' END AS mc_platform
       FROM customer
     )
     SELECT prediction,
-           ROUND(SUM(CASE WHEN mc_platform = 'Facebook' THEN 1 ELSE 0 END)
-                 / CAST(COUNT(*) AS DOUBLE), 3) AS share
+           {ref_round_sql(
+               "SUM(CASE WHEN mc_platform = 'Facebook' THEN 1 ELSE 0 END)"
+               " / CAST(COUNT(*) AS DOUBLE)", 3)} AS share
     FROM lab GROUP BY prediction
     """,
     survey_ids=["M30", "A9"],
@@ -359,6 +360,72 @@ def social_presence_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = social_presence(lab, "Facebook")
     return spark.createDataFrame(
         sorted(sp.items()), "prediction: string, share: double"
+    )
+
+
+@register(
+    "message_reach_planted",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CAST(c_nationkey % 3 AS INT) AS prediction,
+             CASE WHEN c_acctbal > 5000 THEN 'Facebook' ELSE 'Twitter' END AS mc_platform,
+             c_acctbal
+      FROM customer
+    ),
+    social AS (
+      SELECT prediction,
+             {ref_round_sql(
+                 "SUM(CASE WHEN mc_platform = 'Facebook' THEN 1 ELSE 0 END)"
+                 " / CAST(COUNT(*) AS DOUBLE)", 3)} AS share
+      FROM lab GROUP BY prediction
+    ),
+    segs AS (SELECT DISTINCT prediction FROM lab),
+    confusion AS (
+      SELECT s.prediction,
+             (SELECT COUNT(*) FROM lab WHERE c_acctbal > 0) AS n_slice,
+             (SELECT COUNT(*) FROM lab
+              WHERE c_acctbal > 0 AND prediction = s.prediction) AS tp,
+             (SELECT COUNT(*) FROM lab WHERE prediction = s.prediction) AS n_true,
+             (SELECT COUNT(*) FROM lab WHERE prediction <> s.prediction) AS n_false
+      FROM segs s
+    ),
+    signal AS (
+      SELECT prediction,
+             {ref_round_sql(
+                 "(tp + (n_false - (n_slice - tp))) * 1.0 /"
+                 " (tp + (n_false - (n_slice - tp)) + (n_slice - tp) + (n_true - tp))",
+                 3)} AS acc
+      FROM confusion
+    )
+    SELECT CAST(so.prediction AS STRING) AS segment,
+           {ref_round_sql('so.share * si.acc', 3)} AS reach
+    FROM social so JOIN signal si ON so.prediction = si.prediction
+    """,
+    survey_ids=["M35", "M34", "M30"],
+    description="Message reach: social presence x chi-square-slice signal "
+    "per segment (the M35 composition, with both factor dicts computed "
+    "from planted frames)",
+)
+def message_reach_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml.business import message_reach, social_presence
+    from qudo_etl_pipeline_spark.ml.signal import chi_square_signal
+
+    lab = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_nationkey") % 3).cast("int").alias("prediction"),
+        F.when(F.col("c_acctbal") > 5000, "Facebook")
+        .otherwise("Twitter")
+        .alias("mc_platform"),
+        F.col("c_acctbal"),
+    )
+    social = social_presence(lab, "Facebook")
+    sliced = lab.filter(F.col("c_acctbal") > 0)
+    signal = {
+        str(seg): chi_square_signal(sliced, lab, seg)
+        for seg in sorted(social)
+    }
+    reach = message_reach(social, signal)
+    return spark.createDataFrame(
+        sorted(reach.items()), "segment: string, reach: double"
     )
 
 

@@ -638,6 +638,106 @@ def lca_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "elbow_curve_embeddings",
+    oracle=None,
+    survey_ids=["M11", "M12"],
+    description="Elbow finder over the kmeans cost curve (k in 2..6) on "
+    "embeddings: per-k inertia + the max-perpendicular-distance elbow "
+    "flag (rows-only: iterative kmeans training)",
+)
+def elbow_curve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import clustering as C
+
+    feats = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    ).cache()
+    ks = [2, 3, 4, 5, 6]
+    costs = [
+        C.kmeans_fit(feats, k=k, seed=42)["inertia"] for k in ks
+    ]
+    feats.unpersist()
+    elbow = C.elbow_index(costs)
+    return spark.createDataFrame(
+        [
+            (k, round(c, 3), int(i == elbow))
+            for i, (k, c) in enumerate(zip(ks, costs))
+        ],
+        "k: bigint, cost: double, is_elbow: bigint",
+    )
+
+
+@register(
+    "model_consistency_rows",
+    oracle=None,
+    survey_ids=["M18", "M19"],
+    description="Model consistency: stratified 90/10 split, kmeans refit "
+    "on train, ARI of refit predictions vs original labels on the test "
+    "slice (rows-only: iterative refit)",
+)
+def model_consistency_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import clustering as C
+    from qudo_etl_pipeline_spark.ml.signal import model_consistency
+
+    feats = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    base = C.kmeans_fit(feats, k=3, seed=42)["labels"].cache()
+
+    def refit(train):
+        model = C.kmeans_fit(
+            train.select("row_id", "features"), k=3, seed=42
+        )["model"]
+        def predict(test):
+            from qudo_etl_pipeline_spark.ml.clustering import _to_vec
+
+            return model.transform(_to_vec(test, "features")).drop("_v")
+        return predict
+
+    ari = model_consistency(base, refit)
+    base.unpersist()
+    return spark.createDataFrame(
+        [(round(float(ari), 6),)], "model_consistency_ari: double"
+    )
+
+
+@register(
+    "label_consistency_rows",
+    oracle=None,
+    survey_ids=["M20", "M19"],
+    description="Label consistency: kmeans refit on a stratified 90% "
+    "sample, ARI of refit labels vs originals on that sample "
+    "(rows-only: iterative refit)",
+)
+def label_consistency_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml import clustering as C
+    from qudo_etl_pipeline_spark.ml.signal import label_consistency
+
+    feats = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    base = C.kmeans_fit(feats, k=3, seed=42)["labels"].cache()
+
+    def refit(train):
+        model = C.kmeans_fit(
+            train.select("row_id", "features"), k=3, seed=42
+        )["model"]
+        def predict(test):
+            from qudo_etl_pipeline_spark.ml.clustering import _to_vec
+
+            return model.transform(_to_vec(test, "features")).drop("_v")
+        return predict
+
+    ari = label_consistency(base, refit)
+    base.unpersist()
+    return spark.createDataFrame(
+        [(round(float(ari), 6),)], "label_consistency_ari: double"
+    )
+
+
+@register(
     "lca_mixed_documents",
     oracle=None,
     survey_ids=["M8"],

@@ -111,10 +111,13 @@ def social_presence(
     col = find_social_column(labeled, sm_platform, marker)
     if col is None:
         return float("nan")
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    # ref_round: the reference rounds with Python round (metrics.py:402)
     rows = (
         labeled.groupBy(pred)
         .agg(
-            F.round(
+            ref_round(
                 F.sum((F.col(col) == sm_platform).cast("int"))
                 / F.count(F.lit(1)),
                 3,
