@@ -190,23 +190,17 @@ def _cell_z_threshold_case(alpha: float = 0.05, max_m: int = 60) -> str:
     """CASE expr: Bonferroni |z| threshold per m = n_values * n_clusters.
 
     The cell test is ``chi2_sf(z^2, 1) <= alpha/m`` — monotone in |z|, so
-    it is equivalent to ``|z| >= z*(m)`` with z* bisected here from the
-    engine's own chi2_sf. This sidesteps DuckDB's missing erfc; the
-    1e-13-wide bracket is far below the 3-decimal rounding of z.
+    it is equivalent to ``|z| >= z*(m)`` with z* bisected from the
+    engine's own chi2_sf (functions.stats.z_threshold — the SAME helper
+    the Spark operator uses, so the two sides can never diverge). This
+    sidesteps DuckDB's missing erfc.
     """
-    from qudo_etl_pipeline_spark.functions.stats import chi2_sf
+    from qudo_etl_pipeline_spark.functions.stats import z_threshold
 
-    cases = []
-    for m in range(2, max_m + 1):
-        target = alpha / m
-        lo, hi = 0.0, 50.0
-        for _ in range(200):
-            mid = (lo + hi) / 2.0
-            if chi2_sf(mid * mid, 1.0) > target:
-                lo = mid
-            else:
-                hi = mid
-        cases.append(f"WHEN {m} THEN {hi!r}")
+    cases = [
+        f"WHEN {m} THEN {z_threshold(alpha / m)!r}"
+        for m in range(2, max_m + 1)
+    ]
     return (
         "CASE n_values * n_clusters " + " ".join(cases) + " ELSE 1e18 END"
     )

@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.functions.rounding import ref_round
-from qudo_etl_pipeline_spark.functions.stats import chi2_sf_udf
+from qudo_etl_pipeline_spark.functions.stats import chi2_sf_col, z_threshold
 from qudo_etl_pipeline_spark.plans.melt import melt
 
 NOT_SHOWN = "Not shown"
@@ -253,16 +253,18 @@ def _chi2_finalize(
     stat = F.when(yates & (dof == 1), F.col(stat_yates)).otherwise(
         F.col(stat_plain)
     )
-    p = chi2_sf_udf()
     df = (
         df.withColumn("dof", dof)
         .withColumn("yates", yates)
         .withColumn("chi2_stat", F.when(F.col("dof") > 0, stat))
     )
+    # chi2_sf_col: pure JVM survival function — the p-value stays inside
+    # whole-stage codegen (no Arrow/Python worker in the inference plan)
     return df.withColumn(
         "p_value",
-        F.when(F.col("dof") > 0, p(F.col("chi2_stat"), F.col("dof").cast("double")))
-        .otherwise(F.lit(1.0)),
+        F.when(
+            F.col("dof") > 0, chi2_sf_col(F.col("chi2_stat"), F.col("dof"))
+        ).otherwise(F.lit(1.0)),
     )
 
 
@@ -300,26 +302,25 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     ``post_hoc`` in {'pos','neg','neu'}.
     """
     cluster_col = tables.cluster_col
-    # LINEAR plan: the per-variable chi-squared statistic is computed as
-    # window aggregates over the dense grid instead of a groupBy that is
-    # broadcast-joined back onto its own input. The old shape recompiled
-    # the whole dense subplan once per consuming branch (73 exchanges in
-    # the executed deliver-stats plan); this one is a single chain of
-    # window ops over the cached, variable-partitioned cell table — the
-    # windows all key on `variable` (or supersets), so none re-exchange.
-    w_var = Window.partitionBy("variable")
+    # Per-variable test stats come from the groupBy shape over the SAME
+    # dense frame, broadcast-joined back onto the cells. The test columns
+    # (chi2 stat, dof, p) are constant per variable, so evaluating them
+    # on the |variables|-row aggregate — not per cell inside a window
+    # chain — keeps the chi2_sf fold expressions off the per-cell path
+    # and the generated code small. No shuffle: the per-variable frame is
+    # broadcast, and the dense side derives from the cached
+    # variable-partitioned cell table, so re-densifying under the agg
+    # branch re-reads the cache rather than re-scanning the input. The
+    # inner join doubles as the p <= alpha significance filter.
     dense = _dense_with_expected(tables.cells, cluster_col)
-
-    plain, corrected = _chi2_parts()
-    dense = (
-        dense.withColumn("_stat_plain", F.sum(plain).over(w_var))
-        .withColumn("_stat_yates", F.sum(corrected).over(w_var))
-        .withColumn("_min_obs", F.min("observed").over(w_var))
-        .withColumn("n_values", F.size(F.collect_set("value").over(w_var)))
-        .withColumn("n_clusters", F.size(F.collect_set(cluster_col).over(w_var)))
-    )
-    dense = _chi2_finalize(dense, "_stat_plain", "_stat_yates", "_min_obs").filter(
-        F.col("p_value") <= alpha
+    per_var = chi2_by_variable(tables, dense).filter(F.col("p_value") <= alpha)
+    dense = dense.join(
+        F.broadcast(
+            per_var.select(
+                "variable", "n_values", "n_clusters", "p_value", "chi2_stat"
+            )
+        ),
+        "variable",
     )
 
     # try_divide, not /: the p-value filter above only drops whole
@@ -341,10 +342,29 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     )
     dense = dense.withColumn("adj_residual", adj_res)
 
-    p = chi2_sf_udf()
-    cell_p = p(F.col("adj_residual") * F.col("adj_residual"), F.lit(1.0))
-    bonferroni = F.lit(alpha) / (F.col("n_values") * F.col("n_clusters"))
-    significant = (F.abs(F.col("adj_residual")) >= 1.96) & (cell_p <= bonferroni)
+    # Cell-level dof=1 Bonferroni test, WITHOUT a per-cell survival
+    # function: chi2_sf(z^2, 1) <= alpha/m is monotone in |z|, and
+    # m = n_values * n_clusters is constant per variable, so the |z|
+    # thresholds are bisected driver-side for exactly the m values
+    # present (a tiny collect over the cached per-variable frame — the
+    # inference build already runs a job for n_rows) and applied as a
+    # literal map lookup. Same construction as the DuckDB oracle's CASE.
+    ms = sorted(
+        {
+            int(r["n_values"]) * int(r["n_clusters"])
+            for r in per_var.select("n_values", "n_clusters").collect()
+        }
+    )
+    thresholds = {m: z_threshold(alpha / m) for m in ms}
+    if thresholds:
+        thr = F.create_map(
+            *[F.lit(v) for kv in thresholds.items() for v in kv]
+        )[F.col("n_values") * F.col("n_clusters")]
+    else:  # no significant variables -> no rows reach the comparison
+        thr = F.lit(float("inf"))
+    significant = (F.abs(F.col("adj_residual")) >= 1.96) & (
+        F.abs(F.col("adj_residual")) >= thr
+    )
     post_hoc = (
         F.when(significant & (F.col("observed") > F.col("expected")), F.lit("pos"))
         .when(significant, F.lit("neg"))
