@@ -88,14 +88,53 @@ class ContingencyTables:
             self._cached.unpersist()
 
 
+def detect_cell_skew(
+    long: DataFrame,
+    keys: list[str],
+    sample_frac: float = 0.05,
+    hot_share: float = 0.3,
+    seed: int = 7,
+) -> bool:
+    """Sampled probe: does one cell key hold >= ``hot_share`` of rows?
+
+    One cheap job over a ``sample_frac`` sample of the melted frame —
+    the decision input for salting the cell aggregation. A single
+    dominant (variable, cluster, value) key (e.g. a sentinel answer in
+    one big cluster) concentrates on one reducer; everything else is
+    absorbed by map-side partial aggregation and AQE.
+    """
+    top = (
+        long.sample(fraction=sample_frac, seed=seed)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()[0]
+    )
+    if not top["tot"]:
+        return False
+    return top["mx"] / top["tot"] >= hot_share
+
+
 def contingency_tables(
     wide: DataFrame,
     cluster_col: str,
     variables: list[str] | None = None,
     weight_col: str | None = None,
     id_vars: list[str] | None = None,
+    salt_cells: bool | str = False,
+    n_salts: int = 8,
 ) -> ContingencyTables:
-    """Melt ``wide`` and aggregate every crosstab cell in one shuffle."""
+    """Melt ``wide`` and aggregate every crosstab cell in one shuffle.
+
+    ``salt_cells``: False (default) uses the plain one-shuffle hash
+    aggregation — map-side partial aggregation already bounds per-key
+    reduce input by the task count, which covers ordinary hot keys.
+    True forces the two-phase salted aggregation (plans/skew.py) for
+    inputs known to concentrate on single cells; ``"auto"`` runs
+    :func:`detect_cell_skew` (ONE sampled job at build time — only this
+    mode gives up the construction-launches-no-job property) and salts
+    iff the probe fires.
+    """
     if variables is None:
         excluded = {cluster_col, weight_col, *(id_vars or [])}
         variables = [c for c in wide.columns if c not in excluded]
@@ -133,16 +172,28 @@ def contingency_tables(
     # `shuffle.partitions` mostly-empty tasks. The repartition carries no
     # explicit partition count, so AQE right-sizes it from the measured
     # cell-table size (session enables cached-plan output repartitioning).
-    all_cells = (
-        long.filter(F.col("value").isNotNull())
-        .groupBy("variable", cluster_col, "value")
-        .agg(
-            F.count(F.lit(1)).alias("observed"),
-            F.sum(w).alias("w_observed"),
+    keys = ["variable", cluster_col, "value"]
+    nn = long.filter(F.col("value").isNotNull()).withColumn("_w", w)
+    if salt_cells == "auto":
+        salt_cells = detect_cell_skew(nn, keys)
+    if salt_cells:
+        from qudo_etl_pipeline_spark.plans.skew import salted_aggregate
+
+        # two-phase (keys, salt) aggregation: the hot cell fans out over
+        # n_salts reducers; _w is never NULL (coalesced above), so
+        # count(_w) == count(*)
+        cells_agg = salted_aggregate(
+            nn,
+            keys,
+            {"observed": ("_w", "count"), "w_observed": ("_w", "sum")},
+            n_salts=n_salts,
         )
-        .repartition("variable")
-        .cache()
-    )
+    else:
+        cells_agg = nn.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("observed"),
+            F.sum("_w").alias("w_observed"),
+        )
+    all_cells = cells_agg.repartition("variable").cache()
     cells = all_cells.filter(F.col("variable") != row_marker)
 
     cluster_sizes = all_cells.filter(F.col("variable") == row_marker).select(
