@@ -48,7 +48,18 @@ from qudo_etl_pipeline_spark.operators.contingency import (
 
 @dataclass
 class SegmentationConfig:
-    """SegmentationConfig.py:4-18 equivalent."""
+    """SegmentationConfig.py:4-18 equivalent.
+
+    ``bucket_table``: when set, the cleaned respondent table is
+    bucketed-WRITTEN on ``id_col`` (saveAsTable under this name) before
+    the algorithm fan-out, so every label join in :func:`run_scheme`
+    reads both sides pre-hashed on the join key — exchange-free
+    (evidence: tests/test_pipeline.py). The one-time write replaces the
+    in-memory cache; at 100 TB this is the difference between one
+    bucketed materialization and 2 shuffles per (scheme x algorithm)
+    label join. ``capture_plans`` stores each algorithm's label-join
+    executed plan in the result dict for plan-evidence assertions.
+    """
 
     survey_name: str
     schemes: dict[str, list[str]] = field(default_factory=dict)
@@ -60,6 +71,9 @@ class SegmentationConfig:
     include_lca: bool = False
     ks: list[int] | None = None
     seeds: list[int] | None = None
+    bucket_table: str | None = None
+    n_buckets: int = 32
+    capture_plans: bool = False
 
 
 def select_scheme_columns(
@@ -198,10 +212,15 @@ def run_scheme(
             }
             continue
         labeled = fit["labels"]
-        # inference runs on the ORIGINAL (string) answers + prediction
+        # inference runs on the ORIGINAL (string) answers + prediction.
+        # With cfg.bucket_table both sides derive from the bucketed scan
+        # (the label lineage is narrow: encode -> assemble -> transform),
+        # so this join needs no exchange.
         with_pred = cleaned.join(
             labeled.select(cfg.id_col, "prediction"), cfg.id_col
         )
+        if cfg.capture_plans:
+            join_plan = with_pred._jdf.queryExecution().executedPlan().toString()
         tables = contingency_tables(
             with_pred,
             cluster_col="prediction",
@@ -242,6 +261,7 @@ def run_scheme(
             "discover": discover,
             "mode_list": modes,
             "metrics": metrics,
+            **({"join_plan": join_plan} if cfg.capture_plans else {}),
         }
     encoded.unpersist()
     return results
@@ -257,7 +277,19 @@ def run_all_segmentations(
     """The full main.py:45-183 flow. Returns
     {scheme: {algorithm: {labels, deliver, discover, metrics}}} and
     (optionally) writes metrics CSV + deliver/discover Parquet."""
-    cleaned = CL.clean_responses(responses, questions=questions).cache()
+    cleaned = CL.clean_responses(responses, questions=questions)
+    if cfg.bucket_table:
+        # bucketed materialization on the join key: one write, then every
+        # label join across schemes x algorithms reads co-located buckets
+        (
+            cleaned.write.bucketBy(cfg.n_buckets, cfg.id_col)
+            .sortBy(cfg.id_col)
+            .mode("overwrite")
+            .saveAsTable(cfg.bucket_table)
+        )
+        cleaned = spark.table(cfg.bucket_table)
+    else:
+        cleaned = cleaned.cache()
     all_results: dict = {}
     for scheme, fragments in (cfg.schemes or {"all": ["all"]}).items():
         cols = select_scheme_columns(cleaned, fragments, cfg.id_col)
