@@ -431,12 +431,12 @@ def message_reach_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "magnitude_planted",
-    oracle="""
+    oracle=f"""
     WITH labeled AS (
       SELECT o_orderstatus AS seg, o_orderpriority, o_totalprice FROM orders
     ),
     pct AS (
-      SELECT seg, ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM labeled), 2) AS share
+      SELECT seg, {ref_round_sql('COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM labeled)', 2)} AS share
       FROM labeled GROUP BY seg
     ),
     sig AS (
@@ -445,7 +445,7 @@ def message_reach_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY seg
     )
     SELECT p.seg,
-           ROUND(COALESCE(s.n_sig, 0) / 5.0 * p.share, 3) AS magnitude
+           {ref_round_sql('COALESCE(s.n_sig, 0) / 5.0 * p.share', 3)} AS magnitude
     FROM pct p LEFT JOIN sig s ON p.seg = s.seg
     """,
     survey_ids=["M31"],
@@ -474,7 +474,7 @@ def magnitude_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sig_spread_planted",
-    oracle="""
+    oracle=f"""
     WITH deliver AS (
       SELECT DISTINCT p_brand AS seg,
              replace(p_type, ' ', '_') AS q_code,
@@ -489,7 +489,7 @@ def magnitude_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT seg, string_split(q_code, '_')[1] AS prefix, COUNT(*) AS n_sig
       FROM deliver WHERE chi2 <= 0.05 GROUP BY seg, string_split(q_code, '_')[1]
     )
-    SELECT s.seg, s.prefix, ROUND(CAST(s.n_sig AS DOUBLE) / o.n_all, 6) AS proportion
+    SELECT s.seg, s.prefix, {ref_round_sql('CAST(s.n_sig AS DOUBLE) / o.n_all', 6)} AS proportion
     FROM sig s JOIN overall o ON s.prefix = o.prefix
     """,
     survey_ids=["M36", "P8"],

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 from qudo_etl_pipeline_spark.ml import clustering as C
 from qudo_etl_pipeline_spark.ml import features as FE
 from qudo_etl_pipeline_spark.ml import quality as Q
@@ -92,12 +93,12 @@ def cluster_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(n*m1)/SUM(n) AS g1, SUM(n*m2)/SUM(n) AS g2, SUM(n*m3)/SUM(n) AS g3
       FROM c
     )
-    SELECT ROUND(
+    SELECT {ref_round_sql('''
       (SELECT SUM(n * ((m1-g1)*(m1-g1) + (m2-g2)*(m2-g2) + (m3-g3)*(m3-g3)))
          FROM c, g) / ((SELECT k FROM g) - 1)
       /
       ((SELECT SUM(ssn - n * (m1*m1 + m2*m2 + m3*m3)) FROM c)
-         / ((SELECT n_tot FROM g) - (SELECT k FROM g))), 4) AS calinski_harabasz
+         / ((SELECT n_tot FROM g) - (SELECT k FROM g)))''', 4)} AS calinski_harabasz
     """,
     survey_ids=["M15"],
     description="Calinski-Harabasz index over the planted lineitem clustering",
@@ -124,7 +125,7 @@ def calinski_harabasz_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s JOIN c ON s.cl = c.cl
       GROUP BY c.cl, c.m1, c.m2, c.m3
     )
-    SELECT ROUND(AVG(worst), 6) AS davies_bouldin FROM (
+    SELECT {ref_round_sql('AVG(worst)', 6)} AS davies_bouldin FROM (
       SELECT a.cl,
              MAX((a.scatter + b.scatter)
                  / sqrt((a.m1-b.m1)*(a.m1-b.m1) + (a.m2-b.m2)*(a.m2-b.m2)
@@ -187,7 +188,7 @@ def silhouette_exact_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ari_planted",
-    oracle="""
+    oracle=f"""
     WITH lab AS (
       SELECT o_orderpriority AS a,
              CAST(FLOOR(o_totalprice / 60000.0) AS BIGINT) AS b
@@ -201,10 +202,10 @@ def silhouette_exact_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT SUM(nij) AS ai FROM cont GROUP BY a)),
     sb AS (SELECT SUM(bj*(bj-1)/2.0) AS sum_bj2 FROM
            (SELECT SUM(nij) AS bj FROM cont GROUP BY b))
-    SELECT ROUND(
+    SELECT {ref_round_sql('''
       (s.sum_nij2 - sa.sum_ai2 * sb.sum_bj2 / (s.n*(s.n-1)/2.0))
       / ((sa.sum_ai2 + sb.sum_bj2) / 2.0
-         - sa.sum_ai2 * sb.sum_bj2 / (s.n*(s.n-1)/2.0)), 6) AS ari
+         - sa.sum_ai2 * sb.sum_bj2 / (s.n*(s.n-1)/2.0))''', 6)} AS ari
     FROM s, sa, sb
     """,
     survey_ids=["M19"],
@@ -221,7 +222,7 @@ def ari_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cochrans_q_planted",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS b0,
              CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS b1,
@@ -235,13 +236,13 @@ def ari_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM((b0+b1+b2+b3)*(b0+b1+b2+b3)) AS sum_r2
       FROM b
     )
-    SELECT ROUND((4-1) * (4.0*(t0*t0 + t1*t1 + t2*t2 + t3*t3) - CAST(n AS DOUBLE)*n)
-                 / (4.0*n - sum_r2), 6) AS q,
+    SELECT {ref_round_sql('''(4-1) * (4.0*(t0*t0 + t1*t1 + t2*t2 + t3*t3) - CAST(n AS DOUBLE)*n)
+                 / (4.0*n - sum_r2)''', 6)} AS q,
            CAST(3 AS BIGINT) AS dof,
-           ROUND(((4-1) * (4.0*(t0*t0 + t1*t1 + t2*t2 + t3*t3) - CAST(n AS DOUBLE)*n)
+           {ref_round_sql('''((4-1) * (4.0*(t0*t0 + t1*t1 + t2*t2 + t3*t3) - CAST(n AS DOUBLE)*n)
                   / (4.0*n - sum_r2) - 3)
                  / ((4-1) * (4.0*(t0*t0 + t1*t1 + t2*t2 + t3*t3) - CAST(n AS DOUBLE)*n)
-                    / (4.0*n - sum_r2)) * 100, 3) AS i2
+                    / (4.0*n - sum_r2)) * 100''', 3)} AS i2
     FROM agg
     """,
     survey_ids=["M32"],
@@ -533,7 +534,7 @@ def kmodes_step_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kprototypes_step_planted",
-    oracle="""
+    oracle=f"""
     WITH pts AS (
       SELECT c_custkey AS id, c_mktsegment AS a0,
              CAST(c_acctbal AS DOUBLE) / 1000.0 AS f1
@@ -557,7 +558,7 @@ def kmodes_step_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.cluster, n.n, m0.mode_a0, n.new_f1
     FROM (
-      SELECT cluster, COUNT(*) AS n, ROUND(AVG(f1), 6) AS new_f1
+      SELECT cluster, COUNT(*) AS n, {ref_round_sql('AVG(f1)', 6)} AS new_f1
       FROM assigned GROUP BY cluster
     ) n JOIN m0 ON n.cluster = m0.cluster
     """,
@@ -768,7 +769,7 @@ def lca_mixed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "uniqueness_planted",
-    oracle="""
+    oracle=f"""
     WITH pairs AS (
       SELECT DISTINCT l_returnflag AS seg,
              l_linestatus || '|' || CAST(CAST(l_quantity / 10 AS INT) AS VARCHAR) AS pair
@@ -778,7 +779,7 @@ def lca_mixed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT pair, CASE WHEN COUNT(DISTINCT seg) > 1 THEN 1 ELSE 0 END AS dup
       FROM pairs GROUP BY pair
     )
-    SELECT seg, ROUND(1 - CAST(SUM(d.dup) AS DOUBLE) / COUNT(*), 6) AS uniqueness
+    SELECT seg, {ref_round_sql('1 - CAST(SUM(d.dup) AS DOUBLE) / COUNT(*)', 6)} AS uniqueness
     FROM pairs p JOIN dup d ON p.pair = d.pair
     GROUP BY seg
     """,
