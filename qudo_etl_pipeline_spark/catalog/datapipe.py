@@ -642,6 +642,23 @@ def neardup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_groups_star",
+    oracle=None,
+    survey_ids=["P7"],
+    description="Near-dup groups by alternating large-star/small-star "
+    "contraction — O(log n) rounds, diameter-independent (rows-only: "
+    "data-dependent iteration; property-tested equal to label "
+    "propagation)",
+)
+def neardup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_spread(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=4)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sigs, n_hashes=4, band_size=2))
+    verified = D.verified_pairs(docs, cand, threshold=0.5)
+    return D.neardup_groups(verified, method="star").orderBy("doc_id")
+
+
+@register(
     "embedding_neardup_pairs",
     oracle="""
     WITH v AS (

@@ -233,18 +233,32 @@ def neardup_groups(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components over verified dup pairs: (doc_id, group_id)
     with group_id = min doc id reachable through the pair graph.
 
-    Iterative min-label propagation — per iteration one join + one
-    aggregation over the PAIR set (never the corpus), converging in
-    O(diameter) rounds; near-dup clusters are tiny cliques in practice
-    so this terminates in 2-3 rounds. Driver holds only the convergence
-    flag; lineage is cut with localCheckpoint per round so plans don't
-    nest. Not SQL-expressible (data-dependent iteration) — verified by
-    unit tests on hand-computed components.
+    ``method="label"`` (default): iterative min-label propagation — per
+    iteration one join + one aggregation over the PAIR set (never the
+    corpus), converging in O(diameter) rounds; near-dup clusters are
+    tiny cliques in practice so this terminates in 2-3 rounds.
+
+    ``method="star"``: alternating large-star/small-star contraction
+    (the classic MapReduce connected-components construction) —
+    converges in O(log n) rounds regardless of diameter, the right
+    choice for pathological corpora whose dup graph contains long
+    chains (templated documents each near-duplicating the next
+    revision). Same output, property-tested equal to the label method.
+
+    Driver holds only the convergence flag; lineage is cut with
+    localCheckpoint per round so plans don't nest. Not SQL-expressible
+    (data-dependent iteration) — verified by unit tests on
+    hand-computed components.
     """
+    if method == "star":
+        return _star_cc(pairs, id_col=id_col, max_iter=max_iter)
+    if method != "label":
+        raise ValueError(f"unknown method {method!r} (label|star)")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -287,6 +301,80 @@ def neardup_groups(
             "returning partial labels would silently split dup groups"
         )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("group_id"))
+
+
+def _star_cc(
+    pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Each round: large-star hangs every neighbor larger than ``u`` onto
+    ``m(u) = min(neighbors(u) + {u})``; small-star then hangs ``u`` and
+    its (now all-smaller) neighbors onto their minimum. The edge set
+    contracts toward star graphs rooted at each component's minimum id
+    in O(log n) rounds — diameter-independent, unlike label
+    propagation. Convergence = the (count, hash-sum) signature of the
+    edge set repeating.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star over the symmetric adjacency
+        adj = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every edge now points big -> small, so per u all
+        # neighbors v are < u and m = min(v)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # bit_xor: order-independent, no ANSI long-sum overflow
+        sig_row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        edges = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+    # fixpoint edges are (member, root); roots label themselves
+    labels = (
+        edges.select(F.col("u").alias(id_col), F.col("v").alias("group_id"))
+        .union(
+            edges.select(
+                F.col("v").alias(id_col), F.col("v").alias("group_id")
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.min("group_id").alias("group_id"))
+    )
+    return labels
 
 
 def jaccard_tokens(a_tokens: Column, b_tokens: Column) -> Column:

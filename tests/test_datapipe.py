@@ -337,3 +337,32 @@ def test_stateful_running_counts_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM running_counts").collect()
     }
     assert res == {1: 2, 2: 3}
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Alternating large-star/small-star contraction must produce the
+    SAME components as min-label propagation — on random graphs and on
+    the pathological long chain where it converges in O(log n) rounds
+    (label propagation needs O(diameter))."""
+    import random
+
+    rng = random.Random(13)
+    edges = {(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)}
+    edges = [(a, b) for a, b in edges if a != b]
+    g = spark.createDataFrame(edges, "id_a long, id_b long")
+    by_label = {r["doc_id"]: r["group_id"]
+                for r in D.neardup_groups(g, method="label").collect()}
+    by_star = {r["doc_id"]: r["group_id"]
+               for r in D.neardup_groups(g, method="star").collect()}
+    assert by_star == by_label
+
+    # 60-node chain: diameter 59. Star contraction must finish within
+    # 10 rounds; label propagation with the same budget cannot.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long"
+    )
+    star = {r["doc_id"]: r["group_id"]
+            for r in D.neardup_groups(chain, method="star", max_iter=10).collect()}
+    assert set(star.values()) == {1} and len(star) == 60
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_groups(chain, method="label", max_iter=10)
