@@ -255,28 +255,39 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(load_table_spread(spark, sf_dir, "documents"))
 
 
-def _langid_oracle() -> str:
+def _langid_score_cols() -> str:
     from qudo_etl_pipeline_spark.operators.text import STOPWORDS
 
-    langs = sorted(STOPWORDS)
-    score_cols = ",\n           ".join(
+    return ",\n           ".join(
         "len(list_filter(string_split(text, ' '), t -> list_contains(["
         + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
         + f"], t))) AS score_{lang}"
-        for lang in langs
+        for lang in sorted(STOPWORDS)
     )
-    # same strict-> argmax as the Spark side: first lang (sorted) wins ties
+
+
+def _langid_pred_sql() -> str:
+    """The argmax CASE over score_{lang} columns (must be in scope) —
+    same strict-> semantics as the Spark side: first sorted lang wins
+    ties."""
+    from qudo_etl_pipeline_spark.operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
     pred = "CASE"
-    cond = []
     for lang in langs:
-        others = [f"score_{o}" for o in langs if o != lang]
-        # lang wins if strictly greater than all languages before it and
-        # greater-or-equal than all after it, with earlier-lang priority
         prior = [f"score_{o} < score_{lang}" for o in langs[: langs.index(lang)]]
         later = [f"score_{o} <= score_{lang}" for o in langs[langs.index(lang) + 1 :]]
         conds = prior + later + [f"score_{lang} > -1"]
         pred += f" WHEN {' AND '.join(conds)} THEN '{lang}'"
-    pred += " ELSE 'und' END"
+    return pred + " ELSE 'und' END"
+
+
+def _langid_oracle() -> str:
+    from qudo_etl_pipeline_spark.operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = _langid_score_cols()
+    pred = _langid_pred_sql()
     return f"""
     WITH scored AS (
       SELECT doc_id, lang,
@@ -656,6 +667,107 @@ def neardup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.lsh_candidate_pairs(D.lsh_bands(sigs, n_hashes=4, band_size=2))
     verified = D.verified_pairs(docs, cand, threshold=0.5)
     return D.neardup_groups(verified, method="star").orderBy("doc_id")
+
+
+def _curation_oracle(
+    min_tokens: int = 5, min_quality: float = 0.5, thr: float = 0.5
+) -> str:
+    """Full SQL mirror of operators.curation.curate_corpus: quality and
+    language gates, exact dedup (min id per content hash) among
+    survivors, near-dup pair-domination drop among exact survivors."""
+    from qudo_etl_pipeline_spark.operators.dedup import MINHASH_RANGE
+
+    quality = (
+        "ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE "
+        "LEAST(1.0, ROUND(stop * 1.0 / n_tokens, 6) * 2 + 0.5) * "
+        "LEAST(1.0, n_tokens / 50.0) END, 6)"
+    )
+    shingle_hb = (
+        f"list_transform({_shingles('text', 3)}, "
+        f"t -> ({_dh_raw('t')} % {MINHASH_RANGE}))"
+    )
+    return f"""
+    WITH flags AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> list_contains([{_STOP_EN}], t))) AS stop,
+             {_langid_score_cols()}
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, text,
+             CASE WHEN n_tokens < {min_tokens}
+                       OR {quality} < {min_quality} THEN 'low_quality'
+                  WHEN ({_langid_pred_sql()}) <> 'en' THEN 'language'
+             END AS g
+      FROM flags
+    ), s1 AS (SELECT doc_id, text FROM gated WHERE g IS NULL),
+    hashes AS (
+      SELECT doc_id, {_dh_raw('text')} AS h FROM s1
+    ),
+    keepers AS (SELECT h, MIN(doc_id) AS keeper FROM hashes GROUP BY h),
+    exact_drop AS (
+      SELECT hashes.doc_id FROM hashes JOIN keepers USING (h)
+      WHERE doc_id <> keeper
+    ),
+    s2 AS (
+      SELECT * FROM s1
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+    ),
+    base AS (SELECT doc_id, {shingle_hb} AS hb FROM s2),
+    sig AS (
+      SELECT doc_id,
+             {_mh_sig(0)} AS mh0,
+             {_mh_sig(1)} AS mh1,
+             {_mh_sig(2)} AS mh2,
+             {_mh_sig(3)} AS mh3
+      FROM base
+    ), bands AS (
+      SELECT doc_id, 0::BIGINT AS band,
+             {_dh_raw("mh0::VARCHAR || '_' || mh1::VARCHAR")} AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1::BIGINT AS band,
+             {_dh_raw("mh2::VARCHAR || '_' || mh3::VARCHAR")} AS bucket FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ), toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM s2
+    ), near_drop AS (
+      -- ROUND first: the Spark side filters on the 6-decimal jaccard
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN toks a ON c.id_a = a.doc_id
+                  JOIN toks b ON c.id_b = b.doc_id
+      WHERE ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
+            (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) >= {thr}
+    )
+    SELECT g.doc_id,
+           COALESCE(g.g,
+                    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup' END,
+                    CASE WHEN n.doc_id IS NOT NULL THEN 'near_dup' END,
+                    'kept') AS drop_reason,
+           CAST(CASE WHEN g.g IS NULL AND e.doc_id IS NULL
+                          AND n.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+    FROM gated g
+    LEFT JOIN exact_drop e ON g.doc_id = e.doc_id
+    LEFT JOIN near_drop n ON g.doc_id = n.doc_id
+    """
+
+
+@register(
+    "corpus_curation",
+    oracle=_curation_oracle(),
+    survey_ids=["P6", "P7", "P9"],
+    description="End-to-end corpus curation: quality gate -> language "
+    "gate -> exact dedup -> LSH near-dup pair-domination drop, one "
+    "verdict row per document",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import curate_corpus
+
+    return curate_corpus(load_table_spread(spark, sf_dir, "documents"))
 
 
 @register(

@@ -77,14 +77,9 @@ def _stopword_count(text_col: str, words: list[str]) -> Column:
     return F.expr(f"size(filter(split({text_col}, ' '), t -> t in ({lst})))")
 
 
-def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Heuristic quality features: length, word length, stopword density.
-
-    Mirrors the standard pretraining-corpus filters (length bounds,
-    stopword ratio, symbol ratio) in pure column arithmetic.
-    """
+def quality_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The quality-feature column expressions, reusable by any caller
+    (quality_score's output frame, the corpus-curation gate)."""
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
@@ -99,13 +94,44 @@ def quality_score(
         ),
         6,
     )
+    return {
+        "n_tokens": n_tokens.cast("bigint"),
+        "avg_word_len": awl,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality features: length, word length, stopword density.
+
+    Mirrors the standard pretraining-corpus filters (length bounds,
+    stopword ratio, symbol ratio) in pure column arithmetic.
+    """
+    ex = quality_exprs(text_col)
     return df.select(
-        F.col(id_col),
-        n_tokens.cast("bigint").alias("n_tokens"),
-        awl.alias("avg_word_len"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
+        F.col(id_col), *[c.alias(name) for name, c in ex.items()]
     )
+
+
+def langid_pred(text_col: str = "text") -> Column:
+    """The stopword-vote language prediction as one column expression
+    (deterministic argmax: score desc, lang asc; 'und' when all zero...
+    all scores are >= 0 so the first sorted language wins an all-zero
+    tie — identical semantics to langid_heuristic's loop)."""
+    scores = {
+        lang: _stopword_count(text_col, words)
+        for lang, words in STOPWORDS.items()
+    }
+    pred = F.lit("und")
+    best = F.lit(-1)
+    for lang in sorted(STOPWORDS):
+        s = scores[lang]
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return pred
 
 
 def langid_heuristic(
@@ -117,12 +143,7 @@ def langid_heuristic(
         lang: _stopword_count(text_col, words) for lang, words in STOPWORDS.items()
     }
     langs = sorted(STOPWORDS)  # tie-break order
-    pred = F.lit("und")
-    best = F.lit(-1)
-    for lang in langs:  # first lang wins ties because of strict >
-        s = scores[lang]
-        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
-        best = F.when(s > best, s).otherwise(best)
+    pred = langid_pred(text_col)
     return df.select(
         F.col(id_col),
         *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in langs],

@@ -366,3 +366,43 @@ def test_star_cc_matches_label_propagation(spark):
     assert set(star.values()) == {1} and len(star) == 60
     with pytest.raises(RuntimeError, match="did not converge"):
         D.neardup_groups(chain, method="label", max_iter=10)
+
+
+def test_curate_corpus_hand_planted(spark):
+    """Each curation stage fires on a planted doc: low-quality (short),
+    wrong-language, exact duplicate, near duplicate — and the survivor
+    keeps 'kept'. Stage ORDER matters: the exact dup of a rejected doc
+    is judged by its own gate, not dedup."""
+    from qudo_etl_pipeline_spark.operators.curation import curate_corpus
+
+    # >= 50 tokens so the length factor of the quality score saturates
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog chases the fox around the big green field while "
+            "the farmer watches from the gate and the birds fly over "
+            "the barn to the river where the cattle drink in the shade "
+            "of the old oak tree near the fence")
+    good = base + " again"
+    near = base + " today"
+    spanish = ("el perro corre por la casa grande y el gato duerme en la "
+               "cama de la madre mientras los ninos juegan en el patio "
+               "con la pelota roja y el abuelo lee su libro favorito "
+               "cerca de la ventana abierta donde entra el aire fresco "
+               "de la manana clara junto al jardin verde y tranquilo")
+    docs = spark.createDataFrame(
+        [
+            (1, good),         # kept (survivor, min id)
+            (2, good),         # exact_dup of 1
+            (3, near),         # near_dup of 1 (high jaccard)
+            (4, "too short"),  # low_quality (< 5 tokens)
+            (5, spanish),      # language (passes quality, fails langid)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["drop_reason"] for r in curate_corpus(docs).collect()}
+    assert out == {
+        1: "kept",
+        2: "exact_dup",
+        3: "near_dup",
+        4: "low_quality",
+        5: "language",
+    }
