@@ -26,7 +26,7 @@ sources/io.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.functions.rounding import ref_round
