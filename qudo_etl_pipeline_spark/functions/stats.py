@@ -137,6 +137,35 @@ def z_threshold(target: float, lo: float = 0.0, hi: float = 50.0) -> float:
     return hi
 
 
+_ZT_CACHE: dict[tuple[float, int], dict[int, float]] = {}
+
+
+def z_threshold_table(alpha: float, max_m: int = 1024) -> dict[int, float]:
+    """``{m: z_threshold(alpha / m)}`` for m in 2..max_m, vectorized.
+
+    The same bisection as :func:`z_threshold` run over all m at once
+    (identical brackets, iteration count and arithmetic, so the floats
+    are bit-identical to the scalar helper the oracle generator uses).
+    Computed once per (alpha, max_m) per process and cached — this is
+    what lets the post-hoc cell test skip its per-query driver collect.
+    """
+    key = (alpha, max_m)
+    if key not in _ZT_CACHE:
+        ms = np.arange(2, max_m + 1, dtype=np.float64)
+        targets = alpha / ms
+        lo = np.zeros_like(ms)
+        hi = np.full_like(ms, 50.0)
+        for _ in range(200):
+            mid = (lo + hi) / 2.0
+            above = chi2_sf(mid * mid, 1.0) > targets
+            lo = np.where(above, mid, lo)
+            hi = np.where(above, hi, mid)
+        _ZT_CACHE[key] = {
+            int(m): float(h) for m, h in zip(ms, hi)
+        }
+    return _ZT_CACHE[key]
+
+
 # fold lengths for the odd-dof branches: both algorithms converge in
 # < 100 steps over the pipeline's domain (p meaningful only above ~1e-30);
 # extra post-convergence steps drift the result < 1e-13 relative

@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.functions.rounding import ref_round
-from qudo_etl_pipeline_spark.functions.stats import chi2_sf_col, z_threshold
+from qudo_etl_pipeline_spark.functions.stats import chi2_sf_col, z_threshold_table
 from qudo_etl_pipeline_spark.plans.melt import melt
 
 NOT_SHOWN = "Not shown"
@@ -395,27 +395,30 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
 
     # Cell-level dof=1 Bonferroni test, WITHOUT a per-cell survival
     # function: chi2_sf(z^2, 1) <= alpha/m is monotone in |z|, and
-    # m = n_values * n_clusters is constant per variable, so the |z|
-    # thresholds are bisected driver-side for exactly the m values
-    # present (a tiny collect over the cached per-variable frame — the
-    # inference build already runs a job for n_rows) and applied as a
-    # literal map lookup. Same construction as the DuckDB oracle's CASE.
-    ms = sorted(
-        {
-            int(r["n_values"]) * int(r["n_clusters"])
-            for r in per_var.select("n_values", "n_clusters").collect()
-        }
+    # m = n_values * n_clusters is constant per variable — so the |z|
+    # threshold rides the SAME broadcast join as the per-variable test
+    # columns, looked up from a once-per-process bisected table (same
+    # floats as the scalar z_threshold the DuckDB oracle uses; no
+    # driver collect, plan construction stays job-free). Tables wider
+    # than the precomputed range fall back to the in-plan JVM survival
+    # function — rare rows only, correctness for any m.
+    spark = dense.sparkSession
+    tbl = z_threshold_table(alpha)
+    thr_df = spark.createDataFrame(
+        sorted(tbl.items()), "_m: bigint, _z_thr: double"
     )
-    thresholds = {m: z_threshold(alpha / m) for m in ms}
-    if thresholds:
-        thr = F.create_map(
-            *[F.lit(v) for kv in thresholds.items() for v in kv]
-        )[F.col("n_values") * F.col("n_clusters")]
-    else:  # no significant variables -> no rows reach the comparison
-        thr = F.lit(float("inf"))
-    significant = (F.abs(F.col("adj_residual")) >= 1.96) & (
-        F.abs(F.col("adj_residual")) >= thr
+    dense = dense.withColumn(
+        "_m", (F.col("n_values") * F.col("n_clusters")).cast("bigint")
+    ).join(F.broadcast(thr_df), "_m", "left")
+    fallback_p = chi2_sf_col(
+        F.col("adj_residual") * F.col("adj_residual"), F.lit(1)
     )
+    bonferroni_ok = F.when(
+        F.col("_z_thr").isNotNull(),
+        F.abs(F.col("adj_residual")) >= F.col("_z_thr"),
+    ).otherwise(fallback_p <= F.lit(alpha) / F.col("_m"))
+    # _m/_z_thr stay on `dense` until the final projection drops them
+    significant = (F.abs(F.col("adj_residual")) >= 1.96) & bonferroni_ok
     post_hoc = (
         F.when(significant & (F.col("observed") > F.col("expected")), F.lit("pos"))
         .when(significant, F.lit("neg"))

@@ -95,3 +95,16 @@ def test_inference_plans_have_no_python_nodes(spark):
         df = registry()[q].spark(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, (q, plan[:2000])
+
+
+def test_z_threshold_table_matches_scalar():
+    """The vectorized bisection must be bit-identical to the scalar
+    helper the DuckDB oracle generator uses."""
+    from qudo_etl_pipeline_spark.functions.stats import (
+        z_threshold,
+        z_threshold_table,
+    )
+
+    tbl = z_threshold_table(0.05, max_m=64)
+    for m in [2, 3, 7, 15, 33, 64]:
+        assert tbl[m] == z_threshold(0.05 / m), m
