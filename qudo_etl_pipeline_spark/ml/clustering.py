@@ -342,12 +342,19 @@ def hierarchical_segmentation(
     ignore_value=None,
     seed: int = 42,
     hier_ks: list[int] | None = None,
+    fitter=None,
 ) -> DataFrame:
     """Two-level segmentation (clustering.py:140-155,567-625, M10):
     group rows by `pivot_col`; per group pick optimal k in 2..3, run
     KMeans, offset labels so ids are globally unique; rows of the
     ignored group get label -99. Groups are FEW (pivot cardinality):
     the loop is driver-side; each fit is a distributed MLlib job.
+
+    ``fitter``: optional ``sub_df -> (labeled_df, k)`` replacing the
+    default optimal-k + KMeans per group — the reference dispatches any
+    family into the hierarchical wrapper (e.g. LCA via
+    ``lca_with_timer(hierarchical=...)``, clustering.py:841-845); pass
+    e.g. a closure over ``ml.lca.lca_fit`` for that behavior.
     """
     hier_ks = hier_ks or [2, 3]
     # every group runs |ks| optimal-k fits + 1 final fit, each an
@@ -369,10 +376,15 @@ def hierarchical_segmentation(
             if ignore_value is not None and g == ignore_value:
                 parts.append(sub.withColumn(PREDICTION, F.lit(-99)))
                 continue
-            best_k = optimal_k(sub, features_col, ks=hier_ks, seed=seed)
-            fit = kmeans_fit(sub, best_k, seed=seed, features_col=features_col)
+            if fitter is not None:
+                labeled, best_k = fitter(sub)
+            else:
+                best_k = optimal_k(sub, features_col, ks=hier_ks, seed=seed)
+                labeled = kmeans_fit(
+                    sub, best_k, seed=seed, features_col=features_col
+                )["labels"]
             parts.append(
-                fit["labels"].withColumn(
+                labeled.withColumn(
                     PREDICTION, F.col(PREDICTION) + F.lit(offset)
                 )
             )

@@ -161,3 +161,34 @@ def test_hierarchical_offsets_and_ignore(spark, blobs):
         for r in ignored.filter(F.col("grp") == "b").select("prediction").distinct().collect()
     }
     assert vals == {-99}
+
+
+def test_hierarchical_with_custom_fitter(spark):
+    """The fitter hook lets any family run per group (the reference
+    dispatches LCA into the hierarchical wrapper): labels from the
+    custom fitter must offset into globally unique ids per group."""
+    from qudo_etl_pipeline_spark.ml import lca as LCA
+
+    rows = []
+    rid = 0
+    for grp in ("a", "b"):
+        for cls in range(2):
+            for i in range(30):
+                ans = f"{grp}{cls}" if i % 10 else f"{grp}{1 - cls}"  # noise
+                rows.append((rid, grp, ans))
+                rid += 1
+    df = spark.createDataFrame(rows, "row_id long, grp string, q0 string")
+
+    def lca_fitter(sub):
+        fit = LCA.lca_fit(sub, ["q0"], k=2, seed=42, max_iter=20)
+        return fit["labels"], fit["k"]
+
+    out = C.hierarchical_segmentation(df, "grp", fitter=lca_fitter)
+    by_grp = {
+        r["grp"]: sorted(r["labels"])
+        for r in out.groupBy("grp")
+        .agg(F.collect_set("prediction").alias("labels"))
+        .collect()
+    }
+    assert by_grp["a"] == [0, 1]
+    assert by_grp["b"] == [2, 3]
