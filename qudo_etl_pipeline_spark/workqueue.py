@@ -48,3 +48,32 @@ def mark_processed(
     with open(queue_path, "w") as fh:
         json.dump(surveys, fh, indent=2)
     return surveys
+
+
+def populate_curated_cols(
+    metadata: list[dict], base_dir: str, spark=None
+) -> list[str]:
+    """One-off curated-columns publisher (populate_curated_cols_s3.py:19-45).
+
+    Each metadata row carries a ``segmentation`` and a comma-joined
+    ``cols`` string (already-list values pass through, the script's
+    AttributeError branch); rows with an ``industry`` key nest under it.
+    Writes ``{base_dir}[/{industry}]/curated/{segmentation}/cols.json``
+    per row (local path or URI via sources.io.write_json_doc) and
+    returns the written paths.
+    """
+    from qudo_etl_pipeline_spark.sources.io import write_json_doc
+
+    written = []
+    for row in metadata:
+        cols = row["cols"]
+        if isinstance(cols, str):
+            cols = cols.split(",")
+        parts = [base_dir]
+        if row.get("industry"):
+            parts.append(str(row["industry"]))
+        parts += ["curated", str(row["segmentation"]), "cols.json"]
+        path = "/".join(p.rstrip("/") for p in parts)
+        write_json_doc(path, cols, spark=spark)
+        written.append(path)
+    return written

@@ -117,3 +117,28 @@ def test_workqueue_protocol(tmp_path):
     WQ.mark_processed(qp, "s2")
     assert WQ.next_survey(WQ.collected_surveys(qp)) is None
     assert WQ.collected_surveys(str(tmp_path / "missing.json")) == []
+
+
+def test_populate_curated_cols(tmp_path):
+    """populate_curated_cols_s3 parity: comma-split col lists land at
+    the conventional [industry/]curated/segmentation/cols.json paths;
+    already-list values pass through (the script's AttributeError
+    branch)."""
+    import json
+
+    from qudo_etl_pipeline_spark import workqueue as WQ
+
+    meta = [
+        {"segmentation": "behavioral", "cols": "q1,q2,q3"},
+        {"segmentation": "financial", "cols": ["qa", "qb"]},
+        {"industry": "fintech", "segmentation": "risk", "cols": "qx"},
+    ]
+    paths = WQ.populate_curated_cols(meta, str(tmp_path))
+    assert paths == [
+        f"{tmp_path}/curated/behavioral/cols.json",
+        f"{tmp_path}/curated/financial/cols.json",
+        f"{tmp_path}/fintech/curated/risk/cols.json",
+    ]
+    assert json.load(open(paths[0])) == ["q1", "q2", "q3"]
+    assert json.load(open(paths[1])) == ["qa", "qb"]
+    assert json.load(open(paths[2])) == ["qx"]
