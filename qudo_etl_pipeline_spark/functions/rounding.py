@@ -32,8 +32,11 @@ n<=5-digit midpoint is ~1e-17 away, far above the 5e-21 quantization of
 the printf. (DuckDB's own ``round_even`` silently casts DECIMAL to DOUBLE
 and then uses shortest-repr semantics, so it cannot be used.)
 
-Both implementations pass through NULL / NaN / ±Inf / |x| >= 1e15
-unchanged (doubles >= 2^53 have no fractional digits to round anyway).
+Both implementations pass through NULL / NaN / ±Inf and
+|x| >= 2^53 / 10^scale unchanged — above that bound
+Python ``round(x, scale)`` is provably the identity (see
+:func:`_passthrough_bound`), and below it the integer arithmetic is
+exact.
 """
 
 from __future__ import annotations
@@ -43,17 +46,35 @@ from pyspark.sql import functions as F
 
 # Veltkamp splitter for IEEE doubles: 2^27 + 1.
 _SPLIT = 134217729.0
-# |x| above this bypasses rounding: x * 10^n approaches 2^63 (the floor()
-# BIGINT range) and such doubles are integers already at n >= 0 digits.
-_HUGE = 1e15
+
+
+def _passthrough_bound(scale: int) -> float:
+    """Magnitude above which rounding is the identity AND must bypass the
+    integer floor arithmetic. The two-sided proof (scale-aware, fixes the
+    round-3 ADVICE overflow at 9.3e13/scale 5 AND a silent 1-ulp
+    reconstruction error for x*10^scale in [2^53, 2^63)):
+
+    - BELOW the bound the Dekker path is exact: p = fl(x*10^s) < 2^53, so
+      k = floor(p) and k2 are exactly representable doubles and the final
+      k2/10^s division is correctly rounded — the same real number Python
+      rounds (validated by tests/test_rounding.py incl. the near-2^53
+      band).
+    - AT/ABOVE the bound passthrough is exact: 2^e > x/2 >= 2^52/10^s
+      gives ulp(x) = 2^(e-52) > 10^-s, so the correctly-rounded s-digit
+      decimal of x lies within 0.5*10^-s < ulp(x)/2 of x and its nearest
+      double is x itself — Python round(x, s) == x.
+    """
+    return 2.0**53 / 10**scale
 
 
 def ref_round(col: Column | str, scale: int = 0) -> Column:
     """Python-``round`` parity rounding of a double column to ``scale``.
 
-    Matches CPython ``round(x, scale)`` bit-for-bit for all finite
-    |x| < 1e15 and 0 <= scale <= 5 (property-tested in
-    tests/test_rounding.py against Python and the DuckDB mirror).
+    Matches CPython ``round(x, scale)`` bit-for-bit for ALL finite
+    doubles at 0 <= scale <= 7: exact Dekker arithmetic below
+    ``_passthrough_bound(scale)``, provably-identity passthrough above it
+    (property-tested in tests/test_rounding.py against Python and the
+    DuckDB mirror, including the near-2^53 band).
     """
     if not 0 <= scale <= 7:
         raise ValueError(f"scale {scale} outside validated range [0, 7]")
@@ -81,8 +102,53 @@ def ref_round(col: Column | str, scale: int = 0) -> Column:
     rounded = k2.cast("double") / c
 
     return F.when(
-        x.isNull() | F.isnan(x) | (F.abs(x) >= F.lit(_HUGE)), x
+        x.isNull() | F.isnan(x) | (F.abs(x) >= F.lit(_passthrough_bound(scale))), x
     ).otherwise(rounded)
+
+
+def _d(v: float) -> str:
+    """Exact double literal as Spark SQL text (string cast round-trips)."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def ref_round_spark_sql(expr: str, scale: int = 0) -> str:
+    """Spark-SQL text with ref_round's exact arithmetic.
+
+    Same Dekker/Veltkamp error-free transformation as :func:`ref_round`,
+    emitted as one SQL string so hot-path callers (the deliver-stats
+    plan builds six of these) pay a single parser round-trip instead of
+    ~50 py4j calls each. ``expr`` is a SQL fragment of DOUBLE type; it
+    is re-evaluated textually (deterministic, and Catalyst's
+    common-subexpression elimination handles the runtime cost).
+    """
+    if not 0 <= scale <= 7:
+        raise ValueError(f"scale {scale} outside validated range [0, 7]")
+    c = _d(float(10**scale))
+    X = f"CAST(({expr}) AS DOUBLE)"
+    P = f"({X} * {c})"
+    BIG = f"({X} * {_d(_SPLIT)})"
+    XH = f"({BIG} - ({BIG} - {X}))"
+    XL = f"({X} - {XH})"
+    ERR = f"(({XH} * {c} - {P}) + {XL} * {c})"
+    K = f"FLOOR({P})"
+    FR = f"({P} - CAST({K} AS DOUBLE))"
+    S = f"(({FR} - {_d(0.5)}) + {ERR})"
+    ODD = f"(pmod({K}, 2) != 0)"
+    UP = f"(({S} > {_d(0.0)}) OR (({S} = {_d(0.0)}) AND {ODD}))"
+    K2 = f"(CASE WHEN {UP} THEN {K} + 1 ELSE {K} END)"
+    ROUNDED = f"(CAST({K2} AS DOUBLE) / {c})"
+    bound = _d(_passthrough_bound(scale))
+    return (
+        f"(CASE WHEN ({expr}) IS NULL OR isnan({X}) OR abs({X}) >= {bound}"
+        f" THEN {X} ELSE {ROUNDED} END)"
+    )
+
+
+def ref_round_expr(expr: str, scale: int = 0) -> Column:
+    """:func:`ref_round` over a SQL fragment — one ``F.expr`` round-trip."""
+    from pyspark.sql import functions as F
+
+    return F.expr(ref_round_spark_sql(expr, scale))
 
 
 def ref_round_sql(expr: str, scale: int = 0) -> str:
@@ -104,7 +170,7 @@ def ref_round_sql(expr: str, scale: int = 0) -> str:
     up = f"(({fr}) > 0.5 OR (({fr}) = 0.5 AND ({k}) % 2 != 0))"
     return (
         f"(CASE WHEN ({expr}) IS NULL OR isnan({x}) OR isinf({x})"
-        f" OR ABS({x}) >= {_HUGE!r} THEN {x}"
+        f" OR ABS({x}) >= {_passthrough_bound(scale)!r} THEN {x}"
         f" ELSE CAST({k} + CASE WHEN {up} THEN 1 ELSE 0 END AS DOUBLE)"
         f" / {c} END)"
     )

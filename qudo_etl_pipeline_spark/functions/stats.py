@@ -173,14 +173,19 @@ _N_SERIES = 200
 _N_CF = 200
 
 
-def chi2_sf_col(stat, dof):
-    """Chi-squared survival function as a PURE column expression.
+def _d(v: float) -> str:
+    """Exact double literal as Spark SQL text (string cast round-trips)."""
+    return f"CAST('{v!r}' AS DOUBLE)"
 
-    The inference hot path previously crossed into an Arrow pandas UDF
-    for p-values — the last Python crossing in the planted query plans.
-    This builds the same mathematics (stats above: regularized upper
-    incomplete gamma, A&S §6.5) from JVM expressions so the whole plan
-    stays inside whole-stage codegen:
+
+def chi2_sf_sql(stat: str, dof: str) -> str:
+    """Spark-SQL text of the chi-squared survival function.
+
+    Same mathematics as the Python :func:`chi2_sf` (regularized upper
+    incomplete gamma, A&S §6.5), expressed as ONE SQL string so callers
+    pay a single parser round-trip instead of hundreds of py4j calls
+    building the equivalent Column tree (the fold bodies are SQL
+    lambdas, not unrolled — the string stays a few KB):
 
     - even dof (2m): the EXACT finite sum
       ``SF = exp(-x/2) * sum_{j<m} (x/2)^j / j!`` via one fold whose
@@ -193,97 +198,101 @@ def chi2_sf_col(stat, dof):
       < 1e-10 relative, property-tested);
     - dof <= 0 or stat <= 0 -> p = 1.0 (reference fallback semantics).
 
-    ``stat``/``dof`` are Columns (dof integer-valued). Cost: O(dof) fold
-    steps for even dof, ~200 fold steps for odd — on frames that are
-    already variable-level aggregates.
+    ``stat``/``dof`` are SQL expression fragments (dof integer-valued).
+    Cost: O(dof) fold steps for even dof, ~200 fold steps for odd — on
+    frames that are already variable-level aggregates.
     """
-    from pyspark.sql import functions as F
-
-    stat = F.col(stat) if isinstance(stat, str) else stat
-    dof = F.col(dof) if isinstance(dof, str) else dof
-
-    x = stat.cast("double") / F.lit(2.0)  # gamma-domain argument
-    dof_i = dof.cast("long")
-    a = dof_i.cast("double") / F.lit(2.0)
+    S = f"CAST(({stat}) AS DOUBLE)"
+    X = f"({S} / {_d(2.0)})"
+    DOFI = f"CAST(({dof}) AS BIGINT)"
+    A = f"(CAST({DOFI} AS DOUBLE) / {_d(2.0)})"
+    ONE, HALF, TWO = _d(1.0), _d(0.5), _d(2.0)
+    TINY = _d(1.0e-300)
 
     # ---- even dof: exp(-x) * sum_{j=0}^{m-1} x^j / j!
-    m_even = (dof_i / 2).cast("int")
-    seq_even = F.when(m_even > 1, F.sequence(F.lit(1), m_even - 1)).otherwise(
-        F.array().cast("array<int>")
+    m_even = f"CAST(({DOFI} / 2) AS INT)"
+    seq_even = (
+        f"CASE WHEN {m_even} > 1 THEN sequence(1, {m_even} - 1)"
+        f" ELSE CAST(array() AS ARRAY<INT>) END"
     )
-    even_sum = F.aggregate(
-        seq_even,
-        F.struct(F.lit(1.0).alias("s"), F.lit(1.0).alias("t")),
-        lambda acc, j: F.struct(
-            (acc["s"] + acc["t"] * x / j.cast("double")).alias("s"),
-            (acc["t"] * x / j.cast("double")).alias("t"),
-        ),
-        lambda acc: acc["s"],
+    even_sum = (
+        f"aggregate({seq_even}, named_struct('s', {ONE}, 't', {ONE}),"
+        f" (acc, j) -> named_struct("
+        f"'s', acc.s + acc.t * {X} / CAST(j AS DOUBLE),"
+        f" 't', acc.t * {X} / CAST(j AS DOUBLE)),"
+        f" acc -> acc.s)"
     )
-    p_even = F.exp(-x) * even_sum
+    p_even = f"(exp(-{X}) * {even_sum})"
 
     # ---- odd dof: lgamma(a) for a = m + 1/2 (m = (dof-1)/2 >= 0)
-    m_half = ((dof_i - 1) / 2).cast("int")
-    seq_lg = F.when(m_half >= 1, F.sequence(F.lit(1), m_half)).otherwise(
-        F.array().cast("array<int>")
+    m_half = f"CAST((({DOFI} - 1) / 2) AS INT)"
+    seq_lg = (
+        f"CASE WHEN {m_half} >= 1 THEN sequence(1, {m_half})"
+        f" ELSE CAST(array() AS ARRAY<INT>) END"
     )
-    lgamma_a = F.lit(math.log(math.sqrt(math.pi))) + F.aggregate(
-        seq_lg,
-        F.lit(0.0),
-        lambda acc, j: acc + F.log(j.cast("double") - F.lit(0.5)),
+    lgamma_a = (
+        f"({_d(math.log(math.sqrt(math.pi)))} + aggregate({seq_lg}, {_d(0.0)},"
+        f" (acc, j) -> acc + ln(CAST(j AS DOUBLE) - {HALF})))"
     )
-    log_prefix = -x + a * F.log(x) - lgamma_a
+    log_prefix = f"(-{X} + {A} * ln({X}) - {lgamma_a})"
 
     # series for P(a, x), x < a+1: t_0 = 1/a; t_k = t_{k-1} * x/(a+k)
-    series_sum = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_N_SERIES)),
-        F.struct((F.lit(1.0) / a).alias("s"), (F.lit(1.0) / a).alias("t")),
-        lambda acc, k: F.struct(
-            (acc["s"] + acc["t"] * x / (a + k.cast("double"))).alias("s"),
-            (acc["t"] * x / (a + k.cast("double"))).alias("t"),
-        ),
-        lambda acc: acc["s"],
+    series_sum = (
+        f"aggregate(sequence(1, {_N_SERIES}),"
+        f" named_struct('s', {ONE} / {A}, 't', {ONE} / {A}),"
+        f" (acc, k) -> named_struct("
+        f"'s', acc.s + acc.t * {X} / ({A} + CAST(k AS DOUBLE)),"
+        f" 't', acc.t * {X} / ({A} + CAST(k AS DOUBLE))),"
+        f" acc -> acc.s)"
     )
-    p_series = F.lit(1.0) - series_sum * F.exp(log_prefix)
+    p_series = f"({ONE} - {series_sum} * exp({log_prefix}))"
 
     # modified-Lentz continued fraction for Q(a, x), x >= a+1
-    tiny = F.lit(1.0e-300)
-
-    def _cf_step(acc, i):
-        an = -i.cast("double") * (i.cast("double") - a)
-        b = acc["b"] + F.lit(2.0)
-        d_raw = an * acc["d"] + b
-        d1 = F.when(F.abs(d_raw) < tiny, tiny).otherwise(d_raw)
-        c_raw = b + an / acc["c"]
-        c1 = F.when(F.abs(c_raw) < tiny, tiny).otherwise(c_raw)
-        d2 = F.lit(1.0) / d1
-        return F.struct(
-            b.alias("b"),
-            c1.alias("c"),
-            d2.alias("d"),
-            (acc["h"] * d2 * c1).alias("h"),
-        )
-
-    b0 = x + F.lit(1.0) - a
-    cf_h = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_N_CF)),
-        F.struct(
-            b0.alias("b"),
-            (F.lit(1.0) / tiny).alias("c"),
-            (F.lit(1.0) / b0).alias("d"),
-            (F.lit(1.0) / b0).alias("h"),
-        ),
-        _cf_step,
-        lambda acc: acc["h"],
+    an = "(-CAST(i AS DOUBLE) * (CAST(i AS DOUBLE) - " + A + "))"
+    b = f"(acc.b + {TWO})"
+    d_raw = f"({an} * acc.d + {b})"
+    d1 = f"(CASE WHEN abs({d_raw}) < {TINY} THEN {TINY} ELSE {d_raw} END)"
+    c_raw = f"({b} + {an} / acc.c)"
+    c1 = f"(CASE WHEN abs({c_raw}) < {TINY} THEN {TINY} ELSE {c_raw} END)"
+    d2 = f"({ONE} / {d1})"
+    b0 = f"({X} + {ONE} - {A})"
+    cf_h = (
+        f"aggregate(sequence(1, {_N_CF}),"
+        f" named_struct('b', {b0}, 'c', {ONE} / {TINY},"
+        f" 'd', {ONE} / {b0}, 'h', {ONE} / {b0}),"
+        f" (acc, i) -> named_struct('b', {b}, 'c', {c1}, 'd', {d2},"
+        f" 'h', acc.h * {d2} * {c1}),"
+        f" acc -> acc.h)"
     )
-    p_cf = cf_h * F.exp(log_prefix)
+    p_cf = f"({cf_h} * exp({log_prefix}))"
 
-    p_odd = F.when(x < a + 1, p_series).otherwise(p_cf)
-
-    p = F.when(dof_i % 2 == 0, p_even).otherwise(p_odd)
-    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), p))
+    p_odd = f"(CASE WHEN {X} < {A} + {ONE} THEN {p_series} ELSE {p_cf} END)"
+    p = f"(CASE WHEN ({DOFI} % 2) = 0 THEN {p_even} ELSE {p_odd} END)"
+    p = f"least({ONE}, greatest({_d(0.0)}, {p}))"
     return (
-        F.when(dof_i <= 0, F.lit(1.0))
-        .when(stat.isNull() | F.isnan(stat) | (stat <= 0), F.lit(1.0))
-        .otherwise(p)
+        f"(CASE WHEN {DOFI} <= 0 THEN {ONE}"
+        f" WHEN ({stat}) IS NULL OR isnan({S}) OR {S} <= {_d(0.0)} THEN {ONE}"
+        f" ELSE {p} END)"
     )
+
+
+def chi2_sf_col(stat, dof):
+    """Chi-squared survival function as a PURE column expression.
+
+    Thin wrapper over :func:`chi2_sf_sql`: the whole fold machinery is
+    emitted as one SQL string and parsed in a single ``F.expr`` call —
+    the JVM parser is ~100x cheaper than building the same tree through
+    py4j, which matters on the deliver-stats build path (two of these
+    per inference plan).
+
+    ``stat``/``dof`` accept SQL fragments (preferred) or simple Columns
+    (column refs / arithmetic / literals — anything whose JVM
+    ``toString`` is valid SQL).
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    def _sql(v):
+        return v._jc.toString() if isinstance(v, Column) else str(v)
+
+    return F.expr(chi2_sf_sql(_sql(stat), _sql(dof)))

@@ -37,12 +37,12 @@ Semantics replicated from the reference (file:line cites):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.functions.rounding import ref_round
+from qudo_etl_pipeline_spark.functions.rounding import ref_round, ref_round_expr
 from qudo_etl_pipeline_spark.functions.stats import chi2_sf_col, z_threshold_table
 from qudo_etl_pipeline_spark.plans.melt import melt
 
@@ -74,6 +74,23 @@ class ContingencyTables:
     weighted: bool
     _cached: DataFrame | None = None
     _n_rows: int | None = None
+    # derived cached frames (dense grid) — registered lazily so repeated
+    # post-hoc calls share one entry and unpersist() releases everything
+    _derived: dict = field(default_factory=dict)
+
+    def dense_with_expected(self) -> DataFrame:
+        """The dense (value x cluster) grid with expected frequencies,
+        cached: it is the shared input of BOTH branches of
+        :func:`post_hoc_cells` (the per-variable aggregate and the
+        per-cell residuals), and without a cache the grid+windows
+        subtree is compiled and executed once per consuming branch.
+        Cardinality is the cell table's (schema-bound, row-count
+        independent), so the cache is tiny at any scale."""
+        if "dense" not in self._derived:
+            self._derived["dense"] = _dense_with_expected(
+                self.cells, self.cluster_col
+            ).cache()
+        return self._derived["dense"]
 
     @property
     def n_rows(self) -> int:
@@ -86,6 +103,9 @@ class ContingencyTables:
     def unpersist(self) -> None:
         if self._cached is not None:
             self._cached.unpersist()
+        for df in self._derived.values():
+            df.unpersist()
+        self._derived.clear()
 
 
 def detect_cell_skew(
@@ -314,7 +334,7 @@ def _chi2_finalize(
     return df.withColumn(
         "p_value",
         F.when(
-            F.col("dof") > 0, chi2_sf_col(F.col("chi2_stat"), F.col("dof"))
+            F.col("dof") > 0, chi2_sf_col("chi2_stat", "dof")
         ).otherwise(F.lit(1.0)),
     )
 
@@ -329,7 +349,7 @@ def chi2_by_variable(
     """
     cluster_col = tables.cluster_col
     if dense is None:
-        dense = _dense_with_expected(tables.cells, cluster_col)
+        dense = tables.dense_with_expected()
 
     plain, corrected = _chi2_parts()
     per_var = dense.groupBy("variable").agg(
@@ -362,8 +382,11 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     # broadcast, and the dense side derives from the cached
     # variable-partitioned cell table, so re-densifying under the agg
     # branch re-reads the cache rather than re-scanning the input. The
-    # inner join doubles as the p <= alpha significance filter.
-    dense = _dense_with_expected(tables.cells, cluster_col)
+    # inner join doubles as the p <= alpha significance filter. The dense
+    # frame comes cached off the tables object so the grid+windows
+    # subtree executes ONCE for both branches (and for any standalone
+    # chi2_by_variable call on the same tables).
+    dense = tables.dense_with_expected()
     per_var = chi2_by_variable(tables, dense).filter(F.col("p_value") <= alpha)
     dense = dense.join(
         F.broadcast(
@@ -380,15 +403,9 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     # keeps ANSI mode from throwing on rows that never reach the output.
     # ref_round: Python-round parity (reference rounds z to 3 with Python
     # round before squaring, chisquared_tester.py:473)
-    adj_res = ref_round(
-        F.try_divide(
-            F.col("observed") - F.col("expected"),
-            F.sqrt(
-                F.col("expected")
-                * (1 - F.col("row_tot") / F.col("n"))
-                * (1 - F.col("col_tot") / F.col("n"))
-            ),
-        ),
+    adj_res = ref_round_expr(
+        "try_divide(observed - expected,"
+        " sqrt(expected * (1 - row_tot / n) * (1 - col_tot / n)))",
         3,
     )
     dense = dense.withColumn("adj_residual", adj_res)
@@ -410,9 +427,7 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     dense = dense.withColumn(
         "_m", (F.col("n_values") * F.col("n_clusters")).cast("bigint")
     ).join(F.broadcast(thr_df), "_m", "left")
-    fallback_p = chi2_sf_col(
-        F.col("adj_residual") * F.col("adj_residual"), F.lit(1)
-    )
+    fallback_p = chi2_sf_col("adj_residual * adj_residual", "1")
     bonferroni_ok = F.when(
         F.col("_z_thr").isNotNull(),
         F.abs(F.col("adj_residual")) >= F.col("_z_thr"),
@@ -503,6 +518,14 @@ def deliver_stats(
         F.min(mode_struct).alias("_mode"),
         F.min(wmode_struct).alias("_wmode"),
     )
+    # response_rate divides by the TOTAL input row count. That count is a
+    # one-row aggregate of cluster_sizes, broadcast into the plan as a
+    # scalar — not collected: keeping it lazy removes the only driver-side
+    # job from the deliver-stats plan-build path (tables.n_rows stays for
+    # callers that need the Python int).
+    total_rows = tables.cluster_sizes.agg(
+        F.sum("cluster_n").cast("double").alias("_total_rows")
+    )
     grp = grp.select(
         "variable",
         cluster_col,
@@ -512,12 +535,10 @@ def deliver_stats(
         F.col("_mode.n").alias("mode_count"),
         F.col("_wmode.v").alias("weighted_pop_mode"),
         F.col("_wmode.n").alias("wmode_count"),
-        (
-            F.sum("answered_n").over(Window.partitionBy("variable"))
-            / F.lit(tables.n_rows)
-            * 100
-        ).alias("response_rate"),
-    )
+        F.sum("answered_n").over(Window.partitionBy("variable")).alias("_answered_tot"),
+    ).crossJoin(F.broadcast(total_rows)).withColumn(
+        "response_rate", F.col("_answered_tot") / F.col("_total_rows") * 100
+    ).drop("_answered_tot", "_total_rows")
 
     # Significant "more" categories per (variable, cluster): post_hoc ==
     # 'pos', 'not selected' stripped (chisquared_tester.py:1653 +
@@ -528,8 +549,8 @@ def deliver_stats(
     pos = (
         post.filter((F.col("post_hoc") == "pos") & (F.col("value") != NOT_SELECTED))
         .join(grp, ["variable", cluster_col])
-        .withColumn("cat_perc", ref_round(F.col("observed") / F.col("answered_n") * 100, 2))
-        .withColumn("w_cat_perc", ref_round(F.col("w_observed") / F.col("answered_w") * 100, 2))
+        .withColumn("cat_perc", ref_round_expr("observed / answered_n * 100", 2))
+        .withColumn("w_cat_perc", ref_round_expr("w_observed / answered_w * 100", 2))
     )
     pos_agg = pos.groupBy("variable", cluster_col).agg(
         _ordered_list(F.col("value"), F.col("value")).alias("sig_more_category"),
@@ -554,22 +575,22 @@ def deliver_stats(
             F.col("variable").alias("q_code"),
             "pop_mode",
             "response_rate",
-            ref_round(F.col("mode_count") / F.col("cluster_n") * 100, 2).alias(
+            ref_round_expr("mode_count / cluster_n * 100", 2).alias(
                 "mode_pop_perc"
             ),
-            ref_round(F.col("p_value"), 5).alias("chi_2_result"),
+            ref_round_expr("p_value", 5).alias("chi_2_result"),
             "sig_more_category",
             "category_percentages",
             F.col(cluster_col).cast("string").alias("targeting_seg"),
             *(
-                [ref_round(F.col("chi2_stat"), 2).alias("chi2_stat")]
+                [ref_round_expr("chi2_stat", 2).alias("chi2_stat")]
                 if include_chi2_stat
                 else []
             ),
             *(
                 [
                     "weighted_pop_mode",
-                    ref_round(F.col("wmode_count") / F.col("cluster_w") * 100, 0).alias(
+                    ref_round_expr("wmode_count / cluster_w * 100", 0).alias(
                         "weighted_pop_mode_perc"
                     ),
                     "weighted_category_percentages",

@@ -21,7 +21,11 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.functions.rounding import ref_round, ref_round_sql
+from qudo_etl_pipeline_spark.functions.rounding import (
+    ref_round,
+    ref_round_expr,
+    ref_round_sql,
+)
 
 # Exact-binary midpoints (denominator a power of two) — bround-agreeing
 # class — and shortest-repr pseudo-midpoints (denominators 40, 200) where
@@ -55,16 +59,45 @@ def test_ref_round_matches_python_round(spark):
     vals = _rationals()
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     rows = df.select(
-        "x", *[ref_round(F.col("x"), s).alias(f"r{s}") for s in SCALES]
+        "x",
+        *[ref_round(F.col("x"), s).alias(f"r{s}") for s in SCALES],
+        *[ref_round_expr("x", s).alias(f"e{s}") for s in SCALES],
     ).collect()
     assert len(rows) == len(vals)
     for r in rows:
         for s in SCALES:
             assert r[f"r{s}"] == round(r["x"], s), (r["x"], s)
+            assert r[f"e{s}"] == round(r["x"], s), (r["x"], s, "expr")
+
+
+def test_ref_round_near_bigint_overflow(spark):
+    # ADVICE r3: scale-5 rounding of x in ~[9.2e13, 1e15) used to push
+    # x*10^5 past 2^63 and throw ARITHMETIC_OVERFLOW under ANSI mode.
+    # The passthrough guard now scales with the rounding scale
+    # (min(1e15, 2^62/10^scale)), where passthrough is provably the
+    # identity: ulp(x) >= 1024/10^scale, so Python round(x, scale) == x.
+    vals = [
+        9.2e13, 9.3e13, -9.3e13, 9.3e13 + 1 / 3, 4.6e13, 4.7e13,
+        2.0**62 / 1e5, 1e14, 9.9e14, 1.1e13 + 0.123456,
+        # the [1e15, 2^53) band at scale 0: fractional doubles the old
+        # 1e15 blanket guard passed through unrounded
+        1e15 + 0.5, 1e15 + 0.25, 2.0**53 - 1.5, 4.5e15 + 1 / 3,
+        2.0**53, 2.0**53 + 2.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = df.select(
+        "x",
+        *[ref_round(F.col("x"), s).alias(f"r{s}") for s in SCALES],
+        *[ref_round_expr("x", s).alias(f"e{s}") for s in SCALES],
+    ).collect()
+    for r in rows:
+        for s in SCALES:
+            assert r[f"r{s}"] == round(r["x"], s), (r["x"], s)
+            assert r[f"e{s}"] == round(r["x"], s), (r["x"], s, "expr")
 
 
 def test_ref_round_sql_matches_python_round():
-    vals = _rationals()
+    vals = _rationals() + [9.2e13, 9.3e13, -9.3e13, 4.7e13, 1e14]
     con = duckdb.connect()
     con.execute("CREATE TABLE t(x DOUBLE)")
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
