@@ -593,10 +593,12 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(D.lsh_bands(sigs, n_hashes=4, band_size=2))
 
 
-@register(
-    "lsh_verified_pairs",
-    oracle=f"""
-    WITH base AS ({_mh_base_cte()}),
+def _vp_ctes() -> str:
+    """Shared CTE chain ending in ``vp(id_a, id_b, jaccard)`` — the
+    verified near-dup pair set (signatures -> bands -> candidates ->
+    token-Jaccard gate), used by the stage-2 oracle and as the edge set
+    of the stage-3 connected-components oracles."""
+    return f"""base AS ({_mh_base_cte()}),
     sig AS (
       SELECT doc_id,
              {_mh_sig(0)} AS mh0,
@@ -616,15 +618,45 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.doc_id < b.doc_id
     ), toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    ), vp AS (
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
+                     (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
+                 AS jaccard
+        FROM cand c JOIN toks a ON c.id_a = a.doc_id
+                    JOIN toks b ON c.id_b = b.doc_id
+      ) WHERE jaccard >= 0.5
+    )"""
+
+
+# Connected components as a recursive CTE: symmetric closure of the
+# verified pairs, then every node's group is the minimum id it can reach
+# (bare UNION dedups the frontier, so the recursion terminates). The
+# Spark implementations (min-label propagation and star contraction)
+# both converge to exactly this labeling.
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_vp_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM vp
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
     )
-    SELECT id_a, id_b, jaccard FROM (
-      SELECT c.id_a, c.id_b,
-             ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
-                   (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
-               AS jaccard
-      FROM cand c JOIN toks a ON c.id_a = a.doc_id
-                  JOIN toks b ON c.id_b = b.doc_id
-    ) WHERE jaccard >= 0.5
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+    FROM reach GROUP BY src
+    """
+
+
+@register(
+    "lsh_verified_pairs",
+    oracle=f"""
+    WITH {_vp_ctes()}
+    SELECT id_a, id_b, jaccard FROM vp
     """,
     survey_ids=["P7", "J3"],
     description="Near-dup pipeline stage 2: LSH candidates verified by "
@@ -639,10 +671,11 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "neardup_groups_cc",
-    oracle=None,
+    oracle=_CC_ORACLE,
     survey_ids=["P7"],
     description="Near-dup pipeline stage 3: connected-component dup groups "
-    "by min-label propagation (rows-only: data-dependent iteration)",
+    "by min-label propagation (oracle: recursive-CTE reachability over "
+    "the verified pair set)",
 )
 def neardup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, sf_dir, "documents")
@@ -654,11 +687,11 @@ def neardup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "neardup_groups_star",
-    oracle=None,
+    oracle=_CC_ORACLE,
     survey_ids=["P7"],
     description="Near-dup groups by alternating large-star/small-star "
-    "contraction — O(log n) rounds, diameter-independent (rows-only: "
-    "data-dependent iteration; property-tested equal to label "
+    "contraction — O(log n) rounds, diameter-independent (oracle: "
+    "recursive-CTE reachability; property-tested equal to label "
     "propagation)",
 )
 def neardup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
