@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.catalog import load_table, load_table_spread, register
+from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 from qudo_etl_pipeline_spark.operators import dedup as D
 from qudo_etl_pipeline_spark.operators import similarity as SIM
 from qudo_etl_pipeline_spark.operators import text as TX
@@ -710,6 +711,12 @@ def _curation_oracle(
     survivors, near-dup pair-domination drop among exact survivors."""
     from qudo_etl_pipeline_spark.operators.dedup import MINHASH_RANGE
 
+    # The 5 / 0.5 / 50.0 literals below are the quality-score FORMULA's
+    # own constants, fixed in text.quality_exprs on the Spark side too —
+    # they are deliberately NOT the min_tokens/min_quality gate
+    # parameters (those interpolate into the `gated` clause only), so
+    # non-default gates stay consistent with curate_corpus (round-3
+    # ADVICE clarification).
     quality = (
         "ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE "
         "LEAST(1.0, ROUND(stop * 1.0 / n_tokens, 6) * 2 + 0.5) * "
@@ -896,8 +903,11 @@ def _ann_lsh_multiprobe_oracle(
     bucket = " + ".join(
         f"(CASE WHEN p{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
     )
+    # ref_round_sql, not ROUND: mirrors the Spark side's ref_round on the
+    # probe-order margins (true-binary-value half-even — engine-identical)
     margins = ", ".join(
-        f"{{'m': ROUND(ABS(p{p}), 6), 'p': {p}}}" for p in range(n_planes)
+        f"{{'m': {ref_round_sql(f'ABS(p{p})', 6)}, 'p': {p}}}"
+        for p in range(n_planes)
     )
     return f"""
     WITH v AS (

@@ -20,9 +20,13 @@ metrics come from the k x k confusion matrix (one groupBy — row-count
 independent); samplers use `sampleBy` class fractions (RUS samples every
 class down to the minority size WITH replacement as the reference's
 RandomUnderSampler(replacement=True); ROS samples every class up to the
-majority size). SMOTE is replaced by within-class pair interpolation
-over `applyInPandas` — a documented delta from true k-NN SMOTE
-(imblearn is not a Spark-expressible dependency; SURVEY §2.7 M33).
+majority size). SMOTE is true k-NN SMOTE semantics per class partition:
+`_smote_like` runs an Arrow-batched `applyInPandas` kernel per minority
+class that finds each sample's k nearest within-class neighbors
+(numpy, per-group — classes fit a partition by construction) and
+interpolates toward a uniformly-chosen neighbor at a uniform step,
+matching imblearn's synthetic-sample formula with a seeded RNG
+(imblearn itself is not a Spark dependency; SURVEY §2.7 M33).
 
 Scale notes: confusion matrices, slicer counts and consistency ARIs
 aggregate before collecting; nothing row-scale reaches the driver. The

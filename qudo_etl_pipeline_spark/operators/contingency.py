@@ -630,6 +630,11 @@ def cluster_mode_list(
         variables = [c for c in wide.columns if c not in set(id_vars or [])]
     elif cluster_col not in variables:
         variables = [*variables, cluster_col]
+    # pandas groupby drops NaN GROUP KEYS (while mode(dropna=False) keeps
+    # null VALUES) — filter null clusters up front so a caller passing
+    # unlabeled rows matches the reference's self.data.groupby(cluster_col)
+    # (chisquared_tester.py:1789; round-3 ADVICE).
+    wide = wide.filter(F.col(cluster_col).isNotNull())
     long = melt(
         wide.select(cluster_col, *[c for c in variables if c != cluster_col]),
         id_vars=[cluster_col],

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -165,12 +167,16 @@ def _probe_buckets(
     sig = _sig_from_projs(projs)
     # margins rounded to 6 decimals so the probe ORDER is reproducible
     # across engines (ties then break on plane id) — same determinism
-    # device as the cos9 ranking round
+    # device as the cos9 ranking round. ref_round, not F.round: HALF_UP
+    # on the shortest decimal repr could order a near-midpoint margin
+    # differently from the DuckDB oracle's true-binary-value rounding
+    # (round-3 ADVICE); ref_round and its ref_round_sql mirror agree
+    # bit-for-bit on every finite double.
     margins = F.array_sort(
         F.array(
             *[
                 F.struct(
-                    F.round(F.abs(projs[p]), 6).alias("m"),
+                    ref_round(F.abs(projs[p]), 6).alias("m"),
                     F.lit(p).alias("p"),
                 )
                 for p in range(n_planes)
