@@ -151,3 +151,36 @@ def test_lca_mixed_pure_gaussian(spark, cat_df):
     ari = Q.adjusted_rand_index(fit["labels"], "truth", "prediction")
     assert ari > 0.9
     assert fit["n_params"] == 2 + 3 * 2
+
+
+def test_lca_distributed_path_matches_pattern_path(spark, cat_df):
+    """pattern_threshold=0 forces the distributed EM loop (the 100 TB
+    path); same seed + same sufficient statistics must land on the same
+    model as pattern EM up to float association order."""
+    cols = ["q0", "q1", "q2", "q3"]
+    fp = LCA.lca_fit(cat_df, cols, k=3, seed=42)
+    fd = LCA.lca_fit(cat_df, cols, k=3, seed=42, pattern_threshold=0)
+    assert fd["loglik"] == pytest.approx(fp["loglik"], rel=1e-6)
+    assert sorted(fd["pi"]) == pytest.approx(sorted(fp["pi"]), abs=1e-6)
+    ari = Q.adjusted_rand_index(fd["labels"], "truth", "prediction")
+    assert ari > 0.9
+
+
+def test_lca_mixed_distributed_path(spark, cat_df):
+    """Distributed mixed EM (gaussian factors in the fused single-row
+    aggregate) must recover the planted classes like the pattern path.
+    Init quantiles differ slightly (percentile_approx vs weighted
+    numpy), so the assertion is recovery, not bit equality."""
+    with_num = cat_df.withColumn(
+        "x", F.col("truth").cast("double") * 10.0 + (F.rand(7) - 0.5)
+    ).withColumn(
+        "y", F.col("truth").cast("double") * -3.0 + (F.rand(8) - 0.5)
+    )
+    fit = LCA.lca_fit(
+        with_num, ["q0", "q1"], k=3, seed=42, num_cols=["x", "y"],
+        pattern_threshold=0,
+    )
+    ari = Q.adjusted_rand_index(fit["labels"], "truth", "prediction")
+    assert ari > 0.9
+    xs = sorted(m["x"] for m in fit["mu"])
+    assert xs == pytest.approx([0.0, 10.0, 20.0], abs=1.5)
