@@ -359,23 +359,99 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_learned_oracle(
+    k_cells: int = 4, iters: int = 2, nprobe: int = 2, topk: int = 5
+) -> str:
+    """Mirror of the full train-then-index IVF path: the deterministic
+    Lloyd trainer (similarity.ivf_train — rank-order init, round-9
+    cosine assignment, DECIMAL-exact per-dim means rounded via
+    ref_round) unrolled as CTEs, then the same probed-cell top-k as the
+    fixed-centroid oracle."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+    )
+    mean6 = ref_round_sql(
+        "CAST(SUM(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)", 6
+    )
+    ctes = [
+        f"""v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )""",
+        f"""cent0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS cv
+      FROM v ORDER BY vec_id LIMIT {k_cells}
+    )""",
+    ]
+    for t in range(iters):
+        ctes.append(f"""asg{t} AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {cos.format(a='v.e', b='c.cv')} DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN cent{t} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""m{t} AS (
+      SELECT cid, u.pos, {mean6} AS mv
+      FROM asg{t}, LATERAL (SELECT unnest(e) AS val,
+                                   generate_subscripts(e, 1) AS pos) u
+      GROUP BY cid, u.pos
+    )""")
+        ctes.append(f"""cent{t + 1} AS (
+      SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+      FROM cent{t} p LEFT JOIN
+        (SELECT cid, list(mv ORDER BY pos) AS cv FROM m{t} GROUP BY cid) m
+        USING (cid)
+    )""")
+    cent = f"cent{iters}"
+    return f"""
+    WITH {', '.join(ctes)},
+    vcell AS (
+      SELECT vec_id, e, cid AS cell FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {cos.format(a='v.e', b='c.cv')} DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, qe, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, q.e AS qe, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {cos.format(a='q.e', b='c.cv')} DESC, c.cid ASC) AS rn
+        FROM v q CROSS JOIN {cent} c WHERE q.vec_id < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             {cos.format(a='qe', b='e')} AS cos9
+      FROM qprobe JOIN vcell USING (cell)
+      WHERE query_id <> vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos9, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    """
+
+
 @register(
     "ann_ivf_learned",
-    oracle=None,
+    oracle=_ivf_learned_oracle(),
     survey_ids=["A10", "W2", "M4"],
-    description="IVF ANN with kmeans-learned centroids: the full "
-    "train-then-index path (rows-only: iterative kmeans training)",
+    description="IVF ANN with data-learned centroids: the full "
+    "train-then-index path (deterministic distributed Lloyd trainer, "
+    "DECIMAL-exact centroid means — DuckDB oracle unrolls the same "
+    "iterations as CTEs)",
 )
 def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from qudo_etl_pipeline_spark.ml import clustering as C
-
     vecs = load_table_spread(spark, sf_dir, "embeddings")
-    feats = vecs.select(
-        F.col("vec_id").alias("row_id"),
-        F.col("embedding").cast("array<double>").alias("features"),
-    )
-    fit = C.kmeans_fit(feats, k=4, seed=42)
-    centroids = [[float(x) for x in c] for c in fit["model"].clusterCenters()]
+    centroids = SIM.ivf_train(vecs, k=4, iters=2)
     queries = vecs.filter(F.col("vec_id") < 10)
     return SIM.ivf_topk(vecs, queries, centroids, nprobe=2, k=5)
 

@@ -206,6 +206,62 @@ def demo_centroids(n_cells: int, dim: int) -> list[list[float]]:
     ]
 
 
+def ivf_train(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic distributed Lloyd trainer for oracle-checkable IVF.
+
+    MLlib's KMeans is seeded but implementation-defined (init sampling,
+    float reduction order), so its centroids cannot be reproduced by a
+    SQL oracle. This trainer is a pure function of the data on BOTH
+    engines:
+
+    - init: the embeddings of the ``k`` lowest ids (rank order);
+    - assign: nearest centroid by the same round-9 cosine as
+      :func:`ivf_assign` (ties -> low cell id) — map-only;
+    - update: per-cell per-dimension mean with DECIMAL(28,12)
+      accumulation — decimal addition is exact, so the sum is
+      independent of partitioning/reduction order (the same device as
+      the ``embedding_centroid_norm`` oracle) — then Python
+      ``round(mean, 6)`` (ref_round semantics cross-engine); empty
+      cells keep their previous centroid.
+
+    Scale shape: one shuffle per iteration whose output is k rows of
+    (count, dim sums) — row-count independent; only k x dim floats ever
+    reach the driver. The DuckDB mirror unrolls the same iterations as
+    CTEs (catalog.datapipe._ivf_learned_oracle).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_e")
+    )
+    first = v.orderBy("_id").limit(k).collect()
+    cents = [[float(x) for x in r["_e"]] for r in first]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = v.withColumn(
+            "cell", _nearest_cells(F.col("_e"), cents, 1)[0]
+        )
+        agg = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("_e")[i].cast("decimal(28,12)")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        new = {
+            int(r["cell"]): [
+                round(float(r[f"s{i}"]) / r["n"], 6) for i in range(dim)
+            ]
+            for r in agg
+        }
+        cents = [new.get(ci, cents[ci]) for ci in range(k)]
+    return cents
+
+
 def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids by cosine (ties -> low id).
 

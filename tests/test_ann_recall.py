@@ -149,3 +149,18 @@ def test_multiprobe_dedups_rediscovered_pairs(spark, clustered):
         .count()
     )
     assert dupes == 0
+
+
+def test_ivf_train_deterministic_and_recall(spark, clustered):
+    """The oracle-checkable Lloyd trainer must be a pure function of
+    the data (bit-identical across calls — DECIMAL-exact means make the
+    reduction order irrelevant) and must still cluster well enough for
+    the recall floor on clustered data."""
+    c1 = SIM.ivf_train(clustered, k=10, iters=2)
+    c2 = SIM.ivf_train(clustered, k=10, iters=2)
+    assert c1 == c2
+    queries = clustered.filter(F.col("vec_id") % 10 == 0)
+    exact = _topk_sets(SIM.brute_force_topk(clustered, queries, k=K))
+    approx = _topk_sets(SIM.ivf_topk(clustered, queries, c1, nprobe=2, k=K))
+    r = _recall(exact, approx)
+    assert r >= 0.6, f"ivf_train recall@{K} (nprobe=2, clustered) = {r}"
