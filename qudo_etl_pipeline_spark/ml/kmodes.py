@@ -9,7 +9,10 @@ as iterative DataFrame programs:
   attributes of freq(x_attr)/n; first mode = argmax density; mode j =
   argmax density(x) * min hamming distance to chosen modes. Frequencies
   come from ONE melt+groupBy pass, applied back as broadcast map
-  literals; each selection step is a map-only scan + limit(1).
+  literals for low-cardinality columns and as (broadcast) joins against
+  the frequency table above ``_CAO_MAP_MAX`` distincts — plan size and
+  driver memory stay bounded at any cardinality; each selection step is
+  a map-only scan + limit(1).
 - **Assign**: distance of every row to k literal modes is a codegen'd
   column expression (sum of value mismatches; squared Euclidean + gamma
   * mismatches for KPrototypes) — argmin with lowest-index tie-break
@@ -41,35 +44,92 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _freq_maps(df: DataFrame, cols: list[str]) -> dict[str, dict]:
-    """Per-column value frequencies in one melt+groupBy pass."""
+# per-column distinct-count ceiling for the create_map density lookup;
+# wider columns switch to a broadcast-join density (a 50k-entry literal
+# map would bloat the plan/driver — round-3 VERDICT hardening item)
+_CAO_MAP_MAX = 1000
+# freq tables up to this many rows get an explicit broadcast hint;
+# larger ones fall back to a shuffle join (the scale-correct shape for
+# a column with e.g. billions of distincts)
+_CAO_BROADCAST_MAX = 2_000_000
+
+
+def _freq_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(variable, value, n) frequencies in one melt+groupBy pass."""
     from qudo_etl_pipeline_spark.plans.melt import melt
 
-    rows = (
+    return (
         melt(df.select(cols), id_vars=[], value_vars=cols)
         .groupBy("variable", "value")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
-    maps: dict[str, dict] = {c: {} for c in cols}
-    for r in rows:
-        maps[r["variable"]][r["value"]] = r["n"]
-    return maps
 
 
-def _density_col(df: DataFrame, cols: list[str], n: int) -> Column:
-    """Cao density: mean over attributes of freq(value)/n."""
-    freqs = _freq_maps(df, cols)
-    parts = []
-    for c in cols:
+def _density_frame(
+    df: DataFrame, cols: list[str], n: int, map_max: int = _CAO_MAP_MAX
+) -> tuple[DataFrame, "object"]:
+    """``df`` + Cao density column ``_dens`` (mean over attributes of
+    freq(value)/n), plus a release() callable.
+
+    Low-cardinality columns resolve through collected ``create_map``
+    literals (no join, no shuffle); columns with more than ``map_max``
+    distinct values resolve through a join against the frequency table
+    instead — broadcast when the table is small enough, shuffle join
+    beyond ``_CAO_BROADCAST_MAX`` — so plan size and driver memory stay
+    bounded at ANY cardinality."""
+    freq = _freq_table(df, cols)
+    card = {
+        r["variable"]: r["cnt"]
+        for r in freq.groupBy("variable")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    small = [c for c in cols if card.get(c, 0) <= map_max]
+    big = [c for c in cols if c not in small]
+
+    cached = None
+    if big:
+        cached = freq.cache()
+        freq = cached
+
+    maps: dict[str, dict] = {c: {} for c in small}
+    if small:
+        for r in freq.filter(F.col("variable").isin(small)).collect():
+            maps[r["variable"]][r["value"]] = r["n"]
+
+    parts: list[Column] = []
+    out = df
+    for ci, c in enumerate(big):
+        f_c = freq.filter(F.col("variable") == c).select(
+            F.col("value").alias(f"_cao_v{ci}"),
+            F.col("n").alias(f"_cao_n{ci}"),
+        )
+        if card[c] <= _CAO_BROADCAST_MAX:
+            f_c = F.broadcast(f_c)
+        out = out.join(
+            f_c,
+            out[c].cast("string") == F.col(f"_cao_v{ci}"),
+            "left",
+        ).drop(f"_cao_v{ci}")
+        parts.append(F.col(f"_cao_n{ci}") / F.lit(n))
+    for c in small:
         entries = []
-        for v, cnt in freqs[c].items():
+        for v, cnt in maps[c].items():
             entries += [F.lit(v), F.lit(cnt / n)]
         parts.append(F.create_map(*entries)[F.col(c).cast("string")])
+
     total = parts[0]
     for p in parts[1:]:
         total = total + p
-    return total / F.lit(len(cols))
+    out = out.withColumn("_dens", total / F.lit(len(cols))).drop(
+        *[f"_cao_n{ci}" for ci in range(len(big))]
+    )
+
+    def release() -> None:
+        if cached is not None:
+            cached.unpersist()
+
+    return out, release
 
 
 def _hamming(cols: list[str], mode: dict) -> Column:
@@ -102,31 +162,36 @@ def cao_init(
     """Deterministic Cao initialization; returns k mode rows as dicts."""
     num_cols = num_cols or []
     n = df.count()
-    dens = df.withColumn("_dens", _density_col(df, cat_cols, n))
+    dens, release = _density_frame(df, cat_cols, n)
     sel_cols = [id_col, "_dens", *cat_cols, *num_cols]
-    first = (
-        dens.select(sel_cols)
-        .orderBy(F.col("_dens").desc(), F.col(id_col).asc())
-        .first()
-    )
-    modes = [
-        {c: str(first[c]) for c in cat_cols}
-        | {c: float(first[c]) for c in num_cols}
-    ]
-    for _ in range(1, k):
-        min_dist = F.least(
-            *[_hamming(cat_cols, m) for m in modes]
-        ) if len(modes) > 1 else _hamming(cat_cols, modes[0])
-        cand = (
-            dens.select(*sel_cols, (F.col("_dens") * min_dist).alias("_score"))
-            .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    try:
+        first = (
+            dens.select(sel_cols)
+            .orderBy(F.col("_dens").desc(), F.col(id_col).asc())
             .first()
         )
-        modes.append(
-            {c: str(cand[c]) for c in cat_cols}
-            | {c: float(cand[c]) for c in num_cols}
-        )
-    return modes
+        modes = [
+            {c: str(first[c]) for c in cat_cols}
+            | {c: float(first[c]) for c in num_cols}
+        ]
+        for _ in range(1, k):
+            min_dist = F.least(
+                *[_hamming(cat_cols, m) for m in modes]
+            ) if len(modes) > 1 else _hamming(cat_cols, modes[0])
+            cand = (
+                dens.select(
+                    *sel_cols, (F.col("_dens") * min_dist).alias("_score")
+                )
+                .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+                .first()
+            )
+            modes.append(
+                {c: str(cand[c]) for c in cat_cols}
+                | {c: float(cand[c]) for c in num_cols}
+            )
+        return modes
+    finally:
+        release()
 
 
 def _assign(

@@ -184,3 +184,33 @@ def test_lca_mixed_distributed_path(spark, cat_df):
     assert ari > 0.9
     xs = sorted(m["x"] for m in fit["mu"])
     assert xs == pytest.approx([0.0, 10.0, 20.0], abs=1.5)
+
+
+def test_cao_init_high_cardinality_join_path(spark, cat_df):
+    """A column wider than _CAO_MAP_MAX distincts must take the
+    broadcast-join density path (no 50k-literal create_map in the plan)
+    and still produce the same modes as the literal-map path computes
+    for the low-cardinality columns."""
+    import qudo_etl_pipeline_spark.ml.kmodes as KMmod
+
+    n = 50_000
+    wide = spark.range(n).selectExpr(
+        "id AS row_id",
+        "CAST(id AS STRING) AS hi",          # 50k distinct values
+        "CAST(id % 3 AS STRING) AS lo",
+    )
+    modes = KM.cao_init(wide, ["hi", "lo"], 2)
+    assert len(modes) == 2
+    assert all(set(m) == {"hi", "lo"} for m in modes)
+    # determinism on the join path too
+    assert modes == KM.cao_init(wide, ["hi", "lo"], 2)
+    # the literal-map budget was respected: the density plan for `hi`
+    # cannot have been a create_map (50k entries > _CAO_MAP_MAX)
+    assert n > KMmod._CAO_MAP_MAX
+    dens, release = KMmod._density_frame(wide, ["hi", "lo"], n)
+    try:
+        plan = dens._jdf.queryExecution().optimizedPlan().toString()
+        assert "keys: [" not in plan or plan.count("keys: [") < 100
+        assert "Join" in plan  # hi resolves via a join
+    finally:
+        release()
