@@ -286,11 +286,18 @@ def _dense_with_expected(cells: DataFrame, cluster_col: str) -> DataFrame:
     w_var = Window.partitionBy("variable")
     w_row = Window.partitionBy("variable", "value")
     w_col = Window.partitionBy("variable", cluster_col)
-    return (
-        dense.withColumn("row_tot", F.sum("observed").over(w_row))
-        .withColumn("col_tot", F.sum("observed").over(w_col))
-        .withColumn("n", F.sum("observed").over(w_var))
-        .withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+    # one select, not a withColumn chain: every withColumn re-analyzes
+    # the (deep) plan — fusing them measurably cuts the deliver-stats
+    # build time
+    row_tot = F.sum("observed").over(w_row)
+    col_tot = F.sum("observed").over(w_col)
+    n = F.sum("observed").over(w_var)
+    return dense.select(
+        "*",
+        row_tot.alias("row_tot"),
+        col_tot.alias("col_tot"),
+        n.alias("n"),
+        (row_tot * col_tot / n).alias("expected"),
     )
 
 
@@ -324,18 +331,22 @@ def _chi2_finalize(
     stat = F.when(yates & (dof == 1), F.col(stat_yates)).otherwise(
         F.col(stat_plain)
     )
-    df = (
-        df.withColumn("dof", dof)
-        .withColumn("yates", yates)
-        .withColumn("chi2_stat", F.when(F.col("dof") > 0, stat))
+    # two fused selects (not four withColumns): chi2_sf_col references
+    # the just-created chi2_stat/dof columns, everything else lands in
+    # one projection. chi2_sf_col is the pure JVM survival function —
+    # the p-value stays inside whole-stage codegen (no Arrow/Python
+    # worker in the inference plan).
+    df = df.select(
+        "*",
+        dof.alias("dof"),
+        yates.alias("yates"),
+        F.when(dof > 0, stat).alias("chi2_stat"),
     )
-    # chi2_sf_col: pure JVM survival function — the p-value stays inside
-    # whole-stage codegen (no Arrow/Python worker in the inference plan)
-    return df.withColumn(
-        "p_value",
-        F.when(
-            F.col("dof") > 0, chi2_sf_col("chi2_stat", "dof")
-        ).otherwise(F.lit(1.0)),
+    return df.select(
+        "*",
+        F.when(F.col("dof") > 0, chi2_sf_col("chi2_stat", "dof"))
+        .otherwise(F.lit(1.0))
+        .alias("p_value"),
     )
 
 
@@ -408,7 +419,6 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
         " sqrt(expected * (1 - row_tot / n) * (1 - col_tot / n)))",
         3,
     )
-    dense = dense.withColumn("adj_residual", adj_res)
 
     # Cell-level dof=1 Bonferroni test, WITHOUT a per-cell survival
     # function: chi2_sf(z^2, 1) <= alpha/m is monotone in |z|, and
@@ -424,8 +434,11 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     thr_df = spark.createDataFrame(
         sorted(tbl.items()), "_m: bigint, _z_thr: double"
     )
-    dense = dense.withColumn(
-        "_m", (F.col("n_values") * F.col("n_clusters")).cast("bigint")
+    # adj_residual and _m land in the same fused projection
+    dense = dense.select(
+        "*",
+        adj_res.alias("adj_residual"),
+        (F.col("n_values") * F.col("n_clusters")).cast("bigint").alias("_m"),
     ).join(F.broadcast(thr_df), "_m", "left")
     fallback_p = chi2_sf_col("adj_residual * adj_residual", "1")
     bonferroni_ok = F.when(
@@ -439,7 +452,7 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
         .when(significant, F.lit("neg"))
         .otherwise(F.lit("neu"))
     )
-    return dense.withColumn("post_hoc", post_hoc).select(
+    return dense.select(
         "variable",
         cluster_col,
         "value",
@@ -447,7 +460,7 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
         "w_observed",
         "expected",
         "adj_residual",
-        "post_hoc",
+        post_hoc.alias("post_hoc"),
         "p_value",
         "chi2_stat",
     )
@@ -536,9 +549,19 @@ def deliver_stats(
         F.col("_wmode.v").alias("weighted_pop_mode"),
         F.col("_wmode.n").alias("wmode_count"),
         F.sum("answered_n").over(Window.partitionBy("variable")).alias("_answered_tot"),
-    ).crossJoin(F.broadcast(total_rows)).withColumn(
-        "response_rate", F.col("_answered_tot") / F.col("_total_rows") * 100
-    ).drop("_answered_tot", "_total_rows")
+    ).crossJoin(F.broadcast(total_rows)).select(
+        "variable",
+        cluster_col,
+        "answered_n",
+        "answered_w",
+        "pop_mode",
+        "mode_count",
+        "weighted_pop_mode",
+        "wmode_count",
+        (F.col("_answered_tot") / F.col("_total_rows") * 100).alias(
+            "response_rate"
+        ),
+    )
 
     # Significant "more" categories per (variable, cluster): post_hoc ==
     # 'pos', 'not selected' stripped (chisquared_tester.py:1653 +
@@ -549,8 +572,13 @@ def deliver_stats(
     pos = (
         post.filter((F.col("post_hoc") == "pos") & (F.col("value") != NOT_SELECTED))
         .join(grp, ["variable", cluster_col])
-        .withColumn("cat_perc", ref_round_expr("observed / answered_n * 100", 2))
-        .withColumn("w_cat_perc", ref_round_expr("w_observed / answered_w * 100", 2))
+        .select(
+            "*",
+            ref_round_expr("observed / answered_n * 100", 2).alias("cat_perc"),
+            ref_round_expr("w_observed / answered_w * 100", 2).alias(
+                "w_cat_perc"
+            ),
+        )
     )
     pos_agg = pos.groupBy("variable", cluster_col).agg(
         _ordered_list(F.col("value"), F.col("value")).alias("sig_more_category"),
