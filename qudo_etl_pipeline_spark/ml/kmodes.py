@@ -261,6 +261,185 @@ def _update_modes(
     return new_modes
 
 
+# pattern tables larger than this are not collected (the distributed
+# Lloyd loop runs instead) — bounds driver memory at any input size
+_KM_PATTERN_THRESHOLD = 200_000
+
+
+def _pattern_rows(
+    df: DataFrame, cols: list[str], id_col: str, threshold: int
+) -> list | None:
+    """(pattern, count, min id) rows — the complete sufficient statistic
+    of the KModes loop AND of Cao init (min id carries the row-level
+    tie-break). One shuffle; ``limit`` bounds what can reach the driver;
+    overflow returns None (caller falls back to the distributed loop)."""
+    rows = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_w"), F.min(id_col).alias("_mid"))
+        .limit(threshold + 1)
+        .collect()
+    )
+    if len(rows) > threshold:
+        return None
+    return rows
+
+
+def _kmodes_patterns(
+    pat: list,
+    cat_cols: list[str],
+    num_cols: list[str],
+    k: int,
+    gamma: float,
+    max_iter: int,
+) -> tuple[list[dict], list[dict], float, int] | None:
+    """Cao init + Lloyd loop over weighted patterns, mirroring the
+    distributed operators' exact semantics (density formula and float
+    order, score/id tie-breaks, argmin lowest-index assignment, mode
+    update count-desc/value-asc with nulls first, emptied clusters keep
+    their mode). Zero Spark jobs.
+
+    Returns (label_modes, final_modes, cost, n_iter): ``label_modes``
+    are the modes of the LAST assignment (what labels/cost are measured
+    under — on a non-converged exit the distributed loop's returned
+    modes are one update ahead of its labels, mirrored here)."""
+    import numpy as np
+
+    P = len(pat)
+    w = np.array([r["_w"] for r in pat], dtype=np.int64)
+    mid = np.array([r["_mid"] for r in pat])
+    n = int(w.sum())
+
+    # string forms + integer codes per categorical column (None is its
+    # own code — eqNullSafe semantics)
+    S = {
+        c: [None if r[c] is None else str(r[c]) for r in pat]
+        for c in cat_cols
+    }
+    code_of: dict[str, dict] = {}
+    codes: dict[str, np.ndarray] = {}
+    for c in cat_cols:
+        m: dict = {}
+        for v in S[c]:
+            if v not in m:
+                m[v] = len(m)
+        code_of[c] = m
+        codes[c] = np.array([m[v] for v in S[c]], dtype=np.int64)
+    XN = {
+        c: np.array([float(r[c]) for r in pat]) for c in num_cols
+    }
+
+    # --- Cao init (density formula and float association order match
+    # _density_frame: per-part cnt/n python floats, summed left to
+    # right, / len(cat_cols); null attr -> null density -> never picked)
+    freq: dict[str, dict] = {c: {} for c in cat_cols}
+    for c in cat_cols:
+        f = freq[c]
+        for v, wt in zip(S[c], w):
+            if v is not None:
+                f[v] = f.get(v, 0) + int(wt)
+    dens = []
+    for p in range(P):
+        total = None
+        dead = False
+        for c in cat_cols:
+            v = S[c][p]
+            if v is None:
+                dead = True
+                break
+            part = freq[c][v] / n
+            total = part if total is None else total + part
+        dens.append(None if dead else total / len(cat_cols))
+
+    def _ham_to(mode: dict, p: int) -> int:
+        return sum(1 for c in cat_cols if S[c][p] != mode[c])
+
+    alive = [p for p in range(P) if dens[p] is not None]
+    if len(alive) < k:
+        return None  # degenerate (nulls everywhere) — distributed path
+    first = min(alive, key=lambda p: (-dens[p], mid[p]))
+    modes = [
+        {c: S[c][first] for c in cat_cols}
+        | {c: float(XN[c][first]) for c in num_cols}
+    ]
+    for _ in range(1, k):
+        best = min(
+            alive,
+            key=lambda p: (
+                -(dens[p] * min(_ham_to(m, p) for m in modes)),
+                mid[p],
+            ),
+        )
+        modes.append(
+            {c: S[c][best] for c in cat_cols}
+            | {c: float(XN[c][best]) for c in num_cols}
+        )
+
+    # --- Lloyd loop (same convergence + update order as kmodes_fit)
+    def _dists(ms: list[dict]) -> np.ndarray:
+        D = np.zeros((k, P))
+        for i, m in enumerate(ms):
+            d = np.zeros(P)
+            for c in cat_cols:
+                mc = code_of[c].get(m[c], -1)
+                d += (codes[c] != mc).astype(float)
+            if num_cols:
+                sq = np.zeros(P)
+                for c in num_cols:
+                    sq += (XN[c] - m[c]) ** 2
+                d = sq + gamma * d
+            D[i] = d
+        return D
+
+    prev_assign = None
+    label_modes = modes
+    n_iter = 0
+    D = None
+    assign = None
+    for _ in range(max_iter):
+        label_modes = [dict(m) for m in modes]
+        D = _dists(modes)
+        assign = D.argmin(axis=0)  # first-min tie = lowest index
+        n_iter += 1
+        if prev_assign is not None and int(
+            w[assign != prev_assign].sum()
+        ) == 0:
+            break
+        prev_assign = assign
+        # mode update: per (cluster, col) count desc, value asc with
+        # nulls FIRST (Spark ORDER BY value ASC); emptied keeps mode
+        new_modes = [dict(m) for m in modes]
+        for c in cat_cols:
+            ncodes = len(code_of[c])
+            cnt = np.zeros((k, ncodes), dtype=np.int64)
+            np.add.at(cnt, (assign, codes[c]), w)
+            decode = {i: v for v, i in code_of[c].items()}
+            for i in range(k):
+                if cnt[i].sum() == 0:
+                    continue
+                best_code = min(
+                    range(ncodes),
+                    key=lambda j: (
+                        -cnt[i][j],
+                        decode[j] is not None,
+                        decode[j] or "",
+                    ),
+                )
+                if cnt[i][best_code] > 0:
+                    new_modes[i][c] = decode[best_code]
+        for c in num_cols:
+            for i in range(k):
+                mask = assign == i
+                tot = int(w[mask].sum())
+                if tot > 0:
+                    new_modes[i][c] = float(
+                        (w[mask] * XN[c][mask]).sum() / tot
+                    )
+        modes = new_modes
+
+    cost = float((w * D[assign, np.arange(P)]).sum())
+    return label_modes, modes, cost, n_iter
+
+
 def default_gamma(df: DataFrame, num_cols: list[str]) -> float:
     """kmodes lib default: 0.5 * mean population std of numeric cols."""
     if not num_cols:
@@ -279,6 +458,7 @@ def kmodes_fit(
     gamma: float | None = None,
     max_iter: int = 20,
     id_col: str = "row_id",
+    pattern_threshold: int = _KM_PATTERN_THRESHOLD,
 ) -> dict:
     """Full KModes (num_cols empty) / KPrototypes (num_cols given) fit.
 
@@ -288,6 +468,35 @@ def kmodes_fit(
     num_cols = num_cols or []
     if gamma is None:
         gamma = default_gamma(df, num_cols)
+
+    # Pattern fast path (same design as ml.lca pattern EM): the whole
+    # Cao init + Lloyd loop is a function of the (pattern, count,
+    # min-id) table. Categorical-only inputs always probe (pattern
+    # space bounded by the answer-option product); mixed inputs only
+    # when the row count already fits (no wasted probe at scale).
+    pat = None
+    if not num_cols:
+        pat = _pattern_rows(df, cat_cols, id_col, pattern_threshold)
+    elif df.count() <= pattern_threshold:
+        pat = _pattern_rows(
+            df, [*cat_cols, *num_cols], id_col, pattern_threshold
+        )
+    if pat is not None:
+        fitted = _kmodes_patterns(
+            pat, cat_cols, num_cols, k, gamma, max_iter
+        )
+        if fitted is not None:
+            label_modes, modes, cost, n_iter = fitted
+            labels = _assign(df, label_modes, cat_cols, num_cols, gamma)
+            return {
+                "labels": labels.drop("_dist"),
+                "modes": modes,
+                "cost": cost,
+                "n_iter": n_iter,
+                "k": k,
+                "gamma": gamma,
+            }
+
     df = df.cache()
     try:
         modes = cao_init(df, cat_cols, k, num_cols=num_cols, id_col=id_col)
@@ -336,6 +545,7 @@ def kprototypes_fit(
     gamma: float | None = None,
     max_iter: int = 20,
     id_col: str = "row_id",
+    pattern_threshold: int = _KM_PATTERN_THRESHOLD,
 ) -> dict:
     """KPrototypes = KModes loop with mixed distance
     sq_euclid(num) + gamma * hamming(cat) (clustering.py:328-346)."""
@@ -347,4 +557,5 @@ def kprototypes_fit(
         gamma=gamma,
         max_iter=max_iter,
         id_col=id_col,
+        pattern_threshold=pattern_threshold,
     )

@@ -214,3 +214,42 @@ def test_cao_init_high_cardinality_join_path(spark, cat_df):
         assert "Join" in plan  # hi resolves via a join
     finally:
         release()
+
+
+def test_kmodes_pattern_path_matches_distributed(spark, cat_df):
+    """pattern_threshold=0 forces the distributed Lloyd loop; the
+    pattern fast path must reproduce its modes, cost, iteration count
+    and labels exactly (same Cao init, same tie-breaks)."""
+    cols = ["q0", "q1", "q2", "q3"]
+    fp = KM.kmodes_fit(cat_df, cols, k=3)
+    fd = KM.kmodes_fit(cat_df, cols, k=3, pattern_threshold=0)
+    assert fp["modes"] == fd["modes"]
+    assert fp["cost"] == fd["cost"]
+    assert fp["n_iter"] == fd["n_iter"]
+    joined = (
+        fp["labels"].select("row_id", F.col("prediction").alias("pa"))
+        .join(
+            fd["labels"].select("row_id", F.col("prediction").alias("pb")),
+            "row_id",
+        )
+    )
+    assert joined.filter(F.col("pa") != F.col("pb")).count() == 0
+
+
+def test_kprototypes_pattern_path_matches_distributed(spark, cat_df):
+    """Mixed-type (gaussian) pattern path vs distributed loop: same
+    modes up to float tolerance, same sizes."""
+    with_num = cat_df.withColumn(
+        "x", F.col("truth").cast("double") * 10.0 + (F.rand(5) - 0.5)
+    )
+    fp = KM.kprototypes_fit(with_num, ["q0", "q1", "q2", "q3"], ["x"], k=3)
+    fd = KM.kprototypes_fit(
+        with_num, ["q0", "q1", "q2", "q3"], ["x"], k=3, pattern_threshold=0
+    )
+    assert fp["n_iter"] == fd["n_iter"]
+    for mp, md in zip(fp["modes"], fd["modes"]):
+        assert {c: mp[c] for c in ["q0", "q1", "q2", "q3"]} == {
+            c: md[c] for c in ["q0", "q1", "q2", "q3"]
+        }
+        assert mp["x"] == pytest.approx(md["x"], rel=1e-9)
+    assert fp["cost"] == pytest.approx(fd["cost"], rel=1e-9)
