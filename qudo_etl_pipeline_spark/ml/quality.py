@@ -126,9 +126,18 @@ def calinski_harabasz(
     df: DataFrame, features: str = FEATURES, pred: str = PREDICTION
 ) -> float:
     """CH = (B/(k-1)) / (W/(n-k)); 0 on degenerate input (metrics.py:85-90)."""
+    return _calinski_harabasz_from(_stats_or_none(df, features, pred))
+
+
+def _stats_or_none(df: DataFrame, features: str, pred: str) -> list | None:
     try:
-        stats = cluster_stats(df, features, pred).collect()
+        return cluster_stats(df, features, pred).collect()
     except ValueError:  # empty input / empty feature arrays
+        return None
+
+
+def _calinski_harabasz_from(stats: list | None) -> float:
+    if stats is None:
         return 0.0
     k = len(stats)
     n = sum(r["n"] for r in stats)
@@ -151,18 +160,25 @@ def calinski_harabasz(
 
 
 def davies_bouldin(
-    df: DataFrame, features: str = FEATURES, pred: str = PREDICTION
+    df: DataFrame,
+    features: str = FEATURES,
+    pred: str = PREDICTION,
+    stats_rows: list | None = None,
 ) -> float:
     """DB = mean_i max_{j != i} (S_i+S_j)/d(c_i,c_j); 999 on degenerate
-    input (metrics.py:85-90). S_i = mean Euclidean distance to centroid."""
+    input (metrics.py:85-90). S_i = mean Euclidean distance to centroid.
+
+    ``stats_rows`` lets callers that already collected cluster_stats
+    (cluster_quality shares one pass across all metrics) skip pass 1.
+    """
     # Exact DB needs two data passes (scatter = mean distance to centroid,
     # which is not a moment): pass 1 collects the k centroids, pass 2
     # re-scans with the centroids inlined as per-dimension map LITERALS —
     # sqrt((f[d] - cent_d[cluster])^2 ...) is pure codegen arithmetic, no
     # join, no broadcast job (k and dim are both small).
-    try:
-        stats_rows = cluster_stats(df, features, pred).collect()
-    except ValueError:  # empty input / empty feature arrays
+    if stats_rows is None:
+        stats_rows = _stats_or_none(df, features, pred)
+    if stats_rows is None:
         return 999.0
     k = len(stats_rows)
     if k < 2:
@@ -450,26 +466,43 @@ def cluster_quality(
 ) -> dict:
     """get_cluster_metrics equivalent (metrics.py:42-124): silhouette /
     davies_bouldin / calinski_harabasz / proportions with the reference's
-    exact fallback values."""
-    sizes = cluster_sizes(df, pred).collect()
-    k = len(sizes)
-    if exact_silhouette:
-        sil = silhouette_exact(df, features, pred, id_col)
-    else:
-        sil = silhouette_squared(df, features, pred)
+    exact fallback values.
+
+    The labeled frame is cached and ONE cluster_stats pass feeds
+    sizes + proportions + CH and DB's centroid side — without the
+    sharing, each metric re-executed the upstream model.transform +
+    scan plus its own stats pass (the dominant cost when callers like
+    optimal_k / kmeans_multi_seed evaluate many fits). Three actions
+    total: stats, the silhouette pass, DB's scatter pass."""
+    df = df.cache()
     try:
-        db = davies_bouldin(df, features, pred)
-        ch = calinski_harabasz(df, features, pred)
-    except Exception:
-        db, ch = 999.0, 0.0
-    return {
-        "n_seed": n_seed if n_seed is not None else "No seed selected",
-        "n_clusters": k,
-        "silhouette": sil,
-        "davies_bouldin": db,
-        "calinski_harabasz": ch,
-        "cluster_proportions": {r[pred]: r["share"] for r in sizes},
-    }
+        stats = _stats_or_none(df, features, pred)
+        sizes = (
+            [] if stats is None else sorted(stats, key=lambda r: r["cluster"])
+        )
+        n_total = sum(r["n"] for r in sizes)
+        k = len(sizes)
+        if exact_silhouette:
+            sil = silhouette_exact(df, features, pred, id_col)
+        else:
+            sil = silhouette_squared(df, features, pred)
+        try:
+            db = davies_bouldin(df, features, pred, stats_rows=stats)
+            ch = _calinski_harabasz_from(stats)
+        except Exception:
+            db, ch = 999.0, 0.0
+        return {
+            "n_seed": n_seed if n_seed is not None else "No seed selected",
+            "n_clusters": k,
+            "silhouette": sil,
+            "davies_bouldin": db,
+            "calinski_harabasz": ch,
+            "cluster_proportions": {
+                r["cluster"]: r["n"] / n_total for r in sizes
+            },
+        }
+    finally:
+        df.unpersist()
 
 
 def random_checker(
