@@ -886,6 +886,113 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(load_table_spread(spark, sf_dir, "documents"))
 
 
+def _decontamination_oracle(ngram: int = 5) -> str:
+    """Mirror of curation.decontaminate: word n-gram hash collision
+    between the corpus and the (doc_id % 97 == 0) benchmark slice."""
+    sh = _shingles("text", ngram)
+    return f"""
+    WITH bh AS (
+      SELECT DISTINCT {_dh_raw('g')} AS gh FROM (
+        SELECT unnest(list_distinct({sh})) AS g
+        FROM documents WHERE doc_id % 97 = 0)
+    ),
+    ch AS (
+      SELECT doc_id, {_dh_raw('g')} AS gh FROM (
+        SELECT doc_id, unnest(list_distinct({sh})) AS g FROM documents)
+    )
+    SELECT doc_id, CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_hits,
+           MIN(gh) AS sample_gram_hash
+    FROM ch JOIN bh USING (gh) GROUP BY doc_id
+    """
+
+
+@register(
+    "decontamination",
+    oracle=_decontamination_oracle(),
+    survey_ids=["P7", "J1"],
+    description="Benchmark decontamination: flag training docs sharing "
+    "any word 5-gram with the eval slice (hash-join on gram hashes — "
+    "the GPT-3-style n-gram collision pass)",
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import decontaminate
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench)
+
+
+@register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> list_contains([{_STOP_EN}], t))) AS stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+               LEAST(1.0, ROUND(stop * 1.0 / n_tokens, 6) * 2 + 0.5) *
+               LEAST(1.0, n_tokens / 50.0) END, 6) AS quality_score
+      FROM base
+    ), ranked AS (
+      SELECT *, SUM(n_tokens) OVER (ORDER BY quality_score DESC,
+                                    doc_id ASC) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, quality_score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens - n_tokens < 20000
+    """,
+    survey_ids=["W3", "P6"],
+    description="Quality-ranked token-budget selection: best docs first "
+    "until the 20k-token budget line (greedy knapsack prefix over a "
+    "global window sort)",
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    return token_budget_sample(
+        load_table_spread(spark, sf_dir, "documents"), budget_tokens=20_000
+    )
+
+
+@register(
+    "source_mixture_weights",
+    oracle="""
+    WITH agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), sh AS (
+      SELECT *, n_tokens * 1.0 / SUM(n_tokens) OVER () AS share FROM agg
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND(pow(share, 0.3) / SUM(pow(share, 0.3)) OVER (), 6)
+             AS mixture_weight
+    FROM sh
+    """,
+    survey_ids=["A9", "A5"],
+    description="Temperature-scaled (alpha=0.3) domain-mixture sampling "
+    "weights per source from token shares — the multilingual/domain "
+    "rebalancing rule",
+)
+def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import (
+        source_mixture_weights,
+    )
+
+    return source_mixture_weights(
+        load_table_spread(spark, sf_dir, "documents")
+    )
+
+
 @register(
     "embedding_neardup_pairs",
     oracle="""

@@ -27,7 +27,7 @@ row per input document: (doc_id, kept, drop_reason) with drop_reason in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.operators import dedup as D
@@ -106,4 +106,132 @@ def curate_corpus(
             "kept",
             (F.col("drop_reason") == "kept").cast("bigint"),
         )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    ngram: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one word n-gram with the benchmark/eval set (the standard
+    pretraining hygiene pass — n-gram collision against held-out
+    benchmarks, GPT-3 appendix C style).
+
+    Returns one row per flagged document: (id_col, n_hits = number of
+    distinct colliding n-gram hashes, sample_gram_hash = min colliding
+    hash for audit).
+
+    Scale shape: both sides shingle map-only into 64-bit hashes (the
+    n-grams themselves never shuffle); the benchmark's DISTINCT hash set
+    is usually tiny relative to the corpus and broadcast-joins against
+    the corpus's exploded hashes. No all-pairs comparison anywhere —
+    cost is corpus-ngrams x 1 lookup.
+    """
+    from qudo_etl_pipeline_spark.operators.dedup import (
+        _hash64_raw_frag,
+        _shingles_frag,
+    )
+
+    def grams(df: DataFrame, idc: str, txc: str) -> DataFrame:
+        g = F.expr(
+            f"transform({_shingles_frag(txc, ngram)},"
+            f" t -> {_hash64_raw_frag('t')})"
+        )
+        return df.select(
+            F.col(idc), F.explode(F.array_distinct(g)).alias("_gh")
+        )
+
+    bench_hashes = (
+        grams(benchmark, bench_id_col, bench_text_col)
+        .select("_gh")
+        .distinct()
+    )
+    hits = grams(docs, id_col, text_col).join(
+        F.broadcast(bench_hashes), "_gh"
+    )
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("_gh").alias("n_hits"),
+        F.min("_gh").alias("sample_gram_hash"),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-ranked token-budget selection: take documents in
+    descending quality-score order (ties -> ascending id) until the
+    cumulative whitespace-token count reaches ``budget_tokens`` — the
+    "best data first under a token budget" selection every training-mix
+    builder runs. A document is kept while the budget is not yet
+    exhausted BEFORE it (so the first document crossing the budget line
+    is still included — standard greedy knapsack-prefix semantics).
+
+    Returns (id_col, n_tokens, quality_score, cum_tokens) for kept
+    docs. One global window sort — the same shape as any global top-k;
+    at 100 TB the ORDER BY is a range-partitioned sort, and everything
+    else is map-side.
+    """
+    from qudo_etl_pipeline_spark.operators.text import quality_exprs
+
+    q = quality_exprs(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+    )
+    w = Window.orderBy(F.desc("quality_score"), F.asc(id_col))
+    ranked = scored.select(
+        "*", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    return ranked.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens)
+    )
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain-mixture weights: per source, the token
+    share p_s, and the alpha-smoothed sampling weight
+    q_s = p_s^alpha / sum(p^alpha) — the standard multilingual/domain
+    rebalancing rule (alpha < 1 upsamples small domains).
+
+    Returns (source, n_docs, n_tokens, token_share, mixture_weight).
+    One groupBy on the source key; the normalization constant is a
+    window over the (|sources|-row) aggregate, never over rows.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))
+    agg = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    tot = Window.partitionBy()
+    shared = agg.select(
+        F.col(source_col).alias("source"),
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(tot)).alias("_share"),
+    )
+    return shared.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("_share"), 6).alias("token_share"),
+        F.round(
+            F.pow("_share", F.lit(alpha))
+            / F.sum(F.pow("_share", F.lit(alpha))).over(tot),
+            6,
+        ).alias("mixture_weight"),
     )

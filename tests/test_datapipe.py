@@ -406,3 +406,73 @@ def test_curate_corpus_hand_planted(spark):
         4: "low_quality",
         5: "language",
     }
+
+
+def test_decontaminate_flags_ngram_collisions(spark):
+    from qudo_etl_pipeline_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear here in this text"),
+            (3, "we saw the quick brown fox jumps again today"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a tale where the quick brown fox jumps at dawn")],
+        "doc_id: long, text: string",
+    )
+    hit = {r["doc_id"]: r["n_hits"] for r in decontaminate(docs, bench).collect()}
+    # docs 1 and 3 share the 5-gram "the quick brown fox jumps"
+    assert 1 in hit and 3 in hit and 2 not in hit
+    assert all(n >= 1 for n in hit.values())
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    from qudo_etl_pipeline_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    # quality ascends with length here (score = min(1, n/50) factor),
+    # so selection order is by score desc then id asc
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["the"] * 40)),   # 40 tokens, high stopword ratio
+            (2, " ".join(["the"] * 30)),
+            (3, " ".join(["the"] * 20)),
+            (4, "tiny"),                   # < 5 tokens -> score 0
+        ],
+        "doc_id: long, text: string",
+    )
+    out = token_budget_sample(docs, budget_tokens=60).orderBy("cum_tokens")
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    # 40 + 30 crosses the 60-token line AT doc 2 -> doc 2 still kept,
+    # doc 3 (cum 90 before it = 70 >= 60) dropped
+    assert ids == [1, 2]
+    assert rows[-1]["cum_tokens"] == 70
+
+
+def test_source_mixture_weights_math(spark):
+    from qudo_etl_pipeline_spark.operators.curation import (
+        source_mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "web"),     # 10 tokens
+            (2, "a b c d e f g h i j", "web"),     # 10 tokens
+            (3, "a b c d e", "books"),             # 5 tokens
+        ],
+        "doc_id: long, text: string, source: string",
+    )
+    rows = {
+        r["source"]: r for r in source_mixture_weights(docs, alpha=0.3).collect()
+    }
+    assert rows["web"]["n_tokens"] == 20 and rows["books"]["n_tokens"] == 5
+    assert rows["web"]["token_share"] == 0.8
+    # alpha < 1 upsamples the small domain: books weight > its share
+    assert rows["books"]["mixture_weight"] > 0.2
+    total = rows["web"]["mixture_weight"] + rows["books"]["mixture_weight"]
+    assert abs(total - 1.0) < 1e-6
