@@ -64,13 +64,19 @@ def kmeans_fit(
     k: int,
     seed: int = 42,
     features_col: str = FEATURES,
+    _prevectorized: bool = False,
 ) -> dict:
     """One KMeans fit. Returns dict(labels=DataFrame+prediction,
     inertia=float, model). MLlib k-means|| init (delta vs sklearn
-    k-means++ documented above)."""
+    k-means++ documented above).
+
+    ``_prevectorized``: internal — multi-fit callers (multi-seed,
+    optimal-k, elbow) pass a frame that already carries the cached
+    ``_v`` vector column so the array→vector conversion isn't
+    re-executed once per fit."""
     from pyspark.ml.clustering import KMeans
 
-    vdf = _to_vec(df, features_col)
+    vdf = df if _prevectorized else _to_vec(df, features_col)
     model = KMeans(
         k=k, seed=seed, featuresCol="_v", predictionCol=PREDICTION
     ).fit(vdf)
@@ -135,24 +141,41 @@ def kmeans_multi_seed(
     k: int,
     seeds: list[int] | None = None,
     features_col: str = FEATURES,
-    max_workers: int = 4,
+    max_workers: int = 8,
 ) -> dict | None:
     """Fan 10 seeds out as concurrent MLlib jobs, drop unbalanced fits,
     pick the best by rank-sum (clustering.py:627-713)."""
     seeds = seeds or SEEDS
-    df = df.cache()
+    # cache the VECTORIZED frame: every seed's fit (and every metric
+    # pass) reads _v, so converting once saves 10 array->vector
+    # re-executions
+    vdf = _to_vec(df, features_col).cache()
     try:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             fits = list(
                 pool.map(
-                    lambda s: kmeans_fit(df, k, seed=s, features_col=features_col),
+                    lambda s: kmeans_fit(
+                        vdf, k, seed=s, features_col=features_col,
+                        _prevectorized=True,
+                    ),
                     seeds,
                 )
             )
-        metrics = [fit_quality(f, features_col) for f in fits]
+        # balance pre-filter BEFORE the metric passes: unbalanced fits
+        # are dropped anyway, so their silhouette/DB/CH would be wasted
+        # jobs (the reference computes-then-filters; same surviving
+        # set either way — metrics of dropped fits are never used)
+        balanced_fits = [
+            f
+            for f in fits
+            if Q.balance_ok(f["labels"], PREDICTION, BALANCE_LO, BALANCE_HI)
+        ]
+        if not balanced_fits:
+            return None
+        metrics = [fit_quality(f, features_col) for f in balanced_fits]
         balanced = [
             (f, m)
-            for f, m in zip(fits, metrics)
+            for f, m in zip(balanced_fits, metrics)
             if m in remove_unbalanced([m])
         ]
         if not balanced:
@@ -162,7 +185,7 @@ def kmeans_multi_seed(
         fit["metrics"] = m
         return fit
     finally:
-        df.unpersist()
+        vdf.unpersist()
 
 
 def elbow_index(costs: list[float]) -> int:
@@ -193,19 +216,23 @@ def optimal_k(
     features_col: str = FEATURES,
     ks: list[int] | None = None,
     seed: int = 42,
-    max_workers: int = 4,
+    max_workers: int = 8,
 ) -> int:
     """Optimal-k search (clustering.py:391-478): per-k cost + metrics,
     rank-sum with a +n_points bonus for the elbow k, argmax."""
     import pandas as pd
 
     ks = ks or list(range(MIN_K, MAX_K))
-    df = df.cache()
+    # cache the vectorized frame once for the whole k scan
+    vdf = _to_vec(df, features_col).cache()
     try:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             fits = list(
                 pool.map(
-                    lambda k: kmeans_fit(df, k, seed=seed, features_col=features_col),
+                    lambda k: kmeans_fit(
+                        vdf, k, seed=seed, features_col=features_col,
+                        _prevectorized=True,
+                    ),
                     ks,
                 )
             )
@@ -232,7 +259,7 @@ def optimal_k(
         pdf.loc[pdf["n_clusters"] == elbow_k, "rank_sum"] += len(costs)
         return int(pdf.set_index("n_clusters")["rank_sum"].idxmax())
     finally:
-        df.unpersist()
+        vdf.unpersist()
 
 
 def gmm_fit(
@@ -292,7 +319,7 @@ def gmm_multi_seed(
     k: int,
     seeds: list[int] | None = None,
     features_col: str = FEATURES,
-    max_workers: int = 4,
+    max_workers: int = 8,
 ) -> dict | None:
     """Per-k seed fan-out + balance filter + IC-weighted rank-sum
     (clustering.py:951-983)."""
