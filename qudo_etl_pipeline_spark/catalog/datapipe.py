@@ -1174,3 +1174,254 @@ def embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm"
         )
     )
+
+
+# --- corpus hygiene & packing (beyond-reference, BASELINE.json) -----------
+
+# DuckDB mirror of text._2GRAMS (word bigrams; 1-word doc degenerates to
+# its single word via NULL-skipping concat_ws on both engines)
+_D_2GRAMS = (
+    "list_transform(generate_series(1, greatest(len({w}) - 1, 1)), "
+    "i -> concat_ws(' ', {w}[i], {w}[i + 1]))"
+)
+
+
+def _repetition_oracle() -> str:
+    """Mirror of text.repetition_stats: run-length counting over the
+    sorted bigram array (same sentinel/run-start construction)."""
+    w = "string_split(text, ' ')"
+    g = _D_2GRAMS.format(w=w)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len({w}) AS n_tok,
+             len(list_distinct({w})) AS n_uniq, {g} AS g
+      FROM documents
+    ), srt AS (
+      SELECT doc_id, n_tok, n_uniq, len(g) AS n2, list_sort(g) AS s
+      FROM base
+    ), st AS (
+      SELECT *, list_filter(generate_series(1, n2),
+               i -> i = 1 OR s[i] != s[i - 1]) AS starts
+      FROM srt
+    ), runs AS (
+      SELECT doc_id, n_tok, n_uniq, n2,
+             list_transform(generate_series(1, len(starts)),
+               j -> COALESCE(starts[j + 1], n2 + 1) - starts[j]) AS runs
+      FROM st
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           ROUND((n_tok - n_uniq) * 1.0 / n_tok, 6) AS dup_word_frac,
+           ROUND(list_max(runs) * 1.0 / n2, 6) AS top_2gram_frac,
+           ROUND(list_sum(list_transform(runs,
+                 c -> CASE WHEN c > 1 THEN c ELSE 0 END)) * 1.0 / n2, 6)
+             AS dup_2gram_frac
+    FROM runs
+    """
+
+
+@register(
+    "repetition_stats",
+    oracle=_repetition_oracle(),
+    survey_ids=["P9", "A8"],
+    description="Gopher-style repetition filters: duplicate-word fraction, "
+    "most-common-bigram fraction, duplicated-bigram fraction (map-only "
+    "higher-order array expressions)",
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_stats(load_table_spread(spark, sf_dir, "documents"))
+
+
+def _pii_planted() -> tuple[str, str]:
+    """(spark_expr, duck_expr) for the deterministically planted PII text:
+    every 7th doc gains an email, every 11th a dashed phone number."""
+    spark = (
+        "concat(text,"
+        " case when doc_id % 7 = 0 then"
+        " concat(' reach user', cast(doc_id as string), '@example.com')"
+        " else '' end,"
+        " case when doc_id % 11 = 0 then ' call 555-123-4567' else '' end)"
+    )
+    duck = (
+        "text ||"
+        " CASE WHEN doc_id % 7 = 0 THEN"
+        " ' reach user' || doc_id || '@example.com' ELSE '' END ||"
+        " CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END"
+    )
+    return spark, duck
+
+
+def _pii_oracle() -> str:
+    _, duck_text = _pii_planted()
+    redacted = (
+        f"regexp_replace(regexp_replace(t, '{TX.EMAIL_PATTERN}', "
+        f"'[EMAIL]', 'g'), '{TX.PHONE_PATTERN}', '[PHONE]', 'g')"
+    )
+    return f"""
+    WITH planted AS (SELECT doc_id, {duck_text} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{TX.EMAIL_PATTERN}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{TX.PHONE_PATTERN}')) AS BIGINT)
+             AS n_phones,
+           {_dh(redacted, 13)} AS redacted_hash
+    FROM planted
+    """
+
+
+@register(
+    "pii_scrub_planted",
+    oracle=_pii_oracle(),
+    survey_ids=["P8", "P9"],
+    description="PII scrub on planted emails/phones: per-doc match counts "
+    "and the 64-bit hash of the redacted text (map-only regex pass)",
+)
+def pii_scrub_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_text, _ = _pii_planted()
+    docs = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(spark_text).alias("text")
+    )
+    return TX.pii_redact(docs)
+
+
+def _line_dedup_oracle(line_tokens: int = 10) -> str:
+    w = "string_split(text, ' ')"
+    segs = (
+        f"list_transform(generate_series(0, (len({w}) - 1) // {line_tokens}), "
+        f"i -> concat_ws(' ', list_slice({w}, i * {line_tokens} + 1, "
+        f"i * {line_tokens} + {line_tokens})))"
+    )
+    return f"""
+    WITH segs AS (
+      SELECT doc_id, unnest(list_transform({segs},
+             s -> {{'line': s}})) AS u,
+             unnest(generate_series(1, len({segs}))) AS i
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, i - 1 AS pos, {_dh_raw("(u).line")} AS lh FROM segs
+    ), marked AS (
+      SELECT doc_id, CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY lh ORDER BY doc_id, pos) > 1
+             THEN 1 ELSE 0 END AS dup
+      FROM lines
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(dup) AS BIGINT) AS n_dup_lines,
+           ROUND((COUNT(*) - SUM(dup)) * 1.0 / COUNT(*), 6)
+             AS kept_line_frac
+    FROM marked GROUP BY doc_id
+    """
+
+
+@register(
+    "line_dedup_stats",
+    oracle=_line_dedup_oracle(),
+    survey_ids=["P7", "A4"],
+    description="C4-style cross-corpus line dedup verdicts per document "
+    "(first occurrence keeps the line; only hashes shuffle)",
+)
+def line_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import line_dedup_stats
+
+    return line_dedup_stats(load_table_spread(spark, sf_dir, "documents"))
+
+
+_PACK_T_CTE = """
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id) AS rn
+      FROM documents
+"""
+
+
+@register(
+    "pack_boundary_seqs",
+    oracle=f"""
+    WITH t AS ({_PACK_T_CTE}),
+    c AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(cum // 512 AS BIGINT) AS seq_idx,
+           CAST(cum % 512 AS BIGINT) AS offset_in_seq,
+           CAST(CASE WHEN cum % 512 + n_tokens > 512 THEN 1 ELSE 0 END
+                AS BIGINT) AS spans_boundary
+    FROM c
+    """,
+    survey_ids=["W1", "A5"],
+    description="GPT-style concat-and-cut sequence packing: per-shard "
+    "cumulative token windows assign each document its training-sequence "
+    "index and offset",
+)
+def pack_boundary_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.packing import pack_boundary
+
+    return pack_boundary(load_table_spread(spark, sf_dir, "documents"))
+
+
+_PACK_GREEDY_CTE = f"""
+    WITH RECURSIVE t AS ({_PACK_T_CTE}),
+    s AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_idx, n_tokens AS seq_fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.shard, t.n_tokens, t.rn,
+             CASE WHEN s.seq_fill + t.n_tokens > 512
+                  THEN s.seq_idx + 1 ELSE s.seq_idx END,
+             CASE WHEN s.seq_fill + t.n_tokens > 512
+                  THEN t.n_tokens ELSE s.seq_fill + t.n_tokens END
+      FROM s JOIN t ON t.shard = s.shard AND t.rn = s.rn + 1
+    )
+"""
+
+
+@register(
+    "pack_greedy_seqs",
+    oracle=_PACK_GREEDY_CTE
+    + """
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           seq_idx, seq_fill
+    FROM s
+    """,
+    survey_ids=["W1", "M37"],
+    description="First-fit greedy sequence packing (no document straddles "
+    "a sequence): per-shard Arrow-batched sequential scan, mirrored by a "
+    "recursive-CTE oracle",
+)
+def pack_greedy_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.packing import pack_greedy
+
+    return pack_greedy(load_table_spread(spark, sf_dir, "documents"))
+
+
+@register(
+    "packing_efficiency",
+    oracle=_PACK_GREEDY_CTE
+    + """
+    , per_seq AS (
+      SELECT shard, seq_idx, SUM(n_tokens) AS st
+      FROM s GROUP BY shard, seq_idx
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(st) AS BIGINT) AS n_tokens,
+           ROUND(SUM(st) / (COUNT(*) * 512.0), 6) AS fill_ratio
+    FROM per_seq GROUP BY shard
+    """,
+    survey_ids=["A4", "A9"],
+    description="Packing diagnostics per shard: sequence count and "
+    "token-fill ratio of the greedy layout",
+)
+def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.packing import (
+        pack_greedy,
+        packing_efficiency,
+    )
+
+    return packing_efficiency(
+        pack_greedy(load_table_spread(spark, sf_dir, "documents"))
+    )

@@ -1,0 +1,149 @@
+"""Sequence packing: place documents into fixed-length training rows.
+
+Beyond-reference operators (BASELINE.json north star): the last step of
+every pretraining data pipeline — documents become training sequences of
+exactly ``seq_len`` tokens. Two standard layouts:
+
+- :func:`pack_boundary` — GPT-style concat-and-cut: documents are
+  concatenated in order and the stream is cut every ``seq_len`` tokens;
+  a document may straddle a cut. Pure window arithmetic (one cumulative
+  sum per shard), no Python anywhere.
+- :func:`pack_greedy` — first-fit greedy: a document never straddles a
+  sequence; when it doesn't fit in the open sequence a new one starts
+  (documents longer than ``seq_len`` get an overfull sequence of their
+  own). The per-shard scan is inherently sequential, so it runs as an
+  Arrow-batched ``applyInPandas`` kernel — one pass, one group per
+  shard; the DuckDB oracle mirrors it with a recursive CTE.
+
+Both operators shard the corpus first (``shard = id % n_shards``): each
+shard packs independently, which is how packing actually parallelizes at
+100 TB — a global greedy order would serialize the whole corpus through
+one task. n_shards scales with the cluster; determinism is preserved
+because the shard function and the in-shard order (ascending id) are
+data-derived, not partition-derived.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sharded_tokens(
+    docs: DataFrame, id_col: str, text_col: str, n_shards: int
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+
+
+def pack_boundary(
+    docs: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-cut packing: seq index / offset per document.
+
+    Per shard, documents are laid end-to-end in ascending id order;
+    sequence ``i`` is token span [i*seq_len, (i+1)*seq_len). Returns
+    (id, shard, n_tokens, seq_idx = sequence holding the document's
+    first token, offset_in_seq, spans_boundary = 1 when the document
+    crosses a cut).
+
+    One cumulative-sum window per shard — at scale this is a single
+    range-partitioned sort per shard key, all JVM-side.
+    """
+    t = _sharded_tokens(docs, id_col, text_col, n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(cum / seq_len).cast("bigint").alias("seq_idx"),
+        (cum % seq_len).cast("bigint").alias("offset_in_seq"),
+        ((cum % seq_len) + F.col("n_tokens") > seq_len)
+        .cast("bigint")
+        .alias("spans_boundary"),
+    )
+
+
+def pack_greedy(
+    docs: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-fit greedy packing: (id, shard, n_tokens, seq_idx, seq_fill).
+
+    ``seq_fill`` is the open sequence's token count after placing the
+    document. The scan state is (current seq, current fill); it cannot
+    be expressed as a prefix aggregate (the reset is data-dependent), so
+    each shard runs one Arrow-batched pandas scan — the canonical
+    applyInPandas use: per-group sequential logic over groups that each
+    fit one executor. Shard count, not corpus size, bounds the group.
+    """
+    t = _sharded_tokens(docs, id_col, text_col, n_shards)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq_idx: list[int] = []
+        fills: list[int] = []
+        cur, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > seq_len:
+                cur += 1
+                fill = 0
+            fill += n
+            seq_idx.append(cur)
+            fills.append(fill)
+        pdf["seq_idx"] = pd.Series(seq_idx, dtype="int64")
+        pdf["seq_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    out_schema = (
+        f"{id_col} bigint, shard bigint, n_tokens bigint, "
+        "seq_idx bigint, seq_fill bigint"
+    )
+    return t.groupBy("shard").applyInPandas(scan, out_schema)
+
+
+def packing_efficiency(packed: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Corpus-level packing diagnostics from a :func:`pack_greedy` frame:
+    per shard, the sequence count and the token-fill ratio (tokens packed
+    over capacity used) — the number a data engineer actually watches."""
+    per_seq = packed.groupBy("shard", "seq_idx").agg(
+        F.sum("n_tokens").alias("_seq_tokens")
+    )
+    return (
+        per_seq.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("_seq_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("_seq_tokens") / (F.count(F.lit(1)) * seq_len), 6
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+__all__: Iterable[str] = (
+    "pack_boundary",
+    "pack_greedy",
+    "packing_efficiency",
+)

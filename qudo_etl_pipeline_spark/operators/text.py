@@ -155,6 +155,127 @@ def langid_heuristic(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition diagnostics.
+
+    The standard pretraining repetition filters (Rae et al. 2021 §A1.1:
+    "fraction of characters in the most common n-gram", "fraction of
+    duplicated n-grams") re-expressed over word unigrams/bigrams:
+
+    - ``dup_word_frac``   — fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total);
+    - ``top_2gram_frac``  — fraction of all bigram slots taken by the
+      single most frequent bigram;
+    - ``dup_2gram_frac``  — fraction of bigram slots whose bigram occurs
+      more than once.
+
+    All three are pure higher-order-array expressions, so the whole
+    operator is a map-only stage inside whole-stage codegen and nothing
+    shuffles at any corpus size. Per-gram counts come from sorting the
+    bigram array and measuring runs of equal neighbours — O(n log n)
+    with only adjacent-element comparisons, instead of the naive
+    O(distinct * n) filter-per-distinct-gram (measured 20x slower).
+    """
+    toks = F.split(F.col(text_col), " ")
+    # Run-length encoding of the sorted gram array: a run starts where
+    # the element differs from its predecessor; run lengths are gaps
+    # between consecutive run starts. Each intermediate array is its own
+    # projection stage: CollapseProject keeps non-cheap aliases that are
+    # referenced more than once, so array_sort/filter evaluate ONCE per
+    # row instead of once per enclosing lambda element (the inlined
+    # version re-sorted inside the filter lambda -> O(n^2 log n)/row,
+    # measured ~85 ms/doc; staged it is O(n log n)).
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("_n_tok"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("_n_uniq"),
+            F.expr(_2GRAMS.format(t=text_col)).alias("_g"),
+        )
+        .select(
+            id_col, "_n_tok", "_n_uniq",
+            F.size("_g").alias("_n2"),
+            F.array_sort("_g").alias("_s"),
+        )
+        .select(
+            id_col, "_n_tok", "_n_uniq", "_n2",
+            F.expr(
+                "filter(sequence(1, _n2), i -> i = 1 OR "
+                "try_element_at(_s, i) != try_element_at(_s, i - 1))"
+            ).alias("_starts"),
+        )
+        .select(
+            id_col, "_n_tok", "_n_uniq", "_n2",
+            F.expr(
+                "zip_with(_starts, "
+                "concat(slice(_starts, 2, size(_starts) - 1), "
+                "array(_n2 + 1)), (a, b) -> b - a)"
+            ).alias("_runs"),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_n_tok").alias("n_tokens"),
+        F.round((F.col("_n_tok") - F.col("_n_uniq")) / F.col("_n_tok"), 6)
+        .alias("dup_word_frac"),
+        F.round(F.expr("array_max(_runs)") / F.col("_n2"), 6)
+        .alias("top_2gram_frac"),
+        F.round(
+            F.expr(
+                "aggregate(_runs, 0L, "
+                "(a, c) -> a + if(c > 1, cast(c as bigint), 0L))"
+            )
+            / F.col("_n2"),
+            6,
+        ).alias("dup_2gram_frac"),
+    )
+
+
+# word bigrams; a 1-word document degenerates to its single word (the
+# same greatest(..., 1) guard as dedup._shingles_frag)
+_2GRAMS = (
+    "transform(sequence(1, greatest(size(split({t}, ' ')) - 1, 1)), "
+    "i -> concat_ws(' ', try_element_at(split({t}, ' '), i), "
+    "try_element_at(split({t}, ' '), i + 1)))"
+)
+
+
+# PII patterns shared with the DuckDB oracle: plain character classes
+# only ([.] instead of \\. etc.) so Java regex and RE2 agree exactly.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_PATTERN = "[0-9]{3}[-][0-9]{3}[-][0-9]{4}"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub: count and redact emails / phone numbers per document.
+
+    The standard corpus-hygiene pass before releasing or training on web
+    text: emails -> ``[EMAIL]``, dashed phone numbers -> ``[PHONE]``.
+    Returns (id, n_emails, n_phones, redacted_hash) — the redacted text
+    itself stays in the executor (only its 64-bit hash is emitted), the
+    shape a 100 TB scrub job wants: map-only regex work, no shuffle, and
+    a hash column cheap enough to verify the rewrite downstream.
+    """
+    redacted = (
+        f"regexp_replace(regexp_replace({text_col}, "
+        f"'{EMAIL_PATTERN}', '[EMAIL]'), '{PHONE_PATTERN}', '[PHONE]')"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size(regexp_extract_all({text_col}, '{EMAIL_PATTERN}', 0))")
+        .cast("bigint")
+        .alias("n_emails"),
+        F.expr(f"size(regexp_extract_all({text_col}, '{PHONE_PATTERN}', 0))")
+        .cast("bigint")
+        .alias("n_phones"),
+        F.expr(_hash64_frag(redacted, 13)).alias("redacted_hash"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle: int = 3,

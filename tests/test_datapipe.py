@@ -476,3 +476,91 @@ def test_source_mixture_weights_math(spark):
     assert rows["books"]["mixture_weight"] > 0.2
     total = rows["web"]["mixture_weight"] + rows["books"]["mixture_weight"]
     assert abs(total - 1.0) < 1e-6
+
+
+def test_repetition_stats_hand_computed(spark):
+    rows = [
+        (0, "a b a b a"),       # tokens: 5, uniq 2; bigrams: ab ba ab ba -> top 2/4, all dup 4/4
+        (1, "x y z w"),          # no repetition: bigrams xy yz zw all unique
+        (2, "q"),                # 1-token degenerate: single 'q' "bigram"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.repetition_stats(df).collect()}
+    assert out[0]["n_tokens"] == 5
+    assert out[0]["dup_word_frac"] == pytest.approx(3 / 5)
+    assert out[0]["top_2gram_frac"] == pytest.approx(0.5)
+    assert out[0]["dup_2gram_frac"] == pytest.approx(1.0)
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["top_2gram_frac"] == pytest.approx(1 / 3)
+    assert out[1]["dup_2gram_frac"] == 0.0
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["top_2gram_frac"] == 1.0
+
+
+def test_pii_redact_counts_and_hash(spark):
+    rows = [
+        (0, "mail me at a.b-c@site.org or x@y.io now"),
+        (1, "call 555-123-4567 and 555-000-1111"),
+        (2, "clean text no pii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.pii_redact(df).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_phones"] == 0
+    assert out[1]["n_emails"] == 0 and out[1]["n_phones"] == 2
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    red0 = "mail me at [EMAIL] or [EMAIL] now"
+    assert out[0]["redacted_hash"] == ref_hash64("13:" + red0)
+    assert out[2]["redacted_hash"] == ref_hash64("13:clean text no pii")
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from qudo_etl_pipeline_spark.operators.curation import line_dedup_stats
+
+    seg = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (0, seg + " unique tail of doc zero x y"),   # line0=seg, line1=tail
+        (1, seg),                                     # line0 dups doc0's line0
+        (2, "totally different ten token line goes right here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup_stats(df).collect()}
+    assert out[0]["n_lines"] == 2 and out[0]["n_dup_lines"] == 0
+    assert out[1]["n_lines"] == 1 and out[1]["n_dup_lines"] == 1
+    assert out[1]["kept_line_frac"] == 0.0
+    assert out[2]["n_dup_lines"] == 0
+
+
+def test_pack_boundary_math(spark):
+    from qudo_etl_pipeline_spark.operators.packing import pack_boundary
+
+    # one shard (n_shards=1): docs of 300/300/600 tokens at seq_len 512
+    rows = [(i, " ".join(["t"] * n)) for i, n in [(0, 300), (1, 300), (2, 600)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           pack_boundary(df, seq_len=512, n_shards=1).collect()}
+    assert (out[0]["seq_idx"], out[0]["offset_in_seq"], out[0]["spans_boundary"]) == (0, 0, 0)
+    # doc1 starts at 300, crosses the 512 cut
+    assert (out[1]["seq_idx"], out[1]["offset_in_seq"], out[1]["spans_boundary"]) == (0, 300, 1)
+    # doc2 starts at 600 -> seq 1 offset 88, crosses into seq 2
+    assert (out[2]["seq_idx"], out[2]["offset_in_seq"], out[2]["spans_boundary"]) == (1, 88, 1)
+
+
+def test_pack_greedy_never_straddles(spark):
+    from qudo_etl_pipeline_spark.operators.packing import (
+        pack_greedy,
+        packing_efficiency,
+    )
+
+    # 300+300 > 512 -> doc1 opens seq 1; 700-token doc gets its own overfull seq
+    rows = [(i, " ".join(["t"] * n))
+            for i, n in [(0, 300), (1, 300), (2, 100), (3, 700), (4, 10)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           pack_greedy(df, seq_len=512, n_shards=1).collect()}
+    assert [out[i]["seq_idx"] for i in range(5)] == [0, 1, 1, 2, 3]
+    assert out[3]["seq_fill"] == 700
+    eff = packing_efficiency(
+        pack_greedy(df, seq_len=512, n_shards=1), seq_len=512
+    ).collect()[0]
+    assert eff["n_seqs"] == 4 and eff["n_tokens"] == 1410
+    assert eff["fill_ratio"] == pytest.approx(1410 / (4 * 512), abs=1e-6)
