@@ -445,11 +445,15 @@ def top_supplier_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_partkey")
-        .agg(F.sum(_d("l_extendedprice")).cast("double").alias("revenue"))
+    # aggregate BEFORE the join: p_partkey determines p_brand, so the
+    # per-(brand, part) revenue equals the per-part revenue — joining
+    # part onto the |part|-row aggregate instead of the |lineitem|-row
+    # fact table cuts the join input by the fan-out factor (the shape
+    # that matters at 100 TB, where lineitem >> part)
+    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(_d("l_extendedprice")).cast("double").alias("revenue")
     )
+    rev = rev.join(F.broadcast(p.select("p_partkey", "p_brand")), "p_partkey")
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (
         rev.withColumn("rn", F.row_number().over(w))
