@@ -1425,3 +1425,75 @@ def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_efficiency(
         pack_greedy(load_table_spread(spark, sf_dir, "documents"))
     )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ({_dh("CAST(doc_id AS VARCHAR)", 29)} % 10000) <
+          CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                    WHEN 'es' THEN 2000 ELSE 500 END
+    """,
+    survey_ids=["R5", "P6"],
+    description="Deterministic hash-based stratified sampling per language "
+    "(map-only filter; same ids survive under any partitioning)",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import stratified_sample
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, rates={"en": 0.5, "de": 0.2, "es": 0.2}, default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+@register(
+    "corpus_top_ngrams",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_shingles('text', 3)}) AS ngram
+      FROM documents
+    )
+    SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+    """,
+    survey_ids=["A4", "A7", "W3"],
+    description="Corpus-level top-20 word trigrams with document "
+    "frequencies (one shuffle on the n-gram key)",
+)
+def corpus_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.corpus_top_ngrams(load_table_spread(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS s
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           ROUND(s, 6) AS score6, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY s DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    survey_ids=["A4", "W2", "J5"],
+    description="Per-document top-3 TF-IDF terms (smooth idf): one "
+    "explode, one (doc, term) aggregation, |vocab|-row df broadcast back",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.tfidf_top_terms(load_table_spread(spark, sf_dir, "documents"))

@@ -219,6 +219,39 @@ def line_dedup_stats(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a document iff the
+    seeded 64-bit hash of its id falls under its stratum's rate —
+    the reproducible alternative to rng sampling that every corpus
+    re-mix wants (same ids survive on every run, any cluster layout,
+    any partitioning).
+
+    ``rates`` maps stratum value -> keep fraction in [0, 1]; strata not
+    listed use ``default_rate``. Selection threshold is
+    ``hash % 10_000 < round(rate * 10_000)`` so the rate is exact to
+    1e-4 and integral on both engines.
+
+    Scale shape: a map-only filter — no shuffle, no sort, no count;
+    the rate map is a literal CASE expression, never a join.
+    """
+    thr = F.lit(int(round(default_rate * 10_000)))
+    for val, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == val, F.lit(int(round(rate * 10_000)))
+        ).otherwise(thr)
+    h = F.expr(
+        D._hash64_frag(f"cast({id_col} as string)", seed) + " % 10000"
+    )
+    return docs.filter(h < thr)
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget_tokens: int,

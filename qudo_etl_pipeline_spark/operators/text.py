@@ -10,7 +10,7 @@ one has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.operators.dedup import _hash64_frag
@@ -273,6 +273,87 @@ def pii_redact(
         .cast("bigint")
         .alias("n_phones"),
         F.expr(_hash64_frag(redacted, 13)).alias("redacted_hash"),
+    )
+
+
+def corpus_top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams: (ngram, n_docs, n_occurrences).
+
+    The classic vocabulary-statistics job over a pretraining corpus
+    (feeds tokenizer training, contamination review, boilerplate
+    detection). Scale shape: shingling is map-only; ONE shuffle on the
+    n-gram string aggregates both the occurrence count and the
+    document frequency (count distinct doc via a per-doc pre-distinct),
+    then a k-row global sort. No all-corpus collect anywhere.
+    """
+    from qudo_etl_pipeline_spark.operators.dedup import _shingles_frag
+
+    grams = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.expr(_shingles_frag(text_col, n))).alias("ngram"),
+    )
+    counts = grams.groupBy("ngram").agg(
+        F.countDistinct("_doc").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (smooth idf, sklearn-style).
+
+    score(t, d) = tf(t, d) * (ln((N + 1) / (df(t) + 1)) + 1), the
+    smoothed formulation every retrieval/quality stack uses. Returns
+    (id, term, tf, score6, rank) for each document's top-k terms
+    (ties -> term asc).
+
+    Scale shape: one explode + one (doc, term) aggregation; document
+    frequencies are a |vocab|-row aggregate of that same frame,
+    broadcast back. N is a scalar literal via a count() — computed
+    once at plan build (same device as ContingencyTables.n_rows).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    n_docs = df.count()
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        (
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round("_score", 6).alias("score6"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 

@@ -564,3 +564,53 @@ def test_pack_greedy_never_straddles(spark):
     ).collect()[0]
     assert eff["n_seqs"] == 4 and eff["n_tokens"] == 1410
     assert eff["fill_ratio"] == pytest.approx(1410 / (4 * 512), abs=1e-6)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from qudo_etl_pipeline_spark.operators.curation import stratified_sample
+
+    rows = [(i, "t", "en" if i % 2 == 0 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept1 = sorted(r["doc_id"] for r in
+                   stratified_sample(df, rates={"en": 1.0}, default_rate=0.0)
+                   .collect())
+    kept2 = sorted(r["doc_id"] for r in
+                   stratified_sample(df, rates={"en": 1.0}, default_rate=0.0)
+                   .collect())
+    assert kept1 == kept2                       # deterministic across runs
+    assert kept1 == list(range(0, 400, 2))      # rate 1.0 keeps all en, 0.0 drops de
+    half = stratified_sample(df, rates={"en": 0.5}, default_rate=0.0).count()
+    assert 60 <= half <= 140                    # ~100 of 200 en docs
+
+
+def test_corpus_top_ngrams_hand_computed(spark):
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "the quick brown dog sits"),
+        (2, "the quick brown fox runs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.corpus_top_ngrams(df, n=3, k=2).collect()
+    assert out[0]["ngram"] == "the quick brown"
+    assert out[0]["n_docs"] == 3 and out[0]["n_occurrences"] == 3
+    assert out[1]["ngram"] == "quick brown fox" and out[1]["n_docs"] == 2
+
+
+def test_tfidf_top_terms_math(spark):
+    import math
+
+    rows = [
+        (0, "apple apple banana"),
+        (1, "banana cherry"),
+        (2, "cherry cherry cherry date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): r for r in
+           TX.tfidf_top_terms(df, k=3).collect()}
+    # doc0: apple tf=2 df=1 -> 2*(ln(4/2)+1); banana tf=1 df=2 -> ln(4/3)+1
+    s_apple = 2 * (math.log(4 / 2) + 1)
+    assert out[(0, "apple")]["score6"] == pytest.approx(round(s_apple, 6))
+    assert out[(0, "apple")]["rank"] == 1
+    assert out[(0, "banana")]["rank"] == 2
+    # doc2 top term is cherry (tf=3)
+    assert out[(2, "cherry")]["rank"] == 1 and out[(2, "cherry")]["tf"] == 3
