@@ -1,0 +1,135 @@
+"""Property-based tests: corpus-hygiene / packing operators vs pure-
+python mirrors over random corpora (small vocabularies force heavy
+collisions — duplicate bigrams, shared lines, shard-boundary packing)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from qudo_etl_pipeline_spark.operators.curation import line_dedup_stats
+from qudo_etl_pipeline_spark.operators.packing import pack_greedy
+from qudo_etl_pipeline_spark.operators.text import repetition_stats
+
+VOCAB = ["a", "b", "c"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=25).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _rep_mirror(text: str):
+    toks = text.split(" ")
+    grams = (
+        [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if len(toks) >= 2
+        else [toks[0]]
+    )
+    c = Counter(grams)
+    n2 = len(grams)
+    return (
+        len(toks),
+        round((len(toks) - len(set(toks))) / len(toks), 6),
+        round(max(c.values()) / n2, 6),
+        round(sum(v for v in c.values() if v > 1) / n2, 6),
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy)
+def test_repetition_stats_matches_mirror(spark, docs):
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_word_frac"],
+            r["top_2gram_frac"],
+            r["dup_2gram_frac"],
+        )
+        for r in repetition_stats(df).collect()
+    }
+    assert got == {i: _rep_mirror(t) for i, t in enumerate(docs)}
+
+
+def _line_mirror(docs, line_tokens=3):
+    seen = {}
+    per_doc = {}
+    for i, text in enumerate(docs):
+        toks = text.split(" ")
+        lines = [
+            " ".join(toks[p : p + line_tokens])
+            for p in range(0, len(toks), line_tokens)
+        ]
+        dups = 0
+        for pos, ln in enumerate(lines):
+            if ln in seen:
+                dups += 1
+            else:
+                seen[ln] = (i, pos)
+        per_doc[i] = (len(lines), dups)
+    return per_doc
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy)
+def test_line_dedup_matches_mirror(spark, docs):
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_dup_lines"])
+        for r in line_dedup_stats(df, line_tokens=3).collect()
+    }
+    # the mirror scans docs in ascending id and positions in order, which
+    # IS the operator's (min doc, min pos) first-occurrence rule
+    assert got == _line_mirror(docs, line_tokens=3)
+
+
+def _greedy_mirror(lengths, seq_len, n_shards):
+    out = {}
+    for shard in range(n_shards):
+        cur, fill = 0, 0
+        for i, n in lengths:
+            if i % n_shards != shard:
+                continue
+            if fill > 0 and fill + n > seq_len:
+                cur += 1
+                fill = 0
+            fill += n
+            out[i] = (shard, cur, fill)
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(
+        st.integers(min_value=1, max_value=9), min_size=1, max_size=24
+    ),
+    seq_len=st.sampled_from([5, 8, 13]),
+)
+def test_pack_greedy_matches_mirror(spark, lengths, seq_len):
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_idx"], r["seq_fill"])
+        for r in pack_greedy(df, seq_len=seq_len, n_shards=2).collect()
+    }
+    assert got == _greedy_mirror(list(enumerate(lengths)), seq_len, 2)
