@@ -40,6 +40,20 @@ HEADLINE = [
     "session_window_agg",
 ]
 
+# Round-4 corpus/packing operators: timed and reported as a SEPARATE
+# series so the 16-query headline total stays comparable across rounds.
+EXTENDED = [
+    "repetition_stats",
+    "pii_scrub_planted",
+    "line_dedup_stats",
+    "pack_boundary_seqs",
+    "pack_greedy_seqs",
+    "corpus_top_ngrams",
+    "tfidf_top_terms",
+    "stratified_sample_docs",
+    "decontamination",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +110,19 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
 
+    ext: dict[str, float] = {}
+    for name in EXTENDED:
+        spec = specs[name]
+        best = None
+        for _ in range(passes):
+            t0 = time.time()
+            spec.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        ext[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -107,6 +134,8 @@ def main() -> None:
                 "passes": passes,
                 "value_single_shot": round(sum(first_pass.values()), 3),
                 "queries_single_shot": first_pass,
+                "value_extended": round(sum(ext.values()), 3),
+                "queries_extended": ext,
                 "sf": sf,
             }
         )

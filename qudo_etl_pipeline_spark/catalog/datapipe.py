@@ -1497,3 +1497,32 @@ def corpus_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_top_terms(load_table_spread(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v
+    ), s AS (
+      SELECT vec_id, mx,
+             list_transform(e, x ->
+               CASE WHEN mx = 0.0 THEN 0.0 ELSE x * 127.0 / mx END) AS sc
+      FROM m
+    )
+    SELECT vec_id,
+           {ref_round_sql('mx / 127.0', 6)} AS scale6,
+           list_transform(sc, x -> CAST({ref_round_sql('x', 0)} AS BIGINT)) AS q
+    FROM s
+    """,
+    survey_ids=["P10", "M2"],
+    description="Symmetric per-vector int8 embedding quantization "
+    "(map-only; ref_round parity so both engines emit identical codes)",
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.embedding_quantize(load_table_spread(spark, sf_dir, "embeddings"))

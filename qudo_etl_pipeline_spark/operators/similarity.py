@@ -418,3 +418,58 @@ def lsh_topk(
             F.round(F.col("cos9"), 6).alias("cosine"),
         )
     )
+
+
+def embedding_quantize(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization for embedding storage.
+
+    The standard vector-store compression step: each vector is scaled so
+    its largest-magnitude component maps to +/-127, components round to
+    integers (Python-round/ref_round semantics so the DuckDB oracle is
+    bit-identical), and the per-vector ``scale`` (max|x| / 127) restores
+    approximate floats at query time. A 4x size cut at ~1% recall loss
+    is the classic trade at corpus scale, and quantized dot products run
+    integer-SIMD.
+
+    Map-only: one narrow projection, no shuffle, whatever the row count.
+    Zero vectors quantize to all-zero with scale 0.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import (
+        ref_round,
+        ref_round_spark_sql,
+    )
+
+    # the ref_round fragment references its argument ~8 times (Dekker
+    # expansion), so scale FIRST into its own array stage — the round
+    # then applies to a free lambda variable instead of re-evaluating a
+    # compound expression per reference (same staging device as
+    # text.repetition_stats)
+    q_frag = ref_round_spark_sql("x", 0)
+    return (
+        vectors.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("_e")
+        )
+        .select(
+            id_col,
+            "_e",
+            F.expr("array_max(transform(_e, x -> abs(x)))").alias("_mx"),
+        )
+        .select(
+            id_col,
+            "_mx",
+            F.expr(
+                "transform(_e, x -> if(_mx = 0.0D, 0.0D, x * 127.0D / _mx))"
+            ).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            ref_round(F.col("_mx") / 127.0, 6).alias("scale6"),
+            F.expr(
+                f"transform(_s, x -> cast({q_frag} as bigint))"
+            ).alias("q"),
+        )
+    )

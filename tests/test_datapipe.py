@@ -614,3 +614,20 @@ def test_tfidf_top_terms_math(spark):
     assert out[(0, "banana")]["rank"] == 2
     # doc2 top term is cherry (tf=3)
     assert out[(2, "cherry")]["rank"] == 1 and out[(2, "cherry")]["tf"] == 3
+
+
+def test_embedding_quantize_roundtrip(spark):
+    rows = [
+        (0, [1.0, -2.0, 0.5, 4.0]),     # mx=4 -> scale=4/127; 4 -> 127
+        (1, [0.0, 0.0]),                # zero vector -> all-zero, scale 0
+        (2, [-3.0]),                    # single component -> -127
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in SIM.embedding_quantize(df).collect()}
+    assert out[0]["q"] == [round(x * 127 / 4.0) for x in [1.0, -2.0, 0.5, 4.0]]
+    assert out[0]["scale6"] == pytest.approx(round(4.0 / 127, 6))
+    assert out[1]["q"] == [0, 0] and out[1]["scale6"] == 0.0
+    assert out[2]["q"] == [-127]
+    # dequantized values stay within half a quantization step
+    for x, q in zip([1.0, -2.0, 0.5, 4.0], out[0]["q"]):
+        assert abs(q * (4.0 / 127) - x) <= 0.5 * 4.0 / 127 + 1e-9
