@@ -1526,3 +1526,147 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_quantize(load_table_spread(spark, sf_dir, "embeddings"))
+
+
+def _semantic_dedup_oracle(
+    n_cells: int = 4, dim: int = 64, threshold: float = 0.35
+) -> str:
+    """Mirror of similarity.semantic_dedup over demo_centroids: nearest
+    cell by round-9 cosine (ties -> low cid), within-cell pairs above
+    the threshold, keep-lowest-id verdicts."""
+    from qudo_etl_pipeline_spark.operators.similarity import demo_centroids
+
+    cents = ", ".join(
+        f"({ci}, [{', '.join(str(x) for x in c)}]::DOUBLE[])"
+        for ci, c in enumerate(demo_centroids(n_cells, dim))
+    )
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+    )
+    return f"""
+    WITH cent AS (SELECT * FROM (VALUES {cents}) AS t(cid, cv)),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vcell AS (
+      SELECT vec_id, e, CAST(cid AS BIGINT) AS cell FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {cos.format(a='v.e', b='c.cv')} DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+      FROM vcell a JOIN vcell b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos.format(a='a.e', b='b.e')} >= {threshold}
+      GROUP BY b.vec_id
+    )
+    SELECT v.vec_id, v.cell, d.dup_of,
+           CAST(d.dup_of IS NULL AS INT) AS keep
+    FROM vcell v LEFT JOIN dup d USING (vec_id)
+    """
+
+
+@register(
+    "semantic_dedup_verdicts",
+    oracle=_semantic_dedup_oracle(),
+    survey_ids=["P7", "J3", "M4"],
+    description="SemDeDup-style semantic dedup: nearest-centroid cells, "
+    "within-cell cosine pairs, keep-lowest-id verdict per vector",
+)
+def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.similarity import demo_centroids
+
+    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(vecs, demo_centroids(4, 64), threshold=0.35)
+
+
+def _quantized_topk_oracle(rerank: int = 20, k: int = 5) -> str:
+    """Mirror of similarity.quantized_topk: int8 codes from the
+    embedding_quantize oracle, coarse top-``rerank`` on code cosine,
+    exact float rescore, top-``k``."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+    )
+    q_frag = ref_round_sql("x", 0)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v
+    ), codes AS (
+      SELECT vec_id,
+             list_transform(
+               list_transform(e, x ->
+                 CASE WHEN mx = 0.0 THEN 0.0 ELSE x * 127.0 / mx END),
+               x -> CAST(CAST({q_frag} AS BIGINT) AS DOUBLE)) AS cv
+      FROM m
+    ), coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.e AS qe,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               {cos.format(a='q.e', b='c.cv')} DESC, c.vec_id ASC) AS arank
+      FROM v q CROSS JOIN codes c
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id, {cos.format(a='qe', b='n.e')} AS cos9
+      FROM coarse JOIN v n ON coarse.neighbor_id = n.vec_id
+      WHERE arank <= {rerank}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos9, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=_quantized_topk_oracle(),
+    survey_ids=["A10", "W2", "P10"],
+    description="Two-stage ANN: flat scan over int8 quantized codes "
+    "(top-20 coarse) + exact float rerank to top-5",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return SIM.quantized_topk(vecs, queries, k=5, rerank=20)
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS tok) t
+      WHERE t.tok <> ''
+    ), counts AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), totals AS (
+      SELECT SUM(c) AS t, COUNT(*) AS v FROM counts
+    ), lp AS (
+      SELECT tok, ROUND(ln((c + 1.0) / (t + v)), 9) AS lp9
+      FROM counts, totals
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(lp9), 6) AS mean_logprob,
+           ROUND(exp(-AVG(lp9)), 6) AS ppl
+    FROM toks JOIN lp USING (tok)
+    GROUP BY doc_id
+    """,
+    survey_ids=["A4", "A8", "J1"],
+    description="CCNet-style corpus-LM quality score: Laplace-smoothed "
+    "unigram mean log-probability and perplexity proxy per document",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.unigram_logprob(load_table_spread(spark, sf_dir, "documents"))

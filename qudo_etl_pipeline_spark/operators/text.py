@@ -378,3 +378,50 @@ def doc_fingerprint(
         f"else {_hash64_frag(text_col, 7)} end"
     )
     return df.select(F.col(id_col), F.expr(fp).alias("fingerprint"))
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-LM quality scoring: per-document mean unigram log-probability.
+
+    The CCNet-style quality filter (Wenzek et al., arXiv:1911.00359)
+    scores each document under a language model trained on the corpus
+    itself and drops the high-perplexity tail; this is the unigram
+    version, fully expressible in relational algebra. Token
+    probabilities are Laplace-smoothed corpus frequencies
+    p(t) = (c_t + 1) / (T + V); each document gets
+    mean_logprob = avg over its tokens of ln p(t) and the perplexity
+    proxy ppl = exp(-mean_logprob). Cross-engine determinism: per-token
+    logprobs are rounded to 9 decimals before averaging, outputs to 6
+    (the cos9 device).
+
+    Scale shape: one explode feeds BOTH the vocabulary counts and the
+    per-document average; the token->logprob lookup is a plain
+    equi-join on the token (the vocabulary of a web corpus is too large
+    to broadcast), then one id-keyed aggregation. No driver-side state:
+    the corpus totals ride along as a 1-row broadcast crossJoin.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    lp = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c") + 1.0) / (F.col("_t") + F.col("_v"))), 9
+        ).alias("lp9"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("lp9"), 6).alias("mean_logprob"),
+            F.round(F.exp(-F.avg("lp9")), 6).alias("ppl"),
+        )
+    )

@@ -164,3 +164,16 @@ def test_ivf_train_deterministic_and_recall(spark, clustered):
     approx = _topk_sets(SIM.ivf_topk(clustered, queries, c1, nprobe=2, k=K))
     r = _recall(exact, approx)
     assert r >= 0.6, f"ivf_train recall@{K} (nprobe=2, clustered) = {r}"
+
+
+def test_quantized_topk_recall_on_uniform(spark, uniform):
+    """int8 coarse scan + exact rerank: with rerank = 4k candidates the
+    two-stage search must stay near-exact — SQ8 quantization noise
+    only matters for neighbors whose cosine gap is below the
+    quantization error, so recall is far above any cell-probing
+    scheme's floor."""
+    queries = uniform.filter(F.col("vec_id") < 50)
+    exact = _topk_sets(SIM.brute_force_topk(uniform, queries, k=K))
+    approx = _topk_sets(SIM.quantized_topk(uniform, queries, k=K, rerank=4 * K))
+    r = _recall(exact, approx)
+    assert r >= 0.9, f"quantized rerank recall@{K} = {r}"

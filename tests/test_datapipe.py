@@ -631,3 +631,62 @@ def test_embedding_quantize_roundtrip(spark):
     # dequantized values stay within half a quantization step
     for x, q in zip([1.0, -2.0, 0.5, 4.0], out[0]["q"]):
         assert abs(q * (4.0 / 127) - x) <= 0.5 * 4.0 / 127 + 1e-9
+
+
+def test_semantic_dedup_verdicts(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (0, [1.0, 0.01]),    # cell 0 keeper
+        (1, [0.9, 0.05]),    # cell 0, cos(0,1) ~ 1 -> dup_of 0
+        (2, [0.0, 1.0]),     # cell 1 keeper
+        (3, [-1.0, 0.0]),    # cell 1 (cos -1 vs cell0, 0 vs cell1); far from 2
+        (4, [0.95, 0.02]),   # cell 0, dup of BOTH 0 and 1 -> dup_of = min = 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in SIM.semantic_dedup(df, cents, 0.9).collect()}
+    assert [out[i]["cell"] for i in range(5)] == [0, 0, 1, 1, 0]
+    assert out[0]["keep"] == 1 and out[0]["dup_of"] is None
+    assert out[1]["keep"] == 0 and out[1]["dup_of"] == 0
+    assert out[2]["keep"] == 1
+    assert out[3]["keep"] == 1  # same cell as 2 but cosine 0 < 0.9
+    assert out[4]["keep"] == 0 and out[4]["dup_of"] == 0
+
+
+def test_quantized_topk_full_rerank_equals_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = SIM.brute_force_topk(df, q, k=5).collect()
+    two_stage = SIM.quantized_topk(df, q, k=5, rerank=39).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in exact]
+    ) == sorted(
+        [
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in two_stage
+        ]
+    )
+
+
+def test_unigram_logprob_math(spark):
+    import math
+
+    rows = [(0, "a a b"), (1, "b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.unigram_logprob(df).collect()}
+    # counts: a=2 b=2 c=1, T=5, V=3 -> p(a)=p(b)=3/8, p(c)=2/8
+    lp_ab = round(math.log(3 / 8), 9)
+    lp_c = round(math.log(2 / 8), 9)
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["mean_logprob"] == pytest.approx(round(lp_ab, 6))
+    assert out[0]["ppl"] == pytest.approx(round(math.exp(-lp_ab), 6))
+    assert out[1]["n_tokens"] == 2
+    assert out[1]["mean_logprob"] == pytest.approx(
+        round((lp_ab + lp_c) / 2, 6)
+    )
