@@ -52,6 +52,10 @@ EXTENDED = [
     "tfidf_top_terms",
     "stratified_sample_docs",
     "decontamination",
+    "embedding_quantize",
+    "semantic_dedup_verdicts",
+    "ann_quantized_topk",
+    "unigram_logprob_score",
 ]
 
 

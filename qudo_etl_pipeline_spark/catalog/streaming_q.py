@@ -210,3 +210,39 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy(
         "user_id", F.col("session_id").cast("bigint").alias("session_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT p.event_id AS trigger_id, c.event_id AS touch_id, p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us, p.value
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    """,
+    survey_ids=["J1", "S1"],
+    description="Watermarked stream-stream interval join: purchases "
+    "attributed to same-user clicks within 10 minutes (append mode, "
+    "memory sink, drained; equals the batch interval self-join)",
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.streaming.sessions import attribution_join
+
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    pairs = attribution_join(purchases, clicks, horizon="10 minutes")
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

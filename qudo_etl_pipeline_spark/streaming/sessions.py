@@ -98,3 +98,63 @@ def running_user_counts_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_join(
+    triggers: DataFrame,
+    touches: DataFrame,
+    horizon: str = "10 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each trigger event (e.g.
+    purchase) to the touch events (e.g. clicks) by the same user within
+    the preceding ``horizon``.
+
+    The canonical watermarked stream-stream join: both sides carry an
+    event-time watermark and the join condition bounds the two event
+    times against each other, so the engine can discard touch state
+    older than the horizon — state stays O(events within horizon), not
+    O(stream). On batch frames ``withWatermark`` is a no-op and the
+    same plan is a plain interval self-join, so one definition serves
+    both the backfill and the live pipeline (the oracle checks the
+    drained streaming run against the batch SQL).
+
+    Returns (trigger_id, touch_id, user_id, gap_us, value): one row per
+    attributed pair, gap in exact integer microseconds.
+    """
+    t = (
+        triggers.select(
+            F.col(id_col).alias("trigger_id"),
+            F.col(user_col).alias(user_col),
+            F.col(ts_col).alias("trigger_ts"),
+            F.col("value"),
+        )
+        .withWatermark("trigger_ts", horizon)
+    )
+    c = (
+        touches.select(
+            F.col(id_col).alias("touch_id"),
+            F.col(user_col).alias("_touch_user"),
+            F.col(ts_col).alias("touch_ts"),
+        )
+        .withWatermark("touch_ts", horizon)
+    )
+    joined = t.join(
+        c,
+        F.expr(
+            f"{user_col} = _touch_user AND "
+            f"touch_ts >= trigger_ts - INTERVAL {horizon} AND "
+            "touch_ts <= trigger_ts"
+        ),
+    )
+    return joined.select(
+        "trigger_id",
+        "touch_id",
+        F.col(user_col),
+        (F.unix_micros("trigger_ts") - F.unix_micros("touch_ts")).alias(
+            "gap_us"
+        ),
+        "value",
+    )

@@ -690,3 +690,37 @@ def test_unigram_logprob_math(spark):
     assert out[1]["mean_logprob"] == pytest.approx(
         round((lp_ab + lp_c) / 2, 6)
     )
+
+
+def test_attribution_join_batch_semantics(spark):
+    """Interval-join semantics on a hand-built fixture: touches strictly
+    inside (ts-horizon, ts] attribute; later or too-old touches don't."""
+    from datetime import datetime
+
+    from qudo_etl_pipeline_spark.streaming.sessions import attribution_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, mins, etype, value=0.0):
+        return (eid, datetime(2024, 1, 1, 12, mins, 0), user, etype, value)
+
+    rows = [
+        ev(0, 1, 0, "click"),        # 10 min before purchase -> attributed
+        ev(1, 1, 5, "click"),        # 5 min before -> attributed
+        ev(2, 1, 10, "purchase", 9.5),
+        ev(3, 1, 11, "click"),       # AFTER the purchase -> no
+        ev(4, 2, 10, "click"),       # other user -> no
+        ev(5, 3, 0, "click"),        # 25 min before user-3 purchase -> too old
+        ev(6, 3, 25, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = attribution_join(
+        df.filter("event_type = 'purchase'"),
+        df.filter("event_type = 'click'"),
+        horizon="10 minutes",
+    ).collect()
+    pairs = sorted((r["trigger_id"], r["touch_id"], r["gap_us"]) for r in out)
+    assert pairs == [(2, 0, 600_000_000), (2, 1, 300_000_000)]
+    assert all(r["value"] == 9.5 for r in out)
