@@ -724,3 +724,52 @@ def test_attribution_join_batch_semantics(spark):
     pairs = sorted((r["trigger_id"], r["touch_id"], r["gap_us"]) for r in out)
     assert pairs == [(2, 0, 600_000_000), (2, 1, 300_000_000)]
     assert all(r["value"] == 9.5 for r in out)
+
+
+def test_dedup_stream_parquet_sink_restart_exactly_once(spark, tmp_path):
+    """Durable streaming sink: dedup_stream -> parquet files with a
+    checkpoint. After the first drain, RESTART the query over a source
+    that grew by one new + one duplicate doc: the checkpoint must skip
+    the already-committed batch and the dedup state must drop the
+    cross-restart duplicate, so the sink holds each unique text once."""
+    import time
+
+    from qudo_etl_pipeline_spark.streaming.sessions import dedup_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b1")
+    schema = spark.read.parquet(src + "/b1").schema
+
+    def drain():
+        q = (
+            dedup_stream(
+                spark.readStream.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(sink).count() == 2
+
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(2, "alpha beta"), (3, "epsilon zeta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b2")
+    drain()  # restarted query: same checkpoint, grown source
+
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [(0, "alpha beta"), (1, "gamma delta"), (3, "epsilon zeta")]

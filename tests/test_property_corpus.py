@@ -133,3 +133,48 @@ def test_pack_greedy_matches_mirror(spark, lengths, seq_len):
         for r in pack_greedy(df, seq_len=seq_len, n_shards=2).collect()
     }
     assert got == _greedy_mirror(list(enumerate(lengths)), seq_len, 2)
+
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=64,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=vec_strategy)
+def test_embedding_quantize_matches_python_mirror(spark, vecs):
+    """int8 quantization vs a pure-python mirror: identical codes
+    (Python-round semantics), codes within [-127, 127], and the
+    dequantization error within half a step of the true value."""
+    from qudo_etl_pipeline_spark.operators.similarity import embedding_quantize
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in embedding_quantize(df).collect()}
+    for vid, v in enumerate(vecs):
+        mx = max(abs(x) for x in v)
+        expect = [0 if mx == 0 else round(x * 127.0 / mx) for x in v]
+        got = out[vid]
+        assert got["q"] == expect, (v, got["q"], expect)
+        assert all(-127 <= q <= 127 for q in got["q"])
+        assert got["scale6"] == round(mx / 127.0, 6)
+        scale = mx / 127.0
+        for x, q in zip(v, got["q"]):
+            assert abs(q * scale - x) <= 0.5 * scale + 1e-9 * max(mx, 1.0)
