@@ -323,23 +323,27 @@ def tfidf_top_terms(
 
     Scale shape: one explode + one (doc, term) aggregation; document
     frequencies are a |vocab|-row aggregate of that same frame,
-    broadcast back. N is a scalar literal via a count() — computed
-    once at plan build (same device as ContingencyTables.n_rows).
+    broadcast back. N rides along as a 1-row broadcast crossJoin —
+    fully lazy, no plan-build job (the unigram_logprob totals device).
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
-    n_docs = df.count()
+    totals = df.agg(F.count(F.lit(1)).alias("_n"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        F.col(id_col),
-        "term",
-        "tf",
-        (
-            F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
-        ).alias("_score"),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("_score"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("_score"), F.asc("term")
