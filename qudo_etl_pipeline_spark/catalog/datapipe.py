@@ -1670,3 +1670,28 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.unigram_logprob(load_table_spread(spark, sf_dir, "documents"))
+
+
+@register(
+    "shuffle_shard_order",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {{h}} % 8 AS shard,
+             {{h}} AS sort_key
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY sort_key, doc_id) - 1 AS BIGINT)
+             AS pos
+    FROM keyed
+    """.format(h="(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"),
+    survey_ids=["R5", "W1"],
+    description="Seeded deterministic corpus shuffle: 60-bit hash order "
+    "within hash-assigned shards (reproducible training data order)",
+)
+def shuffle_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.packing import shuffle_shard
+
+    return shuffle_shard(load_table_spread(spark, sf_dir, "documents"))

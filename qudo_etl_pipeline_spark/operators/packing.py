@@ -147,3 +147,41 @@ __all__: Iterable[str] = (
     "pack_greedy",
     "packing_efficiency",
 )
+
+
+def shuffle_shard(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic global shuffle + sharding of a corpus.
+
+    Training runs need the corpus in random-but-reproducible order: the
+    permutation must be a pure function of (id, seed) so every re-run,
+    resume, and engine (the DuckDB oracle) sees the same order, and a
+    new epoch is just a new seed. Each document gets a 60-bit seeded
+    hash; the shard is ``hash % n_shards`` and ``pos`` is the document's
+    rank by (hash, id) within its shard.
+
+    Scale shape: the hash is a narrow map; the only movement is ONE
+    hash-partitioned exchange on ``shard`` with a per-shard sort — the
+    same shape as any shuffle write. Downstream, :func:`pack_boundary` /
+    :func:`pack_greedy` can consume (shard, pos) as their layout order
+    instead of ascending id, giving shuffled packed sequences with no
+    extra pass.
+    """
+    from qudo_etl_pipeline_spark.functions.hashing import token_hash64
+
+    key = token_hash64(F.col(id_col).cast("string"), seed)
+    t = docs.select(
+        F.col(id_col),
+        F.pmod(key, F.lit(n_shards)).cast("bigint").alias("shard"),
+        key.alias("sort_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return t.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )

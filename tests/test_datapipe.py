@@ -773,3 +773,34 @@ def test_dedup_stream_parquet_sink_restart_exactly_once(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in spark.read.parquet(sink).collect()
     )
     assert rows == [(0, "alpha beta"), (1, "gamma delta"), (3, "epsilon zeta")]
+
+
+def test_shuffle_shard_is_seeded_permutation(spark):
+    from qudo_etl_pipeline_spark.operators.packing import shuffle_shard
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(40)], "doc_id long, text string"
+    )
+    a = shuffle_shard(df, n_shards=4, seed=42).collect()
+    # every doc exactly once; per-shard positions are dense 0..n-1
+    assert sorted(r["doc_id"] for r in a) == list(range(40))
+    by_shard: dict = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic across calls; a different seed permutes differently
+    b = shuffle_shard(df, n_shards=4, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         shuffle_shard(df, n_shards=4, seed=7).collect()}
+    a_map = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
+    assert any(a_map[i] != c[i] for i in range(40))
+    # the order is NOT ascending id within a shard (it's actually shuffled)
+    ids_in_order = [
+        r["doc_id"]
+        for r in sorted(a, key=lambda r: (r["shard"], r["pos"]))
+        if r["shard"] == 0
+    ]
+    assert ids_in_order != sorted(ids_in_order)
