@@ -65,6 +65,7 @@ def registry() -> dict[str, QuerySpec]:
         ml_q,
         relational,
         streaming_q,
+        temporal_q,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,141 @@
+"""Temporal-join catalog entries over the events table.
+
+As-of join, bucketed range join, and multi-grain rollup — the temporal
+operators a training-data/event pipeline needs beyond the reference's
+batch-tabular surface (extension scope; no reference counterpart).
+Oracles use DuckDB's native ASOF JOIN / range-predicate join / ROLLUP so
+the Spark implementations (which never issue a range predicate to a join
+operator) are verified against an engine that executes the textbook
+semantics directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.catalog import load_events, register
+from qudo_etl_pipeline_spark.operators import temporal as T
+
+
+@register(
+    "asof_purchase_attribution",
+    oracle="""
+    WITH probe AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    build AS (
+      SELECT user_id, ts, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT purchase_id,
+           probe.user_id AS user_id,
+           COALESCE(click_id, -1) AS click_id,
+           COALESCE(epoch_us(probe.ts) - epoch_us(click_ts), -1) AS gap_us
+    FROM probe ASOF LEFT JOIN build
+      ON probe.user_id = build.user_id AND probe.ts >= build.ts
+    """,
+    survey_ids=["J1", "W1"],
+    description="As-of join: each purchase to the most recent prior click "
+    "by the same user (distributed merge-asof: union + one shuffle + "
+    "running last(); DuckDB ASOF JOIN oracle)",
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    build = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = T.asof_join(probe, build, on="user_id", suffix="")
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts")),
+            F.lit(-1),
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "range_join_error_context",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS error_id, ts AS w_start,
+             ts + INTERVAL 10 MINUTE AS w_end
+      FROM events WHERE event_type = 'error'
+    ),
+    pt AS (
+      SELECT ts AS v_ts, user_id AS v_user
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT error_id,
+           COUNT(v_ts) AS n_views,
+           COUNT(DISTINCT v_user) AS n_users
+    FROM iv LEFT JOIN pt ON v_ts >= w_start AND v_ts < w_end
+    GROUP BY error_id
+    """,
+    survey_ids=["J1", "A4", "A7"],
+    description="Range join without an equi-key: views inside each "
+    "error's 10-minute window via time-bucket equi-join (no cartesian "
+    "fallback), left-complete so empty windows survive",
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    points = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("v_ts"), F.col("user_id").alias("v_user")
+    )
+    # inner-match then re-attach empty windows AFTER aggregation: the
+    # left-completeness join runs over the k-row counts table instead of
+    # the row-scale match table (operator-level how='left' exists for
+    # row-level needs; here it would dedup/anti-join at data scale).
+    joined = T.range_join(
+        points, intervals, "v_ts", "w_start", "w_end", bucket_seconds=600
+    )
+    counts = joined.groupBy("error_id").agg(
+        F.count("v_ts").alias("m_views"),
+        F.countDistinct("v_user").alias("m_users"),
+    )
+    return (
+        intervals.select("error_id")
+        .join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce(F.col("m_views"), F.lit(0)).alias("n_views"),
+            F.coalesce(F.col("m_users"), F.lit(0)).alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_rollup_grains",
+    oracle="""
+    SELECT COALESCE(day, 'ALL') AS day,
+           COALESCE(hour, -1) AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(hour(ts) AS BIGINT) AS hour, value
+      FROM events
+    )
+    GROUP BY ROLLUP(day, hour)
+    """,
+    survey_ids=["A4", "A5"],
+    description="Day/hour hierarchy rollup in one pass (Catalyst Expand "
+    "node — the hypertable multi-grain continuous-aggregate shape)",
+)
+def events_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.rollup_time_grains(load_events(spark, sf_dir))

@@ -1,0 +1,179 @@
+"""Temporal join operators: as-of join, bucketed range join, multi-grain
+rollup.
+
+The reference pipeline is batch-tabular and has no temporal joins; these
+are the scale extensions a training-data/event pipeline needs (event
+attribution, windowed context joins, time-hierarchy rollups). Each is
+built shuffle-consciously:
+
+- ``asof_join``: the classic distributed merge-asof — tag both sides,
+  union, ONE shuffle on the equi-key, sort within partition, and carry
+  the last build row forward with ``last(..., ignorenulls=True)``. No
+  range predicate ever reaches a join operator, so Catalyst never falls
+  back to a broadcast-nested-loop/cartesian plan. Cost is
+  O((|probe|+|build|) log partition) — exactly a sort-merge join's cost
+  shape, and it scales to any build:probe ratio.
+- ``range_join``: point-in-interval join WITHOUT an equi-key — the case
+  that naively cross-joins. Intervals are exploded into fixed-width time
+  buckets (``sequence`` over floor-divided epochs) while each point maps
+  to exactly one bucket, turning the range predicate into a bucket
+  equi-join + residual filter. Because the point side has one bucket per
+  row, every qualifying (interval, point) pair is produced exactly once —
+  no dedup pass. Bucket width is the knob: ~the median interval length
+  keeps the explode factor ~2 while the per-bucket candidate count stays
+  small.
+- ``rollup_time_grains``: day/hour hierarchy rollup in one pass via
+  ``DataFrame.rollup`` (Catalyst Expand node — one scan, one shuffle for
+  all grains), the Spark-native version of a hypertable's multi-grain
+  continuous aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join", "rollup_time_grains"]
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    suffix: str = "_b",
+) -> DataFrame:
+    """Left as-of join: each probe row gains the most recent build row of
+    the same ``on`` key with build ts <= probe ts (inclusive, backward).
+
+    Equivalent to DuckDB ``probe ASOF LEFT JOIN build ON probe.k = build.k
+    AND probe.ts >= build.ts`` and pandas ``merge_asof(direction=
+    'backward')``. Build payload columns come back suffixed; they are all
+    NULL when no build row precedes the probe row.
+
+    Ties: a build row at exactly the probe timestamp matches (it sorts
+    before the probe row via the side tag). Duplicate build timestamps
+    within a key resolve to the later row in union order — callers that
+    need a deterministic winner should pre-dedup the build side.
+    """
+    payload_cols = [c for c in build.columns if c not in (on, build_ts)]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+
+    b = build.select(
+        F.col(on).alias("__k"),
+        F.col(build_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
+          for c in probe.columns],
+    )
+    p = probe.select(
+        F.col(on).alias("__k"),
+        F.col(probe_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(b.schema["__payload"].dataType).alias("__payload"),
+        *probe.columns,
+    )
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        b.unionByName(p)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out = matched.select(
+        *probe.columns,
+        *[F.col("__match")[c].alias(c + suffix) for c in payload_cols],
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to [start, end) intervals via time-bucket equi-join.
+
+    Returns interval columns + point columns for every point with
+    start <= point_ts < end. ``how='left'`` keeps empty intervals (point
+    columns NULL). Both inputs must not already contain a ``__bucket``
+    column. Interval and point column sets must be disjoint.
+    """
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start)) / (bucket_seconds * 1_000_000))
+                .cast("long"),
+                # end is exclusive, but a point at bucket boundary epsilon
+                # below end still lands in end's bucket: include it.
+                (F.unix_micros(F.col(end)) / (bucket_seconds * 1_000_000))
+                .cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bucket",
+        (F.unix_micros(F.col(point_ts)) / (bucket_seconds * 1_000_000))
+        .cast("long"),
+    )
+    cond = (
+        (iv["__bucket"] == pt["__bucket"])
+        & (pt[point_ts] >= iv[start])
+        & (pt[point_ts] < iv[end])
+    )
+    joined = iv.join(pt, cond, "inner").drop("__bucket")
+    if how == "inner":
+        return joined
+    if how != "left":
+        raise ValueError(f"unsupported how={how!r}")
+    # left: re-attach intervals that matched nothing (anti-join, then
+    # union with null point columns) — keeps the matched path a pure
+    # bucket equi-join instead of forcing a left join with explode-side
+    # duplicate intervals that would need dedup.
+    matched_ids = joined.select(*intervals.columns).distinct()
+    empty = intervals.join(matched_ids, on=intervals.columns, how="left_anti")
+    for c in points.columns:
+        empty = empty.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
+    return joined.unionByName(empty)
+
+
+def rollup_time_grains(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day->hour hierarchy rollup in ONE pass (Catalyst Expand node).
+
+    Emits three grains — (day, hour), (day), and grand total — with the
+    grouped-out level coalesced to sentinel values so the output is
+    NULL-free and hash-stable: day='ALL' / hour=-1.
+    """
+    d = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    h = F.hour(F.col(ts_col)).cast("bigint")
+    return (
+        events.select(d.alias("day"), h.alias("hour"), F.col(value_col))
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("hour"), F.lit(-1)).alias("hour"),
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,115 @@
+"""Temporal operator semantics: as-of join, bucketed range join, rollup.
+
+The sf0.01 catalog entries hash-check the happy path against DuckDB's
+native ASOF JOIN / range join / ROLLUP; these tests pin the edge
+semantics those rows never exercise — equal-timestamp ties, probes with
+no preceding build row, intervals spanning many buckets, empty
+intervals — and that the physical plans never fall back to a cartesian /
+broadcast-nested-loop join.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import datetime as dt
+import io
+
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    rollup_time_grains,
+)
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_asof_backward_inclusive_and_unmatched(spark):
+    probe = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(5), "p2"), (2, _ts(3), "p3")],
+        "k int, ts timestamp, pid string",
+    )
+    build = spark.createDataFrame(
+        [(1, _ts(5), "exact"), (1, _ts(9), "latest"), (2, _ts(4), "after")],
+        "k int, ts timestamp, tag string",
+    )
+    out = {
+        r["pid"]: r["tag_b"]
+        for r in asof_join(probe, build, on="k").collect()
+    }
+    # p1@10 takes build@9 (most recent <=), not build@5
+    assert out["p1"] == "latest"
+    # p2@5 matches the build row at EXACTLY ts=5 (inclusive)
+    assert out["p2"] == "exact"
+    # p3@3 precedes every build row for k=2 -> NULL
+    assert out["p3"] is None
+
+
+def test_asof_plan_has_no_cartesian(spark):
+    probe = spark.createDataFrame([(1, _ts(1))], "k int, ts timestamp")
+    build = spark.createDataFrame([(1, _ts(0), 9)], "k int, ts timestamp, v int")
+    plan = _plan(asof_join(probe, build, on="k"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_multibucket_and_left_complete(spark):
+    # 25-minute interval over 600s buckets spans 3-4 buckets; points in
+    # different buckets must all match exactly once.
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(25)), (2, _ts(40), _ts(41))],
+        "iid int, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame(
+        [(_ts(0), "at-start"), (_ts(12), "mid"), (_ts(24, 59), "near-end"),
+         (_ts(25), "at-end-excl"), (_ts(39), "outside")],
+        "ts timestamp, tag string",
+    )
+    rows = range_join(
+        points, intervals, "ts", "s", "e", bucket_seconds=600, how="left"
+    ).collect()
+    by_iid: dict[int, list] = {}
+    for r in rows:
+        by_iid.setdefault(r["iid"], []).append(r["tag"])
+    # start inclusive, end exclusive, no duplicates from the explode
+    assert sorted(by_iid[1]) == ["at-start", "mid", "near-end"]
+    # interval 2 matched nothing but survives with a NULL point
+    assert by_iid[2] == [None]
+
+
+def test_range_join_inner_plan_is_equijoin(spark):
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(25))], "iid int, s timestamp, e timestamp"
+    )
+    points = spark.createDataFrame([(_ts(12),)], "ts timestamp")
+    plan = _plan(range_join(points, intervals, "ts", "s", "e", 600))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_grain_consistency(spark):
+    ev = spark.createDataFrame(
+        [(_ts(1), 1.0), (_ts(2), 2.0),
+         (dt.datetime(2024, 1, 1, 3, 0), 4.0),
+         (dt.datetime(2024, 1, 2, 0, 0), 8.0)],
+        "ts timestamp, value double",
+    )
+    rows = {
+        (r["day"], r["hour"]): (r["n"], r["total_value"])
+        for r in rollup_time_grains(ev).collect()
+    }
+    assert rows[("2024-01-01", 0)] == (2, 3.0)
+    assert rows[("2024-01-01", 3)] == (1, 4.0)
+    # day grain sums its hours; grand total sums the days
+    assert rows[("2024-01-01", -1)] == (3, 7.0)
+    assert rows[("ALL", -1)] == (4, 15.0)
