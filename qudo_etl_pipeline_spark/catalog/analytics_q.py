@@ -1,0 +1,133 @@
+"""Event-analytics catalog entries: funnel, retention cohorts, CDC
+compaction (operators/analytics.py).
+
+Oracles express the same semantics in textbook SQL: the funnel as
+stage-wise "earliest stage-i event strictly after the matched
+stage-(i-1)" CTEs (provably equivalent to the operator's greedy
+time-ordered scan), retention as plain relational algebra, and the CDC
+merge as a ROW_NUMBER window over the unioned log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.catalog import load_events, load_table, register
+from qudo_etl_pipeline_spark.operators import analytics as A
+
+_FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'signup',   (SELECT COUNT(*) FROM s1)),
+      (CAST(2 AS BIGINT), 'click',    (SELECT COUNT(*) FROM s2)),
+      (CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s3))
+    ) AS t(stage, stage_name, n_users)
+    WHERE n_users > 0
+    """,
+    survey_ids=["A4", "W1"],
+    description="Ordered funnel signup->click->purchase: per-user greedy "
+    "time-ordered stage matching in ONE shuffle (higher-order aggregate "
+    "over the sorted event array), vs the stage-join SQL formulation",
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = A.funnel_counts(load_events(spark, sf_dir), _FUNNEL_STAGES)
+    return counts.filter(F.col("n_users") > 0)
+
+
+@register(
+    "retention_matrix",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+    ),
+    cohort AS (SELECT u, MIN(d) AS c FROM activity GROUP BY u)
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+           CAST(d - c AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.u) AS n_users
+    FROM activity a JOIN cohort USING (u)
+    GROUP BY 1, 2
+    """,
+    survey_ids=["A4", "A7"],
+    description="Cohort retention matrix: first-active-day cohorts x "
+    "day-offset activity counts",
+)
+def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.retention_cohorts(load_events(spark, sf_dir))
+
+
+@register(
+    "cdc_compact_orders",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS total, o_orderdate AS ts,
+             'U' AS op, 0 AS src
+      FROM orders
+    ),
+    chg AS (
+      SELECT o_orderkey, 'X', o_totalprice + 100,
+             o_orderdate + INTERVAL 1 DAY, 'U', 1
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, NULL,
+             o_orderdate + INTERVAL 2 DAY, 'D', 1
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY k ORDER BY ts DESC, src DESC) AS rn
+      FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg)
+    )
+    SELECT k AS o_orderkey, status AS o_orderstatus,
+           total AS o_totalprice
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+    survey_ids=["R1", "W2", "P7"],
+    description="CDC latest-wins compaction: deterministic upsert+delete "
+    "batch merged onto the orders snapshot (union + one keyed window; "
+    "the merge-on-read compaction shape)",
+)
+def cdc_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    snapshot = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    upserts = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit("U").alias("op"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).alias("ts"),
+        F.lit("D").alias("op"),
+    )
+    compacted = A.cdc_compact(
+        snapshot, upserts.unionByName(deletes), keys=["o_orderkey"],
+        ts_col="ts",
+    )
+    return compacted.select("o_orderkey", "o_orderstatus", "o_totalprice")

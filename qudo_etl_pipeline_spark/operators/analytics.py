@@ -1,0 +1,156 @@
+"""Event-analytics and table-maintenance operators: funnel, retention
+cohorts, CDC latest-wins compaction.
+
+Extension scope (no reference counterpart): the event-pipeline analytics
+and the incremental-maintenance primitive a 100 TB table needs. Shuffle
+budget:
+
+- ``funnel_depth``: ONE shuffle (groupBy user) + an in-JVM higher-order
+  ``aggregate`` scan over each user's time-sorted event array. A
+  stage-join formulation costs one shuffle PER stage; this costs one
+  total, at the price of materializing each user's (relevant-typed)
+  events as an array — bounded by per-user event count, the same bound
+  sessionization already carries.
+- ``retention_cohorts``: distinct user-day activity (one shuffle),
+  per-user min-day cohort (map-side partial agg), one join back on
+  user_id — all keyed on user_id so AQE can coalesce/skew-split.
+- ``cdc_compact``: the standard log-structured merge: union snapshot +
+  change batch, ONE shuffle on the key, row_number by (event time desc,
+  change-batch priority), keep the winner, drop keys whose winner is a
+  delete. At scale this is the compaction pass of a merge-on-read table;
+  bucketing the snapshot by key makes successive compactions
+  exchange-free on the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_depth", "funnel_counts", "retention_cohorts", "cdc_compact"]
+
+
+def funnel_depth(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered-funnel depth: how many of ``stages`` were hit in
+    order, each strictly after the previous match (greedy earliest
+    matching — equivalent to stage-wise "first stage-i event after the
+    matched stage-(i-1) event").
+
+    Returns (user_col, depth) with depth in [0, len(stages)]; users with
+    no stage-typed events at all do not appear (depth 0 rows exist only
+    for users who emitted SOME stage event out of order).
+    """
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    evs = (
+        events.filter(F.col(type_col).isin(stages))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("t"),
+                                        F.col(type_col).alias("y")))
+            ).alias("_evs")
+        )
+    )
+    # single in-JVM pass over the sorted array: advance depth when the
+    # next event matches the next unmatched stage
+    depth = F.aggregate(
+        "_evs",
+        F.lit(0),
+        lambda d, e: F.when(
+            (d < len(stages)) & (e["y"] == F.element_at(stage_arr, d + 1)),
+            d + 1,
+        ).otherwise(d),
+    )
+    return evs.select(user_col, depth.cast("bigint").alias("depth"))
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: for each stage, how many users reached AT LEAST
+    that depth. Output (stage, stage_name, n_users), one row per stage.
+    """
+    depths = funnel_depth(events, stages, user_col, ts_col, type_col)
+    reached = depths.filter(F.col("depth") > 0).select(
+        F.explode(F.sequence(F.lit(1), F.col("depth"))).alias("stage")
+    )
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    return (
+        reached.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("stage").cast("bigint").alias("stage"),
+            F.element_at(stage_arr, F.col("stage").cast("int")).alias(
+                "stage_name"
+            ),
+            "n_users",
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by first-active day;
+    output (cohort_day, day_offset, n_users) = how many of a cohort's
+    users were active day_offset days after their cohort day.
+
+    day_offset 0 row is the cohort size (every user is active on their
+    first day by construction).
+    """
+    activity = events.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    cohort = activity.groupBy("u").agg(F.min("d").alias("c"))
+    return (
+        activity.join(cohort, "u")
+        .groupBy(
+            F.date_format("c", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "c").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+
+
+def cdc_compact(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Latest-wins CDC merge: apply a change batch (upserts ``'U'`` and
+    deletes ``'D'`` in ``op_col``) onto a snapshot, keeping the newest
+    version of each key and dropping keys whose newest version is a
+    delete.
+
+    ``changes`` must carry the snapshot's columns plus ``op_col``
+    (delete rows may leave non-key payload columns NULL). Ties on
+    ``ts_col`` resolve in favor of the change batch. Returns the
+    compacted table in the snapshot's schema.
+    """
+    snap = snapshot.withColumn(op_col, F.lit("U")).withColumn(
+        "__src", F.lit(0)
+    )
+    chg = changes.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col("__src").desc()
+    )
+    return (
+        snap.unionByName(chg)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) == "U"))
+        .select(*snapshot.columns)
+    )

@@ -1,0 +1,120 @@
+"""Funnel / retention / CDC-compaction edge semantics.
+
+The sf0.01 catalog entries hash-check these against stage-join /
+window-SQL oracles; here we pin the edges the real data never hits:
+out-of-order funnel events, ts ties in the CDC merge, deletes followed
+by re-inserts, and cohort-size consistency.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.operators.analytics import (
+    cdc_compact,
+    funnel_counts,
+    funnel_depth,
+    retention_cohorts,
+)
+
+STAGES = ["signup", "click", "purchase"]
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_depth_order_sensitivity(spark):
+    ev = _events(spark, [
+        # u1: full funnel in order
+        (1, _ts(1), "signup"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2: purchase BEFORE click -> depth stops at 2... signup, purchase,
+        # click: click after signup counts, purchase before click doesn't
+        (2, _ts(1), "signup"), (2, _ts(2), "purchase"), (2, _ts(3), "click"),
+        # u3: click only, never signed up -> depth 0
+        (3, _ts(1), "click"),
+        # u4: two signups then click: second signup is ignored, click counts
+        (4, _ts(1), "signup"), (4, _ts(2), "signup"), (4, _ts(3), "click"),
+    ])
+    d = {r["user_id"]: r["depth"] for r in funnel_depth(ev, STAGES).collect()}
+    assert d == {1: 3, 2: 2, 3: 0, 4: 2}
+
+
+def test_funnel_counts_are_cumulative(spark):
+    ev = _events(spark, [
+        (1, _ts(1), "signup"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        (2, _ts(1), "signup"), (2, _ts(3), "click"),
+        (3, _ts(1), "signup"),
+    ])
+    c = {r["stage"]: r["n_users"] for r in funnel_counts(ev, STAGES).collect()}
+    assert c == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_offsets(spark):
+    d1, d2, d3 = (dt.datetime(2024, 1, d, 12) for d in (1, 2, 3))
+    ev = _events(spark, [
+        (1, d1, "view"), (1, d3, "view"),          # cohort 01-01, back day 2
+        (2, d1, "view"), (2, d1, "click"),          # same-day dup: one visit
+        (3, d2, "view"), (3, d3, "view"),           # cohort 01-02, back day 1
+    ])
+    m = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert m[("2024-01-01", 0)] == 2
+    assert m[("2024-01-01", 2)] == 1
+    assert m[("2024-01-02", 0)] == 1
+    assert m[("2024-01-02", 1)] == 1
+    assert ("2024-01-01", 1) not in m
+
+
+def test_cdc_compact_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", _ts(0)), (2, "b", _ts(0)), (3, "c", _ts(0)),
+         (4, "d", _ts(5))],
+        "k int, v string, ts timestamp",
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "a2", _ts(1), "U"),     # plain upsert
+            (2, None, _ts(1), "D"),     # delete
+            (3, "c2", _ts(1), "U"),     # upsert then later delete
+            (3, None, _ts(2), "D"),
+            (4, "d2", _ts(5), "U"),     # ts TIE with snapshot: change wins
+            (5, "e", _ts(1), "U"),      # brand-new key
+        ],
+        "k int, v string, ts timestamp, op string",
+    )
+    out = {r["k"]: r["v"]
+           for r in cdc_compact(snap, chg, ["k"], "ts").collect()}
+    assert out == {1: "a2", 4: "d2", 5: "e"}
+
+
+def test_cdc_compact_plan_single_shuffle(spark):
+    import contextlib, io
+
+    snap = spark.createDataFrame([(1, "a", _ts(0))], "k int, v string, ts timestamp")
+    chg = spark.createDataFrame(
+        [(1, "b", _ts(1), "U")], "k int, v string, ts timestamp, op string"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cdc_compact(snap, chg, ["k"], "ts").explain("formatted")
+    plan = buf.getvalue()
+    # union + window: exactly one exchange (hashpartitioning on the key);
+    # count numbered node headers so the detail section isn't double-counted
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    # Spark pre-limits each partition to the window top-1 BEFORE the
+    # shuffle (partial WindowGroupLimit) — the map-side-combine analogue
+    # for the merge; pin it so a regression reappears as a test failure
+    assert "WindowGroupLimit" in plan
