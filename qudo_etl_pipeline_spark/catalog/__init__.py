@@ -65,6 +65,7 @@ def registry() -> dict[str, QuerySpec]:
         datapipe,
         ml_q,
         relational,
+        sketches_q,
         streaming_q,
         temporal_q,
     )

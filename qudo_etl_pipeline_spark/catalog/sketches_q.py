@@ -1,0 +1,177 @@
+"""Sketch & layout catalog entries: count-min frequency, Bloom-filter
+membership, z-order clustering (operators/sketches.py,
+functions/zorder.py).
+
+The sketches use the seeded md5-prefix hash family so the DuckDB oracle
+reproduces every cell/word bit-for-bit — the driver hash-checks the
+sketch CONTENTS, not just the estimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.functions.hashing import token_hash64_sql
+from qudo_etl_pipeline_spark.functions.zorder import zorder2, zorder2_sql
+from qudo_etl_pipeline_spark.operators import sketches as SK
+
+
+def _h(expr: str, seed: int, modulus: int) -> str:
+    return f"({token_hash64_sql(expr, seed)} % {modulus})"
+
+
+def _cms_oracle(depth: int = 3, width: int = 256) -> str:
+    pk = "CAST(l_partkey AS VARCHAR)"
+    h = " UNION ALL ".join(
+        f"SELECT l_partkey, {r} AS row, {_h(pk, r, width)} AS bucket "
+        f"FROM lineitem"
+        for r in range(depth)
+    )
+    ph = " UNION ALL ".join(
+        f"SELECT l_partkey, {r} AS row, {_h(pk, r, width)} AS bucket "
+        f"FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+    WITH h AS ({h}),
+    cms AS (SELECT row, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 20),
+    ph AS ({ph}),
+    est AS (
+      SELECT ph.l_partkey, MIN(COALESCE(cnt, 0)) AS est
+      FROM ph LEFT JOIN cms USING (row, bucket) GROUP BY 1
+    ),
+    tru AS (
+      SELECT l_partkey, COUNT(*) AS true_cnt
+      FROM lineitem WHERE l_partkey <= 20 GROUP BY 1
+    )
+    SELECT est.l_partkey AS l_partkey, est, true_cnt
+    FROM est JOIN tru USING (l_partkey)
+    """
+
+
+@register(
+    "cms_part_frequency",
+    oracle=_cms_oracle(),
+    survey_ids=["A4", "J5"],
+    description="Count-min sketch (depth 3 x width 256) over lineitem "
+    "part keys + min-estimator lookups vs true counts — sketch cells are "
+    "bit-identical cross-engine",
+)
+def cms_part_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cms = SK.cms_build(li, "l_partkey", depth=3, width=256)
+    probes = li.filter(F.col("l_partkey") <= 20).select("l_partkey").distinct()
+    est = SK.cms_lookup(cms, probes, "l_partkey", depth=3, width=256)
+    tru = (
+        li.filter(F.col("l_partkey") <= 20)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return est.join(tru, "l_partkey")
+
+
+def _bloom_oracle(m_bits: int = 2048, k: int = 3) -> str:
+    ok = "CAST(o_custkey AS VARCHAR)"
+    ck = "CAST(c_custkey AS VARCHAR)"
+    build = " UNION ALL ".join(
+        f"SELECT {_h(ok, r, m_bits)} AS pos FROM orders" for r in range(k)
+    )
+    probe = " UNION ALL ".join(
+        f"SELECT c_custkey, {_h(ck, r, m_bits)} AS pos FROM customer"
+        for r in range(k)
+    )
+    return f"""
+    WITH pos AS ({build}),
+    words AS (
+      SELECT pos // 32 AS word, BIT_OR(1::BIGINT << (pos % 32)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    ph AS ({probe}),
+    ph2 AS (
+      SELECT c_custkey, pos // 32 AS word,
+             (1::BIGINT << (pos % 32)) AS mask
+      FROM ph
+    ),
+    hits AS (
+      SELECT c_custkey,
+             CAST(MIN(CASE WHEN (COALESCE(bits, 0) & mask) = mask
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hit
+      FROM ph2 LEFT JOIN words USING (word) GROUP BY 1
+    )
+    SELECT h.c_custkey AS c_custkey, hit,
+           CAST(CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS has_orders
+    FROM hits h LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON h.c_custkey = o.o_custkey
+    """
+
+
+@register(
+    "bloom_filter_custkeys",
+    oracle=_bloom_oracle(),
+    survey_ids=["J3", "A4"],
+    description="Bloom filter (2048 bits, 3 hashes) of ordering customers, "
+    "probed with every customer vs ground truth — no false negatives by "
+    "construction, false positives deterministic cross-engine",
+)
+def bloom_filter_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    bloom = SK.bloom_build(orders, "o_custkey", m_bits=2048, n_hashes=3)
+    hits = SK.bloom_lookup(
+        bloom, customer.select("c_custkey"), "c_custkey",
+        m_bits=2048, n_hashes=3,
+    )
+    truth = orders.select("o_custkey").distinct()
+    return (
+        hits.join(truth, hits["c_custkey"] == truth["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "hit",
+            F.when(F.col("o_custkey").isNull(), 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("has_orders"),
+        )
+    )
+
+
+@register(
+    "zorder_layout_lineitem",
+    oracle=f"""
+    WITH z AS (
+      SELECT {zorder2_sql("(l_partkey % 1024)", "(l_suppkey % 1024)", 10)}
+               >> 14 AS zbucket,
+             l_partkey % 1024 AS p, l_suppkey % 1024 AS s
+      FROM lineitem
+    )
+    SELECT zbucket, COUNT(*) AS n,
+           MIN(p) AS p_min, MAX(p) AS p_max,
+           MIN(s) AS s_min, MAX(s) AS s_max
+    FROM z GROUP BY zbucket
+    """,
+    survey_ids=["A4", "W3"],
+    description="Z-order (Morton) layout audit: interleaved "
+    "partkey/suppkey key, per-zbucket extent stats — the min/max ranges "
+    "a footer-stats scan would prune on",
+)
+def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        F.shiftright(
+            zorder2(F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024, 10),
+            14,
+        ).alias("zbucket"),
+        (F.col("l_partkey") % 1024).alias("p"),
+        (F.col("l_suppkey") % 1024).alias("s"),
+    )
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p").alias("p_min"),
+        F.max("p").alias("p_max"),
+        F.min("s").alias("s_min"),
+        F.max("s").alias("s_max"),
+    )

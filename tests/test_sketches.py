@@ -1,0 +1,91 @@
+"""Sketch & z-order invariants.
+
+The sf0.01 catalog entries hash-check cell-level equality against
+DuckDB; these pin the estimator guarantees — count-min never
+underestimates (and is exact without collisions), Bloom filters never
+false-negative — and the z-order key's bit-interleave identities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.functions.zorder import zorder2
+from qudo_etl_pipeline_spark.operators.sketches import (
+    bloom_build,
+    bloom_lookup,
+    cms_build,
+    cms_lookup,
+)
+
+
+def _keys(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "k bigint")
+
+
+def test_cms_never_underestimates(spark):
+    data = [1] * 10 + [2] * 5 + list(range(3, 60))
+    df = _keys(spark, data)
+    cms = cms_build(df, "k", depth=3, width=16)  # narrow -> collisions
+    probes = df.distinct()
+    est = {r["k"]: r["est"] for r in cms_lookup(cms, probes, "k", 3, 16).collect()}
+    true = {1: 10, 2: 5, **{v: 1 for v in range(3, 60)}}
+    assert all(est[k] >= t for k, t in true.items())
+    # total mass per sketch row equals the input size
+    row_mass = (
+        cms.groupBy("row").agg(F.sum("cnt").alias("m")).collect()
+    )
+    assert all(r["m"] == len(data) for r in row_mass)
+
+
+def test_cms_exact_when_wide(spark):
+    data = [1] * 7 + [2] * 3 + [3]
+    df = _keys(spark, data)
+    cms = cms_build(df, "k", depth=4, width=4096)
+    est = {r["k"]: r["est"]
+           for r in cms_lookup(cms, df.distinct(), "k", 4, 4096).collect()}
+    assert est == {1: 7, 2: 3, 3: 1}
+
+
+def test_bloom_no_false_negatives(spark):
+    members = _keys(spark, range(0, 200, 2))
+    bloom = bloom_build(members, "k", m_bits=512, n_hashes=3)
+    probes = _keys(spark, range(200))
+    hits = {r["k"]: r["hit"]
+            for r in bloom_lookup(bloom, probes, "k", 512, 3).collect()}
+    assert all(hits[k] == 1 for k in range(0, 200, 2)), "false negative!"
+    # with 100 keys in 512 bits some non-members must still miss
+    assert any(hits[k] == 0 for k in range(1, 200, 2))
+
+
+def test_zorder_known_values_and_ordering(spark):
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (3, 3), (1, 2)], "x bigint, y bigint"
+    )
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder2(F.col("x"), F.col("y"), 4).alias("z")).collect()
+    }
+    # x occupies even bit positions, y odd
+    assert out[(3, 0)] == 0b0101
+    assert out[(0, 3)] == 0b1010
+    assert out[(3, 3)] == 0b1111
+    assert out[(1, 2)] == 0b1001
+    # monotone in x for fixed y
+    assert out[(1, 2)] < out[(3, 3)]
+
+
+def test_zorder_locality_beats_linear_sort(spark):
+    # 32x32 grid; query a 4x4 box. After z-sort into 64-row files, the
+    # box must touch fewer files than an x-sorted layout (which smears a
+    # 4-wide x-slab across every y).
+    pts = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("bigint").alias("y")
+    )
+    z = pts.select("x", "y", zorder2(F.col("x"), F.col("y"), 5).alias("z"))
+    zfile = z.select("x", "y", F.floor(F.col("z") / 64).alias("f"))
+    xfile = z.select("x", "y", F.floor((F.col("x") * 32 + F.col("y")) / 64).alias("f"))
+    box = (F.col("x").between(8, 11)) & (F.col("y").between(8, 11))
+    nz = zfile.filter(box).select("f").distinct().count()
+    nx = xfile.filter(box).select("f").distinct().count()
+    assert nz < nx
