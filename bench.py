@@ -56,6 +56,17 @@ EXTENDED = [
     "semantic_dedup_verdicts",
     "ann_quantized_topk",
     "unigram_logprob_score",
+    # temporal / analytics / sketch operators
+    "asof_purchase_attribution",
+    "range_join_error_context",
+    "events_rollup_grains",
+    "funnel_signup_click_purchase",
+    "retention_matrix",
+    "cdc_compact_orders",
+    "scd2_order_history",
+    "cms_part_frequency",
+    "bloom_filter_custkeys",
+    "zorder_layout_lineitem",
 ]
 
 

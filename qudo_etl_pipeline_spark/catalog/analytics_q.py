@@ -131,3 +131,64 @@ def cdc_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
     )
     return compacted.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "scd2_order_history",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_orderdate AS ts, 'U' AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'X', o_orderdate + INTERVAL 1 DAY, 'U'
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, o_orderdate + INTERVAL 2 DAY, 'D'
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    v AS (
+      SELECT *, LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS nts FROM log
+    )
+    SELECT k AS o_orderkey, status AS o_orderstatus,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(COALESCE(nts, TIMESTAMP '9999-12-31 00:00:00'),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(CASE WHEN nts IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM v WHERE op = 'U'
+    """,
+    survey_ids=["W1", "R1"],
+    description="SCD type-2 history build: the same deterministic change "
+    "log turned into validity intervals (one lead-window shuffle; deletes "
+    "close versions without emitting rows)",
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("ts"),
+        F.lit("U").alias("op"),
+    )
+    upserts = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit("U").alias("op"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).alias("ts"),
+        F.lit("D").alias("op"),
+    )
+    log = base.unionByName(upserts).unionByName(deletes)
+    hist = A.scd2_history(log, keys=["o_orderkey"], ts_col="ts")
+    return hist.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )

@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_depth", "funnel_counts", "retention_cohorts", "cdc_compact"]
+__all__ = [
+    "funnel_depth",
+    "funnel_counts",
+    "retention_cohorts",
+    "cdc_compact",
+    "scd2_history",
+]
 
 
 def funnel_depth(
@@ -153,4 +159,46 @@ def cdc_compact(
         .withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col(op_col) == "U"))
         .select(*snapshot.columns)
+    )
+
+
+OPEN_END = "9999-12-31 00:00:00"
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: turn a change log
+    (upserts ``'U'`` / deletes ``'D'``) into one validity interval per
+    version.
+
+    Each upsert opens a version at its ``ts_col``; the version closes at
+    the NEXT change of the same key (upsert or delete), or stays open
+    (``valid_to`` = :data:`OPEN_END` sentinel, ``is_current`` = 1).
+    Delete rows only close the prior version — they emit no interval.
+
+    ONE shuffle on the key (a single ``lead`` window); at scale this is
+    the history-table build over a CDC log, and bucketing the log by key
+    makes re-builds exchange-free.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    nxt = F.lead(F.col(ts_col)).over(w)
+    payload = [c for c in changes.columns if c not in (op_col, ts_col)]
+    return (
+        changes.withColumn("__next_ts", nxt)
+        .filter(F.col(op_col) == "U")
+        .select(
+            *payload,
+            F.col(ts_col).alias("valid_from"),
+            F.coalesce(
+                F.col("__next_ts"), F.lit(OPEN_END).cast("timestamp")
+            ).alias("valid_to"),
+            F.when(F.col("__next_ts").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_current"),
+        )
     )

@@ -98,6 +98,33 @@ def test_cdc_compact_semantics(spark):
     assert out == {1: "a2", 4: "d2", 5: "e"}
 
 
+def test_scd2_history_intervals(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import scd2_history
+
+    log = spark.createDataFrame(
+        [
+            (1, "a", _ts(0), "U"),   # version 1, closed by v2
+            (1, "b", _ts(5), "U"),   # version 2, closed by the delete
+            (1, None, _ts(9), "D"),  # delete: closes v2, emits nothing
+            (2, "x", _ts(1), "U"),   # single open version
+        ],
+        "k int, v string, ts timestamp, op string",
+    )
+    rows = sorted(
+        scd2_history(log, ["k"], "ts").collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    assert [(r["k"], r["v"], r["is_current"]) for r in rows] == [
+        (1, "a", 0), (1, "b", 0), (2, "x", 1),
+    ]
+    # contiguity: v1 closes exactly where v2 opens
+    assert rows[0]["valid_to"] == rows[1]["valid_from"]
+    # the delete closed v2 at its own ts
+    assert rows[1]["valid_to"] == _ts(9)
+    # open version carries the sentinel
+    assert rows[2]["valid_to"].year == 9999
+
+
 def test_cdc_compact_plan_single_shuffle(spark):
     import contextlib, io
 
