@@ -64,6 +64,7 @@ EXTENDED = [
     "retention_matrix",
     "cdc_compact_orders",
     "scd2_order_history",
+    "incremental_hourly_merge",
     "cms_part_frequency",
     "bloom_filter_custkeys",
     "zorder_layout_lineitem",

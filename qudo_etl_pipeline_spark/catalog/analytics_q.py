@@ -134,6 +134,45 @@ def cdc_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_hourly_merge",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(28,6))
+                         * CAST(value AS DECIMAL(28,6))
+                         AS DECIMAL(38,12))) AS DOUBLE) AS total_sq,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS mean
+    FROM events GROUP BY 1, 2
+    """,
+    survey_ids=["A4", "A5", "A8"],
+    description="Incremental rollup maintenance: hourly state built "
+    "separately on the first/second half-month, merged state-to-state "
+    "(never re-reading history) — oracle is the DIRECT full aggregate, "
+    "proving merge==recompute bit-for-bit",
+)
+def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators import incremental as INC
+
+    ev = load_events(spark, sf_dir).select(
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        "event_type",
+        "value",
+        F.to_date("ts").alias("d"),
+    )
+    split = "2024-01-15"
+    keys = ["hour_start", "event_type"]
+    prev = INC.partial_state(ev.filter(F.col("d") < split), keys, "value")
+    delta = INC.partial_state(ev.filter(F.col("d") >= split), keys, "value")
+    return INC.finalize_state(INC.merge_states([prev, delta], keys), keys)
+
+
+@register(
     "scd2_order_history",
     oracle="""
     WITH log AS (

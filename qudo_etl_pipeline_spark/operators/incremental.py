@@ -1,0 +1,67 @@
+"""Incremental aggregate maintenance: mergeable partial states.
+
+Extension scope (no reference counterpart): at 100 TB you never
+recompute a rollup from scratch — you aggregate today's delta into a
+partial state (count / exact sum / exact sum-of-squares per group) and
+MERGE it with yesterday's state; the merge is a groupBy over
+state-table-sized inputs, independent of history size. Count, sum, and
+sum-of-squares are the canonical commutative-monoid states: mean,
+variance, and stddev are derived at read time, so the merged result is
+bit-identical to a direct full-data aggregate.
+
+Sums accumulate in DECIMAL (exact, order-independent) so merge order
+and partitioning can never change the answer — the same device the
+oracle catalog uses everywhere for cross-engine float determinism.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["partial_state", "merge_states", "finalize_state"]
+
+_SUM_T = "decimal(28,6)"
+_SQ_T = "decimal(38,12)"
+
+
+def partial_state(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Aggregate a batch into mergeable per-group state:
+    (keys..., n, sum_v, sum_sq) with DECIMAL-exact sums."""
+    v = F.col(value_col).cast(_SUM_T)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sum_v"),
+        F.sum((v * v).cast(_SQ_T)).alias("sum_sq"),
+    )
+
+
+def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge partial states (union + re-sum). Input and output are
+    state-table-sized — merging a day's delta into a year's rollup
+    never touches the year's raw rows."""
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    return unioned.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").cast(_SUM_T).alias("sum_v"),
+        F.sum("sum_sq").cast(_SQ_T).alias("sum_sq"),
+    )
+
+
+def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Read-time projection: exact totals as doubles plus derived mean.
+    (Variance/stddev derive the same way: (sum_sq - sum_v²/n)/n.)"""
+    return state.select(
+        *keys,
+        "n",
+        F.col("sum_v").cast("double").alias("total"),
+        F.col("sum_sq").cast("double").alias("total_sq"),
+        # divide as DOUBLE (not decimal): both engines then evaluate the
+        # same IEEE division of identical operands — decimal division
+        # would introduce engine-specific result scales
+        (F.col("sum_v").cast("double") / F.col("n")).alias("mean"),
+    )

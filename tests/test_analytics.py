@@ -125,6 +125,37 @@ def test_scd2_history_intervals(spark):
     assert rows[2]["valid_to"].year == 9999
 
 
+def test_incremental_merge_is_split_invariant(spark):
+    from qudo_etl_pipeline_spark.operators.incremental import (
+        finalize_state,
+        merge_states,
+        partial_state,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 0.125 - 3).alias("v"),  # exact binary fractions
+    )
+
+    def run(splits):
+        parts = [
+            partial_state(df.filter(cond), ["g"], "v") for cond in splits
+        ]
+        out = finalize_state(merge_states(parts, ["g"]), ["g"])
+        return sorted(
+            (r["g"], r["n"], r["total"], r["total_sq"], r["mean"])
+            for r in out.collect()
+        )
+
+    whole = run([F.lit(True)])
+    halves = run([F.col("id") < 150, F.col("id") >= 150])
+    thirds = run([F.col("id") % 3 == i for i in range(3)])
+    assert whole == halves == thirds
+    # merging with an EMPTY delta is the identity
+    with_empty = run([F.lit(True), F.lit(False)])
+    assert with_empty == whole
+
+
 def test_cdc_compact_plan_single_shuffle(spark):
     import contextlib, io
 
