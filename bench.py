@@ -60,6 +60,7 @@ EXTENDED = [
     "asof_purchase_attribution",
     "range_join_error_context",
     "events_rollup_grains",
+    "time_weighted_value",
     "funnel_signup_click_purchase",
     "retention_matrix",
     "cdc_compact_orders",

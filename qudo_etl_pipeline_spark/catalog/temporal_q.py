@@ -119,6 +119,46 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _twa_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    twa = (
+        "CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * gap "
+        "AS DECIMAL(38,6))) AS DOUBLE) / CAST(SUM(gap) AS DOUBLE)"
+    )
+    return f"""
+    WITH s AS (
+      SELECT user_id, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               - epoch_us(ts) AS gap
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id,
+           {ref_round_sql(twa, 6)} AS twa,
+           CAST(SUM(gap) AS BIGINT) AS covered_us
+    FROM s WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """
+
+
+@register(
+    "time_weighted_value",
+    oracle=_twa_oracle(),
+    survey_ids=["A5", "A8", "W1"],
+    description="LOCF time-weighted average of each user's view values: "
+    "irregular-sampling-corrected mean (one lead window + reused-"
+    "partitioning aggregate; DECIMAL-exact weighting)",
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    twa = T.time_weighted_avg(ev, "user_id", "ts", "value")
+    return twa.select(
+        "user_id", ref_round(F.col("twa"), 6).alias("twa"), "covered_us"
+    )
+
+
 @register(
     "events_rollup_grains",
     oracle="""

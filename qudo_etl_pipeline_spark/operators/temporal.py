@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "rollup_time_grains"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "rollup_time_grains",
+    "time_weighted_avg",
+]
 
 
 def asof_join(
@@ -146,6 +151,47 @@ def range_join(
     for c in points.columns:
         empty = empty.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
     return joined.unionByName(empty)
+
+
+def time_weighted_avg(
+    samples: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Last-observation-carried-forward time-weighted average per key.
+
+    Irregularly-sampled series bias a plain AVG toward densely-sampled
+    stretches; here each sample is weighted by how long it REMAINED the
+    latest observation (gap to the next sample, in microseconds). The
+    final sample of a key carries no weight; keys with a single sample
+    drop out (no covered interval).
+
+    ONE keyed shuffle (a lead window) + a groupBy on the same key —
+    Catalyst reuses the window's hash partitioning for the aggregate, so
+    the second exchange disappears. value*gap accumulates in DECIMAL
+    (exact, order-independent), the final divide is double/double —
+    bit-identical cross-engine.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap = F.unix_micros(F.lead(F.col(ts_col)).over(w)) - F.unix_micros(
+        F.col(ts_col)
+    )
+    num = (F.col(value_col).cast("decimal(18,6)") * gap).cast(
+        "decimal(38,6)"
+    )
+    return (
+        samples.select(key_col, gap.alias("__gap"), num.alias("__num"))
+        .filter(F.col("__gap").isNotNull())
+        .groupBy(key_col)
+        .agg(
+            (
+                F.sum("__num").cast("double")
+                / F.sum("__gap").cast("double")
+            ).alias("twa"),
+            F.sum("__gap").alias("covered_us"),
+        )
+    )
 
 
 def rollup_time_grains(

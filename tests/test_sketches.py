@@ -58,6 +58,18 @@ def test_bloom_no_false_negatives(spark):
     assert any(hits[k] == 0 for k in range(1, 200, 2))
 
 
+def test_hll_distinct_within_tolerance(spark):
+    # engine-native HLL sketch (approx_count_distinct) vs exact: the
+    # scale path for COUNT(DISTINCT) at 100 TB. rsd=0.02 -> assert 5%.
+    df = spark.range(20_000).select((F.col("id") % 7_919).alias("k"))
+    row = df.agg(
+        F.approx_count_distinct("k", rsd=0.02).alias("approx"),
+        F.countDistinct("k").alias("exact"),
+    ).first()
+    assert row["exact"] == 7_919
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
 def test_zorder_known_values_and_ordering(spark):
     df = spark.createDataFrame(
         [(3, 0), (0, 3), (3, 3), (1, 2)], "x bigint, y bigint"

@@ -97,6 +97,35 @@ def test_range_join_inner_plan_is_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_time_weighted_avg_locf(spark):
+    from qudo_etl_pipeline_spark.operators.temporal import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            # k=1: v=10 holds 60s, v=20 holds 180s, final sample unweighted
+            (1, _ts(0), 10.0), (1, _ts(1), 20.0), (1, _ts(4), 99.0),
+            # k=2: single sample -> no covered interval -> dropped
+            (2, _ts(0), 5.0),
+        ],
+        "k int, ts timestamp, v double",
+    )
+    rows = time_weighted_avg(df, "k", "ts", "v").collect()
+    assert len(rows) == 1 and rows[0]["k"] == 1
+    assert rows[0]["twa"] == (10.0 * 60 + 20.0 * 180) / 240
+    assert rows[0]["covered_us"] == 240 * 1_000_000
+
+
+def test_time_weighted_avg_plan_reuses_partitioning(spark):
+    import re
+
+    from qudo_etl_pipeline_spark.operators.temporal import time_weighted_avg
+
+    df = spark.createDataFrame([(1, _ts(0), 1.0)], "k int, ts timestamp, v double")
+    plan = _plan(time_weighted_avg(df, "k", "ts", "v"))
+    # the groupBy rides the window's hash partitioning: ONE exchange total
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
 def test_rollup_grain_consistency(spark):
     ev = spark.createDataFrame(
         [(_ts(1), 1.0), (_ts(2), 2.0),
