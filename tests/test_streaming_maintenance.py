@@ -1,0 +1,85 @@
+"""Streaming CDC-upsert sink: continuous maintenance, restart safety.
+
+Drives streaming/maintenance.py through three availableNow runs over a
+growing change directory (the same harness shape as the exactly-once
+sink test in test_datapipe.py): batch 1 bootstraps, batch 2 upserts +
+deletes against the published table, and a restart with NO new data
+must be a no-op (checkpoint skips committed batches). Final state is
+asserted equal to batch-mode cdc_compact over the full change log.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.operators.analytics import cdc_compact
+from qudo_etl_pipeline_spark.streaming.maintenance import (
+    read_maintained_table,
+    streaming_upsert,
+)
+
+SCHEMA = "k bigint, v string, ts timestamp, op string"
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _drain(spark, src, table, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = streaming_upsert(stream, table, ckpt, keys=["k"], ts_col="ts")
+    q.awaitTermination()
+
+
+def _state(spark, table):
+    df = read_maintained_table(spark, table)
+    return sorted((r["k"], r["v"]) for r in df.select("k", "v").collect())
+
+
+def test_streaming_upsert_maintains_and_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(table, exist_ok=True)
+
+    batch1 = [(1, "a", _ts(0), "U"), (2, "b", _ts(0), "U"),
+              (3, "c", _ts(0), "U")]
+    batch2 = [(1, "a2", _ts(1), "U"),   # update
+              (2, None, _ts(1), "D"),   # delete
+              (4, "d", _ts(1), "U")]    # insert
+
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(
+        f"{src}/b1.parquet", mode="overwrite"
+    )
+    _drain(spark, src, table, ckpt)
+    assert _state(spark, table) == [(1, "a"), (2, "b"), (3, "c")]
+
+    spark.createDataFrame(batch2, SCHEMA).write.parquet(
+        f"{src}/b2.parquet", mode="overwrite"
+    )
+    _drain(spark, src, table, ckpt)
+    after2 = _state(spark, table)
+    assert after2 == [(1, "a2"), (3, "c"), (4, "d")]
+
+    # restart with no new data: checkpoint must make it a no-op
+    _drain(spark, src, table, ckpt)
+    assert _state(spark, table) == after2
+
+    # the continuously-maintained table equals one-shot batch compaction
+    # over the full change log
+    log = spark.createDataFrame(batch1 + batch2, SCHEMA)
+    snapshot = log.drop("op").filter(F.lit(False))
+    batch_result = sorted(
+        (r["k"], r["v"])
+        for r in cdc_compact(snapshot, log, ["k"], "ts")
+        .select("k", "v")
+        .collect()
+    )
+    assert batch_result == after2
