@@ -66,6 +66,7 @@ EXTENDED = [
     "cdc_compact_orders",
     "scd2_order_history",
     "incremental_hourly_merge",
+    "chunk_documents_overlap",
     "cms_part_frequency",
     "bloom_filter_custkeys",
     "zorder_layout_lineitem",

@@ -1695,3 +1695,46 @@ def shuffle_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qudo_etl_pipeline_spark.operators.packing import shuffle_shard
 
     return shuffle_shard(load_table_spread(spark, sf_dir, "documents"))
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, len(toks) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, n,
+             UNNEST(range(0, GREATEST(0, (n - 64 + 47) // 48) * 48 + 1,
+                          48)) AS start
+      FROM t WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_idx,
+           CAST(LEAST(64, n - start) AS BIGINT) AS n_tok,
+           (('0x' || substr(md5(
+              array_to_string(toks[start + 1 : start + 64], ' ')
+            ), 1, 15))::BIGINT) AS chunk_hash
+    FROM s
+    """,
+    survey_ids=["R2", "P9"],
+    description="Sliding-window token chunking (64 tokens, 16 overlap): "
+    "map-only explode+slice, chunk content verified by cross-engine "
+    "60-bit hash",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64
+    from qudo_etl_pipeline_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(
+        load_table_spread(spark, sf_dir, "documents"),
+        chunk_tokens=64,
+        overlap=16,
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tok",
+        hash64(F.col("chunk_text")).alias("chunk_hash"),
+    )

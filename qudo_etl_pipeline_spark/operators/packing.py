@@ -146,7 +146,64 @@ __all__: Iterable[str] = (
     "pack_boundary",
     "pack_greedy",
     "packing_efficiency",
+    "chunk_documents",
 )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into chunks of
+    ``chunk_tokens`` whitespace tokens, starting every
+    ``chunk_tokens - overlap`` tokens (so consecutive chunks share
+    ``overlap`` tokens — the standard RAG/long-context preprocessing
+    step before embedding or packing).
+
+    Chunking stops at the first chunk that reaches the document's end
+    (the splitter convention): every non-final chunk is exactly
+    ``chunk_tokens`` long and shares exactly ``overlap`` tokens with its
+    successor; the final chunk may be shorter but is never empty and is
+    never fully contained in the previous chunk. Consequently
+    sum(n_tok) - overlap*(n_chunks-1) == n_tokens per document (pinned
+    in tests). Output: (id_col, chunk_idx, n_tok, chunk_text) — a
+    narrow map-only plan (split + sequence-explode + slice), no shuffle
+    at all: chunking parallelizes per input split at any scale.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    # last start = step * k, k = smallest int with k*step + chunk >= n
+    last_k = F.greatest(
+        F.lit(0),
+        F.floor((F.col("__n") - chunk_tokens + step - 1) / step),
+    )
+    starts = F.sequence(F.lit(0), (last_k * step).cast("int"), F.lit(step))
+    return (
+        docs.select(id_col, toks.alias("__toks"), F.size(toks).alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            F.explode(starts).alias("__start"),
+        )
+        .select(
+            id_col,
+            (F.col("__start") / step).cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
+            .cast("bigint")
+            .alias("n_tok"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
 
 
 def shuffle_shard(

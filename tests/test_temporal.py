@@ -142,3 +142,30 @@ def test_rollup_grain_consistency(spark):
     # day grain sums its hours; grand total sums the days
     assert rows[("2024-01-01", -1)] == (3, 7.0)
     assert rows[("ALL", -1)] == (4, 15.0)
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    from qudo_etl_pipeline_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, "x")], "doc_id bigint, text string"
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 10 tokens, chunk 4, step 3 -> starts 0,3,6 (the chunk at 6 reaches
+    # the end, so no degenerate "w9" tail chunk is emitted)
+    c = by_doc[1]
+    assert [r["chunk_text"] for r in c] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r["n_tok"] for r in c] == [4, 4, 4]
+    # full-coverage invariant: sum(n_tok) - overlap*(n_chunks-1) == n
+    assert sum(r["n_tok"] for r in c) - 1 * (len(c) - 1) == 10
+    # consecutive chunks share exactly `overlap` tokens
+    assert c[0]["chunk_text"].split()[-1] == c[1]["chunk_text"].split()[0]
+    # short docs produce one whole chunk
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
+    assert [r["chunk_text"] for r in by_doc[3]] == ["x"]
