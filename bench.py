@@ -67,6 +67,7 @@ EXTENDED = [
     "scd2_order_history",
     "incremental_hourly_merge",
     "chunk_documents_overlap",
+    "q3_shipping_priority",
     "cms_part_frequency",
     "bloom_filter_custkeys",
     "zorder_layout_lineitem",

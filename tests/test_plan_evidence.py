@@ -87,3 +87,21 @@ def test_partition_pruning(spark, tmp_path):
     assert "o_orderstatus" in part_filters
     # the partition predicate must not appear as a post-scan Filter on data
     assert q.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_q3_star_query_plan_shape(spark):
+    """TPC-H Q3 shape: both fact filters reach the scans, dimensions
+    broadcast (no sort-merge join), and the top-10 is a
+    TakeOrderedAndProject rather than a global sort."""
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    q3 = registry()["q3_shipping_priority"].spark(spark, SF_DIR)
+    plan = _formatted(q3)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    # date predicates reached the parquet readers
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters")[1:]]
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("l_shipdate" in p for p in pushed)
+    assert any("c_mktsegment" in p for p in pushed)
