@@ -10,7 +10,10 @@ parquet table. Exactly-once across restarts comes from two layers:
   LAST step of each batch — readers only ever see a fully-written
   version (poor-man's Delta commit protocol). A crash between the
   version write and the manifest update replays the batch and repeats
-  both steps with identical results.
+  both steps with identical results; a crash AFTER the manifest update
+  replays a batch the table already reflects, which the manifest's
+  monotone batch id detects and skips (essential for the rollup sink,
+  whose state merge is additive, not idempotent).
 
 Each batch merges against the CURRENT table, so state never lives in
 executor memory — table size is bounded by key cardinality, not stream
@@ -29,11 +32,18 @@ from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.operators.analytics import cdc_compact
 
-__all__ = ["read_maintained_table", "streaming_upsert"]
+__all__ = ["read_maintained_table", "streaming_upsert", "streaming_rollup"]
 
 
 def _manifest_path(table_path: str) -> str:
     return os.path.join(table_path, "_LATEST")
+
+
+def _manifest(table_path: str) -> dict | None:
+    mp = _manifest_path(table_path)
+    if not os.path.exists(mp):
+        return None
+    return json.loads(open(mp).read())
 
 
 def read_maintained_table(
@@ -41,11 +51,20 @@ def read_maintained_table(
 ) -> DataFrame | None:
     """Current published version of the maintained table, or None if no
     batch has committed yet."""
-    mp = _manifest_path(table_path)
-    if not os.path.exists(mp):
+    m = _manifest(table_path)
+    if m is None:
         return None
-    version = json.loads(open(mp).read())["version"]
-    return spark.read.parquet(os.path.join(table_path, version))
+    return spark.read.parquet(os.path.join(table_path, m["version"]))
+
+
+def _publish(table_path: str, df: DataFrame, batch_id: int) -> None:
+    """Write a version directory, then atomically point _LATEST at it."""
+    version = f"v_{batch_id:08d}"
+    df.write.mode("overwrite").parquet(os.path.join(table_path, version))
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "batch_id": batch_id}, fh)
+    os.replace(tmp, _manifest_path(table_path))
 
 
 def streaming_upsert(
@@ -62,23 +81,64 @@ def streaming_upsert(
     spark = changes.sparkSession
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        m = _manifest(table_path)
+        if m is not None and m["batch_id"] >= batch_id:
+            return  # replay of an already-published batch: no-op
         current = read_maintained_table(spark, table_path)
         if current is None:
             # bootstrap: an empty snapshot in the batch's payload schema
             current = batch.drop(op_col).filter(F.lit(False))
         merged = cdc_compact(current, batch, keys, ts_col, op_col)
-        version = f"v_{batch_id:08d}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(table_path, version)
-        )
-        # atomic-rename publish: last step, so replays converge
-        tmp = _manifest_path(table_path) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"version": version, "batch_id": batch_id}, fh)
-        os.replace(tmp, _manifest_path(table_path))
+        _publish(table_path, merged, batch_id)
 
     return (
         changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+):
+    """Continuously maintain a mergeable rollup state table
+    (operators/incremental.py) from a raw event stream: each micro-batch
+    is aggregated to its partial state (batch-sized work) and merged
+    with the published state (state-sized work) — history is NEVER
+    re-read, the streaming twin of ``incremental_hourly_merge``. Same
+    versioned-manifest exactly-once publish as :func:`streaming_upsert`.
+    DECIMAL-exact state means the result is bit-identical to a batch
+    aggregate over the full history, regardless of batch boundaries
+    (asserted in tests)."""
+    from qudo_etl_pipeline_spark.operators.incremental import (
+        merge_states,
+        partial_state,
+    )
+
+    spark = stream.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # unlike the latest-wins merge, state addition is NOT idempotent:
+        # the manifest's batch id gates replays (a crash AFTER publish
+        # but before the checkpoint commit replays the batch; without
+        # this gate the delta would double-count)
+        m = _manifest(table_path)
+        if m is not None and m["batch_id"] >= batch_id:
+            return
+        delta = partial_state(batch, keys, value_col)
+        current = read_maintained_table(spark, table_path)
+        merged = (
+            delta if current is None else merge_states([current, delta], keys)
+        )
+        _publish(table_path, merged, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

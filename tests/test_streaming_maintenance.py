@@ -83,3 +83,63 @@ def test_streaming_upsert_maintains_and_survives_restart(spark, tmp_path):
         .collect()
     )
     assert batch_result == after2
+
+
+def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path):
+    """Two micro-batches of raw values -> maintained state must equal a
+    one-shot batch aggregate over everything; then a checkpoint LOSS
+    replays all input and the manifest's batch-id gate must prevent
+    double-counting (state merge is additive, not idempotent)."""
+    import shutil
+
+    from qudo_etl_pipeline_spark.operators.incremental import (
+        finalize_state,
+        partial_state,
+    )
+    from qudo_etl_pipeline_spark.streaming.maintenance import streaming_rollup
+
+    schema = "g bigint, v double"
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(table, exist_ok=True)
+
+    b1 = [(i % 3, i * 0.25) for i in range(40)]
+    b2 = [(i % 3, 10 - i * 0.5) for i in range(25)]
+    spark.createDataFrame(b1, schema).write.parquet(f"{src}/b1")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        streaming_rollup(stream, table, ckpt, ["g"], "v").awaitTermination()
+
+    def state():
+        df = finalize_state(read_maintained_table(spark, table), ["g"])
+        return sorted(
+            (r["g"], r["n"], r["total"], r["total_sq"]) for r in df.collect()
+        )
+
+    drain()
+    import time
+
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).write.parquet(f"{src}/b2")
+    drain()
+
+    batch = finalize_state(
+        partial_state(spark.createDataFrame(b1 + b2, schema), ["g"], "v"),
+        ["g"],
+    )
+    expected = sorted(
+        (r["g"], r["n"], r["total"], r["total_sq"]) for r in batch.collect()
+    )
+    assert state() == expected
+
+    # checkpoint loss: the whole source replays under fresh batch ids;
+    # the manifest gate must no-op them (no double counting)
+    shutil.rmtree(ckpt)
+    drain()
+    assert state() == expected
