@@ -68,6 +68,7 @@ EXTENDED = [
     "incremental_hourly_merge",
     "chunk_documents_overlap",
     "q3_shipping_priority",
+    "equidepth_price_buckets",
     "cms_part_frequency",
     "bloom_filter_custkeys",
     "zorder_layout_lineitem",

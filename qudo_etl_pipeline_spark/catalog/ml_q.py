@@ -924,3 +924,37 @@ def signal_loss_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment: string, signal: double, f1_score: double, precision: double, "
         "recall_score: double, cohen_kappa_score: double",
     )
+
+
+@register(
+    "equidepth_price_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT l_extendedprice AS v,
+             NTILE(8) OVER (ORDER BY l_extendedprice,
+                            l_orderkey, l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM b GROUP BY bucket
+    """,
+    survey_ids=["M2", "A8", "W3"],
+    description="Exact equi-depth discretization (NTILE over a "
+    "deterministic total order) summarized per bucket; the approx-"
+    "boundary scale path is tolerance-tested against it",
+)
+def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml.discretize import ntile_bucketize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    b = ntile_bucketize(
+        li, "l_extendedprice", 8, ["l_orderkey", "l_linenumber"]
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )

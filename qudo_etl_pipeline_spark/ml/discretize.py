@@ -1,0 +1,55 @@
+"""Equi-depth (quantile) bucketing: feature discretization.
+
+Two paths with the same output contract (bucket id per row):
+
+- :func:`ntile_bucketize` — EXACT equal-count buckets via NTILE over a
+  deterministic total order. This is a global sort (one range-exchange
+  over the full column) — correct at any size but sort-bound; it exists
+  as the semantics definition and the oracle surface.
+- :func:`bounds_bucketize` — the 100 TB path: bucket BOUNDARIES from
+  ``approx_percentile`` (one aggregate, Greenwald-Khanna sketch —
+  row-count-independent state), then a map-only assignment against the
+  broadcast boundary array. No global sort, no full shuffle; bucket
+  counts are approximately equal (sketch accuracy), which is what
+  discretization needs in practice. The two paths' agreement is pinned
+  by a tolerance test, not an oracle (the sketch is engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ntile_bucketize", "bounds_bucketize"]
+
+
+def ntile_bucketize(
+    df: DataFrame, col: str, k: int, tiebreak: list[str]
+) -> DataFrame:
+    """Append ``bucket`` (1..k, exact equal counts ±1) by NTILE over
+    (col, *tiebreak). The tiebreak columns must make the order total,
+    or tied rows would land nondeterministically across engines."""
+    w = Window.orderBy(F.col(col), *[F.col(t) for t in tiebreak])
+    return df.withColumn("bucket", F.ntile(k).over(w).cast("bigint"))
+
+
+def bounds_bucketize(
+    df: DataFrame, col: str, k: int, accuracy: int = 10_000
+) -> DataFrame:
+    """Append ``bucket`` (1..k) by approx-quantile boundaries: one
+    sketch aggregate + a map-only assignment (boundaries broadcast as a
+    literal array). Values above the last inner boundary take bucket k;
+    ties at a boundary go to the lower bucket (<= semantics, matching
+    NTILE's placement of the boundary row)."""
+    probs = [i / k for i in range(1, k)]
+    bounds = df.agg(
+        F.percentile_approx(col, probs, accuracy).alias("b")
+    ).first()["b"]
+    arr: Column = F.array(*[F.lit(float(b)) for b in bounds])
+    # bucket = 1 + number of boundaries strictly below the value
+    bucket = F.lit(1) + F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+    )
+    return df.withColumn("bucket", bucket.cast("bigint"))

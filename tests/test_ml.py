@@ -192,3 +192,33 @@ def test_hierarchical_with_custom_fitter(spark):
     }
     assert by_grp["a"] == [0, 1]
     assert by_grp["b"] == [2, 3]
+
+
+def test_bounds_bucketize_tracks_exact_ntile(spark):
+    """Scale-path discretizer: approx-boundary buckets must agree with
+    exact NTILE buckets on >=99% of rows (sketch accuracy), and bucket
+    sizes must be near-equal."""
+    from qudo_etl_pipeline_spark.ml.discretize import (
+        bounds_bucketize,
+        ntile_bucketize,
+    )
+    from pyspark.sql import functions as F
+
+    n, k = 4000, 8
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v"),
+    )
+    exact = ntile_bucketize(df, "v", k, ["id"]).select("id", "bucket")
+    approx = bounds_bucketize(df, "v", k).select(
+        "id", F.col("bucket").alias("b2")
+    )
+    j = exact.join(approx, "id")
+    agree = j.filter(F.col("bucket") == F.col("b2")).count() / n
+    assert agree >= 0.99, f"agreement {agree}"
+    sizes = [
+        r["c"]
+        for r in approx.groupBy("b2").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    assert len(sizes) == k
+    assert max(sizes) <= 1.1 * (n / k) and min(sizes) >= 0.9 * (n / k)
