@@ -56,6 +56,7 @@ EXTENDED = [
     "semantic_dedup_verdicts",
     "ann_quantized_topk",
     "unigram_logprob_score",
+    "source_kl_divergence",
     # temporal / analytics / sketch operators
     "asof_purchase_attribution",
     "range_join_error_context",

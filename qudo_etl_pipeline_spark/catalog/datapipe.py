@@ -1738,3 +1738,39 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         hash64(F.col("chunk_text")).alias("chunk_hash"),
     )
+
+
+def _kl_oracle() -> str:
+    term = ("ROUND((c_st * 1.0 / t_s) "
+            "* ln((c_st * 1.0 / t_s) / (c_t * 1.0 / t)), 9)")
+    return f"""
+    WITH toks AS (
+      SELECT source AS src, UNNEST(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    toks2 AS (SELECT src, tok FROM toks WHERE tok <> ''),
+    sc AS (SELECT src, tok, COUNT(*) AS c_st FROM toks2 GROUP BY 1, 2),
+    corpus AS (SELECT tok, SUM(c_st) AS c_t FROM sc GROUP BY 1),
+    st AS (SELECT src, SUM(c_st) AS t_s FROM sc GROUP BY 1),
+    pool AS (SELECT SUM(c_t) AS t FROM corpus)
+    SELECT src AS source,
+           CAST(ROUND(SUM(CAST({term} AS DECIMAL(38,9))), 6) AS DOUBLE)
+             AS kl,
+           CAST(MAX(t_s) AS BIGINT) AS n_tokens
+    FROM sc JOIN corpus USING (tok) JOIN st USING (src) CROSS JOIN pool
+    GROUP BY src
+    """
+
+
+@register(
+    "source_kl_divergence",
+    oracle=_kl_oracle(),
+    survey_ids=["A5", "A9", "J1"],
+    description="Per-source unigram KL divergence vs the pooled corpus "
+    "(domain-shift diagnostic): round-9 terms summed exactly in "
+    "DECIMAL, one explode feeding both distributions",
+)
+def source_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.source_kl_divergence(
+        load_table_spread(spark, sf_dir, "documents")
+    )

@@ -429,3 +429,53 @@ def unigram_logprob(
             F.round(F.exp(-F.avg("lp9")), 6).alias("ppl"),
         )
     )
+
+
+def source_kl_divergence(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Domain-shift score per corpus slice: KL(P_source || P_corpus)
+    over unigram distributions.
+
+    A routine training-mix diagnostic: slices whose token distribution
+    diverges from the pooled corpus get inspected / reweighted (the
+    same statistic data-selection methods threshold). KL is computed
+    over the source's own vocabulary (P_source(t) > 0 there, and
+    P_corpus(t) > 0 since the corpus pools every source), so no
+    smoothing is needed.
+
+    Cross-engine determinism: each term p_s * ln(p_s/p) is rounded to
+    9 decimals (plain ROUND — both engines round half away from zero on
+    doubles; the lp9 precedent) and the TERMS are summed as DECIMAL (exact,
+    order-independent) — a double sum over a whole vocabulary would be
+    reduction-order-dependent in the last ulp.
+
+    Scale shape: ONE token explode feeds both the per-source and the
+    pooled counts (the pooled table derives from the per-source one —
+    no second scan); per-source totals are a broadcast-sized join.
+    """
+    toks = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sc = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    corpus = sc.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    src_tot = sc.groupBy("src").agg(F.sum("c_st").alias("t_s"))
+    pool_tot = corpus.agg(F.sum("c_t").alias("t"))
+    p_s = F.col("c_st") / F.col("t_s")
+    p = F.col("c_t") / F.col("t")
+    term = F.round(p_s * F.log(p_s / p), 9)
+    return (
+        sc.join(corpus, "tok")
+        .join(F.broadcast(src_tot), "src")
+        .crossJoin(F.broadcast(pool_tot))
+        .select("src", "t_s", term.alias("term"))
+        .groupBy("src")
+        .agg(
+            F.round(F.sum(F.col("term").cast("decimal(38,9)")), 6)
+            .cast("double")
+            .alias("kl"),
+            F.max("t_s").alias("n_tokens"),
+        )
+        .select(F.col("src").alias(source_col), "kl", "n_tokens")
+    )

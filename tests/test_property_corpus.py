@@ -178,3 +178,25 @@ def test_embedding_quantize_matches_python_mirror(spark, vecs):
         scale = mx / 127.0
         for x, q in zip(v, got["q"]):
             assert abs(q * scale - x) <= 0.5 * scale + 1e-9 * max(mx, 1.0)
+
+
+def test_source_kl_divergence_properties(spark):
+    """KL >= 0 (Gibbs), == 0 for a slice distributed like the corpus,
+    and > 0 for a genuinely shifted slice."""
+    from qudo_etl_pipeline_spark.operators.text import source_kl_divergence
+    from pyspark.sql import functions as F
+
+    rows = []
+    # two sources with IDENTICAL token distributions -> pooled corpus
+    # matches each -> KL == 0 for both
+    for src in ("a", "b"):
+        rows += [(src, "x x y z")] * 10
+    # one shifted source
+    rows += [("c", "y y y y z w")] * 10
+    docs = spark.createDataFrame(rows, "source string, text string")
+    kl = {r["source"]: r["kl"] for r in source_kl_divergence(docs).collect()}
+    assert all(v >= 0 for v in kl.values())
+    assert kl["c"] > 0.01
+    # a and b differ from the POOLED corpus (which includes c), so not
+    # exactly 0 — but far less than the shifted slice
+    assert kl["a"] == kl["b"] < kl["c"]
