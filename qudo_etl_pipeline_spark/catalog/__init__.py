@@ -79,8 +79,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table_spread(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
     """load_table + repartition to full parallelism IF the scan is narrow.
+
+    ``columns`` prunes the projection BEFORE the repartition, so the
+    spreading shuffle moves only the bytes the operator reads (an
+    11-column fact table spread for a 1-column hash costs 10 columns of
+    wasted shuffle IO otherwise).
 
     For CPU-bound per-row work (md5 shingling, tokenization) over a
     small/single-row-group file, the scan yields fewer real partitions
@@ -90,6 +100,8 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and this is a no-op, so no full-data shuffle appears at scale.
     """
     df = load_table(spark, sf_dir, name)
+    if columns is not None:
+        df = df.select(*columns)
     parallelism = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)

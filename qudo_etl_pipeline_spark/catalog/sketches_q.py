@@ -2,9 +2,10 @@
 membership, z-order clustering (operators/sketches.py,
 functions/zorder.py).
 
-The sketches use the seeded md5-prefix hash family so the DuckDB oracle
-reproduces every cell/word bit-for-bit — the driver hash-checks the
-sketch CONTENTS, not just the estimates.
+The sketches use the universal affine family over one md5 base hash
+(functions/hashing.py::hash_positions) so the DuckDB oracle reproduces
+every cell/word bit-for-bit — the driver hash-checks the sketch
+CONTENTS, not just the estimates.
 """
 
 from __future__ import annotations
@@ -12,14 +13,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.catalog import load_table, register
-from qudo_etl_pipeline_spark.functions.hashing import token_hash64_sql
+from qudo_etl_pipeline_spark.catalog import (
+    load_table,
+    load_table_spread,
+    register,
+)
+from qudo_etl_pipeline_spark.functions.hashing import hash_position_sql
 from qudo_etl_pipeline_spark.functions.zorder import zorder2, zorder2_sql
 from qudo_etl_pipeline_spark.operators import sketches as SK
 
 
 def _h(expr: str, seed: int, modulus: int) -> str:
-    return f"({token_hash64_sql(expr, seed)} % {modulus})"
+    return hash_position_sql(expr, seed, modulus)
 
 
 def _cms_oracle(depth: int = 3, width: int = 256) -> str:
@@ -61,8 +66,16 @@ def _cms_oracle(depth: int = 3, width: int = 256) -> str:
     "bit-identical cross-engine",
 )
 def cms_part_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread ONLY the build input: the md5 base hash is CPU-bound and
+    # the single-row-group test file otherwise runs it on one core
+    # (no-op on real multi-split inputs — see load_table_spread); the
+    # probe/truth branches are cheap scans that don't warrant the
+    # repartition
+    cms = SK.cms_build(
+        load_table_spread(spark, sf_dir, "lineitem", columns=["l_partkey"]),
+        "l_partkey", depth=3, width=256,
+    )
     li = load_table(spark, sf_dir, "lineitem")
-    cms = SK.cms_build(li, "l_partkey", depth=3, width=256)
     probes = li.filter(F.col("l_partkey") <= 20).select("l_partkey").distinct()
     est = SK.cms_lookup(cms, probes, "l_partkey", depth=3, width=256)
     tru = (
@@ -120,7 +133,10 @@ def _bloom_oracle(m_bits: int = 2048, k: int = 3) -> str:
 def bloom_filter_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    bloom = SK.bloom_build(orders, "o_custkey", m_bits=2048, n_hashes=3)
+    bloom = SK.bloom_build(
+        load_table_spread(spark, sf_dir, "orders", columns=["o_custkey"]),
+        "o_custkey", m_bits=2048, n_hashes=3,
+    )
     hits = SK.bloom_lookup(
         bloom, customer.select("c_custkey"), "c_custkey",
         m_bits=2048, n_hashes=3,

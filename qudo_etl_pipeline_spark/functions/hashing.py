@@ -41,3 +41,39 @@ def hash64_sql(expr: str) -> str:
 def token_hash64_sql(expr: str, seed: int) -> str:
     """DuckDB SQL text computing the same value as :func:`token_hash64`."""
     return hash64_sql(f"('{seed}:' || {expr})")
+
+
+# Universal affine family over ONE md5 base hash (the same Broder-style
+# construction dedup.py uses for MinHash): position_r(x) =
+# ((a_r * (hash64(x) mod 2^31) + b_r) mod P) mod modulus. The md5 is the
+# dominant per-row cost, so an n-position probe costs one md5 + n cheap
+# affine transforms instead of n md5 passes. All operands stay < 2^62 —
+# exact, ANSI-safe, and bit-identical in the DuckDB oracle.
+UNIVERSAL_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+UNIVERSAL_RANGE = 2_147_483_648  # 2^31
+
+
+def affine_params(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) for family member `seed` (a != 0)."""
+    a = (seed * 2_654_435_761 + 1) % UNIVERSAL_MOD
+    b = (seed * 1_013_904_223 + 12_345) % UNIVERSAL_MOD
+    return (a or 1, b)
+
+
+def hash_positions(col: Column | str, n: int, modulus: int) -> Column:
+    """Array of n universal-hash positions of a string column in
+    [0, modulus) — Spark side."""
+    c = F.col(col) if isinstance(col, str) else col
+    base = hash64(c) % UNIVERSAL_RANGE
+    out = []
+    for r in range(n):
+        a, b = affine_params(r)
+        out.append((F.lit(a) * base + F.lit(b)) % UNIVERSAL_MOD % modulus)
+    return F.array(*out)
+
+
+def hash_position_sql(expr: str, seed: int, modulus: int) -> str:
+    """DuckDB SQL text for ONE member of :func:`hash_positions`."""
+    a, b = affine_params(seed)
+    base = f"({hash64_sql(expr)} % {UNIVERSAL_RANGE})"
+    return f"((({a} * {base} + {b}) % {UNIVERSAL_MOD}) % {modulus})"

@@ -24,16 +24,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.functions.hashing import token_hash64
+from qudo_etl_pipeline_spark.functions.hashing import hash_positions
 
 __all__ = ["cms_build", "cms_lookup", "bloom_build", "bloom_lookup"]
 
 
 def _probe_positions(key: Column, n_hashes: int, modulus: int) -> Column:
-    """Array of ``n_hashes`` seeded hash positions in [0, modulus)."""
-    return F.array(
-        *[token_hash64(key, seed=r) % modulus for r in range(n_hashes)]
-    )
+    """Array of ``n_hashes`` universal-hash positions in [0, modulus):
+    ONE md5 base hash + cheap affine transforms (functions/hashing.py),
+    so sketch builds cost one md5 pass regardless of depth."""
+    return hash_positions(key, n_hashes, modulus)
 
 
 def cms_build(
