@@ -57,6 +57,8 @@ EXTENDED = [
     "ann_quantized_topk",
     "unigram_logprob_score",
     "source_kl_divergence",
+    "inverted_index_tokens",
+    "boolean_and_docs",
     # temporal / analytics / sketch operators
     "asof_purchase_attribution",
     "range_join_error_context",

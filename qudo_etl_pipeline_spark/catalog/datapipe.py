@@ -1774,3 +1774,67 @@ def source_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.source_kl_divergence(
         load_table_spread(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "inverted_index_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc,
+             UNNEST(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    idx AS (
+      SELECT tok, COUNT(*) AS df,
+             string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS p
+      FROM (SELECT DISTINCT tok, doc FROM toks WHERE tok <> '')
+      GROUP BY tok
+    )
+    SELECT tok, CAST(df AS BIGINT) AS df,
+           (('0x' || substr(md5(p), 1, 15))::BIGINT) AS postings_hash
+    FROM idx WHERE df >= 5
+    """,
+    survey_ids=["R2", "A7", "W4"],
+    description="Inverted index build (token -> sorted doc-id posting "
+    "list, df >= 5): ONE explode + distinct + groupBy; posting-list "
+    "CONTENT verified by cross-engine hash",
+)
+def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64
+    from qudo_etl_pipeline_spark.operators.index import inverted_index
+
+    idx = inverted_index(
+        load_table_spread(spark, sf_dir, "documents",
+                          columns=["doc_id", "text"]),
+        min_df=5,
+    )
+    return idx.select(
+        "tok",
+        "df",
+        hash64(F.array_join("postings", ",")).alias("postings_hash"),
+    )
+
+
+@register(
+    "boolean_and_docs",
+    oracle="""
+    SELECT doc_id AS doc FROM documents
+    WHERE list_contains(string_split(lower(text), ' '), 'table')
+      AND list_contains(string_split(lower(text), ' '), 'hash')
+    """,
+    survey_ids=["J3", "P6"],
+    description="Boolean AND retrieval through the inverted index: "
+    "intersect two posting lists (array work on two index rows) instead "
+    "of scanning the corpus; oracle is the direct corpus scan",
+)
+def boolean_and_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.index import (
+        boolean_and_query,
+        inverted_index,
+    )
+
+    idx = inverted_index(
+        load_table_spread(spark, sf_dir, "documents",
+                          columns=["doc_id", "text"])
+    )
+    return boolean_and_query(idx, ["table", "hash"])

@@ -1,0 +1,82 @@
+"""Inverted index: token -> sorted posting list of document ids.
+
+Extension scope (no reference counterpart): the retrieval-side primitive
+of a corpus pipeline — keyword search, boolean filtering, and
+df-statistics all read an inverted index instead of scanning text.
+
+Scale shape: ONE explode feeds a distinct + groupBy(token); posting
+lists are per-token arrays whose length is the token's document
+frequency, so hot stopwords produce big rows — ``max_df_ratio`` drops
+them (they carry no selectivity anyway, the standard IR practice). The
+boolean AND query then intersects the two smallest posting lists —
+array work on two rows, no scan of the corpus at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["inverted_index", "boolean_and_query"]
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.distinct()
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Build (tok, df, postings) with postings ascending by doc id.
+    Tokens with df < min_df or df > max_df_ratio * n_docs are dropped
+    (rare-noise and stopword gates)."""
+    idx = (
+        _postings(docs, id_col, text_col)
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_set("doc")).alias("postings"))
+        .select(
+            "tok",
+            F.size("postings").cast("bigint").alias("df"),
+            "postings",
+        )
+    )
+    if min_df > 1:
+        idx = idx.filter(F.col("df") >= min_df)
+    if max_df_ratio < 1.0:
+        # corpus size only needed for the stopword gate: keep the plan
+        # build job-free on the default path
+        n_docs = docs.select(id_col).distinct().count()
+        idx = idx.filter(F.col("df") <= int(max_df_ratio * n_docs))
+    return idx
+
+
+def boolean_and_query(
+    index: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Documents containing ALL ``terms``: intersect their posting
+    lists (array work over len(terms) index rows). Returns (doc,) —
+    empty if any term is absent from the index."""
+    if not terms:
+        raise ValueError("need at least one term")
+    rows = index.filter(F.col("tok").isin([t.lower() for t in terms]))
+    merged = rows.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.aggregate(
+            # fold: intersect all posting lists; seed with the first
+            F.slice(F.collect_list("postings"), 2, 1_000_000),
+            F.element_at(F.collect_list("postings"), 1),
+            lambda acc, p: F.array_intersect(acc, p),
+        ).alias("docs"),
+    )
+    return (
+        merged.filter(F.col("n_terms") == len(terms))
+        .select(F.explode("docs").alias("doc"))
+    )

@@ -200,3 +200,32 @@ def test_source_kl_divergence_properties(spark):
     # a and b differ from the POOLED corpus (which includes c), so not
     # exactly 0 — but far less than the shifted slice
     assert kl["a"] == kl["b"] < kl["c"]
+
+
+def test_inverted_index_and_boolean_query(spark):
+    from qudo_etl_pipeline_spark.operators.index import (
+        boolean_and_query,
+        inverted_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "c d e"), (4, "x y b c")],
+        "doc_id bigint, text string",
+    )
+    idx = inverted_index(docs)
+    m = {r["tok"]: (r["df"], r["postings"]) for r in idx.collect()}
+    assert m["c"] == (4, [1, 2, 3, 4])
+    assert m["b"] == (3, [1, 2, 4])
+    # duplicate tokens in one doc count once (distinct postings)
+    docs2 = spark.createDataFrame([(9, "z z z")], "doc_id bigint, text string")
+    m2 = {r["tok"]: r["df"] for r in inverted_index(docs2).collect()}
+    assert m2["z"] == 1
+    # AND query = posting intersection
+    got = sorted(r["doc"] for r in boolean_and_query(idx, ["b", "c"]).collect())
+    assert got == [1, 2, 4]
+    # a term missing from the index -> empty result, not an error
+    assert boolean_and_query(idx, ["b", "zzz"]).count() == 0
+    # stopword gate drops 'c' (df == n_docs)
+    gated = inverted_index(docs, max_df_ratio=0.9)
+    assert "c" not in {r["tok"] for r in gated.collect()}
