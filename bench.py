@@ -64,6 +64,7 @@ EXTENDED = [
     "range_join_error_context",
     "events_rollup_grains",
     "time_weighted_value",
+    "hourly_anomaly_zscore",
     "funnel_signup_click_purchase",
     "retention_matrix",
     "cdc_compact_orders",

@@ -160,6 +160,57 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hourly_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                      '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT hour_start, event_type, n,
+             SUM(n) OVER w AS s,
+             SUM(n * n) OVER w AS sq,
+             COUNT(n) OVER w AS c
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_start, event_type, n,
+           ROUND((24 * n - s) / sqrt(24 * sq - s * s), 6) AS z,
+           CAST(CASE WHEN ABS((24 * n - s) / sqrt(24 * sq - s * s)) > 3
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM scored WHERE c = 24 AND (24 * sq - s * s) > 0
+    """,
+    survey_ids=["A4", "W1", "A8"],
+    description="Trailing-24h z-score anomaly detection on hourly event "
+    "counts: integer-exact window sums, two IEEE ops, bit-identical "
+    "cross-engine (no decimal machinery needed)",
+)
+def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = T.trailing_zscore(
+        hourly, "event_type", "hour_start", "n", window=24, threshold=3.0
+    )
+    return scored.filter(F.col("z").isNotNull()).select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.round("z", 6).alias("z"),
+        "is_anomaly",
+    )
+
+
+@register(
     "events_rollup_grains",
     oracle="""
     SELECT COALESCE(day, 'ALL') AS day,

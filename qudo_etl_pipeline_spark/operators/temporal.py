@@ -38,6 +38,7 @@ __all__ = [
     "range_join",
     "rollup_time_grains",
     "time_weighted_avg",
+    "trailing_zscore",
 ]
 
 
@@ -191,6 +192,55 @@ def time_weighted_avg(
             ).alias("twa"),
             F.sum("__gap").alias("covered_us"),
         )
+    )
+
+
+def trailing_zscore(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 24,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming-style anomaly score: each point's z-score against the
+    TRAILING ``window`` points of its key (the point itself excluded, so
+    an anomaly can't mask itself). Points without a full trailing window
+    or with a constant window (zero variance) get z = NULL.
+
+    ``value_col`` must be integral (counts): the window's sum and
+    sum-of-squares are then exact integers, and
+    z = (w*x - sum) / sqrt(w*sumsq - sum^2)  (population-std form,
+    integer numerator and radicand) is two IEEE ops on exact inputs —
+    bit-identical cross-engine with no decimal machinery.
+
+    One keyed shuffle (all window frames share the partitioning).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    x = F.col(value_col)
+    s = F.sum(x).over(w)
+    sq = F.sum(x * x).over(w)
+    cnt = F.count(x).over(w)
+    radicand = window * sq - s * s
+    # z = (x - s/w) / (sqrt(w*sq - s^2)/w) = (w*x - s)/sqrt(w*sq - s^2).
+    # Exactness bound: w*sum^2 must stay < 2^63, i.e. values up to ~1e8
+    # per point at w=24 — far above any hourly event count.
+    z = F.when(
+        (cnt == window) & (radicand > 0),
+        (window * x - s) / F.sqrt(radicand.cast("double")),
+    )
+    return series.select(
+        key_col,
+        order_col,
+        value_col,
+        z.alias("z"),
+        F.when(F.abs(z) > threshold, 1).otherwise(0).cast("bigint").alias(
+            "is_anomaly"
+        ),
     )
 
 

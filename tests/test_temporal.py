@@ -169,3 +169,38 @@ def test_chunk_documents_overlap_semantics(spark):
     # short docs produce one whole chunk
     assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
     assert [r["chunk_text"] for r in by_doc[3]] == ["x"]
+
+
+def test_trailing_zscore_flags_spike(spark):
+    from qudo_etl_pipeline_spark.operators.temporal import trailing_zscore
+
+    # stable noisy series, one huge spike at t=20
+    vals = [10, 11, 9, 10, 12, 8, 10, 11, 9, 10] * 2 + [100] + [10, 11]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    out = {r["t"]: (r["z"], r["is_anomaly"])
+           for r in trailing_zscore(df, "k", "t", "v", window=10).collect()}
+    # first 10 points have no full trailing window
+    assert all(out[t][0] is None for t in range(10))
+    assert out[20][1] == 1 and out[20][0] > 10
+    # normal points are not flagged
+    assert all(out[t][1] == 0 for t in range(10, 20))
+    # the spike sits in t=21's trailing window and inflates its std,
+    # so t=21 must not be flagged either
+    assert out[21][1] == 0
+    # hand-check one z: at t=10 the window is vals[0:10]
+    import math
+    w = vals[0:10]
+    s, sq = sum(w), sum(x * x for x in w)
+    expect = (10 * vals[10] - s) / math.sqrt(10 * sq - s * s)
+    assert abs(out[10][0] - expect) < 1e-12
+
+
+def test_trailing_zscore_constant_window_is_null(spark):
+    from qudo_etl_pipeline_spark.operators.temporal import trailing_zscore
+
+    df = spark.createDataFrame(
+        [("a", i, 5) for i in range(8)], "k string, t int, v long"
+    )
+    out = trailing_zscore(df, "k", "t", "v", window=4).collect()
+    assert all(r["z"] is None for r in out)
