@@ -101,3 +101,32 @@ def test_zorder_locality_beats_linear_sort(spark):
     nz = zfile.filter(box).select("f").distinct().count()
     nx = xfile.filter(box).select("f").distinct().count()
     assert nz < nx
+
+
+def test_bloom_prefilter_preserves_join_results(spark):
+    """The 100 TB use-case: broadcast a Bloom filter of the (filtered)
+    dim keys and pre-filter the fact side BEFORE the join. Must drop a
+    meaningful fraction of fact rows (here the dim filter keeps ~20% of
+    keys) while the join result stays identical — Bloom false positives
+    are removed by the join itself, and no false negatives exist."""
+    dim = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("seg")
+    )
+    fact = spark.range(10_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("payload")
+    )
+    hot = dim.filter(F.col("seg") == 0)  # 100 of 500 keys survive
+
+    plain = fact.join(hot, "k")
+
+    bloom = bloom_build(hot, "k", m_bits=4096, n_hashes=3)
+    passed = bloom_lookup(bloom, fact.select("k").distinct(), "k", 4096, 3)
+    keep = passed.filter(F.col("hit") == 1).select("k")
+    pruned_fact = fact.join(F.broadcast(keep), "k")
+    pruned = pruned_fact.join(hot, "k")
+
+    # identical results
+    assert plain.exceptAll(pruned).count() == 0
+    assert pruned.exceptAll(plain).count() == 0
+    # and a real reduction of the fact side before the expensive join
+    assert pruned_fact.count() < 0.5 * fact.count()
