@@ -118,34 +118,34 @@ def main() -> None:
     # For cross-round comparability BOTH series are emitted:
     #   queries / value                — min-of-PASSES (r3 was min-of-2)
     #   queries_single_shot / value_…  — first pass only (same as r1/r2)
+    # PASS-MAJOR order (pass 0 for every query, then pass 1, ...): a
+    # noisy-neighbor window on this VM lasts seconds, so three
+    # back-to-back passes of ONE query can all land inside it and poison
+    # even the min (round 3's session_window_agg 1.5 s reading: an
+    # isolated re-run measures 0.40-0.56 s). Interleaving puts a query's
+    # passes minutes apart, so min-of-N sees at least one quiet window.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = specs[name]
-        best = None
-        for i in range(passes):
-            t0 = time.time()
-            df = spec.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            if i == 0:
-                first_pass[name] = round(elapsed, 3)
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-
     ext: dict[str, float] = {}
-    for name in EXTENDED:
-        spec = specs[name]
-        best = None
-        for _ in range(passes):
+
+    def run_pass(names: list[str], out: dict[str, float], i: int) -> None:
+        for name in names:
             t0 = time.time()
-            spec.spark(spark, sf_dir).write.format("noop").mode(
+            specs[name].spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        ext[name] = round(best, 3)
+            if i == 0:
+                if out is timings:
+                    first_pass[name] = round(elapsed, 3)
+                out[name] = round(elapsed, 3)
+            else:
+                out[name] = round(min(out[name], elapsed), 3)
+
+    for i in range(passes):
+        run_pass(HEADLINE, timings, i)
+        run_pass(EXTENDED, ext, i)
 
     total = round(sum(timings.values()), 3)
     print(
