@@ -1838,3 +1838,71 @@ def boolean_and_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                           columns=["doc_id", "text"])
     )
     return boolean_and_query(idx, ["table", "hash"])
+
+
+# --- exact substring-span dedup (Lee et al. ExactSubstr) ------------------
+
+_SPAN_K = 5
+
+
+def _span_dedup_oracle(k: int = _SPAN_K) -> str:
+    """Mirror of spans.span_dedup_stats: n-gram inversion + corpus-wide
+    frequency + gaps-and-islands interval merge. All-integer arithmetic,
+    so every column hash-compares exactly."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             {_dh_raw(f"array_to_string(list_slice(t, i, i + {k} - 1), ' ')")}
+               AS gh
+      FROM toks, unnest(range(1, n_tok - {k} + 2)) AS u(i)
+      WHERE n_tok >= {k}
+    ), dup AS (
+      SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+    ), ds AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
+    ), w AS (
+      SELECT doc_id, pos,
+             MAX(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM ds
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos >= prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM w
+    ), cov AS (
+      SELECT doc_id, island, MAX(pos + {k}) - MIN(pos) AS c
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, SUM(c) AS dup_tokens FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tok AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(p.dup_tokens, 0) * 1.0 / t.n_tok, 6)
+             AS dup_fraction
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register(
+    "span_dedup_stats",
+    oracle=_span_dedup_oracle(),
+    survey_ids=["P7", "A4", "W1"],
+    description="Exact substring-span dedup (Lee et al. ExactSubstr, "
+    "distributed as n-gram inversion): per-doc fraction of tokens covered "
+    "by a k-token span occurring >= 2 times corpus-wide",
+)
+def span_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.spans import span_dedup_stats
+
+    return span_dedup_stats(
+        load_table_spread(spark, sf_dir, "documents",
+                          columns=["doc_id", "text"]),
+        k=_SPAN_K,
+    )

@@ -804,3 +804,47 @@ def test_shuffle_shard_is_seeded_permutation(spark):
         if r["shard"] == 0
     ]
     assert ids_in_order != sorted(ids_in_order)
+
+
+def test_span_dedup_planted_coverage(spark):
+    from qudo_etl_pipeline_spark.operators.spans import span_dedup_stats
+
+    # doc 0 and 1 share an exact 6-token span; doc 2 repeats its own
+    # 5-token span twice; doc 3 is all-unique; doc 4 is shorter than k.
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} one two three"),
+            (1, f"pre1 pre2 {shared} post1"),
+            (2, "r1 r2 r3 r4 r5 mid r1 r2 r3 r4 r5"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in span_dedup_stats(docs, k=5).collect()
+    }
+    # shared 6-token span -> both 5-gram windows dup -> 6 covered tokens
+    assert out[0]["dup_tokens"] == 6 and out[0]["n_tokens"] == 9
+    assert out[1]["dup_tokens"] == 6 and out[1]["n_tokens"] == 9
+    # self-repeat: both copies covered (within-doc repeats count)
+    assert out[2]["dup_tokens"] == 10 and out[2]["n_tokens"] == 11
+    assert out[3]["dup_tokens"] == 0
+    assert out[4]["dup_tokens"] == 0 and out[4]["n_tokens"] == 2
+    assert out[2]["dup_fraction"] == round(10 / 11, 6)
+
+
+def test_span_dedup_merges_overlapping_islands(spark):
+    from qudo_etl_pipeline_spark.operators.spans import span_dedup_stats
+
+    # one 8-token duplicated run -> 4 overlapping 5-gram windows that
+    # must merge to 8 covered tokens, not 4*5
+    run = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(0, f"{run} x1 x2"), (1, f"y1 {run} y2")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_stats(docs, k=5).collect()}
+    assert out[0]["dup_tokens"] == 8
+    assert out[1]["dup_tokens"] == 8
