@@ -1906,3 +1906,71 @@ def span_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           columns=["doc_id", "text"]),
         k=_SPAN_K,
     )
+
+
+# --- DSIR importance resampling -------------------------------------------
+
+_DSIR_BUCKETS = 10_000
+
+
+def _dsir_oracle(k: int = 100, n_buckets: int = _DSIR_BUCKETS) -> str:
+    """Mirror of importance.dsir_weights + dsir_select: hashed uni+bigram
+    multinomials, Laplace-smoothed log-ratios rounded to 9 before the
+    per-doc sum (outputs to 6), top-k on (weight DESC, doc_id)."""
+    w = "string_split(lower(text), ' ')"
+    grams = (
+        f"list_concat({w}, "
+        f"list_transform(generate_series(1, greatest(len({w}) - 1, 1)), "
+        f"i -> concat_ws(' ', {w}[i], {w}[i + 1])))"
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(source = 'src0' AS BIGINT) AS tgt,
+             ({_dh_raw('u.g')} % {n_buckets}) AS b
+      FROM documents, unnest({grams}) AS u(g)
+      WHERE u.g <> ''
+    ), counts AS (
+      SELECT b, COUNT(*) AS c_raw, SUM(tgt) AS c_tgt
+      FROM feats GROUP BY b
+    ), totals AS (
+      SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM counts
+    ), ratios AS (
+      SELECT b, ROUND(ln(((c_tgt + 1.0) / (t_tgt + {n_buckets}))
+                       / ((c_raw + 1.0) / (t_raw + {n_buckets}))), 9) AS lr9
+      FROM counts, totals
+    ), wts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             ROUND(SUM(lr9), 6) AS dsir_logratio
+      FROM feats JOIN ratios USING (b)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_feats, dsir_logratio,
+           CAST(ROW_NUMBER() OVER (ORDER BY dsir_logratio DESC, doc_id ASC)
+                AS BIGINT) AS sel_rank
+    FROM wts
+    ORDER BY dsir_logratio DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "dsir_selection",
+    oracle=_dsir_oracle(),
+    survey_ids=["A4", "A9", "W2"],
+    description="DSIR data selection (Xie et al. 2023): hashed-n-gram "
+    "importance weights against a target domain, deterministic top-k",
+)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.importance import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = load_table_spread(
+        spark, sf_dir, "documents", columns=["doc_id", "text", "source"]
+    )
+    wts = dsir_weights(
+        docs, target=F.col("source") == "src0", n_buckets=_DSIR_BUCKETS
+    )
+    return dsir_select(wts, k=100)

@@ -848,3 +848,32 @@ def test_span_dedup_merges_overlapping_islands(spark):
     out = {r["doc_id"]: r for r in span_dedup_stats(docs, k=5).collect()}
     assert out[0]["dup_tokens"] == 8
     assert out[1]["dup_tokens"] == 8
+
+
+def test_dsir_ranks_targetlike_docs_first(spark):
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.operators.importance import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    # target domain speaks vocab-A; raw also contains vocab-B docs.
+    # A held-out vocab-A doc must outweigh every vocab-B doc.
+    a = "apple berry cherry date elder fig grape"
+    b = "zeta yotta xray warp vector ultra torque"
+    rows = [(i, a, True) for i in range(5)]        # target docs
+    rows += [(10, a, False)]                       # target-like, unlabeled
+    rows += [(20 + i, b, False) for i in range(5)]  # off-domain
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    wts = dsir_weights(docs, target=F.col("tgt"), n_buckets=1000)
+    ranked = dsir_select(wts, k=11).collect()
+    by_id = {r["doc_id"]: r for r in ranked}
+    # absolute sign is smoothing-dominated on an 11-doc fixture (the +1
+    # Laplace mass over 1000 buckets outweighs counts of 5-6); the
+    # ORDERING is the method's contract: target-like >> off-domain
+    assert by_id[10]["dsir_logratio"] == by_id[0]["dsir_logratio"]
+    for i in range(5):
+        assert by_id[10]["dsir_logratio"] > by_id[20 + i]["dsir_logratio"]
+    # ranks are dense 1..11 and ordered by weight desc
+    assert sorted(r["sel_rank"] for r in ranked) == list(range(1, 12))
