@@ -1974,3 +1974,69 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, target=F.col("source") == "src0", n_buckets=_DSIR_BUCKETS
     )
     return dsir_select(wts, k=100)
+
+
+# --- link-graph PageRank --------------------------------------------------
+
+
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """Recursive-CTE mirror of graph.pagerank_fixed_point. The zero-
+    weight self-edge in ``edges2`` guarantees every node appears as a
+    dst each round (so no-in-edge nodes keep a row) without referencing
+    the recursive table twice."""
+    from qudo_etl_pipeline_spark.operators.graph import FP_SCALE
+
+    base15 = FP_SCALE * 15 // 100
+    return f"""
+    WITH RECURSIVE raw_e AS (
+      SELECT DISTINCT user_id AS src,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+      FROM events
+      WHERE user_id <> CAST(json_extract(props, '$.k') AS BIGINT)
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM raw_e GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM raw_e UNION SELECT dst FROM raw_e
+      )
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    edges2 AS (
+      SELECT e.src, e.dst, d.outdeg, FALSE AS self
+      FROM raw_e e JOIN deg d USING (src)
+      UNION ALL
+      SELECT node, node, 1, TRUE FROM nodes
+    ), pr AS (
+      SELECT 0 AS it, node, ({FP_SCALE} // n) AS r FROM nodes, nn
+      UNION ALL
+      SELECT it + 1, dst AS node,
+             ({base15} // (SELECT n FROM nn))
+               + (17 * SUM(CASE WHEN self THEN 0
+                                ELSE r // outdeg END)) // 20
+      FROM (
+        SELECT p.it, e2.dst, e2.outdeg, e2.self, p.r
+        FROM pr p JOIN edges2 e2 ON e2.src = p.node
+        WHERE p.it < {n_iter}
+      ) GROUP BY it, dst
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_fp,
+           ROUND(r / {float(FP_SCALE)}, 9) AS pagerank
+    FROM pr WHERE it = {n_iter}
+    """
+
+
+@register(
+    "pagerank_events_graph",
+    oracle=_pagerank_oracle(),
+    survey_ids=["J1", "A4", "A9"],
+    description="Fixed-point PageRank (damping 0.85, 10 rounds) over the "
+    "events user->item link graph: all-BIGINT power iteration, "
+    "bit-identical to the recursive-CTE oracle",
+)
+def pagerank_events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+    )
+    return pagerank_fixed_point(ev, n_iter=10)

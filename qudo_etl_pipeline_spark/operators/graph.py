@@ -1,0 +1,99 @@
+"""Link-graph centrality (PageRank) as a corpus quality prior.
+
+Beyond-reference operator (BASELINE.json north star): host/page-level
+PageRank is the standard web-corpus quality prior (Common Crawl ranks
+hosts this way; Brin & Page 1998). Implemented as classic power
+iteration over an edge DataFrame — the Pregel pattern: join ranks to
+edges on src, aggregate contributions by dst, recompute.
+
+Cross-engine determinism: ranks are BIGINT fixed-point (scale 1e12).
+Every step — init ``1e12 DIV N``, per-edge contribution
+``r DIV outdeg``, damping ``(17 * s) DIV 20`` (= 0.85), base
+``0.15e12 DIV N`` — is integer arithmetic, so iteration sums are
+order-independent and the 10-round result is bit-identical in the
+DuckDB recursive-CTE oracle. The ~1e-12 truncation per op is far below
+ranking resolution.
+
+Simplification (documented): dangling-node mass is dropped rather than
+redistributed, so ranks sum to slightly under 1 — the common
+implementation shortcut; relative ordering, the quality-prior use, is
+unaffected.
+
+Scale design (100 TB of edges):
+- per iteration: ONE shuffle join (ranks x edges on src; ranks is the
+  small side but both scale with |nodes| / |edges| — a plain shuffle
+  equi-join, AQE broadcast when ranks fits) and ONE groupBy(dst) with
+  map-side partial aggregation;
+- ranks are localCheckpoint()ed each round, truncating lineage so the
+  plan stays one-iteration deep (the same device the near-dup CC loop
+  uses);
+- output is |nodes| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FP_SCALE = 1_000_000_000_000  # fixed-point: rank 1.0 == 1e12
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over distinct directed edges, damping 0.85, ``n_iter``
+    rounds from the uniform start.
+
+    Output: ``node``, ``rank_fp`` (BIGINT fixed-point, scale 1e12),
+    ``pagerank`` (rank_fp / 1e12 rounded to 9 — exact in both engines
+    since the division inputs are identical integers).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = e.join(outdeg, "src")
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # N is a scalar the init and base terms need; collecting it is one
+    # tiny job over the node table — the iterative-operator exception
+    # (same as the CC convergence probes).
+    n = nodes.count()
+    base = (FP_SCALE * 15 // 100) // n
+
+    ranks = nodes.select("node", F.lit(FP_SCALE // n).alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select("dst", F.expr("r DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(17 * coalesce(s, 0L)) DIV 20")
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        F.round(F.col("r") / F.lit(float(FP_SCALE)), 9).alias("pagerank"),
+    )

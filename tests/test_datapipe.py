@@ -877,3 +877,33 @@ def test_dsir_ranks_targetlike_docs_first(spark):
         assert by_id[10]["dsir_logratio"] > by_id[20 + i]["dsir_logratio"]
     # ranks are dense 1..11 and ordered by weight desc
     assert sorted(r["sel_rank"] for r in ranked) == list(range(1, 12))
+
+
+def test_pagerank_hub_dominates_and_cycle_is_uniform(spark):
+    from qudo_etl_pipeline_spark.operators.graph import (
+        FP_SCALE,
+        pagerank_fixed_point,
+    )
+
+    # star: 1,2,3 all link to 0 -> 0 must outrank the leaves
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    pr = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(star).collect()}
+    assert pr[0] > pr[1] == pr[2] == pr[3]
+
+    # 4-cycle: perfect symmetry -> all ranks equal, = 1/N (fixed point
+    # of the uniform start, up to integer truncation)
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    prc = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(cyc).collect()}
+    assert len(set(prc.values())) == 1
+    assert abs(next(iter(prc.values())) - FP_SCALE // 4) <= 10
+
+    # duplicate and self-loop edges are ignored
+    noisy = spark.createDataFrame(
+        [(1, 0), (1, 0), (2, 0), (3, 0), (0, 0)], "src long, dst long"
+    )
+    prn = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(noisy).collect()}
+    assert prn == pr
