@@ -131,3 +131,15 @@ def read_or_build_cache(
     df = build()
     write_parquet(df, path)
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (built into Spark; same pushdown/pruning surface as
+    parquet — PushedFilters and ReadSchema reach the OrcScan node).
+    Beyond-reference: warehouse interchange with Hive/Trino stacks."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib-by-default columnar; Hive/Trino interchange)."""
+    df.write.mode(mode).orc(path)

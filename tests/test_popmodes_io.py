@@ -119,3 +119,27 @@ def test_json_doc_uri_without_session_raises(tmp_path):
         IO.write_json_doc("s3a://bucket/doc.json", {"a": 1})
     with pytest.raises(ValueError, match="requires a SparkSession"):
         IO.read_json_doc("s3a://bucket/doc.json")
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.sources.io import read_orc, write_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # filters and pruned projections reach the ORC scan
+    plan = (
+        back.filter(F.col("n_regionkey") == 1)
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan.split(
+        "PushedFilters"
+    )[1][:120]
