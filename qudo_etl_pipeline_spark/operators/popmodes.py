@@ -69,15 +69,18 @@ def population_modes(
         if weight_col
         else F.lit(1.0)
     )
+    # Totals ride the plan as a 1-row broadcast (no eager collect: the
+    # old driver-side .collect() ran a full-data aggregate at PLAN-BUILD
+    # time — a whole extra input scan before the real job started).
+    # ref_round == the reference's Python round(weights.sum(), 2)
+    # (chisquared_tester.py:757) — HALF_EVEN on the true binary value.
     totals = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(w).alias("wsum"),
-    ).collect()[0]
-    sample_total = totals["n"]
-    # driver-side Python round == the reference's round(weights.sum(), 2)
-    # (chisquared_tester.py:757) — HALF_EVEN on the true binary value
-    weighted_total = (
-        round(totals["wsum"], 2) if weight_col else float(sample_total)
+        F.count(F.lit(1)).cast("double").alias("_n_tot"),
+        (
+            ref_round(F.sum(w), 2)
+            if weight_col
+            else F.count(F.lit(1)).cast("double")
+        ).alias("_w_tot"),
     )
 
     q_structs = []
@@ -133,15 +136,15 @@ def population_modes(
     )
     # ref_round = Python-round parity (chisquared_tester.py:764,769) —
     # HALF_EVEN on the true binary value, NOT F.round's HALF_UP
-    return modes.select(
+    return modes.crossJoin(F.broadcast(totals)).select(
         "cluster",
         "shortname",
         F.col("_wm.v").alias("weighted_mode"),
-        ref_round(F.col("_wm.m") / F.lit(weighted_total), 2).alias(
+        ref_round(F.col("_wm.m") / F.col("_w_tot"), 2).alias(
             "weighted_mode_prop"
         ),
         F.col("_um.v").alias("unweighted_mode"),
-        ref_round(F.col("_um.m") / F.lit(float(sample_total)), 2).alias(
+        ref_round(F.col("_um.m") / F.col("_n_tot"), 2).alias(
             "unweighted_mode_prop"
         ),
     )
