@@ -76,6 +76,9 @@ EXTENDED = [
     "cms_part_frequency",
     "bloom_filter_custkeys",
     "zorder_layout_lineitem",
+    "span_dedup_stats",
+    "dsir_selection",
+    "pagerank_events_graph",
 ]
 
 

@@ -1930,9 +1930,11 @@ def _dsir_oracle(k: int = 100, n_buckets: int = _DSIR_BUCKETS) -> str:
              ({_dh_raw('u.g')} % {n_buckets}) AS b
       FROM documents, unnest({grams}) AS u(g)
       WHERE u.g <> ''
+    ), db AS (
+      SELECT doc_id, tgt, b, COUNT(*) AS n FROM feats GROUP BY doc_id, tgt, b
     ), counts AS (
-      SELECT b, COUNT(*) AS c_raw, SUM(tgt) AS c_tgt
-      FROM feats GROUP BY b
+      SELECT b, SUM(n) AS c_raw, SUM(CASE WHEN tgt = 1 THEN n ELSE 0 END) AS c_tgt
+      FROM db GROUP BY b
     ), totals AS (
       SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM counts
     ), ratios AS (
@@ -1940,9 +1942,11 @@ def _dsir_oracle(k: int = 100, n_buckets: int = _DSIR_BUCKETS) -> str:
                        / ((c_raw + 1.0) / (t_raw + {n_buckets}))), 9) AS lr9
       FROM counts, totals
     ), wts AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-             ROUND(SUM(lr9), 6) AS dsir_logratio
-      FROM feats JOIN ratios USING (b)
+      -- product-then-sum over the per-(doc,bucket) counts, mirroring
+      -- the Spark plan's association exactly
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+             ROUND(SUM(lr9 * n), 6) AS dsir_logratio
+      FROM db JOIN ratios USING (b)
       GROUP BY doc_id
     )
     SELECT doc_id, n_feats, dsir_logratio,

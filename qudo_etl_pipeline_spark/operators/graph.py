@@ -60,12 +60,16 @@ def pagerank_fixed_point(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = e.join(outdeg, "src")
+    # materialize the degree-annotated edge table ONCE: the power loop
+    # re-reads it every round, and without the checkpoint the
+    # distinct+join subtree would re-execute n_iter times
+    e = e.join(outdeg, "src").localCheckpoint()
 
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     # N is a scalar the init and base terms need; collecting it is one
     # tiny job over the node table — the iterative-operator exception

@@ -32,14 +32,17 @@ from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.functions.hashing import hash64
 
-# uni+bigram stream over the lowercased text; the 1-word degenerate doc
-# contributes its word twice (concat_ws skips the missing neighbor),
-# mirrored exactly in the DuckDB oracle
-_GRAMS = (
-    "concat(split(lower({t}), ' '), "
-    "transform(sequence(1, greatest(size(split(lower({t}), ' ')) - 1, 1)), "
-    "i -> concat_ws(' ', try_element_at(split(lower({t}), ' '), i), "
-    "try_element_at(split(lower({t}), ' '), i + 1))))"
+# uni+bigram stream over a PRE-SPLIT token array column ``{w}``; the
+# 1-word degenerate doc contributes its word twice (concat_ws skips the
+# missing neighbor), mirrored exactly in the DuckDB oracle. The token
+# array must be projected once into a column first: inlining the split
+# into the lambda re-tokenizes the text for every bigram element
+# (measured ~5x the whole operator's runtime).
+_GRAMS_OF_W = (
+    "concat({w}, "
+    "transform(sequence(1, greatest(size({w}) - 1, 1)), "
+    "i -> concat_ws(' ', try_element_at({w}, i), "
+    "try_element_at({w}, i + 1))))"
 )
 
 
@@ -60,38 +63,57 @@ def dsir_weights(
     Output: ``doc_id``, ``n_feats`` (gram count), ``dsir_logratio``
     (6-decimal log weight; positive = looks like the target).
     """
+    # The feature stream (one md5 per gram) is the expensive map; it is
+    # consumed exactly ONCE: the first aggregation collapses it to
+    # per-(doc, bucket) counts, and everything downstream — bucket
+    # totals, corpus totals, the weight sum — derives from that small
+    # table. (A naive counts/totals/join-back shape re-executes the
+    # explode+hash three times.)
     feats = (
         docs.select(
             F.col(id_col),
             target.alias("_tgt"),
-            F.explode(F.expr(_GRAMS.format(t=text_col))).alias("g"),
+            F.split(F.lower(F.col(text_col)), " ").alias("_w"),
+        )
+        .select(
+            id_col,
+            "_tgt",
+            F.explode(F.expr(_GRAMS_OF_W.format(w="_w"))).alias("g"),
         )
         .filter(F.col("g") != "")
         .withColumn("b", hash64("g") % n_buckets)
     )
-    counts = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.col("_tgt").cast("long")).alias("c_tgt"),
+    db = feats.groupBy(id_col, "_tgt", "b").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    totals = counts.agg(
-        F.sum("c_raw").alias("_t_raw"), F.sum("c_tgt").alias("_t_tgt")
+    counts = db.groupBy("b").agg(
+        F.sum("n").alias("c_raw"),
+        F.sum(F.when(F.col("_tgt"), F.col("n")).otherwise(0)).alias("c_tgt"),
     )
-    ratios = counts.crossJoin(F.broadcast(totals)).select(
+    # corpus totals as a global window over the counts table — bounded
+    # at n_buckets rows by construction, so the single-partition window
+    # is constant-size at any corpus scale
+    tot = Window.partitionBy()
+    ratios = counts.select(
         "b",
         F.round(
             F.log(
-                ((F.col("c_tgt") + 1.0) / (F.col("_t_tgt") + n_buckets))
-                / ((F.col("c_raw") + 1.0) / (F.col("_t_raw") + n_buckets))
+                ((F.col("c_tgt") + 1.0)
+                 / (F.sum("c_tgt").over(tot) + n_buckets))
+                / ((F.col("c_raw") + 1.0)
+                   / (F.sum("c_raw").over(tot) + n_buckets))
             ),
             9,
         ).alias("lr9"),
     )
     return (
-        feats.join(F.broadcast(ratios), "b")
+        db.join(F.broadcast(ratios), "b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.round(F.sum("lr9"), 6).alias("dsir_logratio"),
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.round(F.sum(F.col("lr9") * F.col("n")), 6).alias(
+                "dsir_logratio"
+            ),
         )
     )
 
