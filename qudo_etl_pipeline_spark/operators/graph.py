@@ -78,24 +78,26 @@ def pagerank_fixed_point(
     base = (FP_SCALE * 15 // 100) // n
 
     ranks = nodes.select("node", F.lit(FP_SCALE // n).alias("r"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             ranks.join(e, ranks["node"] == e["src"])
             .select("dst", F.expr("r DIV outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr("(17 * coalesce(s, 0L)) DIV 20")
-                ).alias("r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base) + F.expr("(17 * coalesce(s, 0L)) DIV 20")
+            ).alias("r"),
         )
+        # truncate lineage every few rounds, not every round: each
+        # eager localCheckpoint is a full job, and a 4-iteration plan
+        # is still shallow — this trades 10 barrier jobs for 3
+        if (it + 1) % 4 == 0 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         "node",
         F.col("r").alias("rank_fp"),
