@@ -2044,3 +2044,63 @@ def pagerank_events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
     )
     return pagerank_fixed_point(ev, n_iter=10)
+
+
+# --- BM25 ranked retrieval ------------------------------------------------
+
+_BM25_TERMS = ["table", "hash", "spark"]
+
+
+def _bm25_oracle(k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of index.bm25_topk: same expression tree, idf rounded to 9
+    before scoring, score to 6, ties on ascending doc id."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, t.tok
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS tok) t
+      WHERE t.tok <> ''
+    ), dl AS (
+      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(dl) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ({terms}) GROUP BY doc, tok
+    ), dft AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc,
+             ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
+               * (tf * ({k1} + 1.0)
+                  / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) AS s
+      FROM tf JOIN dft USING (tok) JOIN dl USING (doc), corpus
+    ), out AS (
+      SELECT doc, ROUND(SUM(s), 6) AS bm25 FROM scored GROUP BY doc
+    )
+    SELECT doc, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc ASC) AS BIGINT)
+             AS rank
+    FROM out ORDER BY bm25 DESC, doc ASC LIMIT {k}
+    """
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=_bm25_oracle(),
+    survey_ids=["A10", "W2", "J1"],
+    description="BM25 ranked retrieval (Lucene idf variant, k1=1.2 "
+    "b=0.75): term-filtered tf stream, distributed TakeOrdered top-20",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.index import bm25_topk
+
+    return bm25_topk(
+        load_table_spread(spark, sf_dir, "documents",
+                          columns=["doc_id", "text"]),
+        _BM25_TERMS,
+        k=20,
+    )

@@ -14,10 +14,10 @@ array work on two rows, no scan of the corpus at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["inverted_index", "boolean_and_query"]
+__all__ = ["inverted_index", "boolean_and_query", "bm25_topk"]
 
 
 def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -79,4 +79,86 @@ def boolean_and_query(
     return (
         merged.filter(F.col("n_terms") == len(terms))
         .select(F.explode("docs").alias("doc"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a bag-of-terms query.
+
+    Lucene-variant idf = ln((N - df + 0.5)/(df + 0.5) + 1) (always
+    positive), Robertson tf saturation with ``k1``/``b`` length
+    normalization. Cross-engine determinism: idf is rounded to 9
+    decimals before scoring (ln is the one libm-dependent op), the
+    final score to 6, ties break on ascending id.
+
+    Scale shape: the term filter lands directly on the exploded token
+    stream, so only rows for the queried terms survive into the tf
+    aggregation — the wide corpus-scan work is the tokenize+filter map;
+    doc lengths and N ride along as one aggregate each; the final cut
+    is a distributed TakeOrdered, no global sort.
+    """
+    if not terms:
+        raise ValueError("need at least one term")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    q = [t.lower() for t in terms]
+    tf = (
+        toks.filter(F.col("tok").isin(q))
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc")  # doc-lengths are corpus-sized: shuffle join
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc",
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                        + 1.0
+                    ),
+                    9,
+                )
+                * (
+                    F.col("tf")
+                    * (k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    out = scored.groupBy("doc").agg(F.round(F.sum("s"), 6).alias("bm25"))
+    order = [F.desc("bm25"), F.asc("doc")]
+    top = out.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.select(
+        "doc",
+        "bm25",
+        F.row_number().over(w).cast("bigint").alias("rank"),
     )

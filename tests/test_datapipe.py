@@ -907,3 +907,31 @@ def test_pagerank_hub_dominates_and_cycle_is_uniform(spark):
     )
     prn = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(noisy).collect()}
     assert prn == pr
+
+
+def test_bm25_semantics(spark):
+    from qudo_etl_pipeline_spark.operators.index import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare common filler filler"),        # rare term once, short
+            (1, "rare rare common filler filler filler filler filler"),
+            (2, "common filler filler filler"),      # no rare term
+            (3, "filler stuff other words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in bm25_topk(docs, ["rare", "common"], k=4).collect()}
+    # doc 3 matches nothing -> absent
+    assert 3 not in out
+    # both rare-term docs outrank the common-only doc
+    assert out[0]["bm25"] > out[2]["bm25"]
+    assert out[1]["bm25"] > out[2]["bm25"]
+    # hand-computed (k1=1.2, b=0.75, avgdl=5): doc0 = 1.1435 beats
+    # doc1 = 1.1014 — its rare tf=2 gain is outweighed by length
+    # normalization on the common term (dl=8 vs 4)
+    assert out[0]["rank"] == 1 and out[1]["rank"] == 2
+    assert out[0]["bm25"] == pytest.approx(1.1435, abs=1e-3)
+    assert out[1]["bm25"] == pytest.approx(1.1014, abs=1e-3)
+    # ranks are dense from 1
+    assert sorted(r["rank"] for r in out.values()) == [1, 2, 3]
