@@ -143,3 +143,27 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (zlib-by-default columnar; Hive/Trino interchange)."""
     df.write.mode(mode).orc(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Hive-layout parquet sink: one directory per partition value.
+
+    ``dynamic=True`` sets ``partitionOverwriteMode=dynamic`` for THIS
+    write only — an overwrite replaces exactly the partitions present
+    in ``df`` and leaves sibling partitions intact (the incremental
+    backfill contract at warehouse scale: reprocessing one day must not
+    truncate the table). Static mode (the Spark default) would drop
+    every existing partition first.
+    """
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if dynamic:
+        writer = writer.option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.parquet(path)

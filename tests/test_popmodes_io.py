@@ -143,3 +143,34 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "n_regionkey" in plan.split(
         "PushedFilters"
     )[1][:120]
+
+
+def test_partitioned_sink_dynamic_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.sources.io import write_parquet_partitioned
+
+    path = str(tmp_path / "events_by_type")
+    full = spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0), (3, "click", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    write_parquet_partitioned(full, path, ["event_type"])
+    assert spark.read.parquet(path).count() == 3
+    # rewrite ONLY the 'click' partition with corrected values
+    fix = spark.createDataFrame(
+        [(1, "click", 10.0), (3, "click", 30.0)],
+        "event_id long, event_type string, value double",
+    )
+    write_parquet_partitioned(fix, path, ["event_type"])
+    back = spark.read.parquet(path)
+    # 'view' partition untouched, 'click' replaced
+    assert back.count() == 3
+    vals = {r["event_id"]: r["value"] for r in back.collect()}
+    assert vals == {1: 10.0, 2: 2.0, 3: 30.0}
+    # partition pruning reaches the scan
+    plan = (
+        back.filter(F.col("event_type") == "view")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
