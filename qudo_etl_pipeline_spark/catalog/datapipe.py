@@ -2052,34 +2052,46 @@ _BM25_TERMS = ["table", "hash", "spark"]
 
 
 def _bm25_oracle(k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
-    """Mirror of index.bm25_topk: same expression tree, idf rounded to 9
-    before scoring, score to 6, ties on ascending doc id."""
-    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    """Mirror of index.bm25_topk's pivoted single-shuffle form: per-term
+    tf columns from one GROUP BY doc, df/N/avgdl from one aggregate of
+    that table, and the SAME fixed-order per-term score sum. idf rounds
+    to 9 before scoring, score to 6, ties on ascending doc id."""
+    q = _BM25_TERMS
+    tf_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(q)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(q))
+    )
+    terms_sum = "\n               + ".join(
+        f"(ROUND(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0), 9)"
+        f" * (tf{i} * ({k1} + 1.0)"
+        f" / (tf{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))))"
+        for i in range(len(q))
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(len(q)))
     return f"""
     WITH toks AS (
       SELECT doc_id AS doc, t.tok
       FROM documents,
            LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS tok) t
       WHERE t.tok <> ''
-    ), dl AS (
-      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
-    ), corpus AS (
+    ), per_doc AS (
+      SELECT doc, COUNT(*) AS dl,
+             {tf_cols}
+      FROM toks GROUP BY doc
+    ), stats AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-             SUM(dl) / COUNT(*) AS avgdl
-      FROM dl
-    ), tf AS (
-      SELECT doc, tok, COUNT(*) AS tf FROM toks
-      WHERE tok IN ({terms}) GROUP BY doc, tok
-    ), dft AS (
-      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
-    ), scored AS (
-      SELECT tf.doc,
-             ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
-               * (tf * ({k1} + 1.0)
-                  / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) AS s
-      FROM tf JOIN dft USING (tok) JOIN dl USING (doc), corpus
+             SUM(dl) / COUNT(*) AS avgdl,
+             {df_cols}
+      FROM per_doc
     ), out AS (
-      SELECT doc, ROUND(SUM(s), 6) AS bm25 FROM scored GROUP BY doc
+      SELECT doc,
+             ROUND({terms_sum}, 6) AS bm25
+      FROM per_doc, stats
+      WHERE {any_tf} > 0
     )
     SELECT doc, bm25,
            CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc ASC) AS BIGINT)

@@ -97,63 +97,65 @@ def bm25_topk(
     positive), Robertson tf saturation with ``k1``/``b`` length
     normalization. Cross-engine determinism: idf is rounded to 9
     decimals before scoring (ln is the one libm-dependent op), the
-    final score to 6, ties break on ascending id.
+    final score to 6, ties break on ascending id; the per-term score
+    sum is a fixed-order column expression, not an aggregation.
 
-    Scale shape: the term filter lands directly on the exploded token
-    stream, so only rows for the queried terms survive into the tf
-    aggregation — the wide corpus-scan work is the tokenize+filter map;
-    doc lengths and N ride along as one aggregate each; the final cut
-    is a distributed TakeOrdered, no global sort.
+    Scale shape: a query has a handful of terms, so term frequencies
+    PIVOT into per-term columns — ONE groupBy(doc) over the token
+    stream yields doc length and every tf; document frequencies, N and
+    avgdl fall out of a single 1-row aggregate of that table, broadcast
+    back. One full-data shuffle total, then a distributed TakeOrdered —
+    no per-term joins, no global sort.
     """
     if not terms:
         raise ValueError("need at least one term")
+    q = list(dict.fromkeys(t.lower() for t in terms))
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
 
-    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
+    per_doc = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(q)
+        ],
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(q))
+        ],
     )
 
-    q = [t.lower() for t in terms]
-    tf = (
-        toks.filter(F.col("tok").isin(q))
-        .groupBy("doc", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-
-    scored = (
-        tf.join(F.broadcast(df_t), "tok")
-        .join(dl, "doc")  # doc-lengths are corpus-sized: shuffle join
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "doc",
-            (
-                F.round(
-                    F.log(
-                        (F.col("n_docs") - F.col("df") + 0.5)
-                        / (F.col("df") + 0.5)
-                        + 1.0
-                    ),
-                    9,
-                )
-                * (
-                    F.col("tf")
-                    * (k1 + 1.0)
-                    / (
-                        F.col("tf")
-                        + k1
-                        * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                    )
-                )
-            ).alias("s"),
+    matched = per_doc.filter(
+        sum(F.col(f"tf{i}") for i in range(len(q))) > 0
+    ).crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(q)):
+        idf = F.round(
+            F.log(
+                (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                / (F.col(f"df{i}") + 0.5)
+                + 1.0
+            ),
+            9,
         )
-    )
-    out = scored.groupBy("doc").agg(F.round(F.sum("s"), 6).alias("bm25"))
+        sat = (
+            F.col(f"tf{i}")
+            * (k1 + 1.0)
+            / (
+                F.col(f"tf{i}")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        term = idf * sat
+        score = term if score is None else score + term
+
+    out = matched.select("doc", F.round(score, 6).alias("bm25"))
     order = [F.desc("bm25"), F.asc("doc")]
     top = out.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
