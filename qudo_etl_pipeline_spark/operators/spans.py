@@ -83,10 +83,17 @@ def span_dedup_stats(
     merge.
     """
     grams = span_grams(docs, k=k, id_col=id_col, text_col=text_col)
-    freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
-    dup = grams.join(
-        freq.filter(F.col("n_occ") >= 2).select("gh"), "gh"
-    ).select(id_col, "pos")
+    # corpus-wide occurrence count as a window over the gram hash: ONE
+    # shuffle of the gram stream and ONE tokenize+md5 pass, where a
+    # groupBy + join-back shape would shuffle the stream twice and
+    # re-run the gram map for the probe side
+    dup = (
+        grams.withColumn(
+            "_n_occ", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("_n_occ") >= 2)
+        .select(id_col, "pos")
+    )
 
     by_doc = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
