@@ -2116,3 +2116,66 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_TERMS,
         k=20,
     )
+
+
+# --- real PNG decode path -------------------------------------------------
+
+
+@register(
+    "multimodal_png_stats",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w,
+             4 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 200
+    ), px AS (
+      SELECT media_id, w, h,
+             (media_id * 7 + 3 * u.x + 5 * v.y + 11 * t.c) % 256 AS p
+      FROM imgs,
+           LATERAL unnest(range(w)) AS u(x),
+           LATERAL unnest(range(h)) AS v(y),
+           LATERAL unnest(range(3)) AS t(c)
+    )
+    SELECT media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(MIN(p) AS BIGINT) AS px_min,
+           CAST(MAX(p) AS BIGINT) AS px_max,
+           ROUND(SUM(p) / (w * h * 3.0), 6) AS px_mean
+    FROM px GROUP BY media_id, w, h
+    """,
+    survey_ids=["P6", "P10"],
+    description="REAL PNG encode->decode through the stdlib-only codec "
+    "(Arrow kernels both ways); the oracle aggregates the generator's "
+    "closed-form pixel pattern without touching a PNG, so codec "
+    "correctness is what the hash-match proves",
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_png_media,
+    )
+
+    ids = (
+        load_table_spread(spark, sf_dir, "documents", columns=["doc_id"])
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    feats = extract_features(synthetic_png_media(ids), decoder="png")
+    f = F.col("features")
+    sum_b = f[3].cast("bigint")
+    return feats.select(
+        "media_id",
+        f[0].cast("bigint").alias("width"),
+        f[1].cast("bigint").alias("height"),
+        sum_b.alias("pixel_sum"),
+        f[4].cast("bigint").alias("px_min"),
+        f[5].cast("bigint").alias("px_max"),
+        F.round(
+            sum_b
+            / (f[0].cast("bigint") * f[1].cast("bigint") * F.lit(3.0)),
+            6,
+        ).alias("px_mean"),
+    )

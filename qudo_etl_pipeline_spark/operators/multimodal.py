@@ -4,11 +4,12 @@ Media are opaque ``binary`` payload columns plus a typed metadata struct;
 decode / feature-extraction / resize run as Arrow-batched ``mapInPandas``
 kernels so the Spark-side contract (schema, batching, partitioning) is
 real and tested even though the actual codecs are not installed in this
-environment. The decode step is STUBBED: with ``decoder="fake"`` a
-deterministic byte-statistics feature is produced (useful for testing the
-plumbing end-to-end); with ``decoder="real"`` the kernel raises
-``NotImplementedError`` unless the optional imaging/audio libraries are
-importable.
+environment. Decode tiers: ``decoder="png"`` is a REAL image decode —
+the stdlib-only baseline-PNG codec in operators/png.py (zlib + struct)
+needs no imaging library; ``decoder="fake"`` is a deterministic
+byte-statistics stub for arbitrary payloads; ``decoder="real"`` (full
+codec suite) raises ``NotImplementedError`` unless the optional
+imaging/audio libraries are importable.
 
 Scale design (100 TB of media):
 - payloads never leave the executor: mapInPandas streams Arrow batches,
@@ -97,17 +98,52 @@ def _fake_features(payload: bytes) -> np.ndarray:
     )
 
 
+def _png_features(payload: bytes) -> np.ndarray:
+    """REAL image features via the pure-stdlib PNG codec
+    (operators/png.py): decode to pixels, emit
+    [width, height, channels, pixel_sum, pixel_min, pixel_max,
+    pixel_mean, n_bytes % 251] — integer-derived statistics a SQL
+    oracle can compute in closed form from a known generator pattern.
+    """
+    from qudo_etl_pipeline_spark.operators.png import png_decode
+
+    if payload is None or len(payload) == 0:
+        return np.zeros(N_FEATURES, dtype=np.float32)
+    px = png_decode(bytes(payload))
+    h, w, ch = px.shape
+    return np.array(
+        [
+            w,
+            h,
+            ch,
+            float(px.sum(dtype=np.int64)),
+            float(px.min()),
+            float(px.max()),
+            float(px.sum(dtype=np.int64)) / px.size,
+            float(len(payload) % 251),
+        ],
+        dtype=np.float32,
+    )
+
+
 def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
-    """(media_id, kind, n_bytes, features) via an Arrow mapInPandas kernel."""
+    """(media_id, kind, n_bytes, features) via an Arrow mapInPandas kernel.
+
+    ``decoder``: "fake" — deterministic byte statistics (any payload);
+    "png" — REAL decode through the stdlib-only baseline-PNG codec;
+    "real" — full codec suite, requires imaging/audio libraries.
+    """
     if decoder == "real" and not _have_real_decoders():
         raise NotImplementedError(
             "real media decoding requires imaging/audio libraries that are "
-            "not installed; use decoder='fake' for the deterministic stub"
+            "not installed; use decoder='png' for stdlib PNG decoding or "
+            "decoder='fake' for the deterministic stub"
         )
+    featurize = _png_features if decoder == "png" else _fake_features
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_features(p) for p in pdf["payload"]]
+            feats = [featurize(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -155,3 +191,37 @@ def resize_meta(df: DataFrame, width: int, height: int) -> DataFrame:
         F.col("meta.duration_ms").alias("duration_ms"),
     )
     return df.withColumn("meta", new_meta)
+
+
+def synthetic_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic PNG payloads for pipeline tests/benchmarks.
+
+    Image ``i`` is (4 + i%5) x (4 + i%7) RGB with
+    pixel(y, x, c) = (i*7 + x*3 + y*5 + c*11) % 256 — a closed form a
+    SQL oracle can aggregate without decoding, so the REAL encode->
+    decode path is verifiable end-to-end. Encoding runs executor-side
+    in the same Arrow kernel shape as extraction.
+    """
+    from qudo_etl_pipeline_spark.operators.png import png_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 5, 4 + i % 7
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((i * 7 + x * 3 + y * 5 + c * 11) % 256).astype(np.uint8)
+                payloads.append(png_encode(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(kernel, MEDIA_SCHEMA)

@@ -1,0 +1,164 @@
+"""Pure-stdlib PNG codec (zlib + struct) for the multimodal decode path.
+
+The container has no imaging libraries, but PNG's baseline profile needs
+none: chunks are length/type/crc framing (zlib.crc32), pixel data is
+zlib-compressed scanlines with 5 per-row predictor filters. Supporting
+8-bit greyscale / RGB / RGBA, non-interlaced — the profile every PNG
+writer can emit — makes the multimodal image path REAL end-to-end
+(decode + re-encode), not a stub; exotic profiles (16-bit, palette,
+Adam7) still raise and fall back to the documented stub path.
+
+Used executor-side inside Arrow ``mapInPandas`` kernels
+(operators/multimodal.py): payload bytes in, numpy (H, W, C) out, never
+on the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # grey, RGB, RGBA (8-bit)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode a baseline PNG to a (H, W, C) uint8 array.
+
+    Raises ValueError on non-PNG bytes and NotImplementedError on
+    profiles outside 8-bit grey/RGB/RGBA non-interlaced.
+    """
+    if payload is None or payload[: len(_SIG)] != _SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_SIG)
+    width = height = None
+    colortype = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, colortype, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or colortype not in _CHANNELS or interlace != 0:
+                raise NotImplementedError(
+                    f"unsupported PNG profile: depth={depth} "
+                    f"colortype={colortype} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _CHANNELS[colortype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        ftype = raw[y * (stride + 1)]
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 1:  # Sub — sequential in x, vectorized per channel
+            cur = row
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (row.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = row
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (
+                    int(row[x])
+                    + int(
+                        _paeth(
+                            np.uint8(left), prev[x : x + 1][0], np.uint8(ul)
+                        )
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(height, width, ch)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def png_encode(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a (H, W, C) uint8 array (C in {1, 3, 4}) as a baseline PNG.
+
+    ``filter_type`` selects the per-row predictor (0-4) — mainly so
+    tests can exercise every decoder filter path; 0 is the plain
+    encoding.
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    colortype = {1: 0, 3: 2, 4: 6}[ch]
+    arr = arr.astype(np.uint8)
+    stride = w * ch
+    flat = arr.reshape(h, stride)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+            enc = (cur.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:
+            enc = (cur.astype(np.int16) - prev).astype(np.uint8)
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+            enc = (
+                cur.astype(np.int16)
+                - (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
+            enc = (
+                cur.astype(np.int16) - _paeth(left, prev, ul).astype(np.int16)
+            ).astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        lines.append(filter_type)
+        lines.extend(enc.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _chunk(b"IEND", b"")
+    )

@@ -935,3 +935,101 @@ def test_bm25_semantics(spark):
     assert out[1]["bm25"] == pytest.approx(1.1014, abs=1e-3)
     # ranks are dense from 1
     assert sorted(r["rank"] for r in out.values()) == [1, 2, 3]
+
+
+def _raw_png(width, height, colortype, scanlines: bytes) -> bytes:
+    """Hand-assemble a PNG from already-filtered scanline bytes — spec
+    framing only, fully independent of png_encode."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_against_spec_filters():
+    import numpy as np
+    import pytest as _pytest
+
+    from qudo_etl_pipeline_spark.operators.png import png_decode
+
+    # Sub (filter 1), 3x1 grey: deltas 10,10,10 -> pixels 10,20,30
+    px = png_decode(_raw_png(3, 1, 0, b"\x01\x0a\x0a\x0a"))
+    assert px[:, :, 0].tolist() == [[10, 20, 30]]
+    # Up (filter 2): row0 plain [5,7]; row1 deltas [1,2] -> [6,9]
+    px = png_decode(_raw_png(2, 2, 0, b"\x00\x05\x07\x02\x01\x02"))
+    assert px[:, :, 0].tolist() == [[5, 7], [6, 9]]
+    # Average (filter 3): row0 [10,20]; row1 raw [2,3]
+    #   x0: 2+(0+10)//2=7; x1: 3+(7+20)//2=16
+    px = png_decode(_raw_png(2, 2, 0, b"\x00\x0a\x14\x03\x02\x03"))
+    assert px[:, :, 0].tolist() == [[10, 20], [7, 16]]
+    # Paeth (filter 4): row0 [10,20]; row1 raw [3,4]
+    #   x0: pred=up=10 -> 13; x1: p=13+20-10=23 -> pred=up=20 -> 24
+    px = png_decode(_raw_png(2, 2, 0, b"\x00\x0a\x14\x04\x03\x04"))
+    assert px[:, :, 0].tolist() == [[10, 20], [13, 24]]
+    # error paths
+    with _pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    import struct as _s
+    import zlib as _z
+
+    bad_depth = _raw_png(1, 1, 0, b"\x00\x01").replace(
+        _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0),
+        _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0),
+    )
+    # fix the IHDR crc after tampering
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(NotImplementedError):
+        png_decode(bad)
+
+
+def test_png_roundtrip_every_filter_and_channel():
+    import numpy as np
+
+    from qudo_etl_pipeline_spark.operators.png import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        for f in range(5):
+            a = rng.integers(0, 256, size=(6, 5, ch), dtype=np.uint8)
+            assert np.array_equal(png_decode(png_encode(a, filter_type=f)), a)
+
+
+def test_png_extract_features_spark(spark):
+    from qudo_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_png_media,
+    )
+
+    ids = spark.range(12).selectExpr("id AS media_id")
+    out = {
+        r["media_id"]: r["features"]
+        for r in extract_features(
+            synthetic_png_media(ids), decoder="png"
+        ).collect()
+    }
+    # image 3: 7x4 RGB, pixel = (21 + 3x + 5y + 11c) % 256
+    w, h = 4 + 3 % 5, 4 + 3 % 7
+    total = sum(
+        (3 * 7 + 3 * x + 5 * y + 11 * c) % 256
+        for x in range(w) for y in range(h) for c in range(3)
+    )
+    f = out[3]
+    assert (f[0], f[1], f[2]) == (w, h, 3)
+    assert f[3] == total
