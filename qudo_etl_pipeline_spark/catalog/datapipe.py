@@ -2179,3 +2179,57 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("px_mean"),
     )
+
+
+@register(
+    "multimodal_wav_stats",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id AS media_id,
+             8000 + doc_id % 5 AS rate,
+             50 + doc_id % 17 AS n
+      FROM documents WHERE doc_id < 200
+    ), s AS (
+      SELECT media_id, rate, n,
+             (media_id * 13 + 7 * u.i) % 201 - 100 AS v
+      FROM clips, LATERAL unnest(range(n)) AS u(i)
+    )
+    SELECT media_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(MIN(v) AS BIGINT) AS s_min,
+           CAST(MAX(v) AS BIGINT) AS s_max,
+           ROUND(SUM(v) / (n * 1.0), 6) AS s_mean
+    FROM s GROUP BY media_id, rate, n
+    """,
+    survey_ids=["P6", "P10"],
+    description="REAL WAV encode->decode through the stdlib PCM16 codec; "
+    "oracle aggregates the generator's closed-form sample pattern "
+    "without touching a WAV",
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_wav_media,
+    )
+
+    ids = (
+        load_table_spread(spark, sf_dir, "documents", columns=["doc_id"])
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    feats = extract_features(synthetic_wav_media(ids), decoder="wav")
+    f = F.col("features")
+    sum_b = f[3].cast("bigint")
+    return feats.select(
+        "media_id",
+        f[0].cast("bigint").alias("sample_rate"),
+        f[1].cast("bigint").alias("n_samples"),
+        sum_b.alias("sample_sum"),
+        f[4].cast("bigint").alias("s_min"),
+        f[5].cast("bigint").alias("s_max"),
+        F.round(sum_b / f[1].cast("bigint").cast("double"), 6).alias(
+            "s_mean"
+        ),
+    )

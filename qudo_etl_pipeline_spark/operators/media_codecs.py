@@ -1,4 +1,5 @@
-"""Pure-stdlib PNG codec (zlib + struct) for the multimodal decode path.
+"""Pure-stdlib media codecs (zlib + struct) for the multimodal decode path:
+baseline PNG (images) and RIFF PCM16 WAV (audio).
 
 The container has no imaging libraries, but PNG's baseline profile needs
 none: chunks are length/type/crc framing (zlib.crc32), pixel data is
@@ -162,3 +163,53 @@ def png_encode(arr: np.ndarray, filter_type: int = 0) -> bytes:
         + _chunk(b"IDAT", zlib.compress(bytes(lines)))
         + _chunk(b"IEND", b"")
     )
+
+
+# --- WAV (RIFF PCM) — the audio twin of the PNG path ----------------------
+
+
+def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM16 mono/stereo WAV to (sample_rate, (N, C) int16).
+
+    RIFF framing is pure struct work; only uncompressed PCM16 is
+    supported (format tag 1) — the profile every WAV writer can emit.
+    """
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate = channels = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if ctype == b"fmt ":
+            tag, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"unsupported WAV profile: format={tag} bits={bits}"
+                )
+        elif ctype == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, samples.reshape(-1, channels)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode an (N, C) or (N,) int16 array as a PCM16 WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -5,7 +5,7 @@ decode / feature-extraction / resize run as Arrow-batched ``mapInPandas``
 kernels so the Spark-side contract (schema, batching, partitioning) is
 real and tested even though the actual codecs are not installed in this
 environment. Decode tiers: ``decoder="png"`` is a REAL image decode —
-the stdlib-only baseline-PNG codec in operators/png.py (zlib + struct)
+the stdlib-only baseline-PNG codec in operators/media_codecs.py (zlib + struct)
 needs no imaging library; ``decoder="fake"`` is a deterministic
 byte-statistics stub for arbitrary payloads; ``decoder="real"`` (full
 codec suite) raises ``NotImplementedError`` unless the optional
@@ -100,12 +100,12 @@ def _fake_features(payload: bytes) -> np.ndarray:
 
 def _png_features(payload: bytes) -> np.ndarray:
     """REAL image features via the pure-stdlib PNG codec
-    (operators/png.py): decode to pixels, emit
+    (operators/media_codecs.py): decode to pixels, emit
     [width, height, channels, pixel_sum, pixel_min, pixel_max,
     pixel_mean, n_bytes % 251] — integer-derived statistics a SQL
     oracle can compute in closed form from a known generator pattern.
     """
-    from qudo_etl_pipeline_spark.operators.png import png_decode
+    from qudo_etl_pipeline_spark.operators.media_codecs import png_decode
 
     if payload is None or len(payload) == 0:
         return np.zeros(N_FEATURES, dtype=np.float32)
@@ -130,8 +130,9 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """(media_id, kind, n_bytes, features) via an Arrow mapInPandas kernel.
 
     ``decoder``: "fake" — deterministic byte statistics (any payload);
-    "png" — REAL decode through the stdlib-only baseline-PNG codec;
-    "real" — full codec suite, requires imaging/audio libraries.
+    "png" / "wav" — REAL decode through the stdlib-only codecs
+    (operators/media_codecs.py); "real" — full codec suite, requires
+    imaging/audio libraries.
     """
     if decoder == "real" and not _have_real_decoders():
         raise NotImplementedError(
@@ -139,7 +140,9 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             "not installed; use decoder='png' for stdlib PNG decoding or "
             "decoder='fake' for the deterministic stub"
         )
-    featurize = _png_features if decoder == "png" else _fake_features
+    featurize = {"png": _png_features, "wav": _wav_features}.get(
+        decoder, _fake_features
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -202,7 +205,7 @@ def synthetic_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     decode path is verifiable end-to-end. Encoding runs executor-side
     in the same Arrow kernel shape as extraction.
     """
-    from qudo_etl_pipeline_spark.operators.png import png_encode
+    from qudo_etl_pipeline_spark.operators.media_codecs import png_encode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -219,6 +222,59 @@ def synthetic_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 {
                     "media_id": pdf[id_col].astype("int64"),
                     "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def _wav_features(payload: bytes) -> np.ndarray:
+    """REAL audio features via the stdlib WAV codec
+    (operators/media_codecs.py): [sample_rate, n_samples, channels,
+    sample_sum, sample_min, sample_max, sample_mean, n_bytes % 251]."""
+    from qudo_etl_pipeline_spark.operators.media_codecs import wav_decode
+
+    if payload is None or len(payload) == 0:
+        return np.zeros(N_FEATURES, dtype=np.float32)
+    rate, samples = wav_decode(bytes(payload))
+    n, ch = samples.shape
+    total = float(samples.sum(dtype=np.int64))
+    return np.array(
+        [
+            rate,
+            n,
+            ch,
+            total,
+            float(samples.min()),
+            float(samples.max()),
+            total / samples.size,
+            float(len(payload) % 251),
+        ],
+        dtype=np.float32,
+    )
+
+
+def synthetic_wav_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic PCM16 WAV payloads (the audio twin of
+    synthetic_png_media): clip ``i`` is mono, 8000 + i%5 Hz,
+    50 + i%17 samples, s(n) = ((i*13 + 7n) % 201) - 100 — closed-form
+    aggregable by a SQL oracle without decoding."""
+    from qudo_etl_pipeline_spark.operators.media_codecs import wav_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 50 + i % 17
+                s = ((i * 13 + 7 * np.arange(n)) % 201 - 100).astype(np.int16)
+                payloads.append(wav_encode(s, sample_rate=8000 + i % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": ["audio"] * len(pdf),
                     "payload": payloads,
                     "meta": [None] * len(pdf),
                 }

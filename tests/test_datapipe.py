@@ -962,7 +962,7 @@ def test_png_decoder_against_spec_filters():
     import numpy as np
     import pytest as _pytest
 
-    from qudo_etl_pipeline_spark.operators.png import png_decode
+    from qudo_etl_pipeline_spark.operators.media_codecs import png_decode
 
     # Sub (filter 1), 3x1 grey: deltas 10,10,10 -> pixels 10,20,30
     px = png_decode(_raw_png(3, 1, 0, b"\x01\x0a\x0a\x0a"))
@@ -1002,7 +1002,7 @@ def test_png_decoder_against_spec_filters():
 def test_png_roundtrip_every_filter_and_channel():
     import numpy as np
 
-    from qudo_etl_pipeline_spark.operators.png import png_decode, png_encode
+    from qudo_etl_pipeline_spark.operators.media_codecs import png_decode, png_encode
 
     rng = np.random.default_rng(7)
     for ch in (1, 3, 4):
@@ -1033,3 +1033,51 @@ def test_png_extract_features_spark(spark):
     f = out[3]
     assert (f[0], f[1], f[2]) == (w, h, 3)
     assert f[3] == total
+
+
+def test_wav_roundtrip_and_error_paths():
+    import numpy as np
+    import pytest as _pytest
+
+    from qudo_etl_pipeline_spark.operators.media_codecs import (
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 2):
+        a = rng.integers(-32768, 32768, size=(120, ch), dtype=np.int16)
+        rate, b = wav_decode(wav_encode(a, 22050))
+        assert rate == 22050 and np.array_equal(a, b)
+    with _pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxNOPE")
+    # hand-built 8-bit WAV (unsupported profile) raises NotImplementedError
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", 2) + b"\x00\x00")
+    with _pytest.raises(NotImplementedError):
+        wav_decode(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+
+def test_wav_extract_features_spark(spark):
+    from qudo_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_wav_media,
+    )
+
+    ids = spark.range(6).selectExpr("id AS media_id")
+    out = {
+        r["media_id"]: r["features"]
+        for r in extract_features(
+            synthetic_wav_media(ids), decoder="wav"
+        ).collect()
+    }
+    # clip 2: rate 8002, 52 samples, s(n) = (26 + 7n) % 201 - 100
+    n = 50 + 2 % 17
+    samples = [(2 * 13 + 7 * i) % 201 - 100 for i in range(n)]
+    f = out[2]
+    assert (f[0], f[1], f[2]) == (8002, n, 1)
+    assert f[3] == sum(samples)
+    assert f[4] == min(samples) and f[5] == max(samples)
