@@ -2233,3 +2233,57 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_mean"
         ),
     )
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w0,
+             4 + doc_id % 7 AS h0
+      FROM documents WHERE doc_id < 200
+    ), px AS (
+      -- nearest-neighbor source index per 6x6 target pixel
+      SELECT media_id,
+             (media_id * 7
+              + 3 * ((u.x * w0) // 6)
+              + 5 * ((v.y * h0) // 6)
+              + 11 * t.c) % 256 AS p
+      FROM imgs,
+           LATERAL unnest(range(6)) AS u(x),
+           LATERAL unnest(range(6)) AS v(y),
+           LATERAL unnest(range(3)) AS t(c)
+    )
+    SELECT media_id,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(MIN(p) AS BIGINT) AS px_min,
+           CAST(MAX(p) AS BIGINT) AS px_max
+    FROM px GROUP BY media_id
+    """,
+    survey_ids=["P6", "P10"],
+    description="REAL resize: PNG decode -> nearest-neighbor 6x6 -> "
+    "re-encode -> decode again; oracle predicts resized pixels from the "
+    "generator pattern and the integer index map",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synthetic_png_media,
+    )
+
+    ids = (
+        load_table_spread(spark, sf_dir, "documents", columns=["doc_id"])
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    resized = resize_images(synthetic_png_media(ids), width=6, height=6)
+    feats = extract_features(resized, decoder="png")
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[3].cast("bigint").alias("pixel_sum"),
+        f[4].cast("bigint").alias("px_min"),
+        f[5].cast("bigint").alias("px_max"),
+    )

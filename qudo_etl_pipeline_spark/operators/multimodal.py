@@ -281,3 +281,54 @@ def synthetic_wav_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             )
 
     return ids.select(F.col(id_col)).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize: decode PNG payload -> nearest-neighbor
+    resample -> re-encode, in one Arrow ``mapInPandas`` kernel.
+
+    Nearest-neighbor index map: src_x = floor(x * W / width),
+    src_y = floor(y * H / height) — integer arithmetic, so resized
+    pixel values are closed-form predictable from a known generator
+    pattern (the oracle device). Non-PNG payloads pass through null.
+    Updates the meta struct to the new dimensions.
+    """
+    from qudo_etl_pipeline_spark.operators.media_codecs import (
+        png_decode,
+        png_encode,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for p in pdf["payload"]:
+                try:
+                    px = png_decode(bytes(p))
+                except (ValueError, NotImplementedError, TypeError):
+                    payloads.append(None)
+                    metas.append(None)
+                    continue
+                h0, w0 = px.shape[:2]
+                ys = (np.arange(height) * h0) // height
+                xs = (np.arange(width) * w0) // width
+                out = px[ys][:, xs]
+                payloads.append(png_encode(out))
+                metas.append(
+                    {
+                        "format": "png",
+                        "width": width,
+                        "height": height,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.mapInPandas(kernel, MEDIA_SCHEMA)

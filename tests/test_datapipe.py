@@ -1081,3 +1081,34 @@ def test_wav_extract_features_spark(spark):
     assert (f[0], f[1], f[2]) == (8002, n, 1)
     assert f[3] == sum(samples)
     assert f[4] == min(samples) and f[5] == max(samples)
+
+
+def test_resize_images_identity_and_nn_map(spark):
+    import numpy as np
+
+    from qudo_etl_pipeline_spark.operators.media_codecs import (
+        png_decode,
+        png_encode,
+    )
+    from qudo_etl_pipeline_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(png_encode(a)), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<format:string,width:int,height:int,"
+        "sample_rate:int,duration_ms:int>",
+    )
+    # same-size resize is the identity (src index map is 0..n-1)
+    same = resize_images(media, 4, 4).collect()[0]
+    assert np.array_equal(png_decode(bytes(same["payload"])), a)
+    assert same["meta"]["width"] == 4
+    # 2x upscale: each source pixel becomes a 2x2 block
+    up = png_decode(bytes(resize_images(media, 8, 8).collect()[0]["payload"]))
+    assert np.array_equal(up[::2, ::2], a) and np.array_equal(up[1::2, 1::2], a)
+    # junk payload passes through as null, no crash
+    junk = spark.createDataFrame(
+        [(1, "image", bytearray(b"nope"), None)], media.schema
+    )
+    assert resize_images(junk, 4, 4).collect()[0]["payload"] is None
