@@ -172,7 +172,13 @@ def kmeans_multi_seed(
         ]
         if not balanced_fits:
             return None
-        metrics = [fit_quality(f, features_col) for f in balanced_fits]
+        # metric passes are independent DataFrame jobs — run them on the
+        # same thread pool as the fits (Spark's scheduler interleaves
+        # the stages; results are per-fit, so order is preserved by map)
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            metrics = list(
+                pool.map(lambda f: fit_quality(f, features_col), balanced_fits)
+            )
         balanced = [
             (f, m)
             for f, m in zip(balanced_fits, metrics)
@@ -236,7 +242,10 @@ def optimal_k(
                     ks,
                 )
             )
-        metrics = [fit_quality(f, features_col) for f in fits]
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            metrics = list(
+                pool.map(lambda f: fit_quality(f, features_col), fits)
+            )
         costs = [f["inertia"] for f in fits]
         pdf = pd.DataFrame(
             [
