@@ -516,28 +516,40 @@ def random_checker(
     """Random-baseline ratios (metrics.py:149-174): mean metric over
     `n_runs` random labelings; note the reference's randint(0, k) is
     INCLUSIVE — k+1 possible random labels — replicated here."""
+    from concurrent.futures import ThreadPoolExecutor
+
     cluster_metrics = dict(cluster_metrics or {})
     k = df.select(pred).distinct().count()
-    accum = {"silhouette": 0.0, "davies_bouldin": 0.0, "calinski_harabasz": 0.0}
+
     # Per-metric fallbacks: each failed run contributes its reference
     # fallback value (DB -> 999, CH -> 0.0, metrics.py:85-90), guarded
     # independently so one metric's failure can't double-count the other.
-    for i in range(n_runs):
+    # Runs are independent jobs — a thread pool lets the scheduler
+    # interleave their stages; summation stays in run order (pool.map
+    # preserves order) so the result is bit-identical to the serial loop.
+    def one_run(i: int) -> tuple[float, float, float]:
         rnd = df.withColumn(
             "_rand_label",
             F.floor(F.rand(seed + i) * (k + 1)).cast("int"),
         )
-        accum["silhouette"] += silhouette_squared(rnd, features, "_rand_label")
+        sil = silhouette_squared(rnd, features, "_rand_label")
         try:
-            accum["davies_bouldin"] += davies_bouldin(rnd, features, "_rand_label")
+            db = davies_bouldin(rnd, features, "_rand_label")
         except Exception:
-            accum["davies_bouldin"] += 999.0
+            db = 999.0
         try:
-            accum["calinski_harabasz"] += calinski_harabasz(
-                rnd, features, "_rand_label"
-            )
+            ch = calinski_harabasz(rnd, features, "_rand_label")
         except Exception:
-            accum["calinski_harabasz"] += 0.0
+            ch = 0.0
+        return sil, db, ch
+
+    with ThreadPoolExecutor(max_workers=min(8, n_runs)) as pool:
+        runs = list(pool.map(one_run, range(n_runs)))
+    accum = {"silhouette": 0.0, "davies_bouldin": 0.0, "calinski_harabasz": 0.0}
+    for sil, db, ch in runs:
+        accum["silhouette"] += sil
+        accum["davies_bouldin"] += db
+        accum["calinski_harabasz"] += ch
     mean = {m: v / n_runs for m, v in accum.items()}
     cluster_metrics["calinski_harabasz_random_ratio"] = (
         cluster_metrics.get("calinski_harabasz", 0.0)
