@@ -2287,3 +2287,34 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f[4].cast("bigint").alias("px_min"),
         f[5].cast("bigint").alias("px_max"),
     )
+
+
+@register(
+    "hash_split_counts",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             ({_dh_raw("'split:' || doc_id::VARCHAR")} % 1000000) AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM b GROUP BY 1
+    """,
+    survey_ids=["R5", "P6"],
+    description="Deterministic hash-based train/val/test split (80/10/10): "
+    "stable across runs/partitionings, id-consistent across derived "
+    "tables, map-only",
+)
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import hash_split
+
+    docs = load_table_spread(spark, sf_dir, "documents", columns=["doc_id"])
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+    )

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from qudo_etl_pipeline_spark.functions.hashing import hash64
 from qudo_etl_pipeline_spark.operators import dedup as D
 from qudo_etl_pipeline_spark.operators import text as TX
 
@@ -326,3 +327,38 @@ def source_mixture_weights(
             6,
         ).alias("mixture_weight"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    Each row lands in exactly one split: the salted 60-bit hash of its
+    id, reduced mod 1e6, is binned by the cumulative weight boundaries.
+    Unlike ``randomSplit`` this is (a) stable across runs, partitionings
+    and Spark versions, (b) consistent for the same id across derived
+    tables (join-free leakage control: a document and its chunks land
+    in the same split if keyed by the same id), and (c) exactly
+    reproducible by the SQL oracle. Map-only — no shuffle, no RNG state.
+    """
+    if not weights or abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    bucket = hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ) % F.lit(1_000_000)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        bound = int(acc * 1_000_000)
+        cond = bucket < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)

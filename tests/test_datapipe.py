@@ -1112,3 +1112,76 @@ def test_resize_images_identity_and_nn_map(spark):
         [(1, "image", bytearray(b"nope"), None)], media.schema
     )
     assert resize_images(junk, 4, 4).collect()[0]["payload"] is None
+
+
+def test_bm25_matches_python_reference_on_random_corpus(spark):
+    import math
+    import random
+
+    from qudo_etl_pipeline_spark.operators.index import bm25_topk
+
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(3, 40))]
+        for i in range(60)
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in corpus.items()],
+        "doc_id long, text string",
+    )
+    q = ["w1", "w2", "w3"]
+    k1, b = 1.2, 0.75
+    n = len(corpus)
+    avgdl = sum(len(ws) for ws in corpus.values()) / n
+    df = {t: sum(1 for ws in corpus.values() if t in ws) for t in q}
+
+    def score(ws):
+        s = 0.0
+        for t in q:
+            tf = ws.count(t)
+            idf = round(math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0), 9)
+            s += idf * (tf * (k1 + 1.0)
+                        / (tf + k1 * (1.0 - b + b * len(ws) / avgdl)))
+        return round(s, 6)
+
+    expected = sorted(
+        ((i, score(ws)) for i, ws in corpus.items() if any(t in ws for t in q)),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    got = [
+        (r["doc"], r["bm25"])
+        for r in sorted(
+            bm25_topk(docs, q, k=10).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    assert got == expected
+
+
+def test_hash_split_deterministic_and_consistent(spark):
+    import pytest as _pytest
+
+    from qudo_etl_pipeline_spark.operators.curation import hash_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, w).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(docs.repartition(7), w).collect()}
+    assert a == b  # partitioning-independent
+    # a derived table keyed by the same id gets the SAME assignment
+    chunks = spark.createDataFrame(
+        [(i, c) for i in range(500) for c in range(2)],
+        "doc_id long, chunk int",
+    )
+    c = {(r["doc_id"], r["chunk"]): r["split"]
+         for r in hash_split(chunks, w).collect()}
+    assert all(c[(i, 0)] == a[i] and c[(i, 1)] == a[i] for i in range(500))
+    # proportions near the weights
+    from collections import Counter
+    counts = Counter(a.values())
+    assert 0.7 < counts["train"] / 500 < 0.9
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.5, "val": 0.2})
