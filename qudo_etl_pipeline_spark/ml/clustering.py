@@ -405,20 +405,31 @@ def hierarchical_segmentation(
             for r in df.select(pivot_col).distinct().collect()
             if r[pivot_col] is not None
         )
-        parts: list[DataFrame] = []
-        offset = 0
-        for g in groups:
+        # per-group fits are independent slice jobs — run them on a
+        # thread pool (pool.map preserves group order); the label
+        # offsets, which depend on every earlier group's k, are applied
+        # afterwards in the same sorted-group order as the serial loop,
+        # so the output labels are identical
+        def fit_group(g):
             sub = df.filter(F.col(pivot_col) == g)
             if ignore_value is not None and g == ignore_value:
-                parts.append(sub.withColumn(PREDICTION, F.lit(-99)))
-                continue
+                return sub.withColumn(PREDICTION, F.lit(-99)), 0
             if fitter is not None:
-                labeled, best_k = fitter(sub)
-            else:
-                best_k = optimal_k(sub, features_col, ks=hier_ks, seed=seed)
-                labeled = kmeans_fit(
-                    sub, best_k, seed=seed, features_col=features_col
-                )["labels"]
+                return fitter(sub)
+            best_k = optimal_k(sub, features_col, ks=hier_ks, seed=seed)
+            labeled = kmeans_fit(
+                sub, best_k, seed=seed, features_col=features_col
+            )["labels"]
+            return labeled, best_k
+
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(groups)))) as pool:
+            fitted = list(pool.map(fit_group, groups))
+        parts: list[DataFrame] = []
+        offset = 0
+        for (labeled, best_k), g in zip(fitted, groups):
+            if ignore_value is not None and g == ignore_value:
+                parts.append(labeled)
+                continue
             parts.append(
                 labeled.withColumn(
                     PREDICTION, F.col(PREDICTION) + F.lit(offset)
