@@ -167,3 +167,16 @@ def write_parquet_partitioned(
             "partitionOverwriteMode", "dynamic"
         )
     writer.parquet(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema merging across files.
+
+    Long-lived datasets drift: new columns appear in later writes.
+    ``mergeSchema`` unions all file footers' schemas (absent columns
+    read as NULL), the standard evolution contract for append-only
+    lakes. Costs one footer pass over the files at planning time, so
+    the default ``read_parquet`` stays the fast path when the schema is
+    known to be stable.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -174,3 +174,27 @@ def test_partitioned_sink_dynamic_overwrite(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.sources.io import read_parquet_merged
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    back = read_parquet_merged(spark, path)
+    assert set(back.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    # filters still push down through the merged scan
+    plan = (
+        back.filter(F.col("id") == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan
