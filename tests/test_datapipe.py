@@ -1185,3 +1185,25 @@ def test_hash_split_deterministic_and_consistent(spark):
     assert 0.7 < counts["train"] / 500 < 0.9
     with _pytest.raises(ValueError):
         hash_split(docs, {"train": 0.5, "val": 0.2})
+
+
+def test_new_ops_null_and_empty_text_robustness(spark):
+    """NULL/empty text must degrade to NULL/absent rows, never throw
+    (ANSI mode is on in the test session)."""
+    from qudo_etl_pipeline_spark.operators.importance import dsir_weights
+    from qudo_etl_pipeline_spark.operators.index import bm25_topk
+    from qudo_etl_pipeline_spark.operators.spans import span_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    span = {r["doc_id"]: r for r in span_dedup_stats(docs, k=5).collect()}
+    assert span[1]["n_tokens"] is None and span[1]["dup_fraction"] is None
+    assert span[0]["dup_tokens"] == 0 and span[2]["dup_tokens"] == 0
+    # null/empty docs contribute no features; real doc still weighted
+    dsir = dsir_weights(docs, F.lit(True)).collect()
+    assert [r["doc_id"] for r in dsir] == [0]
+    # retrieval sees only the matching doc
+    hits = bm25_topk(docs, ["a"]).collect()
+    assert [r["doc"] for r in hits] == [0]
