@@ -165,11 +165,17 @@ def kmeans_multi_seed(
         # are dropped anyway, so their silhouette/DB/CH would be wasted
         # jobs (the reference computes-then-filters; same surviving
         # set either way — metrics of dropped fits are never used)
-        balanced_fits = [
-            f
-            for f in fits
-            if Q.balance_ok(f["labels"], PREDICTION, BALANCE_LO, BALANCE_HI)
-        ]
+        # balance probes are collect jobs too — same pool, order kept
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            ok = list(
+                pool.map(
+                    lambda f: Q.balance_ok(
+                        f["labels"], PREDICTION, BALANCE_LO, BALANCE_HI
+                    ),
+                    fits,
+                )
+            )
+        balanced_fits = [f for f, good in zip(fits, ok) if good]
         if not balanced_fits:
             return None
         # metric passes are independent DataFrame jobs — run them on the

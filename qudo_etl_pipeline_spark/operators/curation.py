@@ -355,7 +355,10 @@ def hash_split(
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name]
-        bound = int(acc * 1_000_000)
+        # round, not truncate: float cumulation (0.01 + 0.09 ->
+        # 0.09999999999999999) would otherwise shift the cut by one
+        # bucket and diverge from an oracle written with exact bounds
+        bound = round(acc * 1_000_000)
         cond = bucket < bound
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (

@@ -75,6 +75,12 @@ def pagerank_fixed_point(
     # tiny job over the node table — the iterative-operator exception
     # (same as the CC convergence probes).
     n = nodes.count()
+    if n == 0:  # no usable edges (all null/self-loops): empty ranking
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("rank_fp"),
+            F.lit(0.0).alias("pagerank"),
+        )
     base = (FP_SCALE * 15 // 100) // n
 
     ranks = nodes.select("node", F.lit(FP_SCALE // n).alias("r"))

@@ -72,36 +72,43 @@ def png_decode(payload: bytes) -> np.ndarray:
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        ftype = raw[y * (stride + 1)]
+        off = y * (stride + 1)
+        ftype = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
         if ftype == 0:  # None
-            cur = row
-        elif ftype == 1:  # Sub — sequential in x, vectorized per channel
-            cur = row
-            for x in range(ch, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (row.astype(np.int16) + prev).astype(np.uint8)
-        elif ftype == 3:  # Average
-            cur = row
+            cur = row.copy()
+        elif ftype == 1:  # Sub: per-lane prefix sum; uint8 cast == mod 256
+            cur = (
+                np.cumsum(row.reshape(-1, ch).astype(np.int64), axis=0)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ftype == 2:  # Up: vector add with uint8 wraparound
+            cur = row + prev
+        elif ftype == 3:  # Average — left-dependency: pure-int loop
+            # (bytearray + python ints; numpy scalar indexing in this
+            # loop costs ~20x in boxing overhead)
+            rb = raw[off + 1 : off + 1 + stride]
+            pl = prev.tolist()
+            cb = bytearray(stride)
             for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = row
+                left = cb[x - ch] if x >= ch else 0
+                cb[x] = (rb[x] + ((left + pl[x]) >> 1)) & 0xFF
+            cur = np.frombuffer(bytes(cb), dtype=np.uint8)
+        elif ftype == 4:  # Paeth — left-dependency: pure-int loop
+            rb = raw[off + 1 : off + 1 + stride]
+            pl = prev.tolist()
+            cb = bytearray(stride)
             for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                ul = int(prev[x - ch]) if x >= ch else 0
-                cur[x] = (
-                    int(row[x])
-                    + int(
-                        _paeth(
-                            np.uint8(left), prev[x : x + 1][0], np.uint8(ul)
-                        )
-                    )
-                ) & 0xFF
+                a = cb[x - ch] if x >= ch else 0
+                b = pl[x]
+                c = pl[x - ch] if x >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = (
+                    a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                )
+                cb[x] = (rb[x] + pred) & 0xFF
+            cur = np.frombuffer(bytes(cb), dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur

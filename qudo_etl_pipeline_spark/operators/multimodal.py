@@ -134,15 +134,23 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     (operators/media_codecs.py); "real" — full codec suite, requires
     imaging/audio libraries.
     """
-    if decoder == "real" and not _have_real_decoders():
+    if decoder == "real":
+        # the full codec suite is not implemented in this environment
+        # even when PIL happens to be importable — refuse loudly rather
+        # than silently returning stub features
         raise NotImplementedError(
-            "real media decoding requires imaging/audio libraries that are "
-            "not installed; use decoder='png' for stdlib PNG decoding or "
+            "decoder='real' (full codec suite) is not available; use "
+            "decoder='png' / 'wav' for the stdlib codecs or "
             "decoder='fake' for the deterministic stub"
         )
-    featurize = {"png": _png_features, "wav": _wav_features}.get(
-        decoder, _fake_features
-    )
+    try:
+        featurize = {
+            "png": _png_features,
+            "wav": _wav_features,
+            "fake": _fake_features,
+        }[decoder]
+    except KeyError:
+        raise ValueError(f"unknown decoder {decoder!r}") from None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1207,3 +1207,48 @@ def test_new_ops_null_and_empty_text_robustness(spark):
     # retrieval sees only the matching doc
     hits = bm25_topk(docs, ["a"]).collect()
     assert [r["doc"] for r in hits] == [0]
+
+
+def test_hash_split_boundary_rounding(spark):
+    """0.01+0.09 float-cumulates to 0.09999999999999999; the boundary
+    must still be exactly 100000 (round, not truncate) so an oracle
+    written with exact bounds agrees on every bucket."""
+    from qudo_etl_pipeline_spark.operators.curation import hash_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    w = {"a": 0.01, "b": 0.09, "c": 0.9}
+    got = {r["doc_id"]: r["split"] for r in hash_split(docs, w).collect()}
+    # recompute with exact integer boundaries
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    for i in range(2000):
+        b = bucket(i)
+        expect = "a" if b < 10_000 else ("b" if b < 100_000 else "c")
+        assert got[i] == expect, (i, b, got[i], expect)
+
+
+def test_extract_features_decoder_dispatch_is_strict(spark):
+    import pytest as _pytest
+
+    from qudo_etl_pipeline_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(b"x"), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<format:string,width:int,height:int,"
+        "sample_rate:int,duration_ms:int>",
+    )
+    with _pytest.raises(ValueError, match="unknown decoder"):
+        extract_features(df, decoder="jpg")
+    with _pytest.raises(NotImplementedError):
+        extract_features(df, decoder="real")
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from qudo_etl_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    only_self = spark.createDataFrame([(1, 1)], "src long, dst long")
+    assert pagerank_fixed_point(only_self).count() == 0
