@@ -26,8 +26,11 @@ from qudo_etl_pipeline_spark.operators import temporal as T
       FROM events WHERE event_type = 'purchase'
     ),
     build AS (
-      SELECT user_id, ts, event_id AS click_id, ts AS click_ts
+      -- dedup ties: asof picks among equal build timestamps
+      -- nondeterministically in both engines; MAX(event_id) pins one
+      SELECT user_id, ts, MAX(event_id) AS click_id, ts AS click_ts
       FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
     )
     SELECT purchase_id,
            probe.user_id AS user_id,
@@ -46,11 +49,11 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
-    build = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
+    build = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
     )
     joined = T.asof_join(probe, build, on="user_id", suffix="")
     return joined.select(

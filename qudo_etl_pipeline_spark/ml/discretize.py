@@ -45,6 +45,10 @@ def bounds_bucketize(
     bounds = df.agg(
         F.percentile_approx(col, probs, accuracy).alias("b")
     ).first()["b"]
+    if bounds is None:  # empty or all-NULL input: no quantiles exist
+        raise ValueError(
+            f"bounds_bucketize: no non-null values in column {col!r}"
+        )
     arr: Column = F.array(*[F.lit(float(b)) for b in bounds])
     # bucket = 1 + number of boundaries strictly below the value
     bucket = F.lit(1) + F.aggregate(

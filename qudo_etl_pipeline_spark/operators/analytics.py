@@ -63,15 +63,25 @@ def funnel_depth(
             ).alias("_evs")
         )
     )
-    # single in-JVM pass over the sorted array: advance depth when the
-    # next event matches the next unmatched stage
+    # single in-JVM pass over the sorted array: advance when the next
+    # event matches the next unmatched stage AND is strictly after the
+    # previous match — the accumulator carries (depth, matched ts) so a
+    # same-timestamp successor cannot advance (stage-wise
+    # first-event-after semantics, identical to the SQL oracle's
+    # `e.ts > prev_stage_ts` chain)
+    n = len(stages)
     depth = F.aggregate(
         "_evs",
-        F.lit(0),
-        lambda d, e: F.when(
-            (d < len(stages)) & (e["y"] == F.element_at(stage_arr, d + 1)),
-            d + 1,
-        ).otherwise(d),
+        F.struct(
+            F.lit(0).alias("d"), F.lit(None).cast("timestamp").alias("t")
+        ),
+        lambda acc, e: F.when(
+            (acc["d"] < n)
+            & (e["y"] == F.element_at(stage_arr, acc["d"] + 1))
+            & ((acc["d"] == 0) | (e["t"] > acc["t"])),
+            F.struct((acc["d"] + 1).alias("d"), e["t"].alias("t")),
+        ).otherwise(acc),
+        lambda acc: acc["d"],
     )
     return evs.select(user_col, depth.cast("bigint").alias("depth"))
 

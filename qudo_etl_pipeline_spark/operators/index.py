@@ -21,11 +21,14 @@ __all__ = ["inverted_index", "boolean_and_query", "bm25_topk"]
 
 
 def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = docs.select(
+    # no distinct() here: collect_set downstream deduplicates per
+    # token anyway, and an explicit distinct would add a full shuffle
+    # of the exploded token stream — the largest intermediate in the
+    # index build — for identical output
+    return docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    return toks.distinct()
 
 
 def inverted_index(
@@ -70,9 +73,13 @@ def boolean_and_query(
     merged = rows.agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.aggregate(
-            # fold: intersect all posting lists; seed with the first
+            # fold: intersect all posting lists; seed with the first.
+            # try_element_at: when NO term matched the index the agg
+            # still emits one row with an empty collect_list, and
+            # element_at(empty, 1) throws under ANSI — the NULL seed
+            # instead flows into the n_terms filter, returning empty
             F.slice(F.collect_list("postings"), 2, 1_000_000),
-            F.element_at(F.collect_list("postings"), 1),
+            F.try_element_at(F.collect_list("postings"), F.lit(1)),
             lambda acc, p: F.array_intersect(acc, p),
         ).alias("docs"),
     )

@@ -148,7 +148,19 @@ def range_join(
     # bucket equi-join instead of forcing a left join with explode-side
     # duplicate intervals that would need dedup.
     matched_ids = joined.select(*intervals.columns).distinct()
-    empty = intervals.join(matched_ids, on=intervals.columns, how="left_anti")
+    # NULL-SAFE anti-join: `on=columns` uses null-unsafe equality, so a
+    # matched interval carrying a NULL payload column would survive the
+    # anti-join and be emitted a second time as a spurious empty row
+    from functools import reduce
+
+    anti_cond = reduce(
+        lambda a, b: a & b,
+        [
+            intervals[c].eqNullSafe(matched_ids[c])
+            for c in intervals.columns
+        ],
+    )
+    empty = intervals.join(matched_ids, anti_cond, "left_anti")
     for c in points.columns:
         empty = empty.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
     return joined.unionByName(empty)

@@ -57,14 +57,69 @@ def read_maintained_table(
     return spark.read.parquet(os.path.join(table_path, m["version"]))
 
 
-def _publish(table_path: str, df: DataFrame, batch_id: int) -> None:
-    """Write a version directory, then atomically point _LATEST at it."""
-    version = f"v_{batch_id:08d}"
+def _publish(
+    table_path: str,
+    df: DataFrame,
+    batch_id: int,
+    gen: int = 0,
+    query_id: str | None = None,
+) -> None:
+    """Write a version directory, then atomically point _LATEST at it.
+
+    ``gen`` (generation) increments on checkpoint-loss rebuilds so a
+    rebuild's version directories never collide with — and never
+    partially overwrite — the currently-published generation's."""
+    version = (
+        f"v_{gen:04d}_{batch_id:08d}" if gen else f"v_{batch_id:08d}"
+    )
     df.write.mode("overwrite").parquet(os.path.join(table_path, version))
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "batch_id": batch_id}, fh)
+        json.dump(
+            {
+                "version": version,
+                "batch_id": batch_id,
+                "gen": gen,
+                "query_id": query_id,
+            },
+            fh,
+        )
     os.replace(tmp, _manifest_path(table_path))
+
+
+def _query_id(checkpoint: str) -> str | None:
+    """The streaming QUERY id persisted in the checkpoint metadata:
+    stable across restarts of the same checkpoint, freshly generated
+    when the checkpoint is lost — the reliable checkpoint-identity
+    signal (batch ids alone can't distinguish a replay of a genuine
+    batch 0 from a post-loss re-read that also starts at 0)."""
+    mp = os.path.join(checkpoint, "metadata")
+    if not os.path.exists(mp):
+        return None
+    return json.loads(open(mp).read()).get("id")
+
+
+def _gate(
+    m: dict | None, batch_id: int, query_id: str | None
+) -> tuple[bool, bool, int]:
+    """(skip, rebuild, gen) decision for an incoming batch.
+
+    - same query id (intact checkpoint), replayed batch: manifest id >=
+      batch id -> skip (exactly-once for non-idempotent merges);
+    - DIFFERENT query id (checkpoint was lost and recreated): the
+      re-read covers ALL source data (old + new), so skipping replayed
+      ids would permanently drop whatever arrived after the last
+      publish — REBUILD from scratch under gen+1, then let the rest of
+      this incarnation's batches merge normally.
+    """
+    gen = (m or {}).get("gen", 0)
+    if m is None:
+        return False, False, gen
+    if query_id is not None and m.get("query_id") != query_id:
+        return False, True, gen + 1
+    if m["batch_id"] >= batch_id:
+        return True, False, gen
+    return False, False, gen
 
 
 def streaming_upsert(
@@ -81,15 +136,16 @@ def streaming_upsert(
     spark = changes.sparkSession
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        m = _manifest(table_path)
-        if m is not None and m["batch_id"] >= batch_id:
-            return  # replay of an already-published batch: no-op
-        current = read_maintained_table(spark, table_path)
+        qid = _query_id(checkpoint)
+        skip, rebuild, gen = _gate(_manifest(table_path), batch_id, qid)
+        if skip:
+            return
+        current = None if rebuild else read_maintained_table(spark, table_path)
         if current is None:
-            # bootstrap: an empty snapshot in the batch's payload schema
+            # bootstrap/rebuild: empty snapshot in the payload schema
             current = batch.drop(op_col).filter(F.lit(False))
         merged = cdc_compact(current, batch, keys, ts_col, op_col)
-        _publish(table_path, merged, batch_id)
+        _publish(table_path, merged, batch_id, gen, qid)
 
     return (
         changes.writeStream.foreachBatch(apply_batch)
@@ -127,15 +183,16 @@ def streaming_rollup(
         # the manifest's batch id gates replays (a crash AFTER publish
         # but before the checkpoint commit replays the batch; without
         # this gate the delta would double-count)
-        m = _manifest(table_path)
-        if m is not None and m["batch_id"] >= batch_id:
+        qid = _query_id(checkpoint)
+        skip, rebuild, gen = _gate(_manifest(table_path), batch_id, qid)
+        if skip:
             return
         delta = partial_state(batch, keys, value_col)
-        current = read_maintained_table(spark, table_path)
+        current = None if rebuild else read_maintained_table(spark, table_path)
         merged = (
             delta if current is None else merge_states([current, delta], keys)
         )
-        _publish(table_path, merged, batch_id)
+        _publish(table_path, merged, batch_id, gen, qid)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -176,3 +176,21 @@ def test_cdc_compact_plan_single_shuffle(spark):
     # shuffle (partial WindowGroupLimit) — the map-side-combine analogue
     # for the merge; pin it so a regression reappears as a test failure
     assert "WindowGroupLimit" in plan
+
+
+def test_funnel_same_timestamp_does_not_advance(spark):
+    import datetime as dt
+
+    from qudo_etl_pipeline_spark.operators.analytics import funnel_depth
+
+    t0, t5 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 0, 5)
+    ev = spark.createDataFrame(
+        [(1, t0, "signup"), (1, t5, "click"), (1, t5, "purchase"),
+         (2, t0, "signup"), (2, t5, "click"),
+         (2, dt.datetime(2024, 1, 1, 0, 6), "purchase")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {r["user_id"]: r["depth"] for r in
+           funnel_depth(ev, ["signup", "click", "purchase"]).collect()}
+    # purchase at the SAME ts as the matched click is not strictly after
+    assert out == {1: 2, 2: 3}

@@ -1252,3 +1252,20 @@ def test_pagerank_empty_graph_returns_empty(spark):
 
     only_self = spark.createDataFrame([(1, 1)], "src long, dst long")
     assert pagerank_fixed_point(only_self).count() == 0
+
+
+def test_boolean_and_query_all_terms_absent(spark):
+    from qudo_etl_pipeline_spark.operators.index import (
+        boolean_and_query,
+        inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    idx = inverted_index(docs)
+    assert boolean_and_query(idx, ["qqq", "zzz"]).collect() == []
+    assert boolean_and_query(idx, ["beta", "zzz"]).collect() == []
+    assert sorted(
+        r["doc"] for r in boolean_and_query(idx, ["beta"]).collect()
+    ) == [0, 1]

@@ -139,7 +139,26 @@ def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path):
     assert state() == expected
 
     # checkpoint loss: the whole source replays under fresh batch ids;
-    # the manifest gate must no-op them (no double counting)
+    # the gate detects the id reset and REBUILDS from the full re-read
+    # (no double counting either way)
     shutil.rmtree(ckpt)
     drain()
     assert state() == expected
+
+    # checkpoint loss WITH new data afterwards: skipping the replayed
+    # ids would drop b3 forever (round-4 review finding) — the rebuild
+    # must land exactly at the batch aggregate over b1+b2+b3
+    time.sleep(1.1)
+    b3 = [(i % 3, 3.5 * i) for i in range(10)]
+    spark.createDataFrame(b3, schema).write.parquet(f"{src}/b3")
+    shutil.rmtree(ckpt)
+    drain()
+    full = finalize_state(
+        partial_state(
+            spark.createDataFrame(b1 + b2 + b3, schema), ["g"], "v"
+        ),
+        ["g"],
+    )
+    assert state() == sorted(
+        (r["g"], r["n"], r["total"], r["total_sq"]) for r in full.collect()
+    )

@@ -204,3 +204,23 @@ def test_trailing_zscore_constant_window_is_null(spark):
     )
     out = trailing_zscore(df, "k", "t", "v", window=4).collect()
     assert all(r["z"] is None for r in out)
+
+
+def test_range_join_left_null_payload_not_duplicated(spark):
+    import datetime as dt
+
+    from qudo_etl_pipeline_spark.operators.temporal import range_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    iv = spark.createDataFrame(
+        [(1, None, t(0), t(10)), (2, "ok", t(20), t(30))],
+        "iv_id long, note string, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame([(100, t(5))], "p_id long, ts timestamp")
+    out = sorted(
+        (r["iv_id"], r["p_id"])
+        for r in range_join(pt, iv, "ts", "s", "e", 600, how="left").collect()
+    )
+    # matched NULL-payload interval appears ONCE (with its match), not
+    # again as a spurious empty row
+    assert out == [(1, 100), (2, None)]

@@ -8,20 +8,40 @@
 # Produces/updates:
 #   SELFCHECK_r<N>.md   full-catalog selfcheck summary at sf0.01
 #   /tmp/ritual_*       raw logs (pytest, selfcheck, bench)
+#
+# Every phase propagates its real exit status (plain sh has no
+# pipefail, so statuses are captured BEFORE tail/tee) — a red test
+# suite or bench must fail the ritual, not produce green evidence.
 set -e
 ROUND="${1:?usage: round_ritual.sh <round-number>}"
 cd "$(dirname "$0")/.."
 
 echo "== pytest =="
-python -m pytest tests/ -q 2>&1 | tail -2 | tee /tmp/ritual_pytest.log
+if python -m pytest tests/ -q > /tmp/ritual_pytest.log 2>&1; then
+  tail -2 /tmp/ritual_pytest.log
+else
+  tail -5 /tmp/ritual_pytest.log
+  echo "ritual ABORTED: pytest failed"
+  exit 1
+fi
 
 echo "== full selfcheck (sf0.01) =="
-python tools/selfcheck.py /root/testdata/sf0.01 \
-  > /tmp/ritual_selfcheck.log 2>&1 || { tail -5 /tmp/ritual_selfcheck.log; exit 1; }
-tail -2 /tmp/ritual_selfcheck.log
+if python tools/selfcheck.py /root/testdata/sf0.01 \
+     > /tmp/ritual_selfcheck.log 2>&1; then
+  tail -2 /tmp/ritual_selfcheck.log
+else
+  tail -5 /tmp/ritual_selfcheck.log
+  echo "ritual ABORTED: selfcheck failed"
+  exit 1
+fi
 
 echo "== bench (sf0.1) =="
-python bench.py 2>/dev/null | tail -1 | tee /tmp/ritual_bench.json
+if python bench.py > /tmp/ritual_bench_raw.log 2>/dev/null; then
+  tail -1 /tmp/ritual_bench_raw.log | tee /tmp/ritual_bench.json
+else
+  echo "ritual ABORTED: bench failed"
+  exit 1
+fi
 
 python tools/write_selfcheck_md.py "$ROUND" /tmp/ritual_selfcheck.log
 echo "ritual complete: SELFCHECK_r0${ROUND}.md refreshed"

@@ -22,14 +22,19 @@ def main() -> None:
     lines = []
     fails = []
     for raw in open(log):
-        m = re.search(
-            r"((ok  |FAIL) [a-z0-9_]+\s+(\[rows-only\] )?rows=\d+ \(\d+\.\ds\))",
+        # progress bars prefix \r fragments; the real line is the last
+        raw = raw.rstrip("\n").split("\r")[-1]
+        m = re.match(
+            r"ok\s+[a-z0-9_]+\s+(\[rows-only\] )?rows=\d+ \(\d+\.\ds\)$",
             raw,
         )
         if m:
-            lines.append(m.group(1))
-            if m.group(2) == "FAIL":
-                fails.append(m.group(1))
+            lines.append(raw)
+            continue
+        # selfcheck failure format: 'FAIL <name>: <reason>' (no rows= suffix)
+        if re.match(r"FAIL [a-z0-9_]+:", raw):
+            fails.append(raw)
+            lines.append(raw)
     rows_only = sum("[rows-only]" in ln for ln in lines)
     commit = subprocess.run(
         ["git", "log", "-1", "--format=%h"], capture_output=True, text=True
