@@ -105,3 +105,30 @@ def test_q3_star_query_plan_shape(spark):
     assert any("o_orderdate" in p for p in pushed)
     assert any("l_shipdate" in p for p in pushed)
     assert any("c_mktsegment" in p for p in pushed)
+
+
+def test_new_corpus_ops_plan_shapes(spark):
+    """Round-4 operators' scale claims, pinned as plan assertions:
+    - span dedup / DSIR / BM25 read ONLY (doc_id, text[, source]) from
+      the documents scan (projection pruned before the spread shuffle);
+    - BM25's tf pivot leaves no join of the token stream (df/N/avgdl
+      ride a broadcast);
+    - no Python eval nodes anywhere (all-JVM expressions)."""
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    specs = registry()
+    for name, cols in [
+        ("span_dedup_stats", {"doc_id", "text"}),
+        ("dsir_selection", {"doc_id", "text", "source"}),
+        ("bm25_topk_docs", {"doc_id", "text"}),
+    ]:
+        plan = _formatted(specs[name].spark(spark, SF_DIR))
+        read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+        for c in cols:
+            assert c in read_schema, (name, c, read_schema)
+        assert "lang" not in read_schema and "n_chars" not in read_schema, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # BM25: no SortMergeJoin — the only join inputs are 1-row broadcasts
+    bm25_plan = _formatted(specs["bm25_topk_docs"].spark(spark, SF_DIR))
+    assert "SortMergeJoin" not in bm25_plan
+    assert "BroadcastNestedLoopJoin" in bm25_plan or "BroadcastHashJoin" in bm25_plan
