@@ -141,8 +141,8 @@ def cdc_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(28,6))
-                         * CAST(value AS DECIMAL(28,6))
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6))
+                         * CAST(value AS DECIMAL(18,6))
                          AS DECIMAL(38,12))) AS DOUBLE) AS total_sq,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
              AS mean

@@ -368,8 +368,9 @@ def _ivf_learned_oracle(
     ref_round) unrolled as CTEs, then the same probed-cell top-k as the
     fixed-centroid oracle."""
     cos = (
-        "ROUND(list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+        "(FLOOR((list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        " * 1000000000.0 + 0.5) / 1000000000.0)"
     )
     mean6 = ref_round_sql(
         "CAST(SUM(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)", 6
@@ -431,7 +432,7 @@ def _ivf_learned_oracle(
       WHERE query_id <> vec_id
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           ROUND(cos9, 6) AS cosine
+           (FLOOR(cos9 * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos9 DESC, neighbor_id ASC) AS rank
@@ -553,13 +554,12 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), scored AS (
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.e, n.e) /
-                   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))),
-                   9) AS cos9
+             (FLOOR((list_dot_product(q.e, n.e) /
+                   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e)))) * 1000000000.0 + 0.5) / 1000000000.0) AS cos9
       FROM v q JOIN v n ON q.vec_id < 10 AND q.vec_id <> n.vec_id
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           ROUND(cos9, 6) AS cosine
+           (FLOOR(cos9 * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos9 DESC, neighbor_id ASC) AS rank
@@ -583,8 +583,9 @@ def _ivf_oracle(n_cells: int, dim: int, nprobe: int, k: int) -> str:
         for ci, c in enumerate(demo_centroids(n_cells, dim))
     )
     cos = (
-        "ROUND(list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+        "(FLOOR((list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        " * 1000000000.0 + 0.5) / 1000000000.0)"
     )
     return f"""
     WITH cent AS (SELECT * FROM (VALUES {cents}) AS t(cid, cv)),
@@ -615,7 +616,7 @@ def _ivf_oracle(n_cells: int, dim: int, nprobe: int, k: int) -> str:
       WHERE query_id <> vec_id
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           ROUND(cos9, 6) AS cosine
+           (FLOOR(cos9 * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos9 DESC, neighbor_id ASC) AS rank
@@ -1001,11 +1002,11 @@ def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id < 300
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(ROUND(list_dot_product(a.e, b.e) /
-                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9), 6) AS cosine
+           (FLOOR((FLOOR((list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) * 1000000000.0 + 0.5) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.e, b.e) /
-          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9) >= 0.35
+    WHERE (FLOOR((list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) * 1000000000.0 + 0.5) / 1000000000.0) >= 0.35
     """,
     survey_ids=["P7", "J3"],
     description="Embedding-cosine near-duplicate pairs above a threshold",
@@ -1017,12 +1018,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
     b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
-    cos9 = F.round(SIM.cosine(F.col("ea"), F.col("eb")), 9)
+    from qudo_etl_pipeline_spark.functions.rounding import fp_round
+
+    cos9 = fp_round(SIM.cosine(F.col("ea"), F.col("eb")), 9)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos9.alias("cos9"))
         .filter(F.col("cos9") >= 0.35)
-        .select("id_a", "id_b", F.round("cos9", 6).alias("cosine"))
+        .select("id_a", "id_b", fp_round(F.col("cos9"), 6).alias("cosine"))
     )
 
 
@@ -1046,13 +1049,12 @@ def _ann_lsh_oracle(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
       SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v
     ), scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             ROUND(list_dot_product(a.e, b.e) /
-                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-                   9) AS cos9
+             (FLOOR((list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) * 1000000000.0 + 0.5) / 1000000000.0) AS cos9
       FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           ROUND(cos9, 6) AS cosine
+           (FLOOR(cos9 * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos9 DESC, neighbor_id ASC) AS rank
@@ -1110,14 +1112,14 @@ def _ann_lsh_multiprobe_oracle(
       FROM tagged
     ), scored AS (
       SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.qe, t.e) /
+             (FLOOR((list_dot_product(q.qe, t.e) /
                    (sqrt(list_dot_product(q.qe, q.qe)) *
-                    sqrt(list_dot_product(t.e, t.e))), 9) AS cos9
+                    sqrt(list_dot_product(t.e, t.e)))) * 1000000000.0 + 0.5) / 1000000000.0) AS cos9
       FROM probes q JOIN tagged t USING (bucket)
       WHERE q.query_id <> t.vec_id
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           ROUND(cos9, 6) AS cosine
+           (FLOOR(cos9 * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos9 DESC, neighbor_id ASC) AS rank
@@ -1541,8 +1543,9 @@ def _semantic_dedup_oracle(
         for ci, c in enumerate(demo_centroids(n_cells, dim))
     )
     cos = (
-        "ROUND(list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+        "(FLOOR((list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        " * 1000000000.0 + 0.5) / 1000000000.0)"
     )
     return f"""
     WITH cent AS (SELECT * FROM (VALUES {cents}) AS t(cid, cv)),
@@ -1590,8 +1593,9 @@ def _quantized_topk_oracle(rerank: int = 20, k: int = 5) -> str:
     embedding_quantize oracle, coarse top-``rerank`` on code cosine,
     exact float rescore, top-``k``."""
     cos = (
-        "ROUND(list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+        "(FLOOR((list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        " * 1000000000.0 + 0.5) / 1000000000.0)"
     )
     q_frag = ref_round_sql("x", 0)
     return f"""
@@ -1620,7 +1624,7 @@ def _quantized_topk_oracle(rerank: int = 20, k: int = 5) -> str:
       WHERE arank <= {rerank}
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           ROUND(cos9, 6) AS cosine
+           (FLOOR(cos9 * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos9 DESC, neighbor_id ASC) AS rank

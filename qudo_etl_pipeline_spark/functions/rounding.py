@@ -174,3 +174,30 @@ def ref_round_sql(expr: str, scale: int = 0) -> str:
         f" ELSE CAST({k} + CASE WHEN {up} THEN 1 ELSE 0 END AS DOUBLE)"
         f" / {c} END)"
     )
+
+
+def fp_round(col: Column | str, scale: int) -> Column:
+    """Cross-engine DETERMINISTIC fixed-point rounding of a double:
+    ``floor(x * 10^scale + 0.5) / 10^scale`` — every step is one IEEE
+    double op that Spark and DuckDB (:func:`fp_round_sql`) evaluate
+    identically, so the two engines agree BIT-FOR-BIT on every input,
+    by construction.
+
+    This is a determinism device for ranking keys and displayed scores
+    (the cos9 family), NOT true decimal rounding: the value rounded is
+    the computed double ``x * 10^scale``, which can sit one ulp off the
+    true product. Use :func:`ref_round` where Python-``round`` decimal
+    semantics are the contract.
+
+    Domain: |x| * 10^scale + 0.5 must fit a signed 64-bit integer
+    (|x| < ~9.2e18 / 10^scale) — similarity scores are O(1).
+    """
+    x = F.col(col) if isinstance(col, str) else col
+    c = float(10**scale)
+    return F.floor(x * F.lit(c) + F.lit(0.5)).cast("double") / F.lit(c)
+
+
+def fp_round_sql(expr: str, scale: int) -> str:
+    """DuckDB SQL text computing the same value as :func:`fp_round`."""
+    c = float(10**scale)
+    return f"(FLOOR(({expr}) * {c!r} + 0.5) / {c!r})"

@@ -33,10 +33,18 @@ def partial_state(
     """Aggregate a batch into mergeable per-group state:
     (keys..., n, sum_v, sum_sq) with DECIMAL-exact sums."""
     v = F.col(value_col).cast(_SUM_T)
+    # the SQUARE operand must be narrow enough that the product type is
+    # exact: decimal(28,6) * decimal(28,6) wants decimal(57,12), which
+    # overflows precision 38 and makes Spark silently TRUNCATE the
+    # product scale to 6 (e.g. 0.0015^2 -> 0.000002, not 0.00000225).
+    # decimal(18,6) operands produce an exact decimal(37,12) product
+    # (|value| < 1e12 — far beyond any metric this engine aggregates),
+    # then the cast to decimal(38,12) is lossless.
+    vsq = F.col(value_col).cast("decimal(18,6)")
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v).alias("sum_v"),
-        F.sum((v * v).cast(_SQ_T)).alias("sum_sq"),
+        F.sum((vsq * vsq).cast(_SQ_T)).alias("sum_sq"),
     )
 
 

@@ -35,9 +35,12 @@ from pyspark.sql import functions as F
 def _sharded_tokens(
     docs: DataFrame, id_col: str, text_col: str, n_shards: int
 ) -> DataFrame:
-    return docs.select(
+    # NULL text is droppped up front (its NULL n_tokens would NaN-crash
+    # the greedy pandas kernel and silently skew the boundary windows);
+    # pmod, not %, so negative ids still land in [0, n_shards)
+    return docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint").alias("shard"),
         F.size(F.split(F.col(text_col), " ")).cast("bigint").alias(
             "n_tokens"
         ),
@@ -147,6 +150,7 @@ __all__: Iterable[str] = (
     "pack_greedy",
     "packing_efficiency",
     "chunk_documents",
+    "shuffle_shard",
 )
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.functions.rounding import ref_round
+from qudo_etl_pipeline_spark.functions.rounding import fp_round, ref_round
 
 
 def _as_double(arr: Column) -> Column:
@@ -67,7 +67,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
+            fp_round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.asc("neighbor_id"))
@@ -78,7 +78,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.col("rank").cast("bigint").alias("rank"),
-            F.round(F.col("cos9"), 6).alias("cosine"),
+            fp_round(F.col("cos9"), 6).alias("cosine"),
         )
     )
 
@@ -239,6 +239,11 @@ def ivf_train(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_e")
     )
     first = v.orderBy("_id").limit(k).collect()
+    if not first:
+        raise ValueError("ivf_train: empty input")
+    # fewer rows than k: train the cells that exist rather than
+    # indexing past the collected seed list
+    k = min(k, len(first))
     cents = [[float(x) for x in r["_e"]] for r in first]
     dim = len(cents[0])
     for _ in range(iters):
@@ -271,7 +276,7 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Co
     scored = F.array(
         *[
             F.struct(
-                (-F.round(cosine(vec, F.array(*[F.lit(x) for x in c])), 9)).alias(
+                (-fp_round(cosine(vec, F.array(*[F.lit(x) for x in c])), 9)).alias(
                     "negcos"
                 ),
                 F.lit(ci).cast("bigint").alias("cell"),
@@ -333,7 +338,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
+            fp_round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.asc("neighbor_id"))
@@ -344,7 +349,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.col("rank").cast("bigint").alias("rank"),
-            F.round(F.col("cos9"), 6).alias("cosine"),
+            fp_round(F.col("cos9"), 6).alias("cosine"),
         )
     )
 
@@ -400,7 +405,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
+            fp_round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
         )
     )
     if nprobe > 1:
@@ -415,7 +420,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.col("rank").cast("bigint").alias("rank"),
-            F.round(F.col("cos9"), 6).alias("cosine"),
+            fp_round(F.col("cos9"), 6).alias("cosine"),
         )
     )
 
@@ -439,7 +444,6 @@ def embedding_quantize(
     Zero vectors quantize to all-zero with scale 0.
     """
     from qudo_etl_pipeline_spark.functions.rounding import (
-        ref_round,
         ref_round_spark_sql,
     )
 
@@ -516,7 +520,7 @@ def semantic_dedup(
         a.join(b, "cell")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(
-            F.round(cosine(F.col("_ea"), F.col("_eb")), 9) >= F.lit(threshold)
+            fp_round(cosine(F.col("_ea"), F.col("_eb")), 9) >= F.lit(threshold)
         )
         .groupBy(F.col("_idb").alias("_id"))
         .agg(F.min("_ida").alias("dup_of"))
@@ -562,6 +566,10 @@ def quantized_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    # the coarse scan emits only (query_id, neighbor_id, acos9): keeping
+    # the float query vector aboard would multiply the Q x N rank
+    # exchange's width by dim for no benefit — qv is re-attached by a
+    # broadcast join on the Q x rerank survivors only
     coarse = (
         F.broadcast(q)
         .crossJoin(codes)
@@ -569,8 +577,7 @@ def quantized_topk(
         .select(
             "query_id",
             "neighbor_id",
-            "qv",
-            F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("acos9"),
+            fp_round(cosine(F.col("qv"), F.col("cv")), 9).alias("acos9"),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(
@@ -582,10 +589,10 @@ def quantized_topk(
     exact = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
-    scored = cand.join(exact, "neighbor_id").select(
+    scored = cand.join(F.broadcast(q), "query_id").join(exact, "neighbor_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
+        fp_round(cosine(F.col("qv"), F.col("nv")), 9).alias("cos9"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.asc("neighbor_id"))
     return (
@@ -595,6 +602,6 @@ def quantized_topk(
             "query_id",
             "neighbor_id",
             F.col("rank").cast("bigint").alias("rank"),
-            F.round(F.col("cos9"), 6).alias("cosine"),
+            fp_round(F.col("cos9"), 6).alias("cosine"),
         )
     )

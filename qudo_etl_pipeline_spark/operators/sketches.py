@@ -72,6 +72,9 @@ def cms_lookup(
     the key's bucket count (the count-min estimator — an upper bound on
     the true frequency, exact when no collisions). Output (key_col, est).
     """
+    # NULL probe keys are dropped (md5(NULL) has no positions) —
+    # callers wanting a row per probe should coalesce keys first
+    probes = probes.filter(F.col(key_col).isNotNull())
     key = F.col(key_col).cast("string")
     ph = probes.select(
         key_col,
@@ -118,6 +121,8 @@ def bloom_lookup(
     """Membership probe: hit=1 iff ALL n_hashes bits are set (may
     false-positive, never false-negative). Output (key_col, hit).
     """
+    # NULL probe keys are dropped — same contract as cms_lookup
+    probes = probes.filter(F.col(key_col).isNotNull())
     key = F.col(key_col).cast("string")
     ph = probes.select(
         key_col,

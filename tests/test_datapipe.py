@@ -1269,3 +1269,38 @@ def test_boolean_and_query_all_terms_absent(spark):
     assert sorted(
         r["doc"] for r in boolean_and_query(idx, ["beta"]).collect()
     ) == [0, 1]
+
+
+def test_sketch_lookups_drop_null_probe_keys(spark):
+    from qudo_etl_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_lookup,
+        cms_build,
+        cms_lookup,
+    )
+
+    base = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    probes = spark.createDataFrame([("a",), (None,), ("zz",)], "k string")
+    cms = cms_build(base, "k")
+    est = {r["k"]: r["est"] for r in cms_lookup(cms, probes, "k").collect()}
+    assert est["a"] == 2 and None not in est
+    bloom = bloom_build(base, "k")
+    hits = {r["k"]: r["hit"] for r in bloom_lookup(bloom, probes, "k").collect()}
+    assert hits["a"] == 1 and None not in hits
+
+
+def test_packers_handle_null_text_and_negative_ids(spark):
+    from qudo_etl_pipeline_spark.operators.packing import (
+        pack_boundary,
+        pack_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(-3, "a b c"), (1, None), (2, "d e f g")],
+        "doc_id long, text string",
+    )
+    pb = pack_boundary(docs, seq_len=4, n_shards=2).collect()
+    assert sorted(r["doc_id"] for r in pb) == [-3, 2]  # NULL text dropped
+    assert all(0 <= r["shard"] < 2 for r in pb)  # pmod, not %
+    pg = pack_greedy(docs, seq_len=8, n_shards=2).collect()
+    assert sorted(r["doc_id"] for r in pg) == [-3, 2]
