@@ -1254,17 +1254,19 @@ def _pii_planted() -> tuple[str, str]:
 
 def _pii_oracle() -> str:
     _, duck_text = _pii_planted()
+    email_red = f"regexp_replace(t, '{TX.EMAIL_PATTERN}', '[EMAIL]', 'g')"
     redacted = (
-        f"regexp_replace(regexp_replace(t, '{TX.EMAIL_PATTERN}', "
-        f"'[EMAIL]', 'g'), '{TX.PHONE_PATTERN}', '[PHONE]', 'g')"
+        f"regexp_replace({email_red}, '{TX.PHONE_PATTERN}', '[PHONE]', 'g')"
     )
     return f"""
     WITH planted AS (SELECT doc_id, {duck_text} AS t FROM documents)
     SELECT doc_id,
            CAST(len(regexp_extract_all(t, '{TX.EMAIL_PATTERN}')) AS BIGINT)
              AS n_emails,
-           CAST(len(regexp_extract_all(t, '{TX.PHONE_PATTERN}')) AS BIGINT)
-             AS n_phones,
+           -- phones counted on the email-redacted text (the Spark
+           -- side's sequential-redaction contract)
+           CAST(len(regexp_extract_all({email_red},
+                '{TX.PHONE_PATTERN}')) AS BIGINT) AS n_phones,
            {_dh(redacted, 13)} AS redacted_hash
     FROM planted
     """
@@ -1474,7 +1476,10 @@ def corpus_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_top_terms",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      SELECT doc_id, t.term
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+      WHERE t.term <> ''
     ), tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
     ), dfq AS (

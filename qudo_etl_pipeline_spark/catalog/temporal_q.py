@@ -216,8 +216,10 @@ def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_rollup_grains",
     oracle="""
-    SELECT COALESCE(day, 'ALL') AS day,
-           COALESCE(hour, -1) AS hour,
+    SELECT CASE WHEN GROUPING(day) = 1 THEN 'ALL'
+                ELSE COALESCE(day, '(null)') END AS day,
+           CASE WHEN GROUPING(hour) = 1 THEN -1
+                ELSE COALESCE(hour, -2) END AS hour,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM (

@@ -17,10 +17,15 @@ Re-implements (reference: src/kraken/app/metrics.py):
 
 Spark strategy: MLlib RandomForestClassifier; all classification
 metrics come from the k x k confusion matrix (one groupBy — row-count
-independent); samplers use `sampleBy` class fractions (RUS samples every
-class down to the minority size WITH replacement as the reference's
-RandomUnderSampler(replacement=True); ROS samples every class up to the
-majority size). SMOTE is true k-NN SMOTE semantics per class partition:
+independent); samplers use `sampleBy` class fractions (RUS keeps each
+row with seeded Bernoulli probability m/n per class — approximate
+class sizes, WITHOUT replacement, a documented delta from the
+reference's RandomUnderSampler(replacement=True) exact-size draw; ROS
+samples every class up to the majority size). Resampling happens
+BEFORE the train/test split — duplicated/synthetic rows can leak into
+the holdout — because the reference does exactly that
+(metrics.py:742-758: fit_resample then train_test_split); replicated
+deliberately, parity over methodology. SMOTE is true k-NN SMOTE semantics per class partition:
 `_smote_like` runs an Arrow-batched `applyInPandas` kernel per minority
 class that finds each sample's k nearest within-class neighbors
 (numpy, per-group — classes fit a partition by construction) and
@@ -158,7 +163,16 @@ def _smote_like(
         need = m - len(pdf)
         if need <= 0 or len(pdf) < 2:
             return pdf
-        rng = np.random.default_rng(seed + hash(str(pdf[target_col].iloc[0])) % 10000)
+        # md5, not hash(): Python string hashing is salted per process,
+        # which would make the "seeded" kernel nondeterministic across
+        # runs and task retries
+        import hashlib
+
+        label_off = int(
+            hashlib.md5(str(pdf[target_col].iloc[0]).encode()).hexdigest()[:8],
+            16,
+        )
+        rng = np.random.default_rng(seed + label_off)
         x = pdf[feature_cols].to_numpy(dtype=float)
         n = len(x)
         kk = min(k, n - 1)
@@ -265,14 +279,18 @@ def data_slicer(
         core_cols = []
         sub_cols = []
         for col, mode in zip(tgt_cols, pop_modes):
-            filtered = data.filter(F.col(col).eqNullSafe(F.lit(mode)))
+            # cache BEFORE counting so the count materializes the cache,
+            # and only then release the parent — evicting first would
+            # force the next candidate to recompute the whole filter
+            # chain from the base table
+            filtered = data.filter(F.col(col).eqNullSafe(F.lit(mode))).cache()
             if filtered.count() < min_count:
+                filtered.unpersist()
                 sub_cols.append(col)
             else:
-                data = filtered.cache()
                 if prev_cache is not None:
                     prev_cache.unpersist()
-                prev_cache = data
+                data = prev_cache = filtered
                 core_cols.append(col)
         percent_retained -= 0.01
         min_count = percent_retained * data.count()

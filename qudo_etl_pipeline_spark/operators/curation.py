@@ -47,6 +47,12 @@ def curate_corpus(
     band_size: int = 2,
 ) -> DataFrame:
     """Per-document curation verdicts for the 4-stage pipeline above."""
+    if min_tokens < 5:
+        raise ValueError(
+            "min_tokens < 5 cannot take effect: quality_exprs zeroes "
+            "quality_score below 5 tokens (the formula's own floor), so "
+            "shorter documents are dropped as low_quality regardless"
+        )
     q = TX.quality_exprs(text_col)
     flagged = docs.select(
         F.col(id_col),
@@ -268,21 +274,37 @@ def token_budget_sample(
     is still included — standard greedy knapsack-prefix semantics).
 
     Returns (id_col, n_tokens, quality_score, cum_tokens) for kept
-    docs. One global window sort — the same shape as any global top-k;
-    at 100 TB the ORDER BY is a range-partitioned sort, and everything
-    else is map-side.
+    docs. The global cumulative sum is a RANGE-PARTITIONED two-pass
+    prefix sum, not a bare Window.orderBy (which would move the whole
+    corpus into one partition): rows range-partition on the selection
+    order, each partition computes its local running sum, and the
+    per-partition totals — a partition-count-sized frame — window into
+    offsets that broadcast back. Identical values to the single-window
+    form at any partitioning (the order is strict: id breaks ties).
     """
     from qudo_etl_pipeline_spark.operators.text import quality_exprs
 
     q = quality_exprs(text_col)
+    order = [F.desc("quality_score"), F.asc(id_col)]
     scored = docs.select(
         F.col(id_col),
         q["n_tokens"].alias("n_tokens"),
         q["quality_score"].alias("quality_score"),
+    ).repartitionByRange(*order)
+    part = scored.withColumn("_pid", F.spark_partition_id())
+    inner = Window.partitionBy("_pid").orderBy(*order)
+    local = part.withColumn("_cum_in", F.sum("n_tokens").over(inner))
+    totals = part.groupBy("_pid").agg(F.sum("n_tokens").alias("_pt"))
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w = Window.orderBy(F.desc("quality_score"), F.asc(id_col))
-    ranked = scored.select(
-        "*", F.sum("n_tokens").over(w).alias("cum_tokens")
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_pt").over(off_w), F.lit(0)).alias("_off")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", F.col("_cum_in") + F.col("_off"))
+        .drop("_pid", "_cum_in", "_off")
     )
     return ranked.filter(
         F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens)

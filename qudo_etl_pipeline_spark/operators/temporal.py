@@ -264,8 +264,12 @@ def rollup_time_grains(
     """Day->hour hierarchy rollup in ONE pass (Catalyst Expand node).
 
     Emits three grains — (day, hour), (day), and grand total — with the
-    grouped-out level coalesced to sentinel values so the output is
-    NULL-free and hash-stable: day='ALL' / hour=-1.
+    grouped-out level mapped to sentinel values so the output is
+    NULL-free and hash-stable: day='ALL' / hour=-1. Sentinels key off
+    GROUPING() bits, not coalesce: a NULL-timestamp event forms a real
+    (NULL, NULL) detail group, which coalesce would collide with the
+    subtotal rows — GROUPING() separates them (the data NULL surfaces
+    as day='(null)' / hour=-2).
     """
     d = F.date_format(F.col(ts_col), "yyyy-MM-dd")
     h = F.hour(F.col(ts_col)).cast("bigint")
@@ -277,10 +281,17 @@ def rollup_time_grains(
             F.sum(F.col(value_col).cast("decimal(18,6)"))
             .cast("double")
             .alias("total_value"),
+            # grouping bits are only legal inside the agg — carry them
+            # out as a column: gid = grouping(day)*2 + grouping(hour)
+            F.grouping_id().alias("_gid"),
         )
         .select(
-            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
-            F.coalesce(F.col("hour"), F.lit(-1)).alias("hour"),
+            F.when(F.col("_gid").bitwiseAND(2) == 2, F.lit("ALL"))
+            .otherwise(F.coalesce(F.col("day"), F.lit("(null)")))
+            .alias("day"),
+            F.when(F.col("_gid").bitwiseAND(1) == 1, F.lit(-1))
+            .otherwise(F.coalesce(F.col("hour"), F.lit(-2)))
+            .alias("hour"),
             "n",
             "total_value",
         )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.operators.dedup import _hash64_frag
+from qudo_etl_pipeline_spark.operators.dedup import _hash64_frag, _shingles_frag
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "in", "to", "is"],
@@ -192,7 +192,9 @@ def repetition_stats(
             F.col(id_col),
             F.size(toks).cast("bigint").alias("_n_tok"),
             F.size(F.array_distinct(toks)).cast("bigint").alias("_n_uniq"),
-            F.expr(_2GRAMS.format(t=text_col)).alias("_g"),
+            # word bigrams = 2-shingles; reuse the dedup fragment so
+            # the shingle construction has ONE Spark-side source
+            F.expr(_shingles_frag(text_col, 2)).alias("_g"),
         )
         .select(
             id_col, "_n_tok", "_n_uniq",
@@ -235,13 +237,6 @@ def repetition_stats(
 
 # word bigrams; a 1-word document degenerates to its single word (the
 # same greatest(..., 1) guard as dedup._shingles_frag)
-_2GRAMS = (
-    "transform(sequence(1, greatest(size(split({t}, ' ')) - 1, 1)), "
-    "i -> concat_ws(' ', try_element_at(split({t}, ' '), i), "
-    "try_element_at(split({t}, ' '), i + 1)))"
-)
-
-
 # PII patterns shared with the DuckDB oracle: plain character classes
 # only ([.] instead of \\. etc.) so Java regex and RE2 agree exactly.
 EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
@@ -260,16 +255,22 @@ def pii_redact(
     shape a 100 TB scrub job wants: map-only regex work, no shuffle, and
     a hash column cheap enough to verify the rewrite downstream.
     """
+    # redaction is sequential (emails first), so phone COUNTING must
+    # run on the email-redacted text too — a phone-shaped substring
+    # inside an address the email pass consumed is not a phone match,
+    # and (n_emails, n_phones, redacted_hash) stays self-consistent
+    email_red = (
+        f"regexp_replace({text_col}, '{EMAIL_PATTERN}', '[EMAIL]')"
+    )
     redacted = (
-        f"regexp_replace(regexp_replace({text_col}, "
-        f"'{EMAIL_PATTERN}', '[EMAIL]'), '{PHONE_PATTERN}', '[PHONE]')"
+        f"regexp_replace({email_red}, '{PHONE_PATTERN}', '[PHONE]')"
     )
     return df.select(
         F.col(id_col),
         F.expr(f"size(regexp_extract_all({text_col}, '{EMAIL_PATTERN}', 0))")
         .cast("bigint")
         .alias("n_emails"),
-        F.expr(f"size(regexp_extract_all({text_col}, '{PHONE_PATTERN}', 0))")
+        F.expr(f"size(regexp_extract_all({email_red}, '{PHONE_PATTERN}', 0))")
         .cast("bigint")
         .alias("n_phones"),
         F.expr(_hash64_frag(redacted, 13)).alias("redacted_hash"),
@@ -328,7 +329,7 @@ def tfidf_top_terms(
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
-    )
+    ).filter(F.col("term") != "")
     totals = df.agg(F.count(F.lit(1)).alias("_n"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
