@@ -209,6 +209,10 @@ def significant_variables_and_spread(
     }
 
     def spread(filtered: DataFrame, universe: DataFrame) -> dict:
+        # the denominator is the prefix count over the UNFILTERED frame
+        # across ALL segments — the reference's overall_counts
+        # (metrics.py:198-204) divides exactly so; per-segment universes
+        # would read more naturally but would break parity
         overall = {
             r["p"]: r["n"]
             for r in universe.select(question_prefix_col().alias("p"))

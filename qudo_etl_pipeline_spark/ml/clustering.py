@@ -185,15 +185,12 @@ def kmeans_multi_seed(
             metrics = list(
                 pool.map(lambda f: fit_quality(f, features_col), balanced_fits)
             )
-        balanced = [
-            (f, m)
-            for f, m in zip(balanced_fits, metrics)
-            if m in remove_unbalanced([m])
-        ]
-        if not balanced:
-            return None
-        best = _rank_best([m for _, m in balanced])
-        fit, m = balanced[best]
+        # no second remove_unbalanced pass: balance_ok above already
+        # enforced the identical (0.02, 0.55) share predicate on the
+        # identical counts, so re-filtering the metrics could never
+        # drop anything
+        best = _rank_best(metrics)
+        fit, m = balanced_fits[best], metrics[best]
         fit["metrics"] = m
         return fit
     finally:
@@ -282,6 +279,7 @@ def gmm_fit(
     k: int,
     seed: int = 42,
     features_col: str = FEATURES,
+    _prevectorized: bool = False,
 ) -> dict | None:
     """GaussianMixture fit with manual BIC/AIC (clustering.py:921-941).
 
@@ -296,7 +294,10 @@ def gmm_fit(
 
     from pyspark.ml.clustering import GaussianMixture
 
-    vdf = _to_vec(df, features_col).cache()
+    # multi-seed callers pass one shared cached vector frame
+    # (_prevectorized), the same device as kmeans_fit — a per-seed
+    # _to_vec + cache would hold n_seeds copies of the data at once
+    vdf = df if _prevectorized else _to_vec(df, features_col).cache()
     try:
         model = GaussianMixture(
             k=k, seed=seed, featuresCol="_v", predictionCol=PREDICTION
@@ -309,7 +310,9 @@ def gmm_fit(
         }
         if min(counts.values()) < n * 0.01:
             return None
-        n_features = len(df.select(features_col).first()[features_col])
+        n_features = len(
+            vdf.select(features_col).first()[features_col]
+        )
         n_eff = len(counts)
         cov_params = n_eff * n_features * (n_features + 1) / 2.0
         mean_params = n_features * n_eff
@@ -326,7 +329,8 @@ def gmm_fit(
             "aic": aic,
         }
     finally:
-        vdf.unpersist()
+        if not _prevectorized:
+            vdf.unpersist()
 
 
 def gmm_multi_seed(
@@ -339,13 +343,16 @@ def gmm_multi_seed(
     """Per-k seed fan-out + balance filter + IC-weighted rank-sum
     (clustering.py:951-983)."""
     seeds = seeds or SEEDS
-    df = df.cache()
+    vdf = _to_vec(df, features_col).cache()
     try:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             fits = [
                 f
                 for f in pool.map(
-                    lambda s: gmm_fit(df, k, seed=s, features_col=features_col),
+                    lambda s: gmm_fit(
+                        vdf, k, seed=s, features_col=features_col,
+                        _prevectorized=True,
+                    ),
                     seeds,
                 )
                 if f is not None
@@ -363,7 +370,7 @@ def gmm_multi_seed(
         fit["metrics"] = m
         return fit
     finally:
-        df.unpersist()
+        vdf.unpersist()
 
 
 def rules_based(
@@ -428,6 +435,10 @@ def hierarchical_segmentation(
             )["labels"]
             return labeled, best_k
 
+        if not groups:  # all-null pivot / empty input: empty labeling
+            return df.withColumn(PREDICTION, F.lit(None).cast("int")).filter(
+                F.lit(False)
+            )
         with ThreadPoolExecutor(max_workers=min(4, max(1, len(groups)))) as pool:
             fitted = list(pool.map(fit_group, groups))
         parts: list[DataFrame] = []

@@ -208,15 +208,27 @@ def pca_transform(
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    if n_components is None:
-        n_components, _ = find_n_components(df, features_col, var_threshold)
     vdf = df.withColumn(
         "_v", array_to_vector(F.col(features_col).cast("array<double>"))
     )
-    model = PCA(k=n_components, inputCol="_v", outputCol="_pca").fit(vdf)
+    if n_components is None:
+        # reuse the full-rank model find_n_components already fitted:
+        # PCA components are nested (same ordered eigenvectors), so the
+        # first n coordinates of the full projection ARE the
+        # n-component projection — a second covariance/SVD job over the
+        # data would recompute the identical subspace
+        n_components, model = find_n_components(
+            df, features_col, var_threshold
+        )
+        projected = F.slice(
+            vector_to_array(F.col("_pca")), 1, n_components
+        )
+    else:
+        model = PCA(k=n_components, inputCol="_v", outputCol="_pca").fit(vdf)
+        projected = vector_to_array(F.col("_pca"))
     out = (
         model.transform(vdf)
-        .withColumn(features_col, vector_to_array(F.col("_pca")))
+        .withColumn(features_col, projected)
         .drop("_v", "_pca")
     )
     return out, n_components

@@ -375,13 +375,19 @@ def cochrans_q(df: DataFrame, cols: list[str]) -> tuple[float, int]:
     """
     k = len(cols)
     rowsum = sum((F.col(c).cast("long") for c in cols), F.lit(0))
-    aggs = [F.sum(F.col(c).cast("long")).alias(f"t_{i}") for i, c in enumerate(cols)]
+    # coalesce: an empty/all-null slice yields NULL sums, which must
+    # reach the degenerate-denominator guard as zeros (a None would
+    # TypeError before it and bypass callers' skip logic)
+    aggs = [
+        F.coalesce(F.sum(F.col(c).cast("long")), F.lit(0)).alias(f"t_{i}")
+        for i, c in enumerate(cols)
+    ]
     aggs += [
-        F.sum(rowsum).alias("n_total"),
-        F.sum(rowsum * rowsum).alias("sum_r2"),
+        F.coalesce(F.sum(rowsum), F.lit(0)).alias("n_total"),
+        F.coalesce(F.sum(rowsum * rowsum), F.lit(0)).alias("sum_r2"),
     ]
     r = df.agg(*aggs).collect()[0]
-    n_total = r["n_total"] or 0
+    n_total = r["n_total"]
     sum_t2 = sum(r[f"t_{i}"] ** 2 for i in range(k))
     denom = k * n_total - r["sum_r2"]
     if denom == 0:
@@ -409,9 +415,13 @@ def variability(
         for cols in q_code_cols.values():
             try:
                 q, dof = cochrans_q(frame, cols)
+                # Q == 0 (equal column totals) divides by zero in I^2 —
+                # same skip as the degenerate matrix, mirroring the
+                # reference's try/continue around BOTH steps
+                # (metrics.py:610-627)
+                i2 = i2_score(q, dof)
             except ZeroDivisionError:
                 continue
-            i2 = i2_score(q, dof)
             if i2 > 0:
                 scores.append(i2)
         return round(sum(scores) / len(scores), 3) if scores else float("nan")

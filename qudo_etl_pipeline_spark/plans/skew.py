@@ -44,22 +44,27 @@ _MERGE = {
 
 
 def _salt_col(df: DataFrame, n_salts: int) -> Column:
-    """Row salt in [0, n_salts): hash of the row PLUS its position.
+    """Row salt in [0, n_salts): DETERMINISTIC content hash of the row.
 
-    The position term (monotonically_increasing_id: partition id + offset
-    within the partition) matters because hot-key rows are often
-    byte-identical duplicates — a pure content hash would map them all to
-    ONE salt and the mitigation would be a no-op.
+    Determinism is a fault-tolerance requirement, not a nicety: a salt
+    derived from row POSITION (monotonically_increasing_id) changes when
+    a lost map task regenerates its input in a different fetch order, so
+    reducers holding partials from the old generation and reducers
+    reading the new one could count the same row under two different
+    salts — double-counting (or dropping) rows exactly when a large job
+    hits executor loss. A content hash assigns every row the same salt
+    on every regeneration.
 
-    Stability caveat: the salt is stable only within a task retry of the
-    SAME input split (a retry re-scans the split in the same order).
-    If the upstream stage is recomputed with different partitioning, ids
-    — and therefore salts — change. Aggregate/join results stay correct
-    either way (the salt only spreads keys; phase 2 merges all salts),
-    so no consumer may rely on salt values across runs.
+    Byte-identical duplicate rows necessarily share a salt. For the
+    aggregate path that is harmless: phase 1's map-side combine folds
+    identical rows within each task, so the reducer for their (key,
+    salt) sees at most one partial per map task — bounded by task
+    count, not row count. For the join path a flood of fully identical
+    big-side rows stays on one reducer; spreading those would require
+    nondeterminism, which the correctness argument forbids.
     """
     return F.pmod(
-        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]),
+        F.xxhash64(*[F.col(c) for c in df.columns]),
         F.lit(n_salts),
     )
 
