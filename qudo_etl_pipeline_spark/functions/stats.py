@@ -83,10 +83,11 @@ def chi2_sf(x, df):
     inputs (df <= 0 or non-finite stat) return p = 1.0, matching the
     reference's p->1.0 fallback on failed tests (chisquared_tester.py:376-377).
     """
-    x_arr = np.atleast_1d(np.asarray(x, dtype=np.float64))
-    df_arr = np.broadcast_to(
-        np.atleast_1d(np.asarray(df, dtype=np.float64)), x_arr.shape
+    x_arr, df_arr = np.broadcast_arrays(
+        np.atleast_1d(np.asarray(x, dtype=np.float64)),
+        np.atleast_1d(np.asarray(df, dtype=np.float64)),
     )
+    out_shape = x_arr.shape
     out = np.ones_like(x_arr)
     for i in range(x_arr.size):
         xi, ki = x_arr.flat[i], df_arr.flat[i]
@@ -98,7 +99,7 @@ def chi2_sf(x, df):
             out.flat[i] = min(1.0, max(0.0, gammainc_upper(ki / 2.0, xi / 2.0)))
     if np.isscalar(x) and np.isscalar(df):
         return float(out[0])
-    return out.reshape(np.shape(x) if np.shape(x) else df_arr.shape)
+    return out.reshape(out_shape)
 
 
 def chi2_sf_udf():
@@ -215,14 +216,24 @@ def chi2_sf_sql(stat: str, dof: str) -> str:
         f"CASE WHEN {m_even} > 1 THEN sequence(1, {m_even} - 1)"
         f" ELSE CAST(array() AS ARRAY<INT>) END"
     )
+    # the running term is PREMULTIPLIED by exp(-x): t_j = exp(-x) x^j/j!
+    # stays <= 1 for all x, where the raw-power fold overflows to
+    # inf (and 0 * inf = NaN -> p clamped to 1.0, silently marking the
+    # MOST significant variables as insignificant) once x^j exceeds
+    # double range — e.g. stat 1e6 at dof 160. Underflow of exp(-x)
+    # zeroes p only where the true value is below double resolution
+    # anyway (a non-negligible p needs dof >~ x, i.e. dof > ~1490
+    # before x/2 > 745 underflows — far beyond any crosstab's
+    # (r-1)(c-1)).
+    EXPNX = f"exp(-{X})"
     even_sum = (
-        f"aggregate({seq_even}, named_struct('s', {ONE}, 't', {ONE}),"
+        f"aggregate({seq_even}, named_struct('s', {EXPNX}, 't', {EXPNX}),"
         f" (acc, j) -> named_struct("
         f"'s', acc.s + acc.t * {X} / CAST(j AS DOUBLE),"
         f" 't', acc.t * {X} / CAST(j AS DOUBLE)),"
         f" acc -> acc.s)"
     )
-    p_even = f"(exp(-{X}) * {even_sum})"
+    p_even = f"({even_sum})"
 
     # ---- odd dof: lgamma(a) for a = m + 1/2 (m = (dof-1)/2 >= 0)
     m_half = f"CAST((({DOFI} - 1) / 2) AS INT)"

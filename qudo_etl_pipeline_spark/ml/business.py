@@ -251,10 +251,17 @@ def get_all_metrics(
     sm_platform: str = "Facebook",
     refit=None,
     with_random_baseline: bool = True,
+    social_df: DataFrame | None = None,
 ) -> dict:
     """M37 (metrics.py:814-911): compose quality + consistency +
     business metrics into one dict. `refit` (optional) is the
-    train->scorer callable used by the consistency checks."""
+    train->scorer callable used by the consistency checks.
+
+    ``social_df``: frame with the ORIGINAL (unencoded) answers plus the
+    prediction column, for social presence — the reference passes
+    full_data separately from data_encoded (metrics.py:840) because
+    'facebook' matching cannot work on label codes. Defaults to
+    ``labeled`` for callers that kept string answers."""
     from qudo_etl_pipeline_spark.ml import quality as Q
     from qudo_etl_pipeline_spark.ml import signal as S
 
@@ -263,7 +270,9 @@ def get_all_metrics(
         metrics = Q.random_checker(
             labeled, features=features_col, pred=pred, cluster_metrics=metrics
         )
-    metrics["fb_presence"] = social_presence(labeled, sm_platform, pred=pred)
+    metrics["fb_presence"] = social_presence(
+        social_df if social_df is not None else labeled, sm_platform, pred=pred
+    )
     if refit is not None:
         metrics["model_consistency"] = S.model_consistency(labeled, refit, label_col=pred)
         metrics["label_consistency"] = S.label_consistency(labeled, refit, label_col=pred)

@@ -95,7 +95,12 @@ def _density_frame(
     maps: dict[str, dict] = {c: {} for c in small}
     if small:
         for r in freq.filter(F.col("variable").isin(small)).collect():
-            maps[r["variable"]][r["value"]] = r["n"]
+            # skip NULL values: F.lit(None) as a create_map KEY throws
+            # NULL_MAP_KEY at runtime; a null attribute then looks up
+            # nothing -> null density -> never picked, the same
+            # semantics the join path produces for unmatched nulls
+            if r["value"] is not None:
+                maps[r["variable"]][r["value"]] = r["n"]
 
     parts: list[Column] = []
     out = df
@@ -525,6 +530,11 @@ def kmodes_fit(
             prev = assigned
             modes = _update_modes(assigned, modes, cat_cols, num_cols)
         cost = assigned.agg(F.sum("_dist").alias("c")).collect()[0]["c"]
+        # release the loop cache before returning: consumers that read
+        # `labels` recompute ONE deterministic assignment pass from the
+        # final modes; keeping it cached leaked one full-table entry per
+        # fit in long-lived drivers (many schemes x algorithms)
+        assigned.unpersist()
         return {
             "labels": assigned.drop("_dist"),
             "modes": modes,

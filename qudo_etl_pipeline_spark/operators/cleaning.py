@@ -221,14 +221,19 @@ def clean_responses(
     questions: DataFrame | None = None,
     coerce_numeric: bool = False,
 ) -> DataFrame:
-    """The standard load-time cleaning pipeline (main.py:66-80):
+    """The standard load-time cleaning pipeline (main.py:66-80, 94-126):
 
-    drop _time cols -> lowercase -> NA policy -> option recode
-    [-> numeric coercion].
+    drop _time cols -> drop cint/qudo_weight panel columns -> lowercase
+    -> NA policy -> option recode [-> numeric coercion] -> _tgt tagging
+    of the _fb/_gg targetable columns. The cint drop and the tag rename
+    mirror ChiSquaredTester.remove_cint (chisquared_tester.py:139-164)
+    and main.py's add_tgt_tag step — without them, panel-provider ID
+    columns become clustering features and tgt-dependent business
+    metrics (magnitude, signal loss, message reach) silently vanish.
     """
-    out = fill_na_policy(drop_time_cols(df))
+    out = fill_na_policy(drop_cint_weight_cols(drop_time_cols(df)))
     if questions is not None:
         out = recode_option_values(out, questions)
     if coerce_numeric:
         out = try_cast_numeric(out)
-    return out
+    return out.toDF(*add_tgt_tag(out.columns))

@@ -38,6 +38,7 @@ from qudo_etl_pipeline_spark.ml import kmodes as KM
 from qudo_etl_pipeline_spark.ml import lca as LCA
 from qudo_etl_pipeline_spark.ml.business import get_all_metrics
 from qudo_etl_pipeline_spark.operators import cleaning as CL
+from qudo_etl_pipeline_spark.sources import io as IO
 from qudo_etl_pipeline_spark.operators.contingency import (
     cluster_mode_list,
     contingency_tables,
@@ -96,8 +97,7 @@ def _family_kmeans(
     cfg: SegmentationConfig,
     num_cols: list[str],
 ):
-    feats = FE.assemble_array(encoded, cols)
-    std, _ = FE.standardize(feats.select(cfg.id_col, *cols), cols)
+    std, _ = FE.standardize(encoded.select(cfg.id_col, *cols), cols)
     std = FE.assemble_array(std, cols)
     proj, _ = FE.pca_transform(std)
     best_k = C.optimal_k(proj, ks=cfg.ks or [3, 4, 5], seed=42, max_workers=2)
@@ -252,6 +252,9 @@ def run_scheme(
             tgt_cols=tgt_cols,
             n_seed=fit.get("seed"),
             with_random_baseline=False,
+            # original string answers for social presence — label codes
+            # can never contain 'facebook' (metrics.py:840 full_data)
+            social_df=with_pred,
         )
         metrics["algorithm"] = algo
         tables.unpersist()  # cell cache is per-(scheme, algo); release it
@@ -296,7 +299,9 @@ def run_all_segmentations(
         cols = [
             c
             for c in cols
-            if c not in CL.inference_excluded_cols(cleaned.columns)
+            if c not in CL.inference_excluded_cols(
+                cleaned.columns, weight_col=cfg.weight_col
+            )
         ]
         all_results[scheme] = run_scheme(spark, cleaned, cols, cfg)
     cleaned.unpersist()
@@ -318,11 +323,12 @@ def run_all_segmentations(
                     )
                 )
                 if res.get("deliver") is not None:
-                    res["deliver"].write.mode("overwrite").parquet(
-                        f"{output_dir}/{scheme}/{algo}/deliver"
+                    IO.write_parquet(
+                        res["deliver"], f"{output_dir}/{scheme}/{algo}/deliver"
                     )
-                    res["discover"].write.mode("overwrite").parquet(
-                        f"{output_dir}/{scheme}/{algo}/discover"
+                    IO.write_parquet(
+                        res["discover"],
+                        f"{output_dir}/{scheme}/{algo}/discover",
                     )
                     # sinks were the last cached readers; later accesses
                     # (if any) lazily recompute
@@ -333,7 +339,5 @@ def run_all_segmentations(
             "silhouette: double, davies_bouldin: double, "
             "calinski_harabasz: double, n_clusters: string",
         )
-        metrics_df.coalesce(1).write.mode("overwrite").option(
-            "header", True
-        ).csv(f"{output_dir}/metrics_csv")
+        IO.write_csv_single(metrics_df, f"{output_dir}/metrics_csv")
     return all_results

@@ -38,7 +38,9 @@ def test_end_to_end_segmentation(spark, responses, tmp_path):
             ]
         },
         weight_col="weight",
-        rules_col="fin_uk_goal_fb",
+        # configs reference POST-tag names, as the reference's do
+        # (main.py applies add_tgt_tag before the segmentation loop)
+        rules_col="fin_uk_goal_fb_tgt",
         algorithms=("kmeans", "kmodes", "rules_based"),
         ks=[3],
         seeds=[1, 42],
@@ -88,6 +90,17 @@ def test_end_to_end_segmentation(spark, responses, tmp_path):
         assert set(ml.columns) == {"cluster", "variable", "mode_value"}
         n_clusters = res["labels"].select("prediction").distinct().count()
         assert ml.count() > 0 and ml.count() % n_clusters == 0
+        # parity regressions from round-4 review: tgt tagging makes the
+        # _fb column a tgt feature (magnitude/signal-loss/message-reach
+        # exist), and social presence reads ORIGINAL answers (real
+        # shares, not NaN)
+        import math as _math
+
+        fb = m["fb_presence"]
+        assert isinstance(fb, dict) and fb, algo
+        assert all(not _math.isnan(v) for v in fb.values()), (algo, fb)
+        assert "magnitude" in m and "signal_loss" in m, algo
+        assert "message_reach" in m, algo
     # sinks materialized
     metrics_csv = spark.read.option("header", True).csv(
         str(tmp_path / "out" / "metrics_csv")
