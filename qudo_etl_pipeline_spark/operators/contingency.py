@@ -575,7 +575,11 @@ def deliver_stats(
         .select(
             "*",
             ref_round_expr("observed / answered_n * 100", 2).alias("cat_perc"),
-            ref_round_expr("w_observed / answered_w * 100", 2).alias(
+            # try_divide: a cluster whose weights are all NULL (coalesced
+            # to 0 upstream) has answered_w = 0 — ANSI plain division
+            # would kill the whole job; NULL here is the Spark-native
+            # spelling of the reference's NaN percentage
+            ref_round_expr("try_divide(w_observed, answered_w) * 100", 2).alias(
                 "w_cat_perc"
             ),
         )
@@ -618,16 +622,18 @@ def deliver_stats(
             *(
                 [
                     "weighted_pop_mode",
-                    ref_round_expr("wmode_count / cluster_w * 100", 0).alias(
-                        "weighted_pop_mode_perc"
-                    ),
+                    ref_round_expr(
+                        "try_divide(wmode_count, cluster_w) * 100", 0
+                    ).alias("weighted_pop_mode_perc"),
                     "weighted_category_percentages",
                 ]
                 if tables.weighted
                 else []
             ),
         )
-        .filter(F.size("sig_more_category") > 0)
+        # no empty-array filter needed: NOT_SELECTED rows are stripped
+        # BEFORE the aggregation, so every group has >= 1 category (the
+        # reference's empty-row drop is realized pre-agg)
         .orderBy("chi_2_result", "q_code", "targeting_seg")
     )
     return out

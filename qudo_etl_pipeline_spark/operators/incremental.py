@@ -53,9 +53,13 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     state-table-sized — merging a day's delta into a year's rollup
     never touches the year's raw rows."""
     unioned = reduce(lambda a, b: a.unionByName(b), states)
+    # decimal(38,6), not the (28,6) input-value type: Spark already
+    # widens partial_state's SUM to (38,6), so casting the merge back
+    # down both destabilized the state schema across merge generations
+    # and overflowed on totals >= 1e22 that (38,6) holds exactly
     return unioned.groupBy(*keys).agg(
         F.sum("n").alias("n"),
-        F.sum("sum_v").cast(_SUM_T).alias("sum_v"),
+        F.sum("sum_v").cast("decimal(38,6)").alias("sum_v"),
         F.sum("sum_sq").cast(_SQ_T).alias("sum_sq"),
     )
 

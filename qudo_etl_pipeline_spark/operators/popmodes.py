@@ -83,6 +83,11 @@ def population_modes(
         ).alias("_w_tot"),
     )
 
+    # pandas groupby drops NaN GROUP KEYS — filter null clusters up
+    # front so unlabeled rows match the reference's groupby(cluster_col)
+    # semantics (same fix as cluster_mode_list; round-3 ADVICE class)
+    df = df.filter(F.col(cluster_col).isNotNull())
+
     q_structs = []
     for shortname, cols in question_cols.items():
         present = [c for c in cols if c in df.columns]
@@ -136,15 +141,18 @@ def population_modes(
     )
     # ref_round = Python-round parity (chisquared_tester.py:764,769) —
     # HALF_EVEN on the true binary value, NOT F.round's HALF_UP
+    # try_divide: an all-NULL weight column gives _w_tot = 0 — plain
+    # ANSI division would crash the job where the pandas reference
+    # yields NaN proportions (NULL is the Spark-native spelling)
     return modes.crossJoin(F.broadcast(totals)).select(
         "cluster",
         "shortname",
         F.col("_wm.v").alias("weighted_mode"),
-        ref_round(F.col("_wm.m") / F.col("_w_tot"), 2).alias(
-            "weighted_mode_prop"
-        ),
+        ref_round(
+            F.try_divide(F.col("_wm.m"), F.col("_w_tot")), 2
+        ).alias("weighted_mode_prop"),
         F.col("_um.v").alias("unweighted_mode"),
-        ref_round(F.col("_um.m") / F.col("_n_tot"), 2).alias(
-            "unweighted_mode_prop"
-        ),
+        ref_round(
+            F.try_divide(F.col("_um.m"), F.col("_n_tot")), 2
+        ).alias("unweighted_mode_prop"),
     )

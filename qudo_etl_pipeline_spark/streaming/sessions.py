@@ -58,9 +58,15 @@ def dedup_stream(
     """
     from qudo_etl_pipeline_spark.operators.dedup import exact_dup_hash
 
+    # key on (hash, length): a bare 60-bit hash key expects ~n^2/2^61
+    # birthday collisions (a couple of silent false drops at 2e9 docs);
+    # the length co-key pushes that far below corpus scale while the
+    # state stays two fixed-width columns
     return docs.withColumn(
         "text_hash", exact_dup_hash(text_col)
-    ).dropDuplicates(["text_hash"])
+    ).withColumn(
+        "text_len", F.length(F.col(text_col)).cast("long")
+    ).dropDuplicates(["text_hash", "text_len"])
 
 
 _STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
@@ -107,6 +113,7 @@ def attribution_join(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each trigger event (e.g.
     purchase) to the touch events (e.g. clicks) by the same user within
@@ -129,7 +136,7 @@ def attribution_join(
             F.col(id_col).alias("trigger_id"),
             F.col(user_col).alias(user_col),
             F.col(ts_col).alias("trigger_ts"),
-            F.col("value"),
+            F.col(value_col).alias("value"),
         )
         .withWatermark("trigger_ts", horizon)
     )
