@@ -647,7 +647,6 @@ def lca_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flag (rows-only: iterative kmeans training)",
 )
 def elbow_curve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from qudo_etl_pipeline_spark.ml import clustering as C
 
     feats = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("row_id"),
@@ -668,6 +667,21 @@ def elbow_curve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_refit(train):
+    """Shared train->scorer closure for both consistency queries —
+    one definition so the two metrics can never silently diverge."""
+    model = C.kmeans_fit(
+        train.select("row_id", "features"), k=3, seed=42
+    )["model"]
+
+    def predict(test):
+        from qudo_etl_pipeline_spark.ml.clustering import _to_vec
+
+        return model.transform(_to_vec(test, "features")).drop("_v")
+
+    return predict
+
+
 @register(
     "model_consistency_rows",
     oracle=None,
@@ -677,7 +691,6 @@ def elbow_curve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "slice (rows-only: iterative refit)",
 )
 def model_consistency_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from qudo_etl_pipeline_spark.ml import clustering as C
     from qudo_etl_pipeline_spark.ml.signal import model_consistency
 
     feats = load_table(spark, sf_dir, "embeddings").select(
@@ -686,17 +699,7 @@ def model_consistency_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = C.kmeans_fit(feats, k=3, seed=42)["labels"].cache()
 
-    def refit(train):
-        model = C.kmeans_fit(
-            train.select("row_id", "features"), k=3, seed=42
-        )["model"]
-        def predict(test):
-            from qudo_etl_pipeline_spark.ml.clustering import _to_vec
-
-            return model.transform(_to_vec(test, "features")).drop("_v")
-        return predict
-
-    ari = model_consistency(base, refit)
+    ari = model_consistency(base, _kmeans_refit)
     base.unpersist()
     return spark.createDataFrame(
         [(round(float(ari), 6),)], "model_consistency_ari: double"
@@ -712,7 +715,6 @@ def model_consistency_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(rows-only: iterative refit)",
 )
 def label_consistency_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from qudo_etl_pipeline_spark.ml import clustering as C
     from qudo_etl_pipeline_spark.ml.signal import label_consistency
 
     feats = load_table(spark, sf_dir, "embeddings").select(
@@ -721,17 +723,7 @@ def label_consistency_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = C.kmeans_fit(feats, k=3, seed=42)["labels"].cache()
 
-    def refit(train):
-        model = C.kmeans_fit(
-            train.select("row_id", "features"), k=3, seed=42
-        )["model"]
-        def predict(test):
-            from qudo_etl_pipeline_spark.ml.clustering import _to_vec
-
-            return model.transform(_to_vec(test, "features")).drop("_v")
-        return predict
-
-    ari = label_consistency(base, refit)
+    ari = label_consistency(base, _kmeans_refit)
     base.unpersist()
     return spark.createDataFrame(
         [(round(float(ari), 6),)], "label_consistency_ari: double"

@@ -50,10 +50,16 @@ def bounds_bucketize(
             f"bounds_bucketize: no non-null values in column {col!r}"
         )
     arr: Column = F.array(*[F.lit(float(b)) for b in bounds])
-    # bucket = 1 + number of boundaries strictly below the value
+    # bucket = 1 + number of boundaries strictly below the value;
+    # NULL values stay NULL (percentile_approx ignored them, so folding
+    # them into bucket 1 would silently overfill it and read missing
+    # data as lowest-value data)
     bucket = F.lit(1) + F.aggregate(
         arr,
         F.lit(0),
         lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
     )
-    return df.withColumn("bucket", bucket.cast("bigint"))
+    return df.withColumn(
+        "bucket",
+        F.when(F.col(col).isNotNull(), bucket).cast("bigint"),
+    )

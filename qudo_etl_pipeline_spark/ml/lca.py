@@ -399,6 +399,19 @@ def _em_patterns(
     }
 
 
+def _n_params(
+    k: int, values: dict[str, list], cols: list[str], num_cols: list[str]
+) -> int:
+    """Free-parameter count of the (multinomial x gaussian) mixture —
+    ONE definition shared by _finalize and the model-selection loops so
+    the BIC used to pick a model always matches the BIC it reports."""
+    return (
+        (k - 1)
+        + k * sum(len(values[c]) - 1 for c in cols)
+        + k * 2 * len(num_cols)
+    )
+
+
 def _finalize(
     df: DataFrame,
     cols: list[str],
@@ -426,11 +439,7 @@ def _finalize(
     labels = scored.withColumn("prediction", pred).drop(
         *[f"_lp{i}" for i in range(k)]
     )
-    n_params = (
-        (k - 1)
-        + k * sum(len(values[c]) - 1 for c in cols)
-        + k * 2 * len(num_cols)
-    )
+    n_params = _n_params(k, values, cols, num_cols)
     return {
         "labels": labels,
         "pi": pi,
@@ -485,6 +494,23 @@ def lca_fit(
     num_cols = list(num_cols or [])
     if not cols and not num_cols:
         raise ValueError("lca_fit: no columns to model")
+    # categorical values are modeled AS STRINGS on both execution paths:
+    # the distributed path melts (string casts) while the raw pattern
+    # collect would keep native types, giving a different value sort
+    # order (int 10 < 2 lexicographically) and therefore different
+    # seeded inits across the path threshold
+    cat_set = set(cols)
+    df = df.select(
+        *[
+            F.col(c).cast("string").alias(c) if c in cat_set else F.col(c)
+            for c in df.columns
+        ]
+    )
+    # poLCA/depmixS4 drop incomplete rows (na.rm); a NULL numeric would
+    # otherwise NaN the whole pattern-path fit and silently bias pi on
+    # the distributed path (the row leaves the statistics but not n)
+    for c in num_cols:
+        df = df.filter(F.col(c).isNotNull())
 
     n = None
     pat = None
@@ -502,6 +528,8 @@ def lca_fit(
                 df, [*cols, *num_cols], pattern_threshold
             )
     if pat is not None:
+        if not pat:
+            raise ValueError("lca_fit: empty input")
         values = _values_from_patterns(pat, cols) if cols else {}
         em = _em_patterns(
             pat, cols, values, k, seed, max_iter, tol, smoothing, floor,
@@ -520,6 +548,8 @@ def lca_fit(
     )
     if n is None:
         n = df.count()
+    if n == 0:
+        raise ValueError("lca_fit: empty input")
     rng = np.random.default_rng(seed)
     pi = [1.0 / k] * k
     theta = _init_theta(rng, cols, values, k)
@@ -718,32 +748,51 @@ def lca_select(
     num_cols = list(num_cols or [])
     floor = 1e-12
 
+    # the same entry normalization lca_fit applies (string cats, NULL
+    # numerics dropped) so the pattern collected here feeds identical EM
+    cat_set = set(cols)
+    df = df.select(
+        *[
+            F.col(c).cast("string").alias(c) if c in cat_set else F.col(c)
+            for c in df.columns
+        ]
+    )
+    for c in num_cols:
+        df = df.filter(F.col(c).isNotNull())
+
+    # pattern path for BOTH model families: collect the sufficient
+    # statistic ONCE and fit the whole k x restart grid driver-side —
+    # per-(k, rep) lca_fit calls would redo the identical count +
+    # pattern collect |ks| x n_rep times
+    pat = None
     if cols and not num_cols:
         pat = _collect_patterns(df, cols, _PATTERN_THRESHOLD)
-        if pat is not None:
-            values = _values_from_patterns(pat, cols)
-            best_em = None
-            best_key = None
-            for k in ks:
-                for rep in range(n_rep):
-                    em = _em_patterns(
-                        pat, cols, values, k, seed + rep, max_iter,
-                        1e-4, 1e-3, floor,
-                    )
-                    n_params = (k - 1) + k * sum(
-                        len(values[c]) - 1 for c in cols
-                    )
-                    bic = -2 * em["loglik"] + n_params * math.log(em["n"])
-                    if best_em is None or bic < best_em_bic:
-                        best_em, best_em_bic = em, bic
-                        best_key = (k, seed + rep)
-            k, s = best_key
-            return _finalize(
-                df, cols, num_cols, values, k, s,
-                best_em["pi"], best_em["theta"],
-                [{} for _ in range(k)], [{} for _ in range(k)],
-                best_em["loglik"], best_em["n"], best_em["n_iter"], floor,
-            )
+    elif num_cols and df.count() <= _PATTERN_THRESHOLD:
+        pat = _collect_patterns(df, [*cols, *num_cols], _PATTERN_THRESHOLD)
+    if pat:
+        values = _values_from_patterns(pat, cols) if cols else {}
+        best_em = None
+        best_key = None
+        for k in ks:
+            for rep in range(n_rep):
+                em = _em_patterns(
+                    pat, cols, values, k, seed + rep, max_iter,
+                    1e-4, 1e-3, floor, num_cols=num_cols,
+                )
+                bic = -2 * em["loglik"] + _n_params(
+                    k, values, cols, num_cols
+                ) * math.log(em["n"])
+                if best_em is None or bic < best_em_bic:
+                    best_em, best_em_bic = em, bic
+                    best_key = (k, seed + rep)
+        k, s = best_key
+        return _finalize(
+            df, cols, num_cols, values, k, s,
+            best_em["pi"], best_em["theta"],
+            best_em.get("mu") or [{} for _ in range(k)],
+            best_em.get("var") or [{} for _ in range(k)],
+            best_em["loglik"], best_em["n"], best_em["n_iter"], floor,
+        )
 
     best = None
     for k in ks:
