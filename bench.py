@@ -151,22 +151,35 @@ def main() -> None:
         run_pass(EXTENDED, ext, i)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "passes": passes,
-                "value_single_shot": round(sum(first_pass.values()), 3),
-                "queries_single_shot": first_pass,
-                "value_extended": round(sum(ext.values()), 3),
-                "queries_extended": ext,
-                "sf": sf,
-            }
-        )
+    # Round-4 lesson: the driver's stdout capture is bounded and truncated
+    # the single ~4 KB JSON line mid-way, losing the warm headline total
+    # (BENCH_r04.json parsed: null). stdout now carries ONE COMPACT line
+    # (headline series only, ~600 bytes); the full per-query detail
+    # (single-shot + extended series) goes to BENCH_DETAIL.json next to
+    # this script, committed per-round for the record.
+    summary = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "passes": passes,
+        "value_single_shot": round(sum(first_pass.values()), 3),
+        "value_extended": round(sum(ext.values()), 3),
+        "sf": sf,
+    }
+    detail = dict(summary)
+    detail["queries_single_shot"] = first_pass
+    detail["queries_extended"] = ext
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout summary still stands alone
+    print(json.dumps(summary))
     spark.stop()
 
 

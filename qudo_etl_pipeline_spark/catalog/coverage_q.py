@@ -551,6 +551,50 @@ def hierarchical_segmentation_rows(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "hierarchical_segmentation_pinned",
+    # Isolates M10's deterministic machinery — sorted group split,
+    # per-group fit dispatch, global label offsets (k accumulated in
+    # sorted-group order), and the -99 ignore-group stitch — from MLlib
+    # seed dependence by injecting a pinned fitter (row_id % 2, k=2)
+    # through the same `fitter=` hook the reference uses to dispatch
+    # LCA into the hierarchical wrapper (clustering.py:841-845).
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS row_id,
+           CAST(label % 3 AS INT) AS grp,
+           CAST(CASE WHEN label % 3 = 2 THEN -99
+                     WHEN label % 3 = 0 THEN vec_id % 2
+                     ELSE 2 + vec_id % 2 END AS INT) AS prediction
+    FROM embeddings
+    """,
+    survey_ids=["M10"],
+    description="Hierarchical segmentation shell (group split, label "
+    "offsets, -99 stitch) around a pinned deterministic fitter",
+)
+def hierarchical_segmentation_pinned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qudo_etl_pipeline_spark.ml.clustering import hierarchical_segmentation
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+        (F.col("label") % 3).alias("grp"),
+    )
+
+    def fitter(sub: DataFrame) -> tuple[DataFrame, int]:
+        return sub.withColumn(
+            "prediction", (F.col("row_id") % 2).cast("int")
+        ), 2
+
+    out = hierarchical_segmentation(
+        emb, "grp", hier_ks=[2], seed=42, ignore_value=2, fitter=fitter
+    )
+    return out.select(
+        "row_id", "grp", F.col("prediction").cast("int").alias("prediction")
+    )
+
+
+@register(
     "random_baseline_rows",
     oracle=None,
     survey_ids=["M17", "M20"],
@@ -593,10 +637,85 @@ def random_baseline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "data_slicer_rows",
-    oracle=None,
+    # The slicer loop is deterministic (no seeds, no MLlib fit), so it
+    # HAS a full DuckDB mirror: a recursive CTE carries the loop state
+    # (accepted-filter set, live row count, threshold) across sweeps.
+    # With the monotone accepted-set observation — `data` only ever
+    # gains filters, so its count is one of the 4 subset counts — each
+    # sweep's two sequential accept/reject decisions collapse to CASE
+    # arithmetic over 4 pre-aggregated counts. Float fidelity: pct is
+    # decremented with the same IEEE double op as Python's `-= 0.01`
+    # and thresholds use the same double*bigint multiply, so the loop
+    # exits after the same 11 sweeps with pct = 0.14000000000000004.
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT CAST(l_quantity > 25 AS INT) AS q1,
+             CAST(l_discount > 0.05 AS INT) AS q2,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pred
+      FROM lineitem
+    ),
+    counts AS (
+      SELECT COUNT(*) FILTER (WHERE pred = 1) AS n_seg,
+             COUNT(*) FILTER (WHERE pred = 1 AND q1 = 1) AS n1,
+             COUNT(*) FILTER (WHERE pred = 1 AND q2 = 1) AS n2,
+             COUNT(*) FILTER (WHERE pred = 1 AND q1 = 1 AND q2 = 1) AS n12,
+             COUNT(*) FILTER (WHERE pred != 1) AS n_notseg
+      FROM base
+    ),
+    sweeps AS (
+      -- anchor: state BEFORE sweep 1 (core/sub empty, data = seg rows)
+      SELECT 0 AS i, FALSE AS s1, FALSE AS s2, c.n_seg AS dc,
+             0 AS core_n, 0 AS sub_n,
+             CAST(0.25 AS DOUBLE) AS pct_next,
+             CAST(0.25 AS DOUBLE) * c.n_seg AS m_next
+      FROM counts c
+      UNION ALL
+      SELECT i + 1, ns1, ns2, dc2,
+             CAST(a1 AS INT) + CAST(a2 AS INT),
+             2 - CAST(a1 AS INT) - CAST(a2 AS INT),
+             pct - CAST(0.01 AS DOUBLE),
+             (pct - CAST(0.01 AS DOUBLE)) * dc2
+      FROM (
+        SELECT l2.*, (c2 >= m) AS a2,
+               (s2 OR (c2 >= m)) AS ns2,
+               CASE WHEN c2 >= m THEN c2 ELSE dc1 END AS dc2
+        FROM (
+          SELECT l1.*, (c1 >= m) AS a1, (s1 OR (c1 >= m)) AS ns1,
+                 CASE WHEN c1 >= m THEN c1 ELSE dc END AS dc1,
+                 CASE WHEN (s1 OR (c1 >= m)) THEN n12 ELSE n2 END AS c2
+          FROM (
+            SELECT s.i, s.s1, s.s2, s.dc, s.pct_next AS pct,
+                   s.m_next AS m, c.n1, c.n2, c.n12,
+                   CASE WHEN s.s2 THEN c.n12 ELSE c.n1 END AS c1
+            FROM sweeps s, counts c
+            WHERE s.core_n < 6 AND s.pct_next >= 0.15
+          ) l1
+        ) l2
+      )
+    ),
+    final AS (
+      SELECT s.*, c.n_seg AS seg_true, c.n_notseg AS seg_false
+      FROM sweeps s, counts c
+      ORDER BY s.i DESC LIMIT 1
+    )
+    SELECT CAST(core_n AS BIGINT) AS n_core,
+           CAST(sub_n AS BIGINT) AS n_sub,
+           {pct} AS pct_retained,
+           {signal} AS signal,
+           {recall} AS recall_score
+    FROM final
+    """.format(
+        pct=ref_round_sql("pct_next", 2),
+        # sliced is a subset of the seg rows, so tp = |sliced| = dc and
+        # fp = 0; tn = seg_false, fn = seg_true - dc (signal.py:318-330)
+        signal=ref_round_sql(
+            "CAST(dc + seg_false AS DOUBLE) / (seg_true + seg_false)", 3
+        ),
+        recall=ref_round_sql("CAST(dc AS DOUBLE) / seg_true", 3),
+    ),
     survey_ids=["M34"],
-    description="Iterative mode-filter slice signal (rows-only: "
-    "driver-controlled loop)",
+    description="Iterative mode-filter slice signal (deterministic loop "
+    "mirrored by a recursive-CTE oracle)",
 )
 def data_slicer_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qudo_etl_pipeline_spark.ml.signal import chi_square_signal, data_slicer
