@@ -75,6 +75,19 @@ class SegmentationConfig:
     bucket_table: str | None = None
     n_buckets: int = 32
     capture_plans: bool = False
+    # Cell-skew handling for the inference aggregation: "auto" (default)
+    # runs the sampled skew probe once per (scheme, algorithm) and salts
+    # the one-shuffle cell aggregation iff a single (variable, cluster,
+    # value) cell dominates — real survey data's sentinel answers ("not
+    # selected" in one big cluster) are exactly that hot cell. False
+    # forces the plain plan, True forces salting.
+    salt_cells: bool | str = "auto"
+    # Wall-clock guard per family fit, reference parity with the hard
+    # 3000 s LCA timeout (reference: src/kraken/app/clustering.py:
+    # 884-891, lca.R:15). A family that exceeds it is marked timed-out
+    # in its metrics and its in-flight Spark jobs are cancelled via the
+    # family's job group; the scheme completes with the other families.
+    fit_timeout_secs: float = 3000.0
 
 
 def select_scheme_columns(
@@ -165,8 +178,17 @@ def _family_lca(
     # (cluster_df = self.data_encoded, clustering.py:841-845), so the
     # gaussian factors see encoded codes here too — same semantics.
     cat = [c for c in cols if c not in num_cols]
+    # Restart depth: poLCA's default is nrep=100 (reference lca.R:15).
+    # Measured BIC-selection stability on the planted categorical
+    # fixture (ks=2..5, 6-8 data seeds, noise 0.15-0.4): the selected k
+    # is already stable at n_rep=1 and stays stable through n_rep=10 —
+    # the pattern-EM's deterministic responsibility init removes most
+    # restart sensitivity. n_rep=3 (lca_select's own default) is kept
+    # as robustness margin: the whole k x restart grid fits driver-side
+    # over the collected pattern table, so extra restarts cost ~no
+    # Spark work (measured: n_rep=10 within noise of n_rep=1).
     fit = LCA.lca_select(
-        encoded, cat, ks=cfg.ks or [3], n_rep=1, max_iter=30,
+        encoded, cat, ks=cfg.ks or [3], n_rep=3, max_iter=30,
         num_cols=num_cols or None,
     )
     return ("lca", fit)
@@ -196,15 +218,51 @@ def run_scheme(
     # kmodes/kprototypes and pure/mixed-LCA family dispatch
     num_cols = FE.sniff_numeric_columns(cleaned, scheme_cols)
     algos = list(cfg.algorithms) + (["lca"] if cfg.include_lca else [])
-    with ThreadPoolExecutor(max_workers=len(algos)) as pool:
-        fits = list(
-            pool.map(
-                lambda a: _FAMILIES[a](encoded, scheme_cols, cfg, num_cols),
-                algos,
-            )
+    sc = spark.sparkContext
+
+    def run_family(algo: str):
+        # job group tagged per family so a timeout can cancel exactly
+        # this family's in-flight Spark jobs (thread-local property —
+        # PySpark pins driver threads to JVM threads by default)
+        sc.setJobGroup(
+            f"family:{algo}", f"segmentation family {algo}",
+            interruptOnCancel=True,
         )
+        return _FAMILIES[algo](encoded, scheme_cols, cfg, num_cols)
+
+    import time as _time
+
+    deadline = _time.monotonic() + cfg.fit_timeout_secs
+    pool = ThreadPoolExecutor(max_workers=len(algos))
+    futures = {a: pool.submit(run_family, a) for a in algos}
+    fits = []
+    for algo in algos:
+        try:
+            fits.append(
+                futures[algo].result(
+                    timeout=max(0.0, deadline - _time.monotonic())
+                )
+            )
+        except TimeoutError:
+            sc.cancelJobGroup(f"family:{algo}")
+            fits.append((algo, {"timed_out": True}))
+    # don't block on a timed-out family's thread: cancelled Spark jobs
+    # unwind it promptly, and a (hypothetical) pure-driver loop must not
+    # stall the scheme — the reference's timeout likewise abandons the
+    # R process (clustering.py:884-891)
+    pool.shutdown(wait=False, cancel_futures=True)
     results = {}
     for algo, fit in fits:
+        if fit is not None and fit.get("timed_out"):
+            results[algo] = {
+                "labels": None,
+                "metrics": {
+                    "algorithm": algo,
+                    "error": "fit timed out after "
+                    f"{cfg.fit_timeout_secs:g}s",
+                },
+            }
+            continue
         if fit is None:
             results[algo] = {
                 "labels": None,
@@ -227,6 +285,7 @@ def run_scheme(
             variables=scheme_cols,
             weight_col=cfg.weight_col,
             id_vars=[cfg.id_col],
+            salt_cells=cfg.salt_cells,
         )
         # deliver is tiny (significant variables x segments) but feeds
         # discover, four business metrics and the parquet sink — cache it

@@ -106,6 +106,30 @@ def silhouette_np(X: np.ndarray, labels: np.ndarray) -> float:
     return float(s.mean())
 
 
+def silhouette_squared_np(X: np.ndarray, labels: np.ndarray) -> float:
+    """MLlib SquaredEuclideanSilhouette mirror (the `silhouette_squared`
+    scale path): dissimilarity to a cluster is the MEAN SQUARED distance
+    to its points; the own-cluster mean (computed over all N members,
+    self included) is rescaled by N/(N-1) to exclude the self-distance;
+    singleton clusters score 0."""
+    X = np.asarray(X, dtype=np.float64)
+    labels = np.asarray(labels)
+    n = len(X)
+    ks = np.unique(labels)
+    sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    s = np.zeros(n)
+    for i in range(n):
+        same = labels == labels[i]
+        n_same = same.sum()
+        if n_same <= 1:
+            s[i] = 0.0
+            continue
+        a = sq[i][same].mean() * n_same / (n_same - 1)
+        b = min(sq[i][labels == c].mean() for c in ks if c != labels[i])
+        s[i] = (b - a) / max(a, b)
+    return float(s.mean())
+
+
 def adjusted_rand_np(a: np.ndarray, b: np.ndarray) -> float:
     a, b = np.asarray(a), np.asarray(b)
     ka, kb = np.unique(a), np.unique(b)

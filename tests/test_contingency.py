@@ -158,3 +158,56 @@ def test_cluster_mode_list_matches_pandas_mode(spark):
         ("c1", "q2"): "y",
         ("c1", "cluster"): "c1",
     }
+
+
+def test_salt_cells_auto_activates_and_is_hash_identical(spark):
+    """Planted hot cell (a sentinel answer concentrated in one big
+    cluster): salt_cells="auto" must detect it, route the cell
+    aggregation through the two-phase (keys, salt) plan, and produce
+    cells identical to the unsalted plan."""
+    from qudo_etl_pipeline_spark.operators.contingency import (
+        contingency_tables,
+        detect_cell_skew,
+    )
+
+    rows = []
+    for i in range(1700):  # 85% of rows: one dominant cell
+        rows.append((i, 0, "not selected"))
+    for i in range(1700, 2000):
+        rows.append((i, 1 + i % 2, ["a", "b", "c"][i % 3]))
+    wide = spark.createDataFrame(
+        rows, "alchemer_id: long, cluster: int, q1_tgt: string"
+    ).repartition(8)
+
+    t_auto = contingency_tables(
+        wide, "cluster", ["q1_tgt"], id_vars=["alchemer_id"],
+        salt_cells="auto",
+    )
+    t_plain = contingency_tables(
+        wide, "cluster", ["q1_tgt"], id_vars=["alchemer_id"],
+        salt_cells=False,
+    )
+    try:
+        # plan evidence: the auto path went through the salted two-phase
+        # aggregation (a _salt grouping appears in the cells lineage)
+        auto_plan = t_auto.cells._jdf.queryExecution().toString()
+        plain_plan = t_plain.cells._jdf.queryExecution().toString()
+        assert "_salt" in auto_plan
+        assert "_salt" not in plain_plan
+        # and the probe itself fires on the planted fixture
+        long = melt(
+            wide.select("cluster", "q1_tgt"),
+            id_vars=["cluster"],
+            value_vars=["q1_tgt"],
+        )
+        assert detect_cell_skew(long, ["variable", "cluster", "value"])
+        # results hash-identical: same cells, same counts, same weights
+        a = {tuple(r) for r in t_auto.cells.collect()}
+        p = {tuple(r) for r in t_plain.cells.collect()}
+        assert a == p and len(a) == 7
+        sa = {tuple(r) for r in t_auto.cluster_sizes.collect()}
+        sp = {tuple(r) for r in t_plain.cluster_sizes.collect()}
+        assert sa == sp
+    finally:
+        t_auto.unpersist()
+        t_plain.unpersist()

@@ -155,3 +155,31 @@ def test_populate_curated_cols(tmp_path):
     assert json.load(open(paths[0])) == ["q1", "q2", "q3"]
     assert json.load(open(paths[1])) == ["qa", "qb"]
     assert json.load(open(paths[2])) == ["qx"]
+
+
+def test_fit_timeout_watchdog(spark, responses, monkeypatch):
+    """Reference parity with the hard LCA timeout (reference:
+    src/kraken/app/clustering.py:884-891): a family fit exceeding
+    cfg.fit_timeout_secs is marked timed-out and the scheme still
+    completes with the remaining families."""
+    import time
+
+    from qudo_etl_pipeline_spark import pipeline as P
+
+    def slow_family(encoded, cols, cfg, num_cols):
+        time.sleep(6)
+        return ("slow", {"labels": None, "k": None, "seed": None})
+
+    monkeypatch.setitem(P._FAMILIES, "slow", slow_family)
+    cfg = SegmentationConfig(
+        survey_name="watchdog",
+        algorithms=("slow", "rules_based"),
+        fit_timeout_secs=1.5,
+    )
+    cols = ["fin_uk_risk_rb", "psy_ww_openness_sc"]
+    out = P.run_scheme(spark, responses, cols, cfg)
+    assert out["slow"]["labels"] is None
+    assert "timed out" in out["slow"]["metrics"]["error"]
+    # the non-timed-out family still reported (no rules_col -> the
+    # documented no-clustering result)
+    assert out["rules_based"]["metrics"]["n_clusters"] == "no balanced clustering"
