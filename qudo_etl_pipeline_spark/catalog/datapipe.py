@@ -924,6 +924,22 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontamination_shuffle",
+    oracle=_decontamination_oracle(),
+    survey_ids=["P7", "J1"],
+    description="Decontamination via the forced shuffle-join fallback "
+    "(the over-broadcast-limit path): must hash-match the broadcast "
+    "plan's oracle",
+)
+def decontamination_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import decontaminate
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, bench_strategy="shuffle")
+
+
+@register(
     "token_budget_sample",
     oracle=f"""
     WITH base AS (

@@ -124,6 +124,8 @@ def decontaminate(
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
     ngram: int = 5,
+    bench_strategy: str = "auto",
+    bench_broadcast_limit: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag every training document sharing
     at least one word n-gram with the benchmark/eval set (the standard
@@ -139,6 +141,15 @@ def decontaminate(
     is usually tiny relative to the corpus and broadcast-joins against
     the corpus's exploded hashes. No all-pairs comparison anywhere —
     cost is corpus-ngrams x 1 lookup.
+
+    ``bench_strategy``: a many-benchmark eval suite can exceed what a
+    driver/executor can hold as a broadcast table. "broadcast" forces
+    the hint (the single-benchmark fast path); "shuffle" forces a plain
+    hash join (both sides exchange on _gh); "auto" (default) counts the
+    benchmark's distinct hashes once — the benchmark side is the small
+    side by construction, so the count is cheap — and broadcasts iff it
+    is at or under ``bench_broadcast_limit`` (5M hashes ~ 40 MB).
+    Both strategies are result-identical (tests/test_datapipe.py).
     """
     from qudo_etl_pipeline_spark.operators.dedup import (
         _hash64_raw_frag,
@@ -154,14 +165,29 @@ def decontaminate(
             F.col(idc), F.explode(F.array_distinct(g)).alias("_gh")
         )
 
+    if bench_strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown bench_strategy: {bench_strategy!r}")
     bench_hashes = (
         grams(benchmark, bench_id_col, bench_text_col)
         .select("_gh")
         .distinct()
     )
-    hits = grams(docs, id_col, text_col).join(
-        F.broadcast(bench_hashes), "_gh"
+    if bench_strategy == "auto":
+        # one count over the (small-by-construction) benchmark side;
+        # cache so the join below reuses the deduped hash set instead
+        # of re-shingling the benchmark
+        bench_hashes = bench_hashes.cache()
+        bench_strategy = (
+            "broadcast"
+            if bench_hashes.count() <= bench_broadcast_limit
+            else "shuffle"
+        )
+    joined_bench = (
+        F.broadcast(bench_hashes)
+        if bench_strategy == "broadcast"
+        else bench_hashes
     )
+    hits = grams(docs, id_col, text_col).join(joined_bench, "_gh")
     return hits.groupBy(id_col).agg(
         F.countDistinct("_gh").alias("n_hits"),
         F.min("_gh").alias("sample_gram_hash"),
@@ -291,6 +317,17 @@ def token_budget_sample(
         q["n_tokens"].alias("n_tokens"),
         q["quality_score"].alias("quality_score"),
     ).repartitionByRange(*order)
+    # Cache the range exchange's output BEFORE deriving _pid: the
+    # running-sum side and the offsets side both read _pid from it, and
+    # range boundaries are sampled nondeterministically — correctness
+    # requires both consumers to see ONE physical partitioning. Plan
+    # reuse usually guarantees that, but it is an optimizer behavior,
+    # not a contract; the cache makes it structural (both branches scan
+    # the same materialized partitions; a recomputed-on-eviction
+    # partition refetches the same shuffle output, so assignments stay
+    # stable). The cached projection is 3 narrow columns, not the
+    # corpus text.
+    scored = scored.cache()
     part = scored.withColumn("_pid", F.spark_partition_id())
     inner = Window.partitionBy("_pid").orderBy(*order)
     local = part.withColumn("_cum_in", F.sum("n_tokens").over(inner))

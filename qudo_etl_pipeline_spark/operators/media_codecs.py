@@ -192,6 +192,8 @@ def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
         body = payload[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if ctype == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             tag, channels, rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
             if tag != 1 or bits != 16:
@@ -200,8 +202,16 @@ def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
                 )
         elif ctype == b"data":
             data = body
-    if rate is None or data is None:
+    # chunk order is not guaranteed by RIFF — both orders land here, and
+    # every malformed-payload shape (missing/truncated fmt, zero
+    # channels, ragged sample count) must surface as the documented
+    # ValueError, not TypeError/struct.error from the reshape below
+    if rate is None or channels is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if channels < 1:
+        raise ValueError("WAV fmt declares zero channels")
+    if len(data) % (2 * channels):
+        raise ValueError("WAV data length not a whole number of frames")
     samples = np.frombuffer(data, dtype="<i2")
     return rate, samples.reshape(-1, channels)
 

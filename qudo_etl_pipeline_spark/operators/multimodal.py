@@ -312,7 +312,12 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     px = png_decode(bytes(p))
-                except (ValueError, NotImplementedError, TypeError):
+                except Exception:
+                    # a corrupt payload behind a valid PNG signature can
+                    # surface struct.error / zlib.error / IndexError from
+                    # the decoder, not just the documented ValueError —
+                    # any undecodable payload passes through null rather
+                    # than failing the whole Spark job
                     payloads.append(None)
                     metas.append(None)
                     continue

@@ -1304,3 +1304,124 @@ def test_packers_handle_null_text_and_negative_ids(spark):
     assert all(0 <= r["shard"] < 2 for r in pb)  # pmod, not %
     pg = pack_greedy(docs, seq_len=8, n_shards=2).collect()
     assert sorted(r["doc_id"] for r in pg) == [-3, 2]
+
+
+def test_decontaminate_strategies_plan_and_equivalence(spark):
+    """The size-gated benchmark join: broadcast and shuffle strategies
+    must produce identical hits, with plan evidence that the strategy
+    actually switched (round-4 verdict item: a many-benchmark suite can
+    exceed broadcast limits, so the fallback must exist and be gated)."""
+    from qudo_etl_pipeline_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear here in this text"),
+            (3, "we saw the quick brown fox jumps again today"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a tale where the quick brown fox jumps at dawn")],
+        "doc_id: long, text: string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast = decontaminate(docs, bench, bench_strategy="broadcast")
+        shuf = decontaminate(docs, bench, bench_strategy="shuffle")
+        assert "broadcast" in bcast._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "broadcast" not in shuf._jdf.queryExecution().optimizedPlan().toString().lower()
+        b = {tuple(r) for r in bcast.collect()}
+        s = {tuple(r) for r in shuf.collect()}
+        assert b == s and len(b) == 2
+        # auto with a tiny benchmark resolves to broadcast and matches too
+        auto = decontaminate(docs, bench, bench_strategy="auto")
+        assert {tuple(r) for r in auto.collect()} == b
+        # auto with a zero limit must take the shuffle path
+        auto_shuf = decontaminate(
+            docs, bench, bench_strategy="auto", bench_broadcast_limit=0
+        )
+        assert (
+            "broadcast"
+            not in auto_shuf._jdf.queryExecution().optimizedPlan().toString().lower()
+        )
+        assert {tuple(r) for r in auto_shuf.collect()} == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_wav_decode_chunk_order_and_malformed(spark):
+    """RIFF does not guarantee fmt-before-data; out-of-order chunks must
+    decode, and every malformed shape must raise the documented
+    ValueError (not TypeError/struct.error) so per-row callers filtering
+    on ValueError keep the job alive."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from qudo_etl_pipeline_spark.operators.media_codecs import (
+        wav_decode,
+        wav_encode,
+    )
+
+    samples = (np.arange(8, dtype="<i2") * 100).reshape(-1, 2)
+    good = wav_encode(samples, 8000)
+
+    # reorder: move the data chunk before fmt
+    def chunks(payload):
+        pos, out = 12, []
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            out.append(payload[pos : pos + 8 + length + (length & 1)])
+            pos += 8 + length + (length & 1)
+        return out
+
+    fmt_c, data_c = chunks(good)
+    body = b"WAVE" + data_c + fmt_c
+    reordered = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, arr = wav_decode(reordered)
+    assert rate == 8000 and np.array_equal(arr, samples)
+
+    # truncated fmt body -> ValueError
+    short_fmt = b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    body = b"WAVE" + short_fmt + data_c
+    with _pytest.raises(ValueError):
+        wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    # data with no fmt at all -> ValueError
+    body = b"WAVE" + data_c
+    with _pytest.raises(ValueError):
+        wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    # ragged data length (not a whole number of frames) -> ValueError
+    ragged_data = b"data" + struct.pack("<I", 6) + b"\x00" * 6
+    body = b"WAVE" + fmt_c + ragged_data
+    with _pytest.raises(ValueError):
+        wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_resize_images_corrupt_png_passes_through_null(spark):
+    """A payload with a valid PNG signature but corrupt body (zlib/
+    struct errors inside the decoder) must yield a null row, not fail
+    the Spark job."""
+    from qudo_etl_pipeline_spark.operators.media_codecs import png_encode
+    from qudo_etl_pipeline_spark.operators.multimodal import resize_images
+
+    import numpy as np
+
+    good = png_encode(np.zeros((4, 4, 3), dtype=np.uint8))
+    corrupt = good[:20] + b"\x00" * 10  # signature intact, body garbage
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good), None),
+            (2, "image", bytearray(corrupt), None),
+        ],
+        "media_id: long, kind: string, payload: binary, "
+        "meta: struct<format:string,width:int,height:int,"
+        "sample_rate:int,duration_ms:int>",
+    )
+    rows = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert rows[1]["payload"] is not None and rows[1]["meta"]["width"] == 2
+    assert rows[2]["payload"] is None and rows[2]["meta"] is None
