@@ -132,3 +132,65 @@ def test_new_corpus_ops_plan_shapes(spark):
     bm25_plan = _formatted(specs["bm25_topk_docs"].spark(spark, SF_DIR))
     assert "SortMergeJoin" not in bm25_plan
     assert "BroadcastNestedLoopJoin" in bm25_plan or "BroadcastHashJoin" in bm25_plan
+
+
+def test_expensive_extended_query_plan_shapes(spark):
+    """Plan-shape budgets for the five most expensive extended-series
+    queries (round-4 verdict item 9): a plan regression — a Python eval
+    node sneaking in, a broadcast flipping to sort-merge, a top-k
+    decaying to a global sort, a cartesian product — fails here in
+    pytest instead of only showing up in the bench file.
+
+    explain('formatted') lists each node twice (tree + details), so
+    exact counts are asserted as 2x.
+    """
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    specs = registry()
+    plans = {
+        n: _formatted(specs[n].spark(spark, SF_DIR))
+        for n in (
+            "pagerank_events_graph",
+            "semantic_dedup_verdicts",
+            "dsir_selection",
+            "cms_part_frequency",
+            "tfidf_top_terms",
+        )
+    }
+    for name, plan in plans.items():
+        # no Python crossings and no all-pairs shapes anywhere
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    # pagerank: the returned frame reads the checkpointed final ranks —
+    # lineage truncation held (no join/agg chain re-derived per action)
+    assert "Scan ExistingRDD" in plans["pagerank_events_graph"]
+    assert "Join" not in plans["pagerank_events_graph"]
+
+    # semantic dedup: ONE sort-merge join (the within-cell pair join —
+    # both sides corpus-scaled), everything else broadcast
+    p = plans["semantic_dedup_verdicts"]
+    assert p.count("SortMergeJoin") == 2, p.count("SortMergeJoin")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # dsir: single feature pass ends in a distributed top-k, never a
+    # global sort; the only join is the broadcast of tiny LM weights
+    p = plans["dsir_selection"]
+    assert p.count("TakeOrderedAndProject") == 2
+    assert "SortMergeJoin" not in p and "Sort " not in p.split("TakeOrdered")[0]
+    assert p.count("BroadcastHashJoin") == 2
+
+    # cms: sketch joins are broadcast-only (the sketch is row-count-
+    # independent and tiny by construction)
+    p = plans["cms_part_frequency"]
+    assert p.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+
+    # tfidf: the 1-row corpus-totals crossJoin stays a BROADCAST nested
+    # loop; the doc-frequency join stays broadcast hash
+    p = plans["tfidf_top_terms"]
+    assert p.count("BroadcastNestedLoopJoin") == 2
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
