@@ -29,8 +29,8 @@ def _d(c) -> F.Column:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -48,7 +48,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_d("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_d("l_extendedprice") * (F.lit(1) - _d("l_discount")))
+            # Round the exact decimal to scale 4 BEFORE the double cast: at
+            # scale 8 the unscaled sum exceeds 2^53 at sf>=0.1, and DuckDB's
+            # decimal->double (int128->double, then /10^scale: two roundings)
+            # can land 1 ulp away from Spark's correctly-rounded BigDecimal
+            # conversion. At scale 4 the unscaled value fits in 2^53 so both
+            # conversions are a single exact-input rounding -> identical.
+            F.round(
+                F.sum(_d("l_extendedprice") * (F.lit(1) - _d("l_discount"))), 4
+            )
             .cast("double")
             .alias("sum_disc_price"),
             F.round(
@@ -315,7 +323,7 @@ def crosstab_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_avg_discount",
     oracle="""
     SELECT l_returnflag,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           ROUND(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)
                  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS wavg_discount
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -326,7 +334,9 @@ def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(_d("l_discount") * _d("l_quantity")).cast("double")
+            # same scale-4 pre-round as q1: keep the unscaled decimal under
+            # 2^53 so the decimal->double cast is identical across engines
+            F.round(F.sum(_d("l_discount") * _d("l_quantity")), 4).cast("double")
             / F.sum(_d("l_quantity")).cast("double"),
             6,
         ).alias("wavg_discount")
