@@ -1,65 +1,74 @@
-"""Render a full-catalog selfcheck log into SELFCHECK_r<N>.md.
+"""Render full-catalog selfcheck logs into SELFCHECK_r<N>.md.
 
-    python tools/write_selfcheck_md.py <round> <selfcheck-log>
+    python tools/write_selfcheck_md.py <round> <sf>:<selfcheck-log> [...]
 
-Counts ok/rows-only/FAIL lines and writes the per-query table the judge
-reads as full-catalog evidence (the driver gate samples 50 queries per
-round; this records all of them).
+Counts ok/rows-only/FAIL lines per scale factor and writes the per-query
+tables the judge reads as full-catalog evidence (the driver gate samples
+50 queries per round; this records all of them, at every sf it was run).
 """
 
 from __future__ import annotations
 
 import datetime
-import os
 import re
 import subprocess
 import sys
 
 
-def main() -> None:
-    rnd = sys.argv[1]
-    log = sys.argv[2]
-    lines = []
-    fails = []
+def parse(log: str) -> tuple[list[str], list[str], int]:
+    lines: list[str] = []
+    fails: list[str] = []
     for raw in open(log):
         # progress bars prefix \r fragments; the real line is the last
         raw = raw.rstrip("\n").split("\r")[-1]
-        m = re.match(
-            r"ok\s+[a-z0-9_]+\s+(\[rows-only\] )?rows=\d+ \(\d+\.\ds\)$",
-            raw,
-        )
-        if m:
+        if re.match(
+            r"ok\s+[a-z0-9_]+\s+(\[rows-only\] )?rows=\d+ \(\d+\.\ds\)$", raw
+        ):
             lines.append(raw)
             continue
-        # selfcheck failure format: 'FAIL <name>: <reason>' (no rows= suffix)
+        # selfcheck failure format: 'FAIL <name>: <reason>'
         if re.match(r"FAIL [a-z0-9_]+:", raw):
             fails.append(raw)
             lines.append(raw)
     rows_only = sum("[rows-only]" in ln for ln in lines)
+    return lines, fails, rows_only
+
+
+def main() -> None:
+    rnd = sys.argv[1]
+    runs = [arg.split(":", 1) for arg in sys.argv[2:]]
     commit = subprocess.run(
         ["git", "log", "-1", "--format=%h"], capture_output=True, text=True
     ).stdout.strip()
     now = datetime.datetime.now(datetime.timezone.utc).strftime(
         "%Y-%m-%dT%H:%MZ"
     )
-    n = len(lines)
-    body = (
-        f"# SELFCHECK — round {rnd} (full catalog, sf0.01)\n\n"
-        f"Ran: `python tools/selfcheck.py /root/testdata/sf0.01` "
-        f"(all {n} registered queries)\n"
-        f"Date: {now} — repo at commit {commit}\n\n"
-        f"Result: **{n - len(fails)}/{n} green**"
-        f"{' (exit 0)' if not fails else ''}; "
-        f"{n - len(fails) - rows_only} DuckDB hash-matches, "
-        f"{rows_only} rows-only (seeded/iterative MLlib fits by design)"
-        f"{'; FAILURES: ' + str(len(fails)) if fails else ''}.\n\n"
-        "```\n" + "\n".join(lines) + "\n```\n"
-    )
+    sfs = ", ".join(sf for sf, _ in runs)
+    body = [
+        f"# SELFCHECK — round {rnd} (full catalog, sf {sfs})\n",
+        f"Date: {now} — repo at commit {commit}\n",
+    ]
+    any_fail = False
+    for sf, log in runs:
+        lines, fails, rows_only = parse(log)
+        n = len(lines)
+        any_fail = any_fail or bool(fails)
+        body.append(
+            f"\n## sf{sf}\n\n"
+            f"Ran: `python tools/selfcheck.py /root/testdata/sf{sf}` "
+            f"(all {n} registered queries)\n\n"
+            f"Result: **{n - len(fails)}/{n} green**"
+            f"{' (exit 0)' if not fails else ''}; "
+            f"{n - len(fails) - rows_only} DuckDB hash-matches, "
+            f"{rows_only} rows-only (seeded/iterative MLlib fits by design)"
+            f"{'; FAILURES: ' + str(len(fails)) if fails else ''}.\n\n"
+            "```\n" + "\n".join(lines) + "\n```\n"
+        )
     out = f"SELFCHECK_r{int(rnd):02d}.md"
     with open(out, "w") as fh:
-        fh.write(body)
-    print(f"{out}: {n} queries, {len(fails)} failures")
-    if fails:
+        fh.write("".join(body))
+    print(f"{out} written")
+    if any_fail:
         sys.exit(1)
 
 
