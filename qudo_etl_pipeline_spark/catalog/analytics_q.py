@@ -231,3 +231,73 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+def _ols_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    # Mirrors operators/analytics.py::ols_trend's expression tree exactly:
+    # DECIMAL-exact moments (product moments pre-rounded under the 2^53
+    # decimal->double bound), then the same fixed IEEE op sequence.
+    return f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             -- one operand widened to DECIMAL(19,4): DuckDB executes
+             -- 18x18 products in int64 (overflows on price^2); 19-width
+             -- forces the HUGEINT path. Values are exact either way, so
+             -- Spark's (18,4) side is unaffected.
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                          * CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS sxy,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                          * CAST(l_quantity AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS sxx,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                          * CAST(l_extendedprice AS DECIMAL(18,4))), 0)
+                  AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    ), v AS (
+      SELECT l_returnflag, n, sx, sy,
+             n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS varx,
+             n * syy - sy * sy AS vary
+      FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           {ref_round_sql('CASE WHEN varx > 0 THEN cov / varx END', 6)}
+             AS slope6,
+           {ref_round_sql(
+               'CASE WHEN varx > 0 THEN (sy - (cov / varx) * sx) / n END', 6
+           )} AS intercept6,
+           {ref_round_sql(
+               'CASE WHEN varx > 0 AND vary > 0 '
+               'THEN (cov * cov) / (varx * vary) END', 6
+           )} AS r2_6
+    FROM v
+    """
+
+
+@register(
+    "ols_trend_qty_price",
+    oracle=_ols_oracle(),
+    survey_ids=["A5", "A8"],
+    description="Per-group closed-form OLS trend (slope/intercept/r2 of "
+    "extendedprice on quantity per returnflag) from DECIMAL-exact "
+    "moments in ONE map-side-combinable shuffle",
+)
+def ols_trend_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t = A.ols_trend(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+    return t.select(
+        "l_returnflag",
+        "n",
+        ref_round(F.col("slope"), 6).alias("slope6"),
+        ref_round(F.col("intercept"), 6).alias("intercept6"),
+        ref_round(F.col("r2"), 6).alias("r2_6"),
+    )

@@ -2343,3 +2343,43 @@ def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("doc_id").cast("bigint").alias("min_id"),
     )
+
+
+@register(
+    "source_entropy_by_lang",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    ), shares AS (
+      SELECT lang,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang)
+                                      AS DOUBLE) AS p
+      FROM counts
+    ), terms AS (
+      SELECT lang,
+             CAST(ROUND(-(p * ln(p)), 9) AS DECIMAL(18,9)) AS h,
+             CAST(ROUND(p * p, 9) AS DECIMAL(18,9)) AS p2
+      FROM shares
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           ROUND(CAST(SUM(h) AS DOUBLE), 6) AS entropy,
+           ROUND(CASE WHEN COUNT(*) > 1
+                      THEN CAST(SUM(h) AS DOUBLE)
+                           / ln(CAST(COUNT(*) AS DOUBLE)) END, 6)
+             AS norm_entropy,
+           ROUND(1.0 - CAST(SUM(p2) AS DOUBLE), 6) AS gini
+    FROM terms GROUP BY lang
+    """,
+    survey_ids=["A4", "A9"],
+    description="Realized corpus-mixture diagnostics per language: "
+    "Shannon entropy, normalized entropy, and Gini impurity of the "
+    "source distribution (one shuffle to the (lang, source) count "
+    "table; cos9-rounded terms summed as DECIMAL)",
+)
+def source_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import mixture_entropy
+
+    return mixture_entropy(
+        load_table_spread(spark, sf_dir, "documents"), "lang", "source"
+    )

@@ -235,3 +235,37 @@ def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.rollup_time_grains(load_events(spark, sf_dir))
+
+
+def _rolling_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    s = "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)"
+    return f"""
+    SELECT event_id, user_id,
+           CAST(COUNT(value) OVER w AS BIGINT) AS n_w,
+           {ref_round_sql(s, 6)} AS sum_w,
+           {ref_round_sql(f'{s} / (COUNT(value) OVER w)', 6)} AS avg_w
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """
+
+
+@register(
+    "rolling_avg_purchase_1h",
+    oracle=_rolling_oracle(),
+    survey_ids=["A5", "A8", "W1"],
+    description="Trailing 1-hour time-RANGE rolling count/sum/avg of each "
+    "user's purchase values (irregular-sampling moving aggregate; one "
+    "keyed shuffle, DECIMAL-exact frame sums, tie-symmetric peers)",
+)
+def rolling_avg_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    r = T.rolling_time_stats(ev, "user_id", "ts", "value", window_sec=3600)
+    return r.select("event_id", "user_id", "n_w", "sum_w", "avg_w")

@@ -33,6 +33,7 @@ __all__ = [
     "retention_cohorts",
     "cdc_compact",
     "scd2_history",
+    "ols_trend",
 ]
 
 
@@ -211,4 +212,57 @@ def scd2_history(
             .cast("bigint")
             .alias("is_current"),
         )
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group closed-form OLS of ``y`` on ``x``: slope, intercept, r².
+
+    Extension scope (no reference counterpart): the per-segment trend
+    fit every analytics pipeline eventually needs (price elasticity per
+    flag, volume trend per source). ONE shuffle: the five moments
+    (Σx, Σy, Σxy, Σx², Σy²) are map-side-combinable sums, so the fit is
+    a plain groupBy — no second pass, no driver-side math, and the
+    output cardinality is the group count, independent of row count.
+
+    Cross-engine determinism: moments are DECIMAL-exact sums. The
+    product moments (scale 8) are pre-rounded before the double cast —
+    Σxy/Σx² to scale 2, Σy² to scale 0 — keeping each unscaled value
+    under 2^53 so the decimal→double conversion is a single correct
+    rounding on both engines (the q1 sum_disc_price lesson). The final
+    slope/intercept/r² arithmetic is then a fixed IEEE expression tree
+    over bit-identical doubles. Per-group Σy² bounds the usable |y| at
+    roughly 3e7 per 6M-row group; wider data should scale y down first.
+
+    Degenerate groups: slope/intercept are NULL when var(x)=0 (vertical
+    or single-point groups), r² additionally NULL when var(y)=0.
+    """
+    xd = F.col(x_col).cast("decimal(18,4)")
+    yd = F.col(y_col).cast("decimal(18,4)")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(xd).cast("double").alias("_sx"),
+        F.sum(yd).cast("double").alias("_sy"),
+        F.round(F.sum(xd * yd), 2).cast("double").alias("_sxy"),
+        F.round(F.sum(xd * xd), 2).cast("double").alias("_sxx"),
+        F.round(F.sum(yd * yd), 0).cast("double").alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    cov = n * F.col("_sxy") - sx * sy
+    varx = n * F.col("_sxx") - sx * sx
+    vary = n * F.col("_syy") - sy * sy
+    slope = cov / varx
+    return m.select(
+        *group_cols,
+        n.cast("bigint").alias("n"),
+        F.when(varx > 0, slope).alias("slope"),
+        F.when(varx > 0, (sy - slope * sx) / n).alias("intercept"),
+        F.when((varx > 0) & (vary > 0), (cov * cov) / (varx * vary)).alias(
+            "r2"
+        ),
     )

@@ -424,3 +424,47 @@ def hash_split(
         F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+def mixture_entropy(
+    df: DataFrame,
+    group_col: str = "lang",
+    cat_col: str = "source",
+) -> DataFrame:
+    """Per-group diversity of a categorical mixture: Shannon entropy
+    (nats), normalized entropy, and Gini impurity of the ``cat_col``
+    distribution within each ``group_col`` — the standard diagnostics a
+    corpus-mixing pipeline tracks per slice (is one source dominating a
+    language?). Complements :func:`source_mixture_weights` (which sets
+    target weights) by measuring the realized mixture.
+
+    Scale shape: ONE shuffle to the (group, category) count table —
+    row-count-independent from there — then a group-partitioned window
+    for totals and one final group aggregation over #categories rows.
+
+    Cross-engine determinism: category shares are single IEEE
+    divisions of exact counts; each p·ln(p) / p² term is rounded to 9
+    decimals (the cos9 device) and summed as DECIMAL(18,9) — summation
+    order can't perturb the result. Entropy of a single-category group
+    is exactly 0; normalized entropy is NULL there (ln k = 0).
+    """
+    counts = df.groupBy(group_col, cat_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy(group_col)
+    p = F.col("_n") / F.sum("_n").over(w)
+    terms = counts.select(
+        group_col,
+        F.round(-(p * F.log(p)), 9).cast("decimal(18,9)").alias("_h"),
+        F.round(p * p, 9).cast("decimal(18,9)").alias("_p2"),
+    )
+    k = F.count(F.lit(1))
+    h = F.sum("_h").cast("double")
+    return terms.groupBy(group_col).agg(
+        k.cast("bigint").alias("n_categories"),
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(k > 1, h / F.log(k.cast("double"))), 6
+        ).alias("norm_entropy"),
+        F.round(F.lit(1.0) - F.sum("_p2").cast("double"), 6).alias("gini"),
+    )

@@ -39,6 +39,7 @@ __all__ = [
     "rollup_time_grains",
     "time_weighted_avg",
     "trailing_zscore",
+    "rolling_time_stats",
 ]
 
 
@@ -295,4 +296,49 @@ def rollup_time_grains(
             "n",
             "total_value",
         )
+    )
+
+
+def rolling_time_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int = 3600,
+) -> DataFrame:
+    """Trailing time-RANGE rolling count/sum/avg of ``value_col``: for
+    each row, aggregate over the key's rows with ts in
+    ``[ts - window_sec, ts]`` (inclusive, peers included).
+
+    Complements :func:`trailing_zscore` (fixed row-count frames): RANGE
+    frames are what irregular sampling needs — a burst contributes all
+    its points, a gap contributes none, and rows tied on ts see each
+    other symmetrically (no hidden dependence on tie order, which also
+    makes the result engine-order-independent by construction).
+
+    ONE keyed shuffle; within each partition Spark's window evaluator
+    keeps a sliding frame, so cost is O(rows) amortized, not O(rows ×
+    frame). Cross-engine determinism: the frame sum is a DECIMAL(18,6)
+    exact sum (frame membership is a set, but double summation order
+    wouldn't be), divided once as a double.
+
+    Output: input key/ts/value plus ``n_w`` (frame row count),
+    ``sum_w``/``avg_w`` (rounded to 6). Equivalent DuckDB window:
+    ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW``.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_sec * 1_000_000, 0)
+    )
+    vd = F.col(value_col).cast("decimal(18,6)")
+    n = F.count(value_col).over(w)
+    s = F.sum(vd).over(w).cast("double")
+    return df.select(
+        *df.columns,
+        n.cast("bigint").alias("n_w"),
+        ref_round(s, 6).alias("sum_w"),
+        ref_round(s / n, 6).alias("avg_w"),
     )

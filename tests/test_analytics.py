@@ -194,3 +194,43 @@ def test_funnel_same_timestamp_does_not_advance(spark):
            funnel_depth(ev, ["signup", "click", "purchase"]).collect()}
     # purchase at the SAME ts as the matched click is not strictly after
     assert out == {1: 2, 2: 3}
+
+
+def test_ols_trend_matches_numpy_closed_form(spark):
+    import numpy as np
+
+    from qudo_etl_pipeline_spark.operators.analytics import ols_trend
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(1, 50, 200).round(2)
+    y = (3.5 * x + 10 + rng.normal(0, 5, 200)).round(2)
+    rows = [("a", float(a), float(b)) for a, b in zip(x, y)]
+    # degenerate group: constant x -> slope/intercept/r2 NULL
+    rows += [("b", 2.0, float(v)) for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+
+    slope_np, intercept_np = np.polyfit(x, y, 1)
+    r_np = np.corrcoef(x, y)[0, 1] ** 2
+    assert out["a"]["n"] == 200
+    # tolerances reflect the documented cross-engine moment pre-round
+    # (Σxy to 1e-2, Σy² to 1): intercept absorbs ~n/var(x) of that
+    assert abs(out["a"]["slope"] - slope_np) < 1e-5
+    assert abs(out["a"]["intercept"] - intercept_np) < 1e-3
+    assert abs(out["a"]["r2"] - r_np) < 1e-5
+    assert out["b"]["slope"] is None
+    assert out["b"]["intercept"] is None
+    assert out["b"]["r2"] is None
+
+
+def test_ols_trend_perfect_line_r2_one(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import ols_trend
+
+    df = spark.createDataFrame(
+        [("g", float(i), 2.0 * i - 1.0) for i in range(1, 6)],
+        "g string, x double, y double",
+    )
+    r = ols_trend(df, ["g"], "x", "y").collect()[0]
+    assert abs(r["slope"] - 2.0) < 1e-9
+    assert abs(r["intercept"] + 1.0) < 1e-9
+    assert abs(r["r2"] - 1.0) < 1e-9

@@ -1425,3 +1425,27 @@ def test_resize_images_corrupt_png_passes_through_null(spark):
     rows = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
     assert rows[1]["payload"] is not None and rows[1]["meta"]["width"] == 2
     assert rows[2]["payload"] is None and rows[2]["meta"] is None
+
+
+def test_mixture_entropy_hand_computed(spark):
+    from qudo_etl_pipeline_spark.operators.curation import mixture_entropy
+
+    rows = (
+        [("en", "web")] * 2 + [("en", "books")] + [("en", "code")]
+        + [("fr", "web")] * 3
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {r["lang"]: r for r in mixture_entropy(df).collect()}
+    # en: p = (0.5, 0.25, 0.25) -> H = 1.039721 nats, H/ln3 = 0.946395,
+    # gini = 1 - (0.25 + 0.0625 + 0.0625) = 0.625
+    en = out["en"]
+    assert en["n_categories"] == 3
+    assert abs(en["entropy"] - 1.039721) < 1e-6
+    assert abs(en["norm_entropy"] - 0.946395) < 1e-6
+    assert abs(en["gini"] - 0.625) < 1e-6
+    # single-source group: entropy exactly 0, normalized undefined
+    fr = out["fr"]
+    assert fr["n_categories"] == 1
+    assert fr["entropy"] == 0.0
+    assert fr["norm_entropy"] is None
+    assert fr["gini"] == 0.0

@@ -224,3 +224,36 @@ def test_range_join_left_null_payload_not_duplicated(spark):
     # matched NULL-payload interval appears ONCE (with its match), not
     # again as a spurious empty row
     assert out == [(1, 100), (2, None)]
+
+
+def test_rolling_time_stats_frames_and_ties(spark):
+    import datetime as dt
+
+    from qudo_etl_pipeline_spark.operators.temporal import rolling_time_stats
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    # key 1: points at 0s, 30s, 61s (61s frame [1,61] drops the 0s point),
+    # plus a tie pair at 100s that must see each other symmetrically
+    rows = [
+        (1, t(0), 10.0),
+        (1, t(30), 20.0),
+        (1, t(61), 30.0),
+        (1, t(100), 1.0),
+        (1, t(100), 3.0),
+        (2, t(5), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = rolling_time_stats(df, "k", "ts", "v", window_sec=60)
+    got = sorted(
+        (r["k"], r["ts"].second + 60 * r["ts"].minute, r["v"],
+         r["n_w"], r["sum_w"], r["avg_w"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 0, 10.0, 1, 10.0, 10.0),
+        (1, 30, 20.0, 2, 30.0, 15.0),
+        (1, 61, 30.0, 2, 50.0, 25.0),   # 0s point aged out
+        (1, 100, 1.0, 3, 34.0, 11.333333),  # tie peers see each other
+        (1, 100, 3.0, 3, 34.0, 11.333333),  # (avg_w is ref_round(..., 6))
+        (2, 5, 7.0, 1, 7.0, 7.0),
+    ]
