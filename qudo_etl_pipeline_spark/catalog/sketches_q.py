@@ -191,3 +191,103 @@ def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").alias("s_min"),
         F.max("s").alias("s_max"),
     )
+
+
+def _kmv_oracle(k: int = 256) -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64_sql
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    # (k-1) * 2^60: both factors and the product are exactly
+    # representable doubles, so the literal matches Spark's bit-for-bit.
+    est = (
+        f"CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE) "
+        f"ELSE ({float(k - 1)!r} * 1152921504606846976.0) "
+        f"/ CAST(MAX(h) AS DOUBLE) END"
+    )
+    return f"""
+    WITH hs AS (
+      SELECT DISTINCT {hash64_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ), sk AS (
+      SELECT h FROM hs ORDER BY h LIMIT {k}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MAX(h) AS BIGINT) AS kth_hash,
+           {ref_round_sql(est, 2)} AS est_distinct
+    FROM sk
+    """
+
+
+@register(
+    "kmv_distinct_custkeys",
+    oracle=_kmv_oracle(256),
+    survey_ids=["A7"],
+    description="KMV (theta) distinct-count sketch of order custkeys: "
+    "k=256 smallest md5-hashes + the (k-1)/U_(k) estimator — unlike "
+    "HLL, the sketch content itself is engine-independent, so the "
+    "oracle hash-checks the sketch AND the estimate",
+)
+def kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    sk = SK.kmv_build(load_table(spark, sf_dir, "orders"), "o_custkey", 256)
+    est = SK.kmv_estimate(sk, 256)
+    return est.select(
+        "n_kept", "kth_hash", ref_round(F.col("est_distinct"), 2).alias(
+            "est_distinct"
+        )
+    )
+
+
+def _kmv_jaccard_oracle(k: int = 128) -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64_sql
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+
+    def sketch(etype: str) -> str:
+        return f"""(
+      SELECT h FROM (
+        SELECT DISTINCT {h} AS h FROM events
+        WHERE event_type = '{etype}' AND user_id IS NOT NULL
+      ) ORDER BY h LIMIT {k}
+    )"""
+
+    return f"""
+    WITH a AS {sketch("click")}, b AS {sketch("purchase")},
+    both_ AS (SELECT h FROM a INTERSECT SELECT h FROM b),
+    comb AS (
+      SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+    ),
+    ranked AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM comb),
+    kp AS (SELECT LEAST({k}, COUNT(*)) AS kp FROM ranked),
+    sel AS (
+      SELECT CASE WHEN both_.h IS NOT NULL THEN 1 ELSE 0 END AS m, kp.kp
+      FROM ranked CROSS JOIN kp LEFT JOIN both_ ON ranked.h = both_.h
+      WHERE ranked.r <= kp.kp
+    )
+    SELECT CAST(MAX(kp) AS BIGINT) AS k_used,
+           CAST(SUM(m) AS BIGINT) AS n_matches,
+           {ref_round_sql(
+               'CAST(SUM(m) AS DOUBLE) / CAST(MAX(kp) AS DOUBLE)', 6
+           )} AS jaccard6
+    FROM sel
+    """
+
+
+@register(
+    "kmv_jaccard_event_users",
+    oracle=_kmv_jaccard_oracle(128),
+    survey_ids=["A7", "R6"],
+    description="Set-similarity from sketches alone: Jaccard of "
+    "click-users vs purchase-users estimated from two k=128 KMV "
+    "sketches (Beyer et al.) — no full-set intersection is ever built",
+)
+def kmv_jaccard_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    users = lambda t: ev.filter(F.col("event_type") == t)
+    sk_a = SK.kmv_build(users("click"), "user_id", 128)
+    sk_b = SK.kmv_build(users("purchase"), "user_id", 128)
+    return SK.kmv_jaccard(sk_a, sk_b, 128)

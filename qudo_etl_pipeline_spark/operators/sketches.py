@@ -24,9 +24,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.functions.hashing import hash_positions
+from qudo_etl_pipeline_spark.functions.hashing import hash64, hash_positions
 
-__all__ = ["cms_build", "cms_lookup", "bloom_build", "bloom_lookup"]
+__all__ = [
+    "cms_build",
+    "cms_lookup",
+    "bloom_build",
+    "bloom_lookup",
+    "kmv_build",
+    "kmv_estimate",
+    "kmv_jaccard",
+]
 
 
 def _probe_positions(key: Column, n_hashes: int, modulus: int) -> Column:
@@ -141,4 +149,92 @@ def bloom_lookup(
         .select(key_col, hit_bit.alias("b"))
         .groupBy(key_col)
         .agg(F.min(F.col("b").cast("int")).cast("bigint").alias("hit"))
+    )
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values (theta) sketch of ``key_col``: the ``k`` smallest
+    distinct 60-bit hashes of the key (Bar-Yossef et al. / the theta
+    sketch's KMV core). One column ``h``; at most ``k`` rows.
+
+    Why KMV over HLL here: identical estimate from identical data on any
+    engine (hash64 is the md5 device), so the sketch itself — not just
+    its estimate — is oracle-checkable and MERGEABLE by construction:
+    kmv(A union B) == k-smallest of (kmv(A) union kmv(B)), the property
+    a 100 TB pipeline uses to sketch per-partition/per-day and combine.
+
+    Scale shape: map (hash) -> partial-dedup shuffle on the hash ->
+    TakeOrdered(k) (per-partition top-k, single tiny merge). Output is
+    k rows regardless of input row count.
+    """
+    key = F.col(key_col)
+    return (
+        df.filter(key.isNotNull())
+        .select(hash64(key.cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+# hash64 yields 60-bit values: estimates normalize by 2^60.
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_build` sketch (1 row).
+
+    Saturated sketch (n_kept == k): the classic unbiased KMV estimator
+    (k-1) / U_(k) with U = h_k / 2^60. Unsaturated: the sketch holds
+    EVERY distinct hash, so the count is exact (collisions aside).
+    """
+    n = F.count(F.lit(1))
+    hk = F.max("h")
+    est = F.when(
+        n < k, n.cast("double")
+    ).otherwise((F.lit(float(k - 1)) * _KMV_SPACE) / hk.cast("double"))
+    return sketch.agg(
+        n.cast("bigint").alias("n_kept"),
+        hk.cast("bigint").alias("kth_hash"),
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+    """Jaccard similarity estimate between two key sets from their KMV
+    sketches alone (Beyer et al., SIGMOD'07): among the k' smallest
+    hashes of the combined sketch (k' = min(k, |union of sketches|)),
+    the fraction present in BOTH sketches estimates |A∩B| / |A∪B|.
+
+    Everything here is sketch-sized (<= 2k rows) — the single-partition
+    window and the 1-row broadcast crossJoin never see data scale.
+    Output: k_used, n_matches, jaccard6.
+    """
+    from pyspark.sql import Window
+
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    both = sk_a.select("h").intersect(sk_b.select("h"))
+    comb = sk_a.select("h").union(sk_b.select("h")).distinct()
+    ranked = comb.select(
+        "h", F.row_number().over(Window.orderBy("h")).alias("r")
+    )
+    kp = ranked.agg(
+        F.least(F.lit(k), F.count(F.lit(1))).cast("int").alias("kp")
+    )
+    j = (
+        ranked.join(both.withColumn("m", F.lit(1)), "h", "left")
+        .crossJoin(F.broadcast(kp))
+        .filter(F.col("r") <= F.col("kp"))
+    )
+    return j.agg(
+        F.max("kp").cast("bigint").alias("k_used"),
+        F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("bigint").alias(
+            "n_matches"
+        ),
+        ref_round(
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("double")
+            / F.max("kp").cast("double"),
+            6,
+        ).alias("jaccard6"),
     )

@@ -130,3 +130,67 @@ def test_bloom_prefilter_preserves_join_results(spark):
     assert pruned.exceptAll(plain).count() == 0
     # and a real reduction of the fact side before the expensive join
     assert pruned_fact.count() < 0.5 * fact.count()
+
+
+def test_kmv_exact_below_k_and_mergeable(spark):
+    from qudo_etl_pipeline_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(20, 60)], "k long")
+    # unsaturated sketch (60 distinct < k=64... use k=64): exact count
+    sk_union = kmv_build(a.union(b), "k", 64)
+    est = kmv_estimate(sk_union, 64).collect()[0]
+    assert est["n_kept"] == 60
+    assert est["est_distinct"] == 60.0
+    # mergeability: k-smallest of (kmv(A) union kmv(B)) == kmv(A union B)
+    merged = (
+        kmv_build(a, "k", 64)
+        .union(kmv_build(b, "k", 64))
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+    )
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in sk_union.collect()
+    )
+
+
+def test_kmv_estimate_accuracy_saturated(spark):
+    from qudo_etl_pipeline_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    est = kmv_estimate(kmv_build(df, "k", 256), 256).collect()[0]
+    assert est["n_kept"] == 256
+    # KMV relative error ~ 1/sqrt(k) ~= 6%; allow 4 sigma
+    assert abs(est["est_distinct"] - n) / n < 0.25
+
+
+def test_kmv_jaccard_matches_true_overlap(spark):
+    from qudo_etl_pipeline_spark.operators.sketches import (
+        kmv_build,
+        kmv_jaccard,
+    )
+
+    # |A|=|B|=600, |A∩B|=300, |A∪B|=900 -> J = 1/3
+    a = spark.createDataFrame([(i,) for i in range(600)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(300, 900)], "k long")
+    r = kmv_jaccard(
+        kmv_build(a, "k", 128), kmv_build(b, "k", 128), 128
+    ).collect()[0]
+    assert r["k_used"] == 128
+    assert abs(r["jaccard6"] - 1 / 3) < 0.15
+
+    # saturating sketches (k > |union|) recover Jaccard EXACTLY
+    rx = kmv_jaccard(
+        kmv_build(a, "k", 2048), kmv_build(b, "k", 2048), 2048
+    ).collect()[0]
+    assert rx["k_used"] == 900
+    assert rx["n_matches"] == 300
+    assert abs(rx["jaccard6"] - 1 / 3) < 1e-5
