@@ -301,3 +301,45 @@ def ols_trend_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_round(F.col("intercept"), 6).alias("intercept6"),
         ref_round(F.col("r2"), 6).alias("r2_6"),
     )
+
+
+def _mad_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    rz = "0.6745 * (d.v - d.med6) / m.mad6"
+    return f"""
+    WITH med AS (
+      SELECT o_orderpriority AS g,
+             {ref_round_sql('quantile_cont(o_totalprice, 0.5)', 6)} AS med6
+      FROM orders GROUP BY 1
+    ), dev AS (
+      SELECT o.o_orderkey, o.o_orderpriority AS g, o.o_totalprice AS v,
+             m.med6
+      FROM orders o JOIN med m ON o.o_orderpriority = m.g
+    ), mad AS (
+      SELECT g,
+             {ref_round_sql('quantile_cont(ABS(v - med6), 0.5)', 6)} AS mad6
+      FROM dev GROUP BY g
+    )
+    SELECT d.o_orderkey, d.g AS o_orderpriority,
+           CASE WHEN m.mad6 > 0 THEN {ref_round_sql(rz, 6)} END AS rz6,
+           CAST(CASE WHEN m.mad6 > 0 AND ABS({rz}) > 3.5
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM dev d JOIN mad m ON d.g = m.g
+    """
+
+
+@register(
+    "robust_zscore_orders",
+    oracle=_mad_oracle(),
+    survey_ids=["A8", "P6"],
+    description="Per-group median/MAD modified z-score (Iglewicz-Hoaglin "
+    "|rz|>3.5 outlier flag) over order totals by priority: two exact-"
+    "percentile shuffles, group stats broadcast back",
+)
+def robust_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    r = A.robust_zscore(ords, ["o_orderpriority"], "o_totalprice")
+    return r.select("o_orderkey", "o_orderpriority", "rz6", "is_outlier")

@@ -34,6 +34,7 @@ __all__ = [
     "cdc_compact",
     "scd2_history",
     "ols_trend",
+    "robust_zscore",
 ]
 
 
@@ -265,4 +266,52 @@ def ols_trend(
         F.when((varx > 0) & (vary > 0), (cov * cov) / (varx * vary)).alias(
             "r2"
         ),
+    )
+
+
+def robust_zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust (median/MAD) outlier score: the modified z-score
+    rz = 0.6745 · (x − median) / MAD with the Iglewicz–Hoaglin |rz| >
+    3.5 flag — the outlier detector that, unlike mean/std z-scores,
+    an outlier cannot mask by inflating its own baseline.
+
+    Two keyed shuffles (median, then MAD of |x − median|), each a
+    map-side-combinable exact percentile; group stats come back via
+    broadcast joins, so the big side is never re-shuffled. Exact
+    percentile state is per-group distinct-value counts — fine for
+    grouped analytics; for millions of distinct values per group
+    switch to ``F.approx_percentile`` (and lose oracle parity).
+
+    Cross-engine determinism: both medians are ref_round(…, 6)ed
+    (Spark ``percentile`` and DuckDB ``quantile_cont`` interpolate
+    identically on doubles; the rounding absorbs any residual ulp),
+    and rz is a fixed IEEE tree over those. Zero-MAD groups (>50%
+    of values at the median) yield NULL rz / flag 0.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        ref_round(F.percentile(v, F.lit(0.5)), 6).alias("_med6")
+    )
+    dev = df.join(F.broadcast(med), group_cols)
+    mad = dev.groupBy(*group_cols).agg(
+        ref_round(
+            F.percentile(F.abs(v - F.col("_med6")), F.lit(0.5)), 6
+        ).alias("_mad6")
+    )
+    scored = dev.join(F.broadcast(mad), group_cols)
+    rz = F.lit(0.6745) * (v - F.col("_med6")) / F.col("_mad6")
+    return scored.select(
+        *df.columns,
+        F.when(F.col("_mad6") > 0, ref_round(rz, 6)).alias("rz6"),
+        F.when((F.col("_mad6") > 0) & (F.abs(rz) > threshold), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_outlier"),
     )

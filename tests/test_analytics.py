@@ -234,3 +234,22 @@ def test_ols_trend_perfect_line_r2_one(spark):
     assert abs(r["slope"] - 2.0) < 1e-9
     assert abs(r["intercept"] + 1.0) < 1e-9
     assert abs(r["r2"] - 1.0) < 1e-9
+
+
+def test_robust_zscore_flags_planted_outlier(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import robust_zscore
+
+    # tight cluster around 10 plus one gross outlier; constant group
+    # has MAD 0 -> NULL scores, flag 0
+    rows = [("a", float(v)) for v in
+            (9.8, 9.9, 10.0, 10.0, 10.1, 10.2, 500.0)]
+    rows += [("b", 5.0)] * 4
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = robust_zscore(df, ["g"], "x").collect()
+    flagged = [(r["g"], r["x"]) for r in out if r["is_outlier"] == 1]
+    assert flagged == [("a", 500.0)]
+    # median=10, MAD=median(|x-10|)=0.1 -> rz(500) = .6745*490/.1
+    big = [r for r in out if r["x"] == 500.0][0]
+    assert abs(big["rz6"] - 0.6745 * 490.0 / 0.1) < 1e-3
+    assert all(r["rz6"] is None and r["is_outlier"] == 0
+               for r in out if r["g"] == "b")
