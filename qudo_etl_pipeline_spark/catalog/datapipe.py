@@ -2383,3 +2383,70 @@ def source_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_entropy(
         load_table_spread(spark, sf_dir, "documents"), "lang", "source"
     )
+
+
+def _rrf_oracle(c: int = 60, k: int = 10) -> str:
+    # Hybrid fusion of the two proven retrieval oracles: the BM25
+    # pivoted-form CTE (k=20) and the exact-cosine top-20 of query
+    # vector 0, combined with cos9-rounded 1/(c+rank) terms summed as
+    # DECIMAL (operators/index.py::rrf_fuse).
+    bm = _bm25_oracle(k=20)
+    cos9 = (
+        "(FLOOR((list_dot_product(q.e, n.e) / "
+        "(sqrt(list_dot_product(q.e, q.e)) * "
+        "sqrt(list_dot_product(n.e, n.e)))) * 1000000000.0 + 0.5) "
+        "/ 1000000000.0)"
+    )
+    return f"""
+    WITH bm AS ({bm}),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    ann AS (
+      SELECT neighbor_id AS doc, rank FROM (
+        SELECT n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (ORDER BY {cos9} DESC, n.vec_id ASC)
+                 AS rank
+        FROM v q JOIN v n ON q.vec_id = 0 AND n.vec_id <> 0
+      ) WHERE rank <= 20
+    ),
+    u AS (
+      SELECT doc, rank FROM bm
+      UNION ALL
+      SELECT doc, rank FROM ann
+    ),
+    scored AS (
+      SELECT doc,
+             CAST(SUM(CAST(ROUND(1.0 / ({c}.0 + CAST(rank AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS rrf,
+             CAST(COUNT(*) AS BIGINT) AS n_systems
+      FROM u GROUP BY doc
+    )
+    SELECT doc AS id, n_systems, ROUND(rrf, 9) AS rrf9,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc ASC) AS BIGINT)
+             AS rank
+    FROM scored ORDER BY rrf DESC, doc ASC LIMIT {k}
+    """
+
+
+@register(
+    "rrf_hybrid_topk",
+    oracle=_rrf_oracle(),
+    survey_ids=["A10", "W2", "R1"],
+    description="Hybrid retrieval: reciprocal-rank fusion (c=60) of the "
+    "BM25 top-20 and the dense exact-cosine top-20 of query vector 0 — "
+    "rank-only combination, no score calibration",
+)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.index import bm25_topk, rrf_fuse
+
+    docs = load_table_spread(spark, sf_dir, "documents",
+                             columns=["doc_id", "text"])
+    bm = bm25_topk(docs, _BM25_TERMS, k=20).select("doc", "rank")
+    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    ann = (
+        SIM.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("doc"), "rank")
+    )
+    return rrf_fuse([bm, ann], id_col="doc", rank_col="rank", c=60, k=10)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["inverted_index", "boolean_and_query", "bm25_topk"]
+__all__ = ["inverted_index", "boolean_and_query", "bm25_topk", "rrf_fuse"]
 
 
 def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -170,4 +170,61 @@ def bm25_topk(
         "doc",
         "bm25",
         F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc",
+    rank_col: str = "rank",
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
+    N retrieval rankings: score(d) = Σ over systems of 1/(c + rank_d),
+    items absent from a system contribute nothing. The standard hybrid-
+    retrieval combiner (BM25 + dense ANN) — score scales never need
+    calibrating because only ranks enter.
+
+    Scale shape: inputs are top-k lists, so everything here is
+    k·N-sized — one union + one tiny groupBy; the final row_number
+    window runs on ≤ Σk_i rows.
+
+    Cross-engine determinism: each 1/(c+rank) term is cos9-rounded and
+    summed as DECIMAL(18,9) (summation order across systems can't
+    perturb the score); ties break on ascending id.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    tagged = [
+        r.select(
+            F.col(id_col).alias("id"), F.col(rank_col).alias("rank")
+        )
+        for r in rankings
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    term = F.round(
+        F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double")), 9
+    ).cast("decimal(18,9)")
+    scored = (
+        u.select("id", term.alias("_t"))
+        .groupBy("id")
+        .agg(
+            F.sum("_t").cast("double").alias("rrf"),
+            F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+        )
+    )
+    order = [F.desc("rrf"), F.asc("id")]
+    w = Window.orderBy(*order)
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .select(
+            "id",
+            "n_systems",
+            F.round("rrf", 9).alias("rrf9"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
     )

@@ -1449,3 +1449,24 @@ def test_mixture_entropy_hand_computed(spark):
     assert fr["entropy"] == 0.0
     assert fr["norm_entropy"] is None
     assert fr["gini"] == 0.0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from qudo_etl_pipeline_spark.operators.index import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "doc long, rank long"
+    )
+    out = rrf_fuse([a, b], k=4).collect()
+    got = [(r["id"], r["n_systems"], r["rrf9"], r["rank"]) for r in out]
+    s = lambda *ranks: round(sum(round(1.0 / (60 + r), 9) for r in ranks), 9)
+    # doc 10: ranks 1,2 -> ties doc 20 (ranks 2,1) exactly; id breaks tie
+    assert got == [
+        (10, 2, s(1, 2), 1),
+        (20, 2, s(2, 1), 2),
+        (30, 1, s(3), 3),
+        (40, 1, s(3), 4),
+    ]
