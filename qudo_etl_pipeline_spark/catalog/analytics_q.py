@@ -343,3 +343,66 @@ def robust_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = A.robust_zscore(ords, ["o_orderpriority"], "o_totalprice")
     return r.select("o_orderkey", "o_orderpriority", "rz6", "is_outlier")
+
+
+def _corr_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in cols:
+        moments.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{c}"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    for a, b in pairs:
+        # 19-width first operand: force DuckDB's HUGEINT product path
+        moments.append(
+            f"CAST(ROUND(SUM(CAST({a} AS DECIMAL(19,4))"
+            f" * CAST({b} AS DECIMAL(18,4))), 2) AS DOUBLE) AS p_{a}_{b}"
+        )
+
+    def cov(a: str, b: str) -> str:
+        key = f"p_{a}_{b}" if (a, b) in pairs else f"p_{b}_{a}"
+        return f"(n * {key} - s_{a} * s_{b})"
+
+    rows = []
+    for a, b in pairs:
+        if a == b:
+            continue
+        r = f"{cov(a, b)} / (sqrt({cov(a, a)}) * sqrt({cov(b, b)}))"
+        guarded = (
+            f"CASE WHEN {cov(a, a)} > 0 AND {cov(b, b)} > 0 "
+            f"THEN ({r}) END"
+        )
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"{ref_round_sql(guarded, 6)} AS corr6 FROM m"
+        )
+    sel = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH m AS (
+      SELECT {", ".join(moments)} FROM lineitem
+    )
+    {sel}
+    """
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle=_corr_oracle(),
+    survey_ids=["A5", "A8", "R2"],
+    description="Flattened Pearson correlation matrix of three lineitem "
+    "measures from ONE aggregation pass (all sums and cross-products "
+    "map-side-combinable; DECIMAL-exact moments)",
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = A.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    return out.select(
+        "col_x", "col_y", ref_round(F.col("corr"), 6).alias("corr6")
+    )

@@ -2450,3 +2450,38 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("neighbor_id").alias("doc"), "rank")
     )
     return rrf_fuse([bm, ann], id_col="doc", rank_col="rank", c=60, k=10)
+
+
+def _weighted_sample_oracle(k: int = 200, seed: int = 42) -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import token_hash64_sql
+
+    h = token_hash64_sql("CAST(doc_id AS VARCHAR)", seed)
+    key = (
+        f"ln((CAST({h} AS DOUBLE) + 1.0) / 1152921504606846976.0)"
+        f" / CAST(n_chars AS DOUBLE)"
+    )
+    return f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND({key}, 9) AS es_key9
+    FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
+    ORDER BY es_key9 DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=_weighted_sample_oracle(),
+    survey_ids=["R5", "W2"],
+    description="Efraimidis-Spirakis weighted sample (k=200, seeded md5 "
+    "uniforms): documents drawn proportional to length in one map + "
+    "distributed TakeOrdered — no rejection loop, no prefix sum",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import weighted_sample
+
+    docs = load_table_spread(
+        spark, sf_dir, "documents", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(docs, "doc_id", "n_chars", k=200)

@@ -35,6 +35,7 @@ __all__ = [
     "scd2_history",
     "ols_trend",
     "robust_zscore",
+    "corr_matrix",
 ]
 
 
@@ -315,3 +316,55 @@ def robust_zscore(
         .cast("bigint")
         .alias("is_outlier"),
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All pairwise Pearson correlations of ``cols`` in ONE aggregation
+    pass (n + Σx per column + Σxy per pair — every moment map-side-
+    combinable), then pure column arithmetic. Output one row per
+    unordered pair: (col_x, col_y, corr) — the flattened correlation
+    matrix a feature-selection / drift-monitoring step consumes.
+
+    Same determinism discipline as :func:`ols_trend`: DECIMAL-exact
+    sums, product moments pre-rounded to scale 2 under the 2^53
+    decimal→double bound, correlation as a fixed IEEE tree
+    corr = (n·Σxy − Σx·Σy) / (sqrt(n·Σxx − Σx²) · sqrt(n·Σyy − Σy²)),
+    NULL for constant columns.
+    """
+    d = {c: F.col(c).cast("decimal(18,4)") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"_s_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i:]
+    ]  # includes (a, a): Σx² rides in the same pass
+    for a, b in pairs:
+        aggs.append(
+            F.round(F.sum(d[a] * d[b]), 2)
+            .cast("double")
+            .alias(f"_p_{a}_{b}")
+        )
+    m = df.agg(*aggs)
+
+    def _cov(a: str, b: str) -> F.Column:
+        key = f"_p_{a}_{b}" if (a, b) in pairs else f"_p_{b}_{a}"
+        return F.col("_n") * F.col(key) - F.col(f"_s_{a}") * F.col(
+            f"_s_{b}"
+        )
+
+    structs = []
+    for a, b in pairs:
+        if a == b:
+            continue
+        r = _cov(a, b) / (F.sqrt(_cov(a, a)) * F.sqrt(_cov(b, b)))
+        r = F.when((_cov(a, a) > 0) & (_cov(b, b) > 0), r)
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                r.alias("corr"),
+            )
+        )
+    return m.select(
+        F.explode(F.array(*structs)).alias("_e")
+    ).select("_e.col_x", "_e.col_y", "_e.corr")

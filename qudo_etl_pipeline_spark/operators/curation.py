@@ -468,3 +468,45 @@ def mixture_entropy(
         ).alias("norm_entropy"),
         F.round(F.lit(1.0) - F.sum("_p2").cast("double"), 6).alias("gini"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    every row gets key = ln(u) / w with u a seeded per-item uniform in
+    (0, 1]; the k LARGEST keys are exactly a w-weighted sample — the
+    distributed, single-pass answer to "sample documents proportional
+    to length/quality" that no rejection loop or global prefix sum
+    needs. Changing ``seed`` redraws; the same seed is reproducible
+    everywhere because u comes from the md5 hash device, not an RNG.
+
+    Scale shape: map (hash + one ln) → distributed TakeOrdered(k):
+    per-partition top-k, one tiny merge. No shuffle of the data.
+
+    Cross-engine determinism: keys are cos9-rounded and tie-break on
+    ascending id. Non-positive / NULL weights are excluded (ES is
+    undefined there).
+    """
+    from qudo_etl_pipeline_spark.functions.hashing import token_hash64
+
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1]: (h + 1) / 2^60 with h uniform over [0, 2^60)
+    u = (
+        token_hash64(F.col(id_col).cast("string"), seed).cast("double")
+        + 1.0
+    ) / 1152921504606846976.0
+    # plain cos9 rounding (ref_round validates scales <= 7 only; at 9
+    # decimals both engines' ROUND agree away from representational
+    # ties, the same convention every retrieval key here uses)
+    key9 = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .select(*df.columns, key9.alias("es_key9"))
+        .orderBy(F.desc("es_key9"), F.asc(id_col))
+        .limit(k)
+    )

@@ -253,3 +253,29 @@ def test_robust_zscore_flags_planted_outlier(spark):
     assert abs(big["rz6"] - 0.6745 * 490.0 / 0.1) < 1e-3
     assert all(r["rz6"] is None and r["is_outlier"] == 0
                for r in out if r["g"] == "b")
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from qudo_etl_pipeline_spark.operators.analytics import corr_matrix
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 100, 300).round(2)
+    y = (0.8 * x + rng.normal(0, 10, 300)).round(2)   # correlated
+    z = rng.uniform(0, 1, 300).round(2)               # independent
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    out = {(r["col_x"], r["col_y"]): r["corr"]
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    m = np.corrcoef(np.vstack([x, y, z]))
+    assert abs(out[("x", "y")] - m[0, 1]) < 1e-5
+    assert abs(out[("x", "z")] - m[0, 2]) < 1e-5
+    assert abs(out[("y", "z")] - m[1, 2]) < 1e-5
+    # constant column -> NULL
+    df2 = df.withColumn("c", F.lit(5.0))
+    out2 = {(r["col_x"], r["col_y"]): r["corr"]
+            for r in corr_matrix(df2, ["x", "c"]).collect()}
+    assert out2[("x", "c")] is None

@@ -1470,3 +1470,28 @@ def test_rrf_fuse_hand_computed(spark):
         (30, 1, s(3), 3),
         (40, 1, s(3), 4),
     ]
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from qudo_etl_pipeline_spark.operators.curation import weighted_sample
+
+    # 500 light items (w=1) + 500 heavy (w=50): a 100-item ES sample
+    # must be dominated by heavy items (E[heavy] ~= 98)
+    rows = [(i, 1.0) for i in range(500)] + [
+        (i, 50.0) for i in range(500, 1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "id", "w", k=100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["id"] >= 500)
+    assert heavy > 85
+    # same seed -> identical sample; different seed -> different draw
+    again = weighted_sample(df, "id", "w", k=100).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in again]
+    other = weighted_sample(df, "id", "w", k=100, seed=7).collect()
+    assert [r["id"] for r in got] != [r["id"] for r in other]
+    # zero/negative weights never sampled
+    df2 = df.union(spark.createDataFrame([(2000, 0.0), (2001, -1.0)],
+                                         "id long, w double"))
+    ids = {r["id"] for r in weighted_sample(df2, "id", "w", k=1100).collect()}
+    assert 2000 not in ids and 2001 not in ids
