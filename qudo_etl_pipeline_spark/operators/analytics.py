@@ -275,6 +275,8 @@ def robust_zscore(
     group_cols: list[str],
     value_col: str,
     threshold: float = 3.5,
+    percentile: str = "exact",
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-group robust (median/MAD) outlier score: the modified z-score
     rz = 0.6745 · (x − median) / MAD with the Iglewicz–Hoaglin |rz| >
@@ -282,31 +284,66 @@ def robust_zscore(
     an outlier cannot mask by inflating its own baseline.
 
     Two keyed shuffles (median, then MAD of |x − median|), each a
-    map-side-combinable exact percentile; group stats come back via
-    broadcast joins, so the big side is never re-shuffled. Exact
-    percentile state is per-group distinct-value counts — fine for
-    grouped analytics; for millions of distinct values per group
-    switch to ``F.approx_percentile`` (and lose oracle parity).
+    map-side-combinable percentile; group stats come back via
+    broadcast joins, so the big side is never re-shuffled.
 
-    Cross-engine determinism: both medians are ref_round(…, 6)ed
-    (Spark ``percentile`` and DuckDB ``quantile_cont`` interpolate
-    identically on doubles; the rounding absorbs any residual ulp),
-    and rz is a fixed IEEE tree over those. Zero-MAD groups (>50%
-    of values at the median) yield NULL rz / flag 0.
+    ``percentile`` picks the median engine (mirroring
+    :mod:`qudo_etl_pipeline_spark.ml.discretize`'s exact/approx split):
+
+    - ``"exact"`` (default, the oracle-parity path): Spark
+      ``percentile`` — aggregation state is the per-group
+      distinct-value histogram, fine for grouped analytics where
+      groups hold up to ~1e5 distinct values.
+    - ``"approx"``: ``percentile_approx`` (Greenwald–Khanna sketch,
+      ``accuracy`` controls the ε=1/accuracy rank error) — aggregation
+      state is O(accuracy·log n) per group regardless of distinct-value
+      cardinality; the 100 TB path when per-group value cardinality is
+      unbounded. Same plan shape, no oracle hash parity (sketch
+      medians differ from interpolated ones by ≤ one rank step).
+
+    Group keys join back null-safely (``eqNullSafe``): rows whose group
+    key is NULL score against the NULL-key group's median/MAD instead
+    of silently dropping from the output.
+
+    Cross-engine determinism (exact path): both medians are
+    ref_round(…, 6)ed (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically on doubles; the rounding
+    absorbs any residual ulp), and rz is a fixed IEEE tree over those.
+    Zero-MAD groups (>50% of values at the median) yield NULL rz /
+    flag 0.
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
+    if percentile not in ("exact", "approx"):
+        raise ValueError(f"unknown percentile engine: {percentile!r}")
+
+    def med50(col: F.Column) -> F.Column:
+        if percentile == "exact":
+            return F.percentile(col, F.lit(0.5))
+        return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+
+    def join_back(big: DataFrame, stats: DataFrame) -> DataFrame:
+        # null-safe broadcast join: group keys renamed on the (tiny)
+        # stats side so the big side's columns pass through unchanged
+        ren = stats
+        for i, c in enumerate(group_cols):
+            ren = ren.withColumnRenamed(c, f"_g{i}")
+        cond = F.lit(True)
+        for i, c in enumerate(group_cols):
+            cond = cond & big[c].eqNullSafe(F.col(f"_g{i}"))
+        return big.join(F.broadcast(ren), cond).drop(
+            *[f"_g{i}" for i in range(len(group_cols))]
+        )
+
     v = F.col(value_col)
     med = df.groupBy(*group_cols).agg(
-        ref_round(F.percentile(v, F.lit(0.5)), 6).alias("_med6")
+        ref_round(med50(v), 6).alias("_med6")
     )
-    dev = df.join(F.broadcast(med), group_cols)
+    dev = join_back(df, med)
     mad = dev.groupBy(*group_cols).agg(
-        ref_round(
-            F.percentile(F.abs(v - F.col("_med6")), F.lit(0.5)), 6
-        ).alias("_mad6")
+        ref_round(med50(F.abs(v - F.col("_med6"))), 6).alias("_mad6")
     )
-    scored = dev.join(F.broadcast(mad), group_cols)
+    scored = join_back(dev, mad)
     rz = F.lit(0.6745) * (v - F.col("_med6")) / F.col("_mad6")
     return scored.select(
         *df.columns,
@@ -331,37 +368,43 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     corr = (n·Σxy − Σx·Σy) / (sqrt(n·Σxx − Σx²) · sqrt(n·Σyy − Σy²)),
     NULL for constant columns.
     """
+    # moment aliases are keyed by column INDEX, not name: name-based
+    # aliases like _p_{a}_{b} collide when names themselves contain
+    # underscores (['unit','price_total'] vs ['unit_price','total']
+    # would both alias _p_unit_price_total)
     d = {c: F.col(c).cast("decimal(18,4)") for c in cols}
     aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
-    for c in cols:
-        aggs.append(F.sum(d[c]).cast("double").alias(f"_s_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(d[c]).cast("double").alias(f"_s_{i}"))
     pairs = [
-        (a, b) for i, a in enumerate(cols) for b in cols[i:]
-    ]  # includes (a, a): Σx² rides in the same pass
-    for a, b in pairs:
+        (i, j)
+        for i in range(len(cols))
+        for j in range(i, len(cols))
+    ]  # includes (i, i): Σx² rides in the same pass
+    for i, j in pairs:
         aggs.append(
-            F.round(F.sum(d[a] * d[b]), 2)
+            F.round(F.sum(d[cols[i]] * d[cols[j]]), 2)
             .cast("double")
-            .alias(f"_p_{a}_{b}")
+            .alias(f"_p_{i}_{j}")
         )
     m = df.agg(*aggs)
 
-    def _cov(a: str, b: str) -> F.Column:
-        key = f"_p_{a}_{b}" if (a, b) in pairs else f"_p_{b}_{a}"
-        return F.col("_n") * F.col(key) - F.col(f"_s_{a}") * F.col(
-            f"_s_{b}"
+    def _cov(i: int, j: int) -> F.Column:
+        key = f"_p_{i}_{j}" if i <= j else f"_p_{j}_{i}"
+        return F.col("_n") * F.col(key) - F.col(f"_s_{i}") * F.col(
+            f"_s_{j}"
         )
 
     structs = []
-    for a, b in pairs:
-        if a == b:
+    for i, j in pairs:
+        if i == j:
             continue
-        r = _cov(a, b) / (F.sqrt(_cov(a, a)) * F.sqrt(_cov(b, b)))
-        r = F.when((_cov(a, a) > 0) & (_cov(b, b) > 0), r)
+        r = _cov(i, j) / (F.sqrt(_cov(i, i)) * F.sqrt(_cov(j, j)))
+        r = F.when((_cov(i, i) > 0) & (_cov(j, j) > 0), r)
         structs.append(
             F.struct(
-                F.lit(a).alias("col_x"),
-                F.lit(b).alias("col_y"),
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
                 r.alias("corr"),
             )
         )

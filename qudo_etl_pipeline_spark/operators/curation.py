@@ -173,14 +173,20 @@ def decontaminate(
         .distinct()
     )
     if bench_strategy == "auto":
-        # one count over the (small-by-construction) benchmark side;
-        # cache so the join below reuses the deduped hash set instead
-        # of re-shingling the benchmark
+        # one count over the (small-by-construction) benchmark side.
+        # Cache only for the duration of the sizing count, then release
+        # in a finally — a long-lived session must not accumulate one
+        # cached hash set per decontaminate() call. The join pass below
+        # therefore re-shingles the benchmark once at execution time;
+        # that recompute is map-only over the SMALL side, cheaper than
+        # the storage leak.
         bench_hashes = bench_hashes.cache()
+        try:
+            n_bench = bench_hashes.count()
+        finally:
+            bench_hashes.unpersist(blocking=False)
         bench_strategy = (
-            "broadcast"
-            if bench_hashes.count() <= bench_broadcast_limit
-            else "shuffle"
+            "broadcast" if n_bench <= bench_broadcast_limit else "shuffle"
         )
     joined_bench = (
         F.broadcast(bench_hashes)
@@ -326,7 +332,10 @@ def token_budget_sample(
     # the same materialized partitions; a recomputed-on-eviction
     # partition refetches the same shuffle output, so assignments stay
     # stable). The cached projection is 3 narrow columns, not the
-    # corpus text.
+    # corpus text. Lifecycle: unlike decontaminate's sizing cache this
+    # one is correctness-load-bearing for the returned (lazy) plan, so
+    # it cannot be scoped here; it is reclaimed by ContextCleaner once
+    # the caller drops the result plan (driver GC unpersists it).
     scored = scored.cache()
     part = scored.withColumn("_pid", F.spark_partition_id())
     inner = Window.partitionBy("_pid").orderBy(*order)

@@ -26,7 +26,10 @@ MLlib jobs from driver threads — no data movement between stages.
 
 from __future__ import annotations
 
+import itertools
+import threading
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -202,6 +205,32 @@ _FAMILIES = {
     "lca": _family_lca,
 }
 
+# monotone id distinguishing concurrent run_scheme calls' job groups
+_RUN_COUNTER = itertools.count()
+
+
+def _daemonize_current_thread() -> None:
+    """ThreadPoolExecutor initializer: mark the pool's worker threads
+    daemon so an abandoned (timed-out) fit thread cannot keep the
+    interpreter alive through ``threading._shutdown``'s non-daemon
+    join. The public ``daemon`` setter refuses on a live thread, so
+    this sets the underlying flag directly — the thread is ours and
+    has not started any work yet (initializers run first)."""
+    threading.current_thread()._daemonic = True
+
+
+def _abandon_pool_threads(pool: ThreadPoolExecutor) -> None:
+    """Deregister a timed-out pool's workers from concurrent.futures'
+    atexit bookkeeping (``_python_exit`` joins every registered worker
+    at interpreter exit — exactly the hang the watchdog exists to
+    avoid). Paired with the daemon flag above, a fit stuck in pure
+    driver-side Python can no longer block exit; its cancelled Spark
+    jobs have already been interrupted via the job group."""
+    import concurrent.futures.thread as _cft
+
+    for t in getattr(pool, "_threads", ()):
+        _cft._threads_queues.pop(t, None)
+
 
 def run_scheme(
     spark: SparkSession,
@@ -219,13 +248,19 @@ def run_scheme(
     num_cols = FE.sniff_numeric_columns(cleaned, scheme_cols)
     algos = list(cfg.algorithms) + (["lca"] if cfg.include_lca else [])
     sc = spark.sparkContext
+    # scheme-unique token: job groups are context-global, so two
+    # concurrent run_scheme calls must not share group names (one
+    # scheme's timeout would cancel the other's jobs)
+    run_id = next(_RUN_COUNTER)
 
     def run_family(algo: str):
-        # job group tagged per family so a timeout can cancel exactly
-        # this family's in-flight Spark jobs (thread-local property —
-        # PySpark pins driver threads to JVM threads by default)
+        # job group tagged per (run, family) so a timeout can cancel
+        # exactly this family's in-flight Spark jobs (thread-local
+        # property — PySpark pins driver threads to JVM threads by
+        # default)
         sc.setJobGroup(
-            f"family:{algo}", f"segmentation family {algo}",
+            f"scheme{run_id}:family:{algo}",
+            f"segmentation family {algo}",
             interruptOnCancel=True,
         )
         return _FAMILIES[algo](encoded, scheme_cols, cfg, num_cols)
@@ -233,7 +268,14 @@ def run_scheme(
     import time as _time
 
     deadline = _time.monotonic() + cfg.fit_timeout_secs
-    pool = ThreadPoolExecutor(max_workers=len(algos))
+    # daemon worker threads: a fit stuck in pure driver-side Python
+    # (not in a cancellable Spark job) must not block interpreter exit
+    # through ThreadPoolExecutor's atexit join
+    pool = ThreadPoolExecutor(
+        max_workers=len(algos),
+        thread_name_prefix=f"scheme{run_id}-fit",
+        initializer=_daemonize_current_thread,
+    )
     futures = {a: pool.submit(run_family, a) for a in algos}
     fits = []
     for algo in algos:
@@ -243,14 +285,19 @@ def run_scheme(
                     timeout=max(0.0, deadline - _time.monotonic())
                 )
             )
-        except TimeoutError:
-            sc.cancelJobGroup(f"family:{algo}")
+        # concurrent.futures.TimeoutError explicitly: it only aliases
+        # builtin TimeoutError on Python >= 3.11, and this module does
+        # not pin the interpreter
+        except FutureTimeoutError:
+            sc.cancelJobGroup(f"scheme{run_id}:family:{algo}")
             fits.append((algo, {"timed_out": True}))
     # don't block on a timed-out family's thread: cancelled Spark jobs
     # unwind it promptly, and a (hypothetical) pure-driver loop must not
     # stall the scheme — the reference's timeout likewise abandons the
     # R process (clustering.py:884-891)
     pool.shutdown(wait=False, cancel_futures=True)
+    if any(f[1] is not None and f[1].get("timed_out") for f in fits):
+        _abandon_pool_threads(pool)
     results = {}
     for algo, fit in fits:
         if fit is not None and fit.get("timed_out"):

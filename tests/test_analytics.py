@@ -279,3 +279,64 @@ def test_corr_matrix_matches_numpy(spark):
     out2 = {(r["col_x"], r["col_y"]): r["corr"]
             for r in corr_matrix(df2, ["x", "c"]).collect()}
     assert out2[("x", "c")] is None
+
+
+def test_corr_matrix_underscore_names_no_alias_collision(spark):
+    """Name-based moment aliases collided for column sets like
+    ['unit','price_total','unit_price','total'] (two pairs both alias
+    _p_unit_price_total); index-keyed aliases must handle them."""
+    import numpy as np
+
+    from qudo_etl_pipeline_spark.operators.analytics import corr_matrix
+
+    rng = np.random.default_rng(7)
+    cols = ["unit", "price_total", "unit_price", "total"]
+    data = rng.uniform(0, 50, (200, 4)).round(2)
+    data[:, 3] = (data[:, 0] * 2 + rng.normal(0, 5, 200)).round(2)
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in row) for row in data],
+        ", ".join(f"`{c}` double" for c in cols),
+    )
+    out = {(r["col_x"], r["col_y"]): r["corr"]
+           for r in corr_matrix(df, cols).collect()}
+    assert len(out) == 6  # all C(4,2) pairs present, no dup columns
+    m = np.corrcoef(data.T)
+    for (i, a) in enumerate(cols):
+        for j in range(i + 1, 4):
+            assert abs(out[(a, cols[j])] - m[i, j]) < 1e-5
+
+
+def test_robust_zscore_approx_engine_and_null_groups(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import robust_zscore
+
+    rows = [("a", float(v)) for v in
+            (9.8, 9.9, 10.0, 10.0, 10.1, 10.2, 500.0)]
+    # NULL group key: must still be scored (null-safe join), not dropped
+    rows += [(None, float(v)) for v in (1.0, 1.0, 1.1, 0.9, 50.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+
+    exact = robust_zscore(df, ["g"], "x").collect()
+    assert len(exact) == len(rows)  # NULL-key rows survive the join-back
+    null_flags = {r["x"]: r["is_outlier"] for r in exact if r["g"] is None}
+    assert null_flags[50.0] == 1 and null_flags[1.0] == 0
+
+    # approx engine: the plan's aggregates must be the GK sketch, not
+    # the exact per-group distinct-value histogram
+    adf = robust_zscore(df, ["g"], "x", percentile="approx")
+    plan = adf._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan.replace("percentile_approx(", "")
+
+    # same schema and row count, flags agree on a fixture whose median
+    # is unambiguous (odd n, well-separated)
+    approx = adf.collect()
+    assert len(approx) == len(rows)
+    flags_e = sorted((r["g"] or "", r["x"], r["is_outlier"]) for r in exact)
+    flags_a = sorted((r["g"] or "", r["x"], r["is_outlier"]) for r in approx)
+    assert [f[:2] for f in flags_e] == [f[:2] for f in flags_a]
+    assert [f[2] for f in flags_e] == [f[2] for f in flags_a]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        robust_zscore(df, ["g"], "x", percentile="bogus")
