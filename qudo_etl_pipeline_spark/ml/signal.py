@@ -102,9 +102,14 @@ def classification_metrics(
 
 
 def _resample(
-    df: DataFrame, target_col: str, sampling: str | None, seed: int
+    df: DataFrame,
+    target_col: str,
+    sampling: str | None,
+    seed: int,
+    max_class_rows: int = 20_000,
 ) -> DataFrame:
-    """RUS/ROS/SMOTE-like resampling (metrics.py:742-750)."""
+    """RUS/ROS/SMOTE-like resampling (metrics.py:742-750).
+    ``max_class_rows`` caps SMOTE's per-class quadratic donor pool."""
     if sampling is None:
         return df
     counts = {
@@ -131,12 +136,19 @@ def _resample(
             out = out.unionByName(p)
         return out
     if sampling == "smote":
-        return _smote_like(df, target_col, counts, seed)
+        return _smote_like(
+            df, target_col, counts, seed, max_class_rows=max_class_rows
+        )
     raise ValueError(f"unknown sampling {sampling!r}")
 
 
 def _smote_like(
-    df: DataFrame, target_col: str, counts: dict, seed: int, k: int = 5
+    df: DataFrame,
+    target_col: str,
+    counts: dict,
+    seed: int,
+    k: int = 5,
+    max_class_rows: int = 20_000,
 ) -> DataFrame:
     """k-NN SMOTE (reference metrics.py:749-750, imblearn semantics):
     each synthetic minority row interpolates between a class sample and
@@ -145,11 +157,18 @@ def _smote_like(
     instead of bridging separated sub-clusters.
 
     Arrow-batched ``applyInPandas`` per class: the kernel sees one class
-    at a time, so the O(n_c^2) neighbor search is bounded by the largest
-    class — the right trade at survey scale; a 100 TB corpus would
-    subsample the class before interpolation (same as imblearn does not,
-    but must). Values are re-rounded to the input dtype because the
-    pipeline's features are label-encoded ints.
+    at a time, so the neighbor search is per-class. The O(n_c^2)
+    distance matrix is ENFORCED-bounded by ``max_class_rows``: a class
+    larger than the cap interpolates within a seeded uniform subsample
+    of the class (the donor pool), so kernel cost is O(cap^2) ≈ 3.2 GB
+    of float64 distances at the 20k default, regardless of class size.
+    All original rows always pass through; only the donor pool shrinks
+    — the standard subsample-before-interpolate trade (oversized
+    classes are the MAJORITY classes, which need few or no synthetic
+    rows anyway). Classes at or under the cap take the exact un-capped
+    path bit-for-bit (the subsample draw only happens above the cap,
+    so the RNG stream is unchanged). Values are re-rounded to the input
+    dtype because the pipeline's features are label-encoded ints.
     """
     import pandas as pd
 
@@ -174,10 +193,13 @@ def _smote_like(
         )
         rng = np.random.default_rng(seed + label_off)
         x = pdf[feature_cols].to_numpy(dtype=float)
+        if len(x) > max_class_rows:
+            # donor-pool subsample: caps the quadratic neighbor search
+            x = x[rng.choice(len(x), max_class_rows, replace=False)]
         n = len(x)
         kk = min(k, n - 1)
-        # pairwise squared distances within the class; self excluded via
-        # +inf diagonal, then the kk nearest per row
+        # pairwise squared distances within the (capped) donor pool;
+        # self excluded via +inf diagonal, then the kk nearest per row
         d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
         np.fill_diagonal(d2, np.inf)
         nn = np.argpartition(d2, kth=kk - 1, axis=1)[:, :kk]

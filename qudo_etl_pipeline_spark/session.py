@@ -74,4 +74,28 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_sketch_window_warnings(spark)
     return spark
+
+
+def _quiet_sketch_window_warnings(spark: SparkSession) -> None:
+    """Silence WindowExec's "No Partition Defined ... single partition"
+    warning. Every unpartitioned window in this engine is DELIBERATE
+    and sketch-sized by construction (kmv_jaccard's ≤2k-row ranking,
+    rrf_fuse's ≤Σk_i-row final window, bm25's top-k rank, the
+    partition-count-sized prefix-sum offsets) — the warning cannot fire
+    on a data-scaled frame here, and a burst of them floods bounded log
+    tails. A constant partitionBy(lit(0)) key is NOT an alternative:
+    Catalyst folds foldable partition expressions away, so the executed
+    plan still has an empty partition spec and still warns (verified on
+    the executed plan). Guarded per-logger, not a global level change;
+    failures (e.g. a future log backend swap) degrade to the warning
+    staying on."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - log backend unavailable
+        pass

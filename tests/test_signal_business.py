@@ -254,3 +254,35 @@ def test_smote_interpolates_true_nearest_neighbors(spark):
         in_low = f1 <= 10 and f2 <= 10
         in_high = f1 >= 990 and f2 >= 990
         assert in_low or in_high, (f1, f2)
+
+
+def test_smote_max_class_rows_guard(spark):
+    """The O(n_c^2) kernel must be capped: with max_class_rows far below
+    a class size, SMOTE still completes, still tops every class up to
+    the majority size, and synthetic rows still interpolate inside the
+    class manifold (donor pool is a subsample of the class, so the
+    bounding-box property survives)."""
+    from qudo_etl_pipeline_spark.ml.signal import _resample
+
+    rows = []
+    # class 0 (majority, "oversized" vs the tiny cap): 400 tight rows
+    for i in range(400):
+        rows.append((50.0 + i % 5, 50.0 + (i * 3) % 5, 0.0))
+    # class 1 (minority, also above the cap): 120 rows near origin
+    for i in range(120):
+        rows.append((0.0 + i % 4, 0.0 + (i * 2) % 4, 1.0))
+    df = spark.createDataFrame(rows, "f1 double, f2 double, label double")
+    out = _resample(df, "label", "smote", 42, max_class_rows=50)
+    got = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {0.0: 400, 1.0: 400}  # exact top-up despite the cap
+    for r in out.filter(F.col("label") == 1.0).collect():
+        assert 0 <= r["f1"] <= 4 and 0 <= r["f2"] <= 4  # in-manifold
+    # under-cap classes take the identical un-capped path: same draw
+    small = df.filter((F.col("label") == 1.0) | (F.col("f1") >= 50))
+    a = _resample(small, "label", "smote", 7).orderBy("f1", "f2").collect()
+    b = _resample(small, "label", "smote", 7, max_class_rows=10**6) \
+        .orderBy("f1", "f2").collect()
+    assert a == b
