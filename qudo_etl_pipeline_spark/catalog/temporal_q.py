@@ -68,6 +68,61 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_attribution_chunked",
+    oracle="""
+    WITH probe AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    build AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT purchase_id,
+           probe.user_id AS user_id,
+           COALESCE(click_id, -1) AS click_id,
+           COALESCE(epoch_us(probe.ts) - epoch_us(click_ts), -1) AS gap_us
+    FROM probe ASOF LEFT JOIN build
+      ON probe.user_id = build.user_id AND probe.ts >= build.ts
+    """,
+    survey_ids=["J1", "W1"],
+    description="Hot-key-safe as-of join: same attribution query and "
+    "SAME DuckDB ASOF oracle as asof_purchase_attribution, but the "
+    "running-last window partitions by (key, time-chunk) with "
+    "boundary-replicated carry rows, so one pathologically hot user "
+    "spreads over its active chunks instead of serializing into one "
+    "window task",
+)
+def asof_attribution_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    build = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    # ~1-day chunks: the synthetic event table spans weeks, so the hot
+    # key splits across tens of window tasks while carry rows stay
+    # ≤ one per (user, active day)
+    joined = T.asof_join(
+        probe, build, on="user_id", suffix="", chunk_seconds=86_400
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts")),
+            F.lit(-1),
+        ).alias("gap_us"),
+    )
+
+
+@register(
     "range_join_error_context",
     oracle="""
     WITH iv AS (

@@ -50,6 +50,7 @@ def asof_join(
     probe_ts: str = "ts",
     build_ts: str = "ts",
     suffix: str = "_b",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: each probe row gains the most recent build row of
     the same ``on`` key with build ts <= probe ts (inclusive, backward).
@@ -63,6 +64,24 @@ def asof_join(
     before the probe row via the side tag). Duplicate build timestamps
     within a key resolve to the later row in union order — callers that
     need a deterministic winner should pre-dedup the build side.
+
+    ``chunk_seconds`` is the hot-key remedy. Default (None) partitions
+    the running-last window by the equi-key alone — ONE shuffle, but a
+    pathologically hot key (a single user holding a meaningful fraction
+    of all events) serializes into one window task, and AQE's skew
+    handling does not split window partitions. With ``chunk_seconds``
+    set, time is cut into fixed-width chunks and the window partitions
+    by (key, chunk), so a hot key spreads over as many tasks as it has
+    active chunks. Correctness across chunk boundaries is restored by
+    boundary replication: per (key, chunk) the latest build row is
+    pre-aggregated (map-side combinable), a key-partitioned running
+    ``last`` over the CHUNK-LEVEL rows (cardinality = active chunks per
+    key, not rows — the hot key's serialized work is O(chunks)) yields
+    each chunk's carry-in, and the carry-in is re-inserted as one
+    synthetic build row per (key, chunk). Result is row-identical to
+    the un-chunked plan for any chunk width (property-tested); pick
+    ~the probe's median inter-event gap × 1e3 so the replication
+    overhead (one synthetic row per key-chunk) stays ≪ data.
     """
     payload_cols = [c for c in build.columns if c not in (on, build_ts)]
     payload = F.struct(*[F.col(c) for c in payload_cols])
@@ -82,15 +101,22 @@ def asof_join(
         F.lit(None).cast(b.schema["__payload"].dataType).alias("__payload"),
         *probe.columns,
     )
+    u = b.unionByName(p)
+
+    if chunk_seconds is None:
+        part_cols = ["__k"]
+    else:
+        u = u.withColumn("__chunk", _time_chunk(u, "__ts", chunk_seconds))
+        part_cols = ["__k", "__chunk"]
+        u = u.unionByName(_boundary_carries(u, p.columns))
 
     w = (
-        Window.partitionBy("__k")
+        Window.partitionBy(*part_cols)
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
-        b.unionByName(p)
-        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
     out = matched.select(
@@ -98,6 +124,66 @@ def asof_join(
         *[F.col("__match")[c].alias(c + suffix) for c in payload_cols],
     )
     return out
+
+
+def _time_chunk(df: DataFrame, ts_col: str, chunk_seconds: int) -> F.Column:
+    """Fixed-width time-chunk id: timestamp columns chunk on epoch
+    micros, numeric (epoch-seconds-like) columns on the value itself."""
+    from pyspark.sql.types import TimestampType, TimestampNTZType
+
+    c = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, (TimestampType, TimestampNTZType)):
+        return F.floor(
+            F.unix_micros(c) / F.lit(chunk_seconds * 1_000_000)
+        ).cast("long")
+    return F.floor(c.cast("double") / F.lit(float(chunk_seconds))).cast("long")
+
+
+def _boundary_carries(u: DataFrame, out_cols: list[str]) -> DataFrame:
+    """Synthetic build rows replicating each (key, chunk)'s carry-in:
+    the latest build row from any EARLIER chunk of the same key.
+
+    Two cheap keyed aggregations over chunk-level cardinality:
+    per-(key, chunk) latest build row (``max_by`` — map-side
+    combinable, so the hot key's rows combine before the shuffle), then
+    a key-partitioned running ``last`` across the key's chunk sequence
+    — including probe-only chunks, which still need a carry-in. The
+    output is ≤ one row per active (key, chunk); its original ``__ts``
+    is kept (strictly below the chunk's start by construction, so it
+    sorts before every real row of the chunk).
+    """
+    chunk_last = (
+        u.filter(F.col("__side") == 0)
+        .groupBy("__k", "__chunk")
+        .agg(
+            F.max_by(
+                F.struct(F.col("__ts"), F.col("__payload")), F.col("__ts")
+            ).alias("__last")
+        )
+    )
+    all_chunks = u.select("__k", "__chunk").distinct()
+    wk = (
+        Window.partitionBy("__k")
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = (
+        all_chunks.join(chunk_last, ["__k", "__chunk"], "left")
+        .withColumn("__carry", F.last("__last", ignorenulls=True).over(wk))
+        .filter(F.col("__carry").isNotNull())
+    )
+    return carries.select(
+        F.col("__k"),
+        F.col("__carry.__ts").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col("__carry.__payload").alias("__payload"),
+        *[
+            F.lit(None).cast(u.schema[c].dataType).alias(c)
+            for c in out_cols
+            if c not in ("__k", "__ts", "__side", "__payload")
+        ],
+        F.col("__chunk"),
+    )
 
 
 def range_join(

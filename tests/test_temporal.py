@@ -257,3 +257,82 @@ def test_rolling_time_stats_frames_and_ties(spark):
         (1, 100, 3.0, 3, 34.0, 11.333333),  # (avg_w is ref_round(..., 6))
         (2, 5, 7.0, 1, 7.0, 7.0),
     ]
+
+
+def test_asof_chunked_equals_unchunked_with_hot_key(spark):
+    """Hot-key time-chunking property: for ANY chunk width the chunked
+    plan must be row-identical to the un-chunked one, including probes
+    in build-free chunks (carry-in from several chunks back) and probes
+    before any build row (NULL). The fixture plants one pathologically
+    hot key holding most rows."""
+    import random
+
+    rng = random.Random(17)
+    probe_rows, build_rows = [], []
+    pid = 0
+    for k in [1, 1, 1, 1, 1, 1, 1, 1, 2, 3]:  # key 1 is hot
+        base = rng.randrange(0, 3600)
+        for _ in range(40 if k == 1 else 5):
+            t = dt.datetime(2024, 1, 1) + dt.timedelta(
+                seconds=base + rng.randrange(0, 7200)
+            )
+            if rng.random() < 0.5:
+                pid += 1
+                probe_rows.append((k, t, pid))
+            else:
+                build_rows.append((k, t))
+    probe = spark.createDataFrame(
+        probe_rows, "k int, ts timestamp, pid int"
+    )
+    # distinct build ts per key (dedup like the catalog does) so the
+    # tie-winner nondeterminism documented on asof_join cannot differ
+    # between the two plans
+    build = (
+        spark.createDataFrame(build_rows, "k int, ts timestamp")
+        .groupBy("k", "ts")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    base_out = sorted(
+        (r["pid"], r["v_b"])
+        for r in asof_join(probe, build, on="k").collect()
+    )
+    for chunk_s in (60, 600, 3600, 10**9):
+        got = sorted(
+            (r["pid"], r["v_b"])
+            for r in asof_join(
+                probe, build, on="k", chunk_seconds=chunk_s
+            ).collect()
+        )
+        assert got == base_out, f"chunk_seconds={chunk_s}"
+
+
+def test_asof_chunked_hot_key_spans_multiple_window_partitions(spark):
+    """The point of chunking: the final running-last window partitions
+    by (key, chunk), so the planted hot key's rows land in >1 window
+    partition (>1 task at scale) instead of serializing into one."""
+    rows_p = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 30), i)
+              for i in range(200)]
+    rows_b = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 45), i)
+              for i in range(100)]
+    probe = spark.createDataFrame(rows_p, "k int, ts timestamp, pid int")
+    build = spark.createDataFrame(rows_b, "k int, ts timestamp, v int")
+    out = asof_join(probe, build, on="k", chunk_seconds=600)
+    plan = _plan(out)
+    # the window's required distribution includes the chunk column
+    assert "__chunk" in plan
+    # hot key 1 is active in multiple chunks -> multiple hash partitions
+    n_chunks = (
+        probe.select(
+            F.floor(F.unix_micros("ts") / (600 * 1_000_000)).alias("c")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_chunks > 1
+    # and correctness still holds vs the un-chunked reference
+    a = sorted((r["pid"], r["v_b"]) for r in out.collect())
+    b = sorted(
+        (r["pid"], r["v_b"])
+        for r in asof_join(probe, build, on="k").collect()
+    )
+    assert a == b
