@@ -6,14 +6,17 @@ parquet table. Exactly-once across restarts comes from two layers:
 
 - the streaming checkpoint makes each micro-batch id stable: a replayed
   batch rewrites the SAME versioned directory (idempotent overwrite);
-- the table is published via a tiny ``_LATEST`` manifest updated as the
-  LAST step of each batch — readers only ever see a fully-written
-  version (poor-man's Delta commit protocol). A crash between the
-  version write and the manifest update replays the batch and repeats
-  both steps with identical results; a crash AFTER the manifest update
-  replays a batch the table already reflects, which the manifest's
-  monotone batch id detects and skips (essential for the rollup sink,
-  whose state merge is additive, not idempotent).
+- the table is published via a tiny manifest committed as the LAST
+  step of each batch — readers only ever see a fully-written version.
+  The manifest COMMIT is the one storage-dependent step, so it is
+  pluggable (:mod:`streaming.publish`): atomic rename (``_LATEST``,
+  POSIX/HDFS) or a conditional-PUT commit log (``_commits/``,
+  object-store-safe, Delta-commit shaped). A crash between the version
+  write and the manifest commit replays the batch and repeats both
+  steps with identical results; a crash AFTER the commit replays a
+  batch the table already reflects, which the manifest's monotone
+  batch id detects and skips (essential for the rollup sink, whose
+  state merge is additive, not idempotent).
 
 Each batch merges against the CURRENT table, so state never lives in
 executor memory — table size is bounded by key cardinality, not stream
@@ -31,40 +34,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.operators.analytics import cdc_compact
+from qudo_etl_pipeline_spark.streaming.publish import (
+    Publisher,
+    resolve_publisher,
+)
 
 __all__ = ["read_maintained_table", "streaming_upsert", "streaming_rollup"]
 
 
-def _manifest_path(table_path: str) -> str:
-    return os.path.join(table_path, "_LATEST")
-
-
-def _manifest(table_path: str) -> dict | None:
-    mp = _manifest_path(table_path)
-    if not os.path.exists(mp):
-        return None
-    return json.loads(open(mp).read())
-
-
 def read_maintained_table(
-    spark: SparkSession, table_path: str
+    spark: SparkSession,
+    table_path: str,
+    publisher: Publisher | str | None = None,
 ) -> DataFrame | None:
     """Current published version of the maintained table, or None if no
-    batch has committed yet."""
-    m = _manifest(table_path)
+    batch has committed yet. The commit protocol is auto-detected from
+    the table directory unless ``publisher`` pins it."""
+    m = resolve_publisher(table_path, publisher).read()
     if m is None:
         return None
     return spark.read.parquet(os.path.join(table_path, m["version"]))
 
 
 def _publish(
+    pub: Publisher,
     table_path: str,
     df: DataFrame,
     batch_id: int,
     gen: int = 0,
     query_id: str | None = None,
 ) -> None:
-    """Write a version directory, then atomically point _LATEST at it.
+    """Write a version directory, then commit the manifest pointing at
+    it through the table's :class:`Publisher`.
 
     ``gen`` (generation) increments on checkpoint-loss rebuilds so a
     rebuild's version directories never collide with — and never
@@ -73,18 +74,14 @@ def _publish(
         f"v_{gen:04d}_{batch_id:08d}" if gen else f"v_{batch_id:08d}"
     )
     df.write.mode("overwrite").parquet(os.path.join(table_path, version))
-    tmp = _manifest_path(table_path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": version,
-                "batch_id": batch_id,
-                "gen": gen,
-                "query_id": query_id,
-            },
-            fh,
-        )
-    os.replace(tmp, _manifest_path(table_path))
+    pub.commit(
+        {
+            "version": version,
+            "batch_id": batch_id,
+            "gen": gen,
+            "query_id": query_id,
+        }
+    )
 
 
 def _query_id(checkpoint: str) -> str | None:
@@ -129,23 +126,29 @@ def streaming_upsert(
     keys: list[str],
     ts_col: str,
     op_col: str = "op",
+    publisher: Publisher | str | None = None,
 ):
     """Start an availableNow foreachBatch query maintaining
     ``table_path`` from the ``changes`` stream. Returns the
-    StreamingQuery (caller awaits termination)."""
+    StreamingQuery (caller awaits termination). ``publisher`` picks the
+    manifest commit protocol ("rename" | "conditional_put" | instance;
+    None auto-detects, defaulting to rename on fresh tables)."""
     spark = changes.sparkSession
+    pub = resolve_publisher(table_path, publisher)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         qid = _query_id(checkpoint)
-        skip, rebuild, gen = _gate(_manifest(table_path), batch_id, qid)
+        skip, rebuild, gen = _gate(pub.read(), batch_id, qid)
         if skip:
             return
-        current = None if rebuild else read_maintained_table(spark, table_path)
+        current = (
+            None if rebuild else read_maintained_table(spark, table_path, pub)
+        )
         if current is None:
             # bootstrap/rebuild: empty snapshot in the payload schema
             current = batch.drop(op_col).filter(F.lit(False))
         merged = cdc_compact(current, batch, keys, ts_col, op_col)
-        _publish(table_path, merged, batch_id, gen, qid)
+        _publish(pub, table_path, merged, batch_id, gen, qid)
 
     return (
         changes.writeStream.foreachBatch(apply_batch)
@@ -161,6 +164,7 @@ def streaming_rollup(
     checkpoint: str,
     keys: list[str],
     value_col: str,
+    publisher: Publisher | str | None = None,
 ):
     """Continuously maintain a mergeable rollup state table
     (operators/incremental.py) from a raw event stream: each micro-batch
@@ -177,6 +181,7 @@ def streaming_rollup(
     )
 
     spark = stream.sparkSession
+    pub = resolve_publisher(table_path, publisher)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # unlike the latest-wins merge, state addition is NOT idempotent:
@@ -184,15 +189,17 @@ def streaming_rollup(
         # but before the checkpoint commit replays the batch; without
         # this gate the delta would double-count)
         qid = _query_id(checkpoint)
-        skip, rebuild, gen = _gate(_manifest(table_path), batch_id, qid)
+        skip, rebuild, gen = _gate(pub.read(), batch_id, qid)
         if skip:
             return
         delta = partial_state(batch, keys, value_col)
-        current = None if rebuild else read_maintained_table(spark, table_path)
+        current = (
+            None if rebuild else read_maintained_table(spark, table_path, pub)
+        )
         merged = (
             delta if current is None else merge_states([current, delta], keys)
         )
-        _publish(table_path, merged, batch_id, gen, qid)
+        _publish(pub, table_path, merged, batch_id, gen, qid)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -13,6 +13,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.operators.analytics import cdc_compact
@@ -28,13 +30,15 @@ def _ts(minute: int) -> dt.datetime:
     return dt.datetime(2024, 1, 1, 0, minute)
 
 
-def _drain(spark, src, table, ckpt):
+def _drain(spark, src, table, ckpt, publisher=None):
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    q = streaming_upsert(stream, table, ckpt, keys=["k"], ts_col="ts")
+    q = streaming_upsert(
+        stream, table, ckpt, keys=["k"], ts_col="ts", publisher=publisher
+    )
     q.awaitTermination()
 
 
@@ -43,7 +47,10 @@ def _state(spark, table):
     return sorted((r["k"], r["v"]) for r in df.select("k", "v").collect())
 
 
-def test_streaming_upsert_maintains_and_survives_restart(spark, tmp_path):
+@pytest.mark.parametrize("publisher", ["rename", "conditional_put"])
+def test_streaming_upsert_maintains_and_survives_restart(
+    spark, tmp_path, publisher
+):
     src = str(tmp_path / "changes")
     table = str(tmp_path / "table")
     ckpt = str(tmp_path / "ckpt")
@@ -58,18 +65,18 @@ def test_streaming_upsert_maintains_and_survives_restart(spark, tmp_path):
     spark.createDataFrame(batch1, SCHEMA).write.parquet(
         f"{src}/b1.parquet", mode="overwrite"
     )
-    _drain(spark, src, table, ckpt)
+    _drain(spark, src, table, ckpt, publisher)
     assert _state(spark, table) == [(1, "a"), (2, "b"), (3, "c")]
 
     spark.createDataFrame(batch2, SCHEMA).write.parquet(
         f"{src}/b2.parquet", mode="overwrite"
     )
-    _drain(spark, src, table, ckpt)
+    _drain(spark, src, table, ckpt, publisher)
     after2 = _state(spark, table)
     assert after2 == [(1, "a2"), (3, "c"), (4, "d")]
 
     # restart with no new data: checkpoint must make it a no-op
-    _drain(spark, src, table, ckpt)
+    _drain(spark, src, table, ckpt, publisher)
     assert _state(spark, table) == after2
 
     # the continuously-maintained table equals one-shot batch compaction
@@ -85,7 +92,8 @@ def test_streaming_upsert_maintains_and_survives_restart(spark, tmp_path):
     assert batch_result == after2
 
 
-def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path):
+@pytest.mark.parametrize("publisher", ["rename", "conditional_put"])
+def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path, publisher):
     """Two micro-batches of raw values -> maintained state must equal a
     one-shot batch aggregate over everything; then a checkpoint LOSS
     replays all input and the manifest's batch-id gate must prevent
@@ -114,7 +122,9 @@ def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path):
             .option("recursiveFileLookup", "true")
             .parquet(src)
         )
-        streaming_rollup(stream, table, ckpt, ["g"], "v").awaitTermination()
+        streaming_rollup(
+            stream, table, ckpt, ["g"], "v", publisher=publisher
+        ).awaitTermination()
 
     def state():
         df = finalize_state(read_maintained_table(spark, table), ["g"])
@@ -162,3 +172,80 @@ def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path):
     assert state() == sorted(
         (r["g"], r["n"], r["total"], r["total_sq"]) for r in full.collect()
     )
+
+
+def test_conditional_put_publisher_protocol(tmp_path):
+    """The object-store commit protocol in isolation: create-exclusive
+    sequencing, loser reconciliation, no partial manifests, and
+    reader auto-detection of the protocol."""
+    from qudo_etl_pipeline_spark.streaming.publish import (
+        ConditionalPutPublisher,
+        RenamePublisher,
+        resolve_publisher,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    a = ConditionalPutPublisher(table)
+    b = ConditionalPutPublisher(table)  # a racing "zombie" writer
+
+    assert a.read() is None
+    assert a.commit({"version": "v0", "batch_id": 0, "gen": 0,
+                     "query_id": "q"}) is True
+    assert a.read()["version"] == "v0"
+
+    # same-incarnation racer publishing an OLDER batch: loses the race
+    # to the seq it read, reconciles as already-covered
+    assert a.commit({"version": "v1", "batch_id": 1, "gen": 0,
+                     "query_id": "q"}) is True
+    seq_files = sorted(os.listdir(os.path.join(table, "_commits")))
+    assert [f for f in seq_files if f.endswith(".json")] == [
+        f"{0:020d}.json", f"{1:020d}.json"
+    ]
+    # b raced and lost at seq 2 while a also committed batch 2: emulate
+    # by a committing first, then b retrying the same batch id
+    assert a.commit({"version": "v2", "batch_id": 2, "gen": 0,
+                     "query_id": "q"}) is True
+    assert b.commit({"version": "v2r", "batch_id": 2, "gen": 0,
+                     "query_id": "q"}) is True  # next free seq, still wins
+    assert b.read()["batch_id"] == 2
+
+    # every commit object is complete JSON (no partial manifests)
+    import json as _json
+
+    cdir = os.path.join(table, "_commits")
+    for f in sorted(os.listdir(cdir)):
+        if f.endswith(".json"):
+            _json.loads(open(os.path.join(cdir, f)).read())
+
+    # auto-detect: _commits/ present -> conditional publisher; a fresh
+    # table -> rename
+    assert isinstance(resolve_publisher(table), ConditionalPutPublisher)
+    fresh = str(tmp_path / "fresh")
+    os.makedirs(fresh)
+    assert isinstance(resolve_publisher(fresh), RenamePublisher)
+
+
+def test_conditional_put_lost_manifest_rebuild(spark, tmp_path):
+    """Losing the ENTIRE commit log (manifest gone, data versions
+    still on disk) plus the checkpoint must rebuild the published
+    table from the full source re-read — same guarantee the rename
+    protocol's lost-_LATEST case has."""
+    import shutil
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(table, exist_ok=True)
+
+    batch1 = [(1, "a", _ts(0), "U"), (2, "b", _ts(0), "U")]
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(
+        f"{src}/b1.parquet", mode="overwrite"
+    )
+    _drain(spark, src, table, ckpt, "conditional_put")
+    assert _state(spark, table) == [(1, "a"), (2, "b")]
+
+    shutil.rmtree(os.path.join(table, "_commits"))
+    shutil.rmtree(ckpt)
+    _drain(spark, src, table, ckpt, "conditional_put")
+    assert _state(spark, table) == [(1, "a"), (2, "b")]
