@@ -9,16 +9,37 @@ materialization on the driver) after a warm-up of the session. Queries
 cover the engine's hot paths: scan+agg, join+window top-k, the melt ->
 one-shuffle contingency inference, dedup signatures, ANN top-k, and
 sessionization windows.
+
+Paired A/B mode (the cross-round noise killer): this VM's
+noisy-neighbor band swings identical code up to 1.3x between bench
+runs, so two rounds' absolute totals cannot distinguish a real 20%
+plan regression from noise. When ``BENCH_AB_REF`` (a committed file
+holding the previous round's final commit) resolves — or ``--ab
+<gitref>`` / ``$SPARK_GRAFT_AB_REF`` overrides it — the harness checks
+that ref out into a throwaway git worktree and, inside the SAME Spark
+session, interleaves the two HEADs' headline passes
+(A,B,A,B,... min-of-N): any machine-wide slowdown hits both sides of
+a pair equally, so the per-query ratio isolates plan changes. Module
+identity is swapped per segment (purge ``qudo_etl_pipeline_spark*``
+from sys.modules + re-point sys.path) so each side's lazy imports
+resolve to its own code while the JVM, parquet footer caches, and
+codegen cache stay shared. The stdout summary gains a compact
+``vs_prev_head`` block (ref, per-query ratio, total ratio);
+BENCH_DETAIL.json carries both sides' full per-query series.
+``SPARK_GRAFT_AB=0`` disables.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -82,6 +103,65 @@ EXTENDED = [
 ]
 
 
+def _load_specs(path: str, roots: list[str]) -> dict:
+    """Import ``path``'s catalog registry as the live package version.
+
+    Purges every ``qudo_etl_pipeline_spark*`` module and re-points
+    sys.path so BOTH the import below and any lazy in-function imports
+    executed afterwards resolve to ``path``'s code. Cheap (~100 ms of
+    pure-Python re-import) relative to a bench pass."""
+    for m in [
+        m
+        for m in sys.modules
+        if m == "qudo_etl_pipeline_spark"
+        or m.startswith("qudo_etl_pipeline_spark.")
+    ]:
+        del sys.modules[m]
+    sys.path[:] = [p for p in sys.path if p not in roots]
+    sys.path.insert(0, path)
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    return registry()
+
+
+def _ab_ref(argv: list[str]) -> str | None:
+    """The A/B comparison ref: --ab <gitref> > $SPARK_GRAFT_AB_REF >
+    the committed BENCH_AB_REF file; SPARK_GRAFT_AB=0 disables."""
+    if os.environ.get("SPARK_GRAFT_AB", "1") == "0":
+        return None
+    if "--ab" in argv:
+        return argv[argv.index("--ab") + 1]
+    if os.environ.get("SPARK_GRAFT_AB_REF"):
+        return os.environ["SPARK_GRAFT_AB_REF"]
+    ref_file = os.path.join(REPO, "BENCH_AB_REF")
+    if os.path.exists(ref_file):
+        ref = open(ref_file).read().split("#", 1)[0].strip()
+        return ref or None
+    return None
+
+
+def _add_worktree(ref: str) -> str | None:
+    """Detached worktree of ``ref`` under /tmp; None if git can't."""
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    r = subprocess.run(
+        ["git", "-C", REPO, "worktree", "add", "--detach", wt, ref],
+        capture_output=True,
+        text=True,
+    )
+    if r.returncode != 0:
+        sys.stderr.write(f"A/B disabled: worktree add failed: {r.stderr}\n")
+        os.rmdir(wt)
+        return None
+    return wt
+
+
+def _remove_worktree(wt: str) -> None:
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "remove", "--force", wt],
+        capture_output=True,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -89,11 +169,14 @@ def main() -> None:
     except ValueError:
         sf = 0.1
 
-    from qudo_etl_pipeline_spark.catalog import registry
+    ab_ref = _ab_ref(sys.argv)
+    ab_path = _add_worktree(ab_ref) if ab_ref else None
+    roots = [REPO] + ([ab_path] if ab_path else [])
+
     from qudo_etl_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    specs = registry()
+    specs = _load_specs(REPO, roots)
 
     # warm up the JVM / parquet footer caches and the Arrow python worker
     # pool with trivial actions (a deployed session pays both once)
@@ -131,11 +214,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
     ext: dict[str, float] = {}
+    ref_timings: dict[str, float] = {}
 
-    def run_pass(names: list[str], out: dict[str, float], i: int) -> None:
+    def run_pass(
+        sp: dict, names: list[str], out: dict[str, float], i: int
+    ) -> None:
         for name in names:
             t0 = time.time()
-            specs[name].spark(spark, sf_dir).write.format("noop").mode(
+            sp[name].spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             elapsed = time.time() - t0
@@ -146,9 +232,24 @@ def main() -> None:
             else:
                 out[name] = round(min(out[name], elapsed), 3)
 
+    # which headline queries the comparison ref also has (new queries
+    # have no paired counterpart and are skipped from the B side)
+    ab_queries: list[str] = []
+    if ab_path:
+        ref_specs = _load_specs(ab_path, roots)
+        ab_queries = [q for q in HEADLINE if q in ref_specs]
+        specs = _load_specs(REPO, roots)
+
     for i in range(passes):
-        run_pass(HEADLINE, timings, i)
-        run_pass(EXTENDED, ext, i)
+        # A segment (this HEAD), then B segment (the ref) back-to-back
+        # inside the same session: pass-level interleave means a noisy
+        # window spanning minutes degrades BOTH sides of the pair
+        run_pass(specs, HEADLINE, timings, i)
+        run_pass(specs, EXTENDED, ext, i)
+        if ab_path:
+            ref_specs = _load_specs(ab_path, roots)
+            run_pass(ref_specs, ab_queries, ref_timings, i)
+            specs = _load_specs(REPO, roots)
 
     total = round(sum(timings.values()), 3)
     # Round-4 lesson: the driver's stdout capture is bounded and truncated
@@ -167,9 +268,29 @@ def main() -> None:
         "value_extended": round(sum(ext.values()), 3),
         "sf": sf,
     }
+    if ref_timings:
+        ref_total = round(sum(ref_timings.values()), 3)
+        head_total = round(
+            sum(timings[q] for q in ref_timings), 3
+        )  # same query subset as the ref side
+        summary["vs_prev_head"] = {
+            "ref": ab_ref,
+            "method": "paired-interleaved-min-of-%d" % passes,
+            "head_sec": head_total,
+            "ref_sec": ref_total,
+            "ratio": round(head_total / ref_total, 3) if ref_total else None,
+            "ratios": {
+                q: round(timings[q] / ref_timings[q], 2)
+                if ref_timings[q]
+                else None
+                for q in ref_timings
+            },
+        }
     detail = dict(summary)
     detail["queries_single_shot"] = first_pass
     detail["queries_extended"] = ext
+    if ref_timings:
+        detail["queries_prev_head"] = ref_timings
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -181,6 +302,8 @@ def main() -> None:
         pass  # read-only checkout: the stdout summary still stands alone
     print(json.dumps(summary))
     spark.stop()
+    if ab_path:
+        _remove_worktree(ab_path)
 
 
 if __name__ == "__main__":
