@@ -60,6 +60,7 @@ def registry() -> dict[str, QuerySpec]:
     """All registered queries (imports every catalog module once)."""
     from qudo_etl_pipeline_spark.catalog import (  # noqa: F401
         analytics_q,
+        checks_q,
         contingency_q,
         coverage_q,
         datapipe,

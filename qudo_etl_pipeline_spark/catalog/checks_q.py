@@ -1,0 +1,108 @@
+"""Data-quality catalog entries: the declarative constraint suite
+(operators/checks.py) evaluated over ``orders`` with a foreign-key
+coverage gate against ``customer``.
+
+The oracle mirrors the one-pass compilation as scalar aggregates in a
+single CTE, then unions one row per check — same metric arithmetic
+(integer-ratio divisions, exact DECIMAL mean), same ref_round(6), same
+compare-on-the-rounded-metric pass rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+from qudo_etl_pipeline_spark.operators.checks import Check, check_suite
+
+_CHECKS = [
+    Check("custkey_complete", "completeness", "o_custkey", 1.0),
+    Check("orderkey_unique", "uniqueness", "o_orderkey", 1.0),
+    Check("price_floor", "min_value", "o_totalprice", 0.0),
+    Check("price_cap_ok", "max_value", "o_totalprice", 500000.0),
+    Check("price_cap_tight", "max_value", "o_totalprice", 400000.0),
+    Check("price_mean_floor", "mean_min", "o_totalprice", 100000.0),
+    Check("status_domain", "isin", "o_orderstatus", 1.0, values=("F", "O", "P")),
+    Check("priority_format", "pattern", "o_orderpriority", 1.0, pattern="^[1-5]-"),
+    Check("custkey_fk", "fk_coverage", "o_custkey", 1.0, ref="customer"),
+]
+
+
+def _checks_oracle() -> str:
+    frac = "{num} * 1.0 / {den}"
+
+    def r6(expr: str) -> str:
+        return ref_round_sql(expr, 6)
+
+    metrics = {
+        "custkey_complete": r6(frac.format(num="COUNT(o_custkey)", den="COUNT(*)")),
+        "orderkey_unique": r6(
+            frac.format(num="COUNT(DISTINCT o_orderkey)", den="COUNT(*)")
+        ),
+        "price_floor": r6("CAST(MIN(o_totalprice) AS DOUBLE)"),
+        "price_cap_ok": r6("CAST(MAX(o_totalprice) AS DOUBLE)"),
+        "price_cap_tight": r6("CAST(MAX(o_totalprice) AS DOUBLE)"),
+        "price_mean_floor": r6(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+            " / COUNT(o_totalprice)"
+        ),
+        "status_domain": r6(
+            frac.format(
+                num="COUNT(CASE WHEN o_orderstatus IN ('F','O','P')"
+                " THEN 1 END)",
+                den="COUNT(o_orderstatus)",
+            )
+        ),
+        "priority_format": r6(
+            frac.format(
+                num="COUNT(CASE WHEN regexp_matches(o_orderpriority,"
+                " '^[1-5]-') THEN 1 END)",
+                den="COUNT(o_orderpriority)",
+            )
+        ),
+        "custkey_fk": r6(frac.format(num="COUNT(fk_flag)", den="COUNT(*)")),
+    }
+    sel = ",\n        ".join(f"{sql} AS m_{n}" for n, sql in metrics.items())
+    rows = []
+    for c in _CHECKS:
+        op = "<=" if c.kind in ("max_value", "mean_max") else ">="
+        rows.append(
+            f"SELECT '{c.name}' AS check_name, '{c.column}' AS col_name,"
+            f" m_{c.name} AS metric, CAST({float(c.threshold)} AS DOUBLE)"
+            f" AS threshold,"
+            f" CASE WHEN m_{c.name} {op} {float(c.threshold)} THEN 1"
+            f" ELSE 0 END::BIGINT AS passed FROM m"
+        )
+    union = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH flagged AS (
+      SELECT o.*, r.fk_flag
+      FROM orders o LEFT JOIN (
+        SELECT DISTINCT c_custkey, 1 AS fk_flag FROM customer
+      ) r ON o.o_custkey = r.c_custkey
+    ),
+    m AS (
+      SELECT
+        {sel}
+      FROM flagged
+    )
+    {union}
+    """
+
+
+@register(
+    "quality_check_suite",
+    oracle=_checks_oracle(),
+    survey_ids=["A4", "A8", "J5"],
+    description="Deequ-style declarative constraint suite over orders "
+    "(completeness, uniqueness, bounds, exact-decimal mean, set/regex "
+    "conformance, broadcast FK coverage) compiled into ONE aggregation "
+    "pass; one row per check with rounded metric and 0/1 gate",
+)
+def quality_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return check_suite(orders, _CHECKS, refs={"customer": customer}).orderBy(
+        "check_name"
+    )

@@ -1,0 +1,182 @@
+"""Declarative data-quality constraint suite, evaluated in ONE pass.
+
+Extension scope (no reference counterpart): the Deequ-style gate a
+100 TB ingest needs before a table is published — completeness,
+uniqueness, bounds, set/regex conformance, and foreign-key coverage,
+declared as data and compiled into a single aggregation job (AWS Deequ,
+VLDB'18, is the public model; this is the same "checks compile to one
+scan" idea expressed as DataFrame aggregates).
+
+Scale design:
+- every check compiles to a conditional aggregate over the SAME
+  ``df.agg(...)`` — one scan, map-side partial aggregation, output is
+  O(#checks) rows regardless of input size;
+- ``isin`` / ``pattern`` checks are pure JVM row expressions feeding
+  the aggregate (no extra pass);
+- ``fk_coverage`` adds one broadcast left-semi-style flag join against
+  the (small, deduplicated) reference key column before the aggregate —
+  the big side is never shuffled;
+- ``uniqueness`` uses exact count-distinct. Multiple distinct
+  aggregates plan as one Expand pass (rows × #distinct-checks), which
+  is the exact-answer cost; pass ``approx_distinct=True`` to switch to
+  HLL ``approx_count_distinct`` (no Expand) when a few-per-mille error
+  is acceptable at very large row counts — same plan shape as a plain
+  aggregate then.
+
+The result is long-format: one row per check with the measured metric,
+the declared gate, and a 0/1 ``passed`` flag — the shape a publish
+gate, a metrics store, or an alerting join consumes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+__all__ = ["Check", "check_suite"]
+
+# metric comparison direction per check kind: metric OP threshold
+_DIRECTION = {
+    "completeness": ">=",
+    "uniqueness": ">=",
+    "min_value": ">=",
+    "max_value": "<=",
+    "mean_min": ">=",
+    "mean_max": "<=",
+    "isin": ">=",
+    "pattern": ">=",
+    "fk_coverage": ">=",
+}
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declared constraint.
+
+    kind:
+      - ``completeness``: fraction of rows with ``column`` non-null
+      - ``uniqueness``: distinct(column) / count(*) (1.0 == key)
+      - ``min_value`` / ``max_value``: min/max of ``column`` vs gate
+      - ``mean_min`` / ``mean_max``: mean of ``column`` vs gate
+      - ``isin``: fraction of NON-NULL values in ``values``
+      - ``pattern``: fraction of NON-NULL values matching ``pattern``
+      - ``fk_coverage``: fraction of rows whose ``column`` appears in
+        the reference table registered under ``ref`` in ``check_suite``'s
+        ``refs`` argument (NULL keys count as uncovered)
+    """
+
+    name: str
+    kind: str
+    column: str
+    threshold: float
+    values: tuple[str, ...] = field(default=())
+    pattern: str = ""
+    ref: str = ""
+
+    def __post_init__(self) -> None:
+        if self.kind not in _DIRECTION:
+            raise ValueError(f"unknown check kind {self.kind!r}")
+
+
+def _metric_expr(c: Check, flag: str | None):
+    col = F.col(c.column)
+    n = F.count(F.lit(1))
+    if c.kind == "completeness":
+        return F.count(col) / n
+    if c.kind == "uniqueness":
+        raise AssertionError("handled by caller")  # pragma: no cover
+    if c.kind == "min_value":
+        return F.min(col).cast("double")
+    if c.kind == "max_value":
+        return F.max(col).cast("double")
+    if c.kind in ("mean_min", "mean_max"):
+        # exact decimal sum then one double division: summation-order
+        # independent, so the metric is bit-identical across engines
+        return F.sum(col.cast("decimal(18,4)")).cast("double") / F.count(col)
+    if c.kind == "isin":
+        return F.count(F.when(col.isin(*c.values), 1)) / F.count(col)
+    if c.kind == "pattern":
+        return F.count(F.when(col.rlike(c.pattern), 1)) / F.count(col)
+    if c.kind == "fk_coverage":
+        return F.count(F.when(F.col(flag).isNotNull(), 1)) / n
+    raise AssertionError(c.kind)  # pragma: no cover
+
+
+def check_suite(
+    df: DataFrame,
+    checks: list[Check],
+    refs: dict[str, DataFrame] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Evaluate ``checks`` over ``df`` in one aggregation pass.
+
+    ``refs`` maps ``Check.ref`` names to single-column DataFrames of
+    valid keys for ``fk_coverage`` checks (deduplicated and broadcast
+    here). Returns one row per check:
+    ``(check_name, column, metric, threshold, passed)`` with ``metric``
+    rounded to 6 (ref_round semantics) and ``passed`` as 0/1 bigint.
+    """
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError("check names must be unique")
+
+    # fk_coverage: broadcast-join a presence flag per referenced table
+    flags: dict[str, str] = {}
+    for c in checks:
+        if c.kind != "fk_coverage":
+            continue
+        if not refs or c.ref not in refs:
+            raise ValueError(f"fk_coverage check {c.name!r}: refs[{c.ref!r}] missing")
+        flag = f"__ck_ref_{c.ref}_{c.column}"
+        if flag not in flags.values():
+            ref_df = refs[c.ref]
+            key = ref_df.columns[0]
+            keys = ref_df.select(
+                F.col(key).alias(f"{flag}_k"),
+                F.lit(1).alias(flag),
+            ).dropDuplicates([f"{flag}_k"])
+            df = df.join(
+                F.broadcast(keys),
+                df[c.column] == keys[f"{flag}_k"],
+                "left",
+            ).drop(f"{flag}_k")
+        flags[(c.ref, c.column)] = flag
+
+    aggs = []
+    for i, c in enumerate(checks):
+        if c.kind == "uniqueness":
+            d = (
+                F.approx_count_distinct(c.column)
+                if approx_distinct
+                else F.countDistinct(c.column)
+            )
+            m = d / F.count(F.lit(1))
+        else:
+            m = _metric_expr(c, flags.get((c.ref, c.column)))
+        aggs.append(ref_round(m.cast("double"), 6).alias(f"_m{i}"))
+
+    row = df.agg(*aggs)
+
+    structs = []
+    for i, c in enumerate(checks):
+        op = _DIRECTION[c.kind]
+        m = F.col(f"_m{i}")
+        thr = F.lit(float(c.threshold))
+        ok = (m >= thr) if op == ">=" else (m <= thr)
+        structs.append(
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.lit(c.column).alias("col_name"),
+                m.alias("metric"),
+                thr.alias("threshold"),
+                F.coalesce(ok.cast("bigint"), F.lit(0)).alias("passed"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("c"))
+        .select("c.*")
+    )

@@ -1,0 +1,128 @@
+"""Unit tests for the declarative data-quality suite
+(operators/checks.py): metric values, pass gates, null handling,
+FK coverage, the approx-distinct switch, and declaration errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from qudo_etl_pipeline_spark.operators.checks import Check, check_suite
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = [
+        (1, "a@x.com", "US", 10.0),
+        (2, "b@x.com", "US", 20.0),
+        (3, None, "DE", 30.0),
+        (4, "d@x", "FR", 40.0),
+        (4, "e@x.com", "XX", None),
+    ]
+    return spark.createDataFrame(
+        rows, "id: long, email: string, country: string, amount: double"
+    )
+
+
+@pytest.fixture(scope="module")
+def countries(spark):
+    return spark.createDataFrame(
+        [("US",), ("DE",), ("FR",)], "code: string"
+    )
+
+
+def _by_name(df):
+    return {r["check_name"]: r for r in df.collect()}
+
+
+def test_metrics_and_gates(spark, table, countries):
+    checks = [
+        Check("email_complete", "completeness", "email", 0.9),
+        Check("id_unique", "uniqueness", "id", 1.0),
+        Check("amount_min", "min_value", "amount", 0.0),
+        Check("amount_max", "max_value", "amount", 35.0),
+        Check("amount_mean", "mean_min", "amount", 20.0),
+        Check("email_format", "pattern", "email", 1.0, pattern="^[^@]+@[^@]+\\.[^@]+$"),
+        Check("country_domain", "isin", "country", 0.8, values=("US", "DE", "FR")),
+        Check("country_fk", "fk_coverage", "country", 1.0, ref="countries"),
+    ]
+    out = _by_name(
+        check_suite(table, checks, refs={"countries": countries})
+    )
+    assert len(out) == len(checks)
+    assert out["email_complete"]["metric"] == 0.8  # 4/5 non-null
+    assert out["email_complete"]["passed"] == 0
+    assert out["id_unique"]["metric"] == 0.8  # 4 distinct / 5 rows
+    assert out["id_unique"]["passed"] == 0
+    assert out["amount_min"]["metric"] == 10.0
+    assert out["amount_min"]["passed"] == 1
+    assert out["amount_max"]["metric"] == 40.0
+    assert out["amount_max"]["passed"] == 0  # 40 > 35 cap
+    assert out["amount_mean"]["metric"] == 25.0  # mean over non-null
+    assert out["amount_mean"]["passed"] == 1
+    # pattern/isin fractions are over NON-NULL values only
+    assert out["email_format"]["metric"] == 0.75  # 3 of 4 non-null match
+    assert out["country_domain"]["metric"] == 0.8  # XX out of domain
+    assert out["country_domain"]["passed"] == 1
+    # fk: XX missing from the ref -> 4/5 coverage, gate 1.0 fails
+    assert out["country_fk"]["metric"] == 0.8
+    assert out["country_fk"]["passed"] == 0
+    # schema contract for the driver/publish gate
+    assert check_suite(table, checks[:1]).columns == [
+        "check_name",
+        "col_name",
+        "metric",
+        "threshold",
+        "passed",
+    ]
+
+
+def test_approx_distinct_switch(spark, table):
+    out = _by_name(
+        check_suite(
+            table,
+            [Check("id_unique", "uniqueness", "id", 0.5)],
+            approx_distinct=True,
+        )
+    )
+    # HLL on 4 distinct values is exact at this cardinality
+    assert out["id_unique"]["metric"] == 0.8
+    assert out["id_unique"]["passed"] == 1
+
+
+def test_declaration_errors(spark, table):
+    with pytest.raises(ValueError, match="unknown check kind"):
+        Check("x", "median_value", "amount", 1.0)
+    with pytest.raises(ValueError, match="unique"):
+        check_suite(
+            table,
+            [
+                Check("dup", "completeness", "email", 1.0),
+                Check("dup", "completeness", "country", 1.0),
+            ],
+        )
+    with pytest.raises(ValueError, match="refs"):
+        check_suite(
+            table, [Check("fk", "fk_coverage", "country", 1.0, ref="nope")]
+        )
+
+
+def test_one_aggregation_pass(spark, table, countries):
+    """The compiled plan has exactly one aggregate chain (plus the
+    Expand that exact count-distinct costs) and one broadcast join —
+    no per-check scans."""
+    checks = [
+        Check("email_complete", "completeness", "email", 0.9),
+        Check("id_unique", "uniqueness", "id", 1.0),
+        Check("country_fk", "fk_coverage", "country", 1.0, ref="countries"),
+    ]
+    plan = (
+        check_suite(table, checks, refs={"countries": countries})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one scan of the checked table per plan, not one per check
+    assert plan.count("Scan ExistingRDD[id") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
