@@ -64,6 +64,7 @@ def registry() -> dict[str, QuerySpec]:
         contingency_q,
         coverage_q,
         datapipe,
+        entity_q,
         ml_q,
         relational,
         sketches_q,

@@ -1,0 +1,156 @@
+"""Entity resolution: blocking -> bounded candidate pairs ->
+multi-attribute fuzzy scoring -> connected-component entity ids.
+
+Extension scope (no reference counterpart): record linkage is the
+standard cleanup step before training-data aggregation joins user /
+customer / account records that refer to the same real-world entity
+under dirty keys (Fellegi-Sunter 1969 is the public model; the
+blocking + within-block compare + transitive-closure shape is the one
+every large-scale ER system uses — an all-pairs compare is O(n²) and
+never runs at 100 TB).
+
+Scale design:
+- ``blocking_keys`` is a map-only projection (one or more deterministic
+  key expressions per record, unioned);
+- ``candidate_pairs`` self-joins WITHIN a block only, after dropping
+  blocks larger than ``max_block_size`` (the standard hot-block guard:
+  an over-broad key like an empty name would otherwise go quadratic;
+  dropped blocks are a recall trade-off that the caller widens with a
+  second, sharper blocking strategy). Cost is sum over blocks of
+  |b|², bounded by ``max_block_size`` × rows;
+- ``score_pairs`` joins the two records per pair (keyed shuffles on
+  id) and computes JVM-side similarity: normalized Levenshtein on the
+  fuzzy column plus optional exact-match attribute gates;
+- ``resolve_entities`` reuses the near-dup connected-components
+  operator (min-label / star contraction) over matched pairs, so the
+  transitive closure is diameter-independent at scale.
+
+Every step is a plain DataFrame op — no Python crossing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "blocking_keys",
+    "candidate_pairs",
+    "score_pairs",
+    "resolve_entities",
+]
+
+
+def blocking_keys(
+    records: DataFrame,
+    id_col: str,
+    key_exprs: list,
+) -> DataFrame:
+    """(block_key, id) pairs under one or more blocking strategies.
+
+    ``key_exprs`` are Column expressions over ``records`` (e.g. a name
+    prefix, a phonetic code, zip+last-name-initial); records emit one
+    row per strategy. NULL keys are dropped (they would form a single
+    giant junk block).
+    """
+    parts = [
+        records.select(
+            e.cast("string").alias("block_key"),
+            F.col(id_col).alias("id"),
+        )
+        for e in key_exprs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("block_key").isNotNull())
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Distinct within-block id pairs (id_a < id_b), skipping blocks
+    over ``max_block_size`` members.
+
+    The size gate runs as one aggregation over the block table; the
+    pair join is then block-local, so worst-case work is
+    ``max_block_size`` × |blocks| — never all-pairs.
+    """
+    sized = blocks.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("_bs")
+    )
+    kept = blocks.join(
+        sized.filter(F.col("_bs") <= max_block_size).select("block_key"),
+        "block_key",
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def score_pairs(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fuzzy_col: str,
+    exact_cols: list[str] | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Match candidate pairs: normalized Levenshtein similarity on
+    ``fuzzy_col`` (1 - dist/max_len) gated by exact equality on each of
+    ``exact_cols``. Returns (id_a, id_b, sim) for pairs with
+    sim >= threshold and all exact gates passing; ``sim`` is rounded
+    to 6 for cross-engine determinism.
+    """
+    cols = [fuzzy_col] + list(exact_cols or [])
+    side = records.select(F.col(id_col).alias("id"), *cols)
+    a = side.alias("ra")
+    b = side.alias("rb")
+    j = (
+        pairs.join(a, pairs.id_a == F.col("ra.id"))
+        .join(b, pairs.id_b == F.col("rb.id"))
+    )
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    fa, fb = F.col(f"ra.{fuzzy_col}"), F.col(f"rb.{fuzzy_col}")
+    max_len = F.greatest(F.length(fa), F.length(fb))
+    sim = ref_round(
+        F.lit(1.0) - F.levenshtein(fa, fb) / max_len.cast("double"), 6
+    )
+    cond = sim >= F.lit(threshold)
+    for c in exact_cols or []:
+        cond = cond & (F.col(f"ra.{c}") == F.col(f"rb.{c}"))
+    return j.filter(cond).select("id_a", "id_b", sim.alias("sim"))
+
+
+def resolve_entities(
+    records: DataFrame,
+    matched: DataFrame,
+    id_col: str,
+    method: str = "label",
+) -> DataFrame:
+    """(id, entity_id) for every record: connected components over the
+    matched pairs (entity_id = min reachable id); singletons keep their
+    own id. One left join of the CC labels onto the record ids."""
+    from qudo_etl_pipeline_spark.operators.dedup import neardup_groups
+
+    groups = neardup_groups(matched, id_col="id", method=method)
+    return (
+        records.select(F.col(id_col).alias("id"))
+        .join(groups, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("group_id"), F.col("id")).alias("entity_id"),
+        )
+    )
