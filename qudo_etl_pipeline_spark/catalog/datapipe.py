@@ -2071,6 +2071,82 @@ def pagerank_events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(ev, n_iter=10)
 
 
+# --- triangle counting / clustering coefficient --------------------------
+
+_TRI_MOD = 211  # fold the bipartite user->item ids into one node space
+
+
+def _triangle_oracle() -> str:
+    cc6 = ref_round_sql(
+        "2.0 * COALESCE(triangles, 0) / (degree * (degree - 1.0))", 6
+    )
+    return f"""
+    WITH raw AS (
+      SELECT user_id % {_TRI_MOD} AS a,
+             CAST(json_extract(props, '$.k') AS BIGINT) % {_TRI_MOD} AS b
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+      FROM raw WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN da.degree < db.degree
+                    OR (da.degree = db.degree AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+             CASE WHEN da.degree < db.degree
+                    OR (da.degree = db.degree AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst
+      FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+    ),
+    wedge AS (
+      SELECT o1.src AS c, o1.dst AS v, o2.dst AS w
+      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+    ),
+    tri AS (
+      SELECT c, v, w FROM wedge
+      JOIN e ON LEAST(v, w) = e.a AND GREATEST(v, w) = e.b
+    ),
+    pt AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT c AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node AS node, degree,
+           COALESCE(triangles, 0) AS triangles,
+           CASE WHEN degree >= 2 THEN {cc6} ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN pt ON deg.node = pt.node
+    ORDER BY node
+    """
+
+
+@register(
+    "triangle_clustering",
+    oracle=_triangle_oracle(),
+    survey_ids=["J1", "A4"],
+    description="Per-node triangle counts + local clustering coefficient "
+    "by degree-ordered wedge closure (O(m^1.5) bound) over the folded "
+    "events graph",
+)
+def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.graph import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _TRI_MOD).alias("src"),
+        (
+            F.get_json_object("props", "$.k").cast("bigint") % _TRI_MOD
+        ).alias("dst"),
+    )
+    return triangle_counts(ev).orderBy("node")
+
+
 # --- BM25 ranked retrieval ------------------------------------------------
 
 _BM25_TERMS = ["table", "hash", "spark"]

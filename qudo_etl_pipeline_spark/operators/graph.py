@@ -109,3 +109,113 @@ def pagerank_fixed_point(
         F.col("r").alias("rank_fp"),
         F.round(F.col("r") / F.lit(float(FP_SCALE)), 9).alias("pagerank"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient via
+    degree-ordered wedge closure (the MapReduce-standard algorithm:
+    Suri & Vassilvitskii WWW'11; also GraphX's TriangleCount).
+
+    Steps, all plain DataFrame ops:
+    1. canonicalize to undirected simple edges (a < b, no loops, distinct);
+    2. per-node degree (one agg over the exploded endpoints);
+    3. orient every edge from its lower-degree endpoint to the higher
+       (ties by id) — caps every node's out-degree at O(sqrt(m)), which
+       bounds the wedge join at O(m^1.5) total work, the optimal bound
+       for exact triangle enumeration;
+    4. wedges = oriented edges self-joined on the center (dst pair
+       ordered), closed by joining the canonical edge set;
+    5. each closed triangle credits all three corners; one final agg +
+       degree join yields (node, degree, triangles, clustering).
+
+    Shuffle budget: distinct (1), degree agg (1), orient join is
+    degree-broadcastable, wedge self-join (1 on src), closure join
+    (1 on the pair key), final agg (1). Output is |nodes| rows.
+    ``clustering`` = 2T / (d(d-1)) rounded to 6 (0.0 for d < 2).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("a"),
+            F.col(dst_col).cast("bigint").alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("degree").alias("da")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("degree").alias("db")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("c"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    tri = wedges.join(
+        e,
+        (F.least("v", "w") == F.col("a"))
+        & (F.greatest("v", "w") == F.col("b")),
+    ).select("c", "v", "w")
+    per_node = (
+        tri.select(F.col("c").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                ref_round(
+                    F.lit(2.0)
+                    * F.coalesce("triangles", F.lit(0))
+                    / (d * (d - F.lit(1.0))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

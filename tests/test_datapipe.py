@@ -1495,3 +1495,32 @@ def test_weighted_sample_bias_and_determinism(spark):
                                          "id long, w double"))
     ids = {r["id"] for r in weighted_sample(df2, "id", "w", k=1100).collect()}
     assert 2000 not in ids and 2001 not in ids
+
+
+def test_triangle_counts_hand_computed(spark):
+    from qudo_etl_pipeline_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3, clustering 1.0),
+    # a pendant 5-1 (degree-1, no triangle), one triangle {6,7,8},
+    # plus noise the canonicalization must absorb: duplicates, reversed
+    # duplicates, self-loops, NULL endpoints.
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(5, 1), (1, 5), (6, 7), (7, 8), (8, 6), (6, 6), (None, 9)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["node"]: r for r in triangle_counts(df).collect()}
+    # node 9 vanishes (its only edge had a NULL end); 5 is a pendant
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 8}
+    for n in (2, 3, 4):
+        assert got[n]["degree"] == 3 and got[n]["triangles"] == 3
+        assert got[n]["clustering"] == 1.0
+    # node 1 also touches the pendant: degree 4, still 3 triangles,
+    # clustering 2*3/(4*3) = 0.5
+    assert got[1]["degree"] == 4 and got[1]["triangles"] == 3
+    assert got[1]["clustering"] == 0.5
+    assert got[5]["degree"] == 1 and got[5]["triangles"] == 0
+    assert got[5]["clustering"] == 0.0
+    for n in (6, 7, 8):
+        assert got[n]["degree"] == 2 and got[n]["triangles"] == 1
+        assert got[n]["clustering"] == 1.0
+    # global count from per-node credit: each triangle counted 3x
+    assert sum(r["triangles"] for r in got.values()) == 3 * 5
