@@ -324,3 +324,61 @@ def rolling_avg_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = T.rolling_time_stats(ev, "user_id", "ts", "value", window_sec=3600)
     return r.select("event_id", "user_id", "n_w", "sum_w", "avg_w")
+
+
+def _ewma_oracle(alpha: float = 0.5, window: int = 8) -> str:
+    """Mirror of temporal.ewma's fixed newest-first term chain: the
+    frame list via a ROWS window, then the IDENTICAL left-to-right
+    multiply/add sequence with the same driver-computed weight
+    literals (exact powers of two at alpha = 0.5)."""
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    beta = 1.0 - alpha
+    num = "0.0"
+    den = "0.0"
+    for age in range(window):
+        wt = repr(beta**age)
+        num += (
+            f" + (CASE WHEN len(l) - {age} >= 1"
+            f" THEN l[len(l) - {age}] * {wt} ELSE 0.0 END)"
+        )
+        den += (
+            f" + (CASE WHEN len(l) - {age} >= 1"
+            f" THEN {wt} ELSE 0.0 END)"
+        )
+    return f"""
+    SELECT event_id, user_id,
+           CAST(len(l) AS BIGINT) AS n_w,
+           {ref_round_sql(f'({num}) / ({den})', 6)} AS ewma
+    FROM (
+      SELECT event_id, user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+             ) AS l
+      FROM events WHERE event_type = 'view'
+    )
+    ORDER BY event_id
+    """
+
+
+@register(
+    "ewma_user_views",
+    oracle=_ewma_oracle(),
+    survey_ids=["A5", "W1"],
+    description="Per-user EWMA (alpha 0.5, 8-observation memory) of view "
+    "event values: one keyed shuffle, sliding ROWS frame, exact "
+    "power-of-two weight products, fixed-order term chain",
+)
+def ewma_user_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    out = T.ewma(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, window=8
+    )
+    return out.select("event_id", "user_id", "n_w", "ewma").orderBy(
+        "event_id"
+    )

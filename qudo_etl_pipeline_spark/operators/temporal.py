@@ -40,6 +40,7 @@ __all__ = [
     "time_weighted_avg",
     "trailing_zscore",
     "rolling_time_stats",
+    "ewma",
 ]
 
 
@@ -427,4 +428,68 @@ def rolling_time_stats(
         n.cast("bigint").alias("n_w"),
         ref_round(s, 6).alias("sum_w"),
         ref_round(s / n, 6).alias("avg_w"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    window: int = 8,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average with finite memory:
+    for each row, the weighted mean of the key's last ``window``
+    non-null values in ``order_cols`` order, weight ``(1-alpha)^age``
+    (pandas ``ewm(adjust=True)`` over a truncated history).
+
+    The truncation is the scale design: an unbounded EWMA is a
+    sequential recurrence (O(rows) serial per key), while the truncated
+    form is ONE keyed shuffle + a sliding ROWS frame — and for any
+    alpha the dropped tail's total weight is (1-alpha)^window (0.4% at
+    the defaults), below the 6-decimal output resolution for typical
+    alphas.
+
+    Cross-engine determinism: weights are driver-computed double
+    literals; the numerator/denominator are emitted as a FIXED
+    left-to-right chain of newest-first terms, so both engines perform
+    the identical multiply/add sequence (for alpha = 0.5 every product
+    is exact: multiplying by a power of two only shifts the exponent).
+    ``order_cols`` must be a total order per key (pass a tie-break id).
+
+    Output: input columns + ``n_w`` (frame size) + ``ewma`` (rounded
+    to 6). Rows whose own value is NULL still get the EWMA of the
+    trailing non-null frame.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha {alpha} outside (0, 1]")
+    if window < 1:
+        raise ValueError(f"window {window} must be >= 1")
+    beta = 1.0 - alpha
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    # collect_list skips NULLs, so the frame list holds the last
+    # <= window non-null values, oldest first
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    tmp = df.select(*df.columns, vals.alias("_vals"))
+    n = F.size(F.col("_vals"))
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for age in range(window):  # newest-first, fixed chain order
+        wt = F.lit(beta**age)
+        present = (n - age) >= 1
+        num = num + F.when(
+            present, F.element_at("_vals", n - F.lit(age)) * wt
+        ).otherwise(F.lit(0.0))
+        den = den + F.when(present, wt).otherwise(F.lit(0.0))
+    return tmp.select(
+        *df.columns,
+        n.cast("bigint").alias("n_w"),
+        ref_round(num / den, 6).alias("ewma"),
     )

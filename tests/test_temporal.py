@@ -336,3 +336,55 @@ def test_asof_chunked_hot_key_spans_multiple_window_partitions(spark):
         for r in asof_join(probe, build, on="k").collect()
     )
     assert a == b
+
+
+def test_ewma_matches_pandas_and_truncates(spark):
+    import pandas as pd
+
+    from qudo_etl_pipeline_spark.operators.temporal import ewma
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.5]
+    rows = [(1, i, v) for i, v in enumerate(vals)] + [
+        (2, i, float(i * i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k: long, t: long, v: double")
+
+    # window >= series length == untruncated pandas ewm(adjust=True)
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma(df, "k", ["t"], "v", alpha=0.3, window=8).collect()
+    }
+    for k, series in ((1, vals), (2, [0.0, 1.0, 4.0, 9.0])):
+        exp = pd.Series(series).ewm(alpha=0.3, adjust=True).mean()
+        for t, e in enumerate(exp):
+            assert abs(got[(k, t)] - e) < 1e-6, (k, t)
+
+    # window=2: only the last two observations contribute
+    got2 = {
+        r["t"]: (r["n_w"], r["ewma"])
+        for r in ewma(
+            df.filter("k = 1"), "k", ["t"], "v", alpha=0.5, window=2
+        ).collect()
+    }
+    assert got2[0] == (1, 3.0)
+    # (1.0 + 0.5*3.0) / 1.5, then (4.0 + 0.5*1.0) / 1.5
+    assert abs(got2[1][1] - 2.5 / 1.5) < 1e-6 and got2[1][0] == 2
+    assert abs(got2[2][1] - 4.5 / 1.5) < 1e-6
+
+    # NULL values drop out of the frame; the row still gets a score
+    dfn = spark.createDataFrame(
+        [(1, 0, 2.0), (1, 1, None), (1, 2, 6.0)], "k: long, t: long, v: double"
+    )
+    gotn = {
+        r["t"]: (r["n_w"], r["ewma"])
+        for r in ewma(dfn, "k", ["t"], "v", alpha=0.5, window=4).collect()
+    }
+    assert gotn[1] == (1, 2.0)  # null row scored from the trailing frame
+    assert gotn[2][0] == 2 and abs(gotn[2][1] - (6.0 + 1.0) / 1.5) < 1e-6
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alpha"):
+        ewma(df, "k", ["t"], "v", alpha=0.0)
+    with _pt.raises(ValueError, match="window"):
+        ewma(df, "k", ["t"], "v", window=0)
