@@ -106,3 +106,70 @@ def quality_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_suite(orders, _CHECKS, refs={"customer": customer}).orderBy(
         "check_name"
     )
+
+
+_PROFILE_COLS = ["c_custkey", "c_mktsegment", "c_name", "c_nationkey"]
+
+
+def _profile_oracle() -> str:
+    """Mirror of profile_table's melt -> cell-count -> per-column
+    aggregate, with the mode tie-break (count desc, value asc) as a
+    ROW_NUMBER pick. Profiled columns are ints/strings only: their
+    cast-to-VARCHAR forms are engine-identical (doubles are not)."""
+    cells = "\n      UNION ALL\n      ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v,"
+        f" TRY_CAST({c} AS DOUBLE) AS vn FROM customer"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH cells AS (
+      {cells}
+    ),
+    counted AS (
+      SELECT col_name, v, COUNT(*) AS cnt,
+             MIN(vn) AS vn_min, MAX(vn) AS vn_max
+      FROM cells GROUP BY col_name, v
+    ),
+    stats AS (
+      SELECT col_name,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0)
+                  AS BIGINT) AS n_nulls,
+             CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END)
+                  AS BIGINT) AS n_distinct,
+             MIN(CASE WHEN v IS NOT NULL THEN v END) AS min_value,
+             MAX(v) AS max_value,
+             CAST(COALESCE(MAX(CASE WHEN v IS NOT NULL THEN cnt END), 0)
+                  AS BIGINT) AS top_count,
+             MIN(vn_min) AS min_num,
+             MAX(vn_max) AS max_num
+      FROM counted GROUP BY col_name
+    ),
+    top AS (
+      SELECT col_name, v AS top_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY col_name ORDER BY cnt DESC, v ASC
+             ) AS rn
+      FROM counted WHERE v IS NOT NULL
+    )
+    SELECT s.col_name AS col_name, n_rows, n_nulls, n_distinct,
+           min_value, max_value, t.top_value AS top_value, top_count,
+           min_num, max_num
+    FROM stats s LEFT JOIN top t ON s.col_name = t.col_name AND t.rn = 1
+    ORDER BY col_name
+    """
+
+
+@register(
+    "profile_customer_columns",
+    oracle=_profile_oracle(),
+    survey_ids=["A4", "A6", "A7"],
+    description="One-shuffle table profiler over customer (nulls, exact "
+    "distincts, string/numeric extremes, modal value with deterministic "
+    "tie-break) via a single melt + cell-count pass",
+)
+def profile_customer_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.profile import profile_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return profile_table(cust, _PROFILE_COLS)
