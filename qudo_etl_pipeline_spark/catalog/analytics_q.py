@@ -406,3 +406,52 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "col_x", "col_y", ref_round(F.col("corr"), 6).alias("corr6")
     )
+
+
+_SEQ_SYMBOLS = {
+    "signup": "S",
+    "view": "V",
+    "click": "C",
+    "purchase": "P",
+    "error": "E",
+}
+_SEQ_PATTERN = "V[VC]*P"  # view -> purchase with no error/signup between
+
+
+@register(
+    "sequence_match_view_purchase",
+    oracle=f"""
+    WITH sym AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type
+               WHEN 'signup' THEN 'S' WHEN 'view' THEN 'V'
+               WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
+               WHEN 'error' THEN 'E' END AS s
+      FROM events
+      WHERE event_type IN ('signup','view','click','purchase','error')
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(s, '' ORDER BY ts, event_id) AS seq
+      FROM sym GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}'))
+                AS BIGINT) AS n_matches,
+           CASE WHEN len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) > 0
+                THEN 1 ELSE 0 END::BIGINT AS matched,
+           regexp_extract(seq, '{_SEQ_PATTERN}') AS first_match
+    FROM seqs ORDER BY user_id
+    """,
+    survey_ids=["A4", "W4"],
+    description="MATCH_RECOGNIZE-lite: per-user regex event-pattern "
+    "detection (view->purchase uninterrupted by error/signup) over the "
+    "time-ordered symbol sequence; ONE groupBy(user) shuffle",
+)
+def sequence_match_view_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = A.sequence_match(ev, _SEQ_SYMBOLS, _SEQ_PATTERN)
+    return out.orderBy("user_id")

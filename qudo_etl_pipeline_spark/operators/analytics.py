@@ -36,6 +36,7 @@ __all__ = [
     "ols_trend",
     "robust_zscore",
     "corr_matrix",
+    "sequence_match",
 ]
 
 
@@ -411,3 +412,71 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return m.select(
         F.explode(F.array(*structs)).alias("_e")
     ).select("_e.col_x", "_e.col_y", "_e.corr")
+
+
+def sequence_match(
+    events: DataFrame,
+    symbols: dict[str, str],
+    pattern: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern detection over each user's
+    time-ordered event-type sequence.
+
+    ``symbols`` maps event types to single characters (events of
+    unmapped types are dropped BEFORE the shuffle — the filter prunes
+    the scan); ``pattern`` is a regex over those characters, e.g. with
+    ``{"view": "V", "click": "C", "purchase": "P", "error": "E"}`` the
+    pattern ``V[VC]*P`` is "a view leading to a purchase through any
+    run of views/clicks with no error in between" — the per-user
+    funnel-with-negation queries SQL's MATCH_RECOGNIZE serves, without
+    a stage-join per pattern step.
+
+    ONE shuffle (groupBy user); each user's events materialize as a
+    character string, bounded by per-user event count — the same bound
+    sessionization and funnel_depth already carry. Matching is
+    JVM-side regex over that string: ``n_matches`` counts
+    non-overlapping leftmost matches, ``first_match`` is the first
+    matched subsequence ('' when none). Keep the symbol alphabet to
+    plain characters/classes so RE2-based oracle engines agree with
+    Java regex semantics.
+
+    Output: (user_col, seq_len, n_matches, matched, first_match).
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in symbols.items() for x in kv]
+    )
+    evs = events.filter(
+        F.col(type_col).isin(list(symbols))
+    ).select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            mapping[F.col(type_col)].alias("sym"),
+        ).alias("e"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("e")), lambda e: e["sym"]
+        ),
+        "",
+    )
+    return (
+        evs.groupBy(user_col)
+        .agg(seq.alias("seq"))
+        .select(
+            user_col,
+            F.length("seq").cast("bigint").alias("seq_len"),
+            F.regexp_count("seq", F.lit(pattern))
+            .cast("bigint")
+            .alias("n_matches"),
+            (F.regexp_count("seq", F.lit(pattern)) > 0)
+            .cast("bigint")
+            .alias("matched"),
+            F.regexp_extract("seq", pattern, 0).alias("first_match"),
+        )
+    )

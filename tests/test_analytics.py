@@ -340,3 +340,45 @@ def test_robust_zscore_approx_engine_and_null_groups(spark):
 
     with pytest.raises(ValueError):
         robust_zscore(df, ["g"], "x", percentile="bogus")
+
+
+def test_sequence_match_hand_cases(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import sequence_match
+
+    sym = {"view": "V", "click": "C", "purchase": "P", "error": "E"}
+    # u1: V C P V P   -> two non-overlapping V[VC]*P matches
+    # u2: V E P       -> error breaks the run: no match
+    # u3: C C         -> no match, but has mapped events (seq_len 2)
+    # u4: only unmapped types -> absent from output entirely
+    rows = []
+
+    def ev(uid, i, t):
+        rows.append((uid, i, f"2024-01-01 00:0{i}:00", t))
+
+    for i, t in enumerate(["view", "click", "purchase", "view", "purchase"]):
+        ev(1, i, t)
+    for i, t in enumerate(["view", "error", "purchase"]):
+        ev(2, i, t)
+    for i, t in enumerate(["click", "click"]):
+        ev(3, i, t)
+    ev(4, 0, "signup")
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts: string, event_type: string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    got = {
+        r["user_id"]: r
+        for r in sequence_match(df, sym, "V[VC]*P").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["seq_len"] == 5 and got[1]["n_matches"] == 2
+    assert got[1]["matched"] == 1 and got[1]["first_match"] == "VCP"
+    assert got[2]["n_matches"] == 0 and got[2]["first_match"] == ""
+    assert got[3]["seq_len"] == 2 and got[3]["matched"] == 0
+
+    # negation via character class: purchase with NO click before it
+    got2 = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_match(df, sym, "^[^C]*P").collect()
+    }
+    assert got2[1] == 0 and got2[2] == 1
