@@ -223,9 +223,9 @@ def _kmv_oracle(k: int = 256) -> str:
     oracle=_kmv_oracle(256),
     survey_ids=["A7"],
     description="KMV (theta) distinct-count sketch of order custkeys: "
-    "k=256 smallest md5-hashes + the (k-1)/U_(k) estimator — unlike "
-    "HLL, the sketch content itself is engine-independent, so the "
-    "oracle hash-checks the sketch AND the estimate",
+    "k=256 smallest md5-hashes + the (k-1)/U_(k) estimator — the "
+    "sketch content itself is engine-independent, so the oracle "
+    "hash-checks the sketch AND the estimate",
 )
 def kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
@@ -291,3 +291,90 @@ def kmv_jaccard_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk_a = SK.kmv_build(users("click"), "user_id", 128)
     sk_b = SK.kmv_build(users("purchase"), "user_id", 128)
     return SK.kmv_jaccard(sk_a, sk_b, 128)
+
+
+def _hll_rho_sql(w: str, max_rho: int) -> str:
+    """CASE chain mirroring sketches._rho_expr: lowest-set-bit exponent
+    + 1 via exact integer compares (no float log anywhere)."""
+    whens = " ".join(
+        f"WHEN {1 << k} THEN {k + 1}" for k in range(max_rho - 1)
+    )
+    return f"CASE ({w} & -({w})) {whens} ELSE {max_rho} END"
+
+
+def _hll_registers_oracle(p: int = 8) -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64_sql
+
+    m = 1 << p
+    max_rho = 60 - p + 1
+    h = hash64_sql("CAST(o_custkey AS VARCHAR)")
+    return f"""
+    WITH hs AS (
+      SELECT {h} AS h FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    hits AS (
+      SELECT h % {m} AS bucket,
+             MAX({_hll_rho_sql(f"(h // {m})", max_rho)}) AS rho
+      FROM hs GROUP BY 1
+    )
+    SELECT g.bucket AS bucket,
+           CAST(COALESCE(rho, 0) AS BIGINT) AS rho
+    FROM (SELECT unnest(generate_series(0, {m - 1})) AS bucket) g
+    LEFT JOIN hits ON g.bucket = hits.bucket
+    ORDER BY bucket
+    """
+
+
+def _hll_estimate_oracle(p: int = 8) -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = _hll_registers_oracle(p)
+    raw = (
+        f"{alpha * m * m * float(1 << 53)!r}"
+        " / CAST(sum_fp AS DOUBLE)"
+    )
+    linear = f"{float(m)!r} * ln({float(m)!r} / CAST(n_zero AS DOUBLE))"
+    est = (
+        f"CASE WHEN ({raw}) <= {2.5 * m!r} AND n_zero > 0"
+        f" THEN ({linear}) ELSE ({raw}) END"
+    )
+    return f"""
+    WITH regs AS ({regs}),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(SUM(1::BIGINT << CAST(53 - rho AS INT)) AS BIGINT)
+               AS sum_fp
+      FROM regs
+    )
+    SELECT n_zero, sum_fp, {ref_round_sql(est, 6)} AS est FROM agg
+    """
+
+
+@register(
+    "hll_registers_custkeys",
+    oracle=_hll_registers_oracle(),
+    survey_ids=["A7"],
+    description="HyperLogLog register vector (p=8) of order custkeys: "
+    "bucket = low hash bits, register = max lowest-set-bit rank of the "
+    "rest — all-integer construction, so the driver hash-checks the "
+    "sketch CONTENT; merge = per-bucket max (property-tested)",
+)
+def hll_registers_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return SK.hll_build(orders, "o_custkey", p=8).orderBy("bucket")
+
+
+@register(
+    "hll_estimate_custkeys",
+    oracle=_hll_estimate_oracle(),
+    survey_ids=["A7"],
+    description="HyperLogLog cardinality estimate from the register "
+    "vector: exact integer fixed-point harmonic sum (sum of 2^(53-rho) "
+    "as bigint shifts), linear-counting small-range correction",
+)
+def hll_estimate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return SK.hll_estimate(SK.hll_build(orders, "o_custkey", p=8), p=8)

@@ -34,6 +34,9 @@ __all__ = [
     "kmv_build",
     "kmv_estimate",
     "kmv_jaccard",
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 
@@ -157,9 +160,10 @@ def kmv_build(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     distinct 60-bit hashes of the key (Bar-Yossef et al. / the theta
     sketch's KMV core). One column ``h``; at most ``k`` rows.
 
-    Why KMV over HLL here: identical estimate from identical data on any
-    engine (hash64 is the md5 device), so the sketch itself — not just
-    its estimate — is oracle-checkable and MERGEABLE by construction:
+    Like :func:`hll_build` (the register-vector alternative below), the
+    sketch is a deterministic function of the data (hash64 is the md5
+    device), so the sketch itself — not just its estimate — is
+    oracle-checkable and MERGEABLE by construction:
     kmv(A union B) == k-smallest of (kmv(A) union kmv(B)), the property
     a 100 TB pipeline uses to sketch per-partition/per-day and combine.
 
@@ -237,4 +241,121 @@ def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
             / F.max("kp").cast("double"),
             6,
         ).alias("jaccard6"),
+    )
+
+
+# --- HyperLogLog (register-exact, mergeable) ------------------------------
+
+_HLL_HASH_BITS = 60  # hash64 emits 60-bit values
+
+
+def _rho_expr(w: Column, max_rho: int) -> Column:
+    """rho(w) = 1-based position of w's lowest set bit (max_rho when
+    w == 0): pure integer logic — ``w & -w`` isolates the bit, a
+    driver-built literal map looks up its exponent. Exact in any
+    engine; no log2/float anywhere.
+
+    (Classic HLL ranks leading zeros of the suffix; ranking the
+    TRAILING zeros is the Flajolet-Martin-style equivalent — for a
+    uniform hash both are Geometric(1/2), and integer bit isolation
+    beats a float log in cross-engine exactness.)
+    """
+    lsb = w.bitwiseAND(-w)
+    m = F.create_map(
+        *[
+            F.lit(x)
+            for k in range(max_rho - 1)
+            for x in (1 << k, k + 1)
+        ]
+    )
+    return F.coalesce(m[lsb], F.lit(max_rho))
+
+
+def hll_build(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog registers for ``key_col``: bucket = low ``p`` hash
+    bits, register = max rho of the remaining ``60-p`` bits
+    (Flajolet et al., AofA'07). Output is ALL ``2^p`` rows
+    (bucket, rho) with rho = 0 for never-hit buckets — the register
+    VECTOR, so the driver gate hash-checks sketch content, not just
+    the estimate.
+
+    Scale shape: one map (md5 + integer ops) + ONE groupBy(bucket) with
+    map-side combine — 2^p rows out regardless of input. Mergeability
+    (:func:`hll_merge` = per-bucket max) is what a 100 TB pipeline
+    exploits: sketch per partition/day, merge 2^p-sized vectors, never
+    re-scan. Complements :func:`kmv_build`: KMV also supports set
+    operations (Jaccard); HLL's register vector is 4x smaller for the
+    same error (~1.04/sqrt(2^p) relative) and merges with max instead
+    of a sort.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p {p} outside [4, 16]")
+    m = 1 << p
+    max_rho = _HLL_HASH_BITS - p + 1
+    key = F.col(key_col)
+    hits = (
+        df.filter(key.isNotNull())
+        .select(hash64(key.cast("string")).alias("h"))
+        .select(
+            (F.col("h") % m).alias("bucket"),
+            # integer DIV, not floor(double /): a 60-bit hash would be
+            # rounded by the double cast before the division
+            _rho_expr(F.expr(f"h DIV {m}"), max_rho).alias("r"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("r").alias("rho"))
+    )
+    buckets = df.sparkSession.range(m).select(
+        F.col("id").alias("bucket")
+    )
+    return buckets.join(hits, "bucket", "left").select(
+        "bucket",
+        F.coalesce("rho", F.lit(0)).cast("bigint").alias("rho"),
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of the sketched sets: per-bucket max over register vectors
+    (lossless — hll(A u B) == hll_merge(hll(A), hll(B)) exactly)."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate from a register vector (1 row).
+
+    The harmonic mean runs in exact integer fixed-point:
+    ``sum_fp = sum(2^(53 - rho))`` (every term an integer shift, the
+    sum < 2^62) — so Z and the raw estimate are single deterministic
+    double operations on identical integers in any engine. Small-range
+    (linear counting) correction applies below 2.5m when empty buckets
+    remain. Output: n_zero, sum_fp, est (rounded 6).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.expr("shiftleft(1L, cast(53 - rho AS INT))")).alias(
+            "sum_fp"
+        ),
+    )
+    raw = (
+        F.lit(alpha * m * m * float(1 << 53))
+        / F.col("sum_fp").cast("double")
+    )
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("n_zero").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0), linear
+    ).otherwise(raw)
+    return agg.select(
+        F.col("n_zero").cast("bigint").alias("n_zero"),
+        F.col("sum_fp").cast("bigint").alias("sum_fp"),
+        ref_round(est, 6).alias("est"),
     )

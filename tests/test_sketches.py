@@ -194,3 +194,48 @@ def test_kmv_jaccard_matches_true_overlap(spark):
     assert rx["k_used"] == 900
     assert rx["n_matches"] == 300
     assert abs(rx["jaccard6"] - 1 / 3) < 1e-5
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    from qudo_etl_pipeline_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], "k long")
+
+    sk = hll_build(a.union(b), "k", p=8)
+    assert sk.count() == 256  # full register vector, empty buckets = 0
+    # mergeability is EXACT at register level: hll(A u B) == max-merge
+    merged = hll_merge(hll_build(a, "k", p=8), hll_build(b, "k", p=8))
+    diff = (
+        merged.alias("m")
+        .join(sk.alias("s"), "bucket")
+        .filter("m.rho <> s.rho")
+        .count()
+    )
+    assert diff == 0
+
+    # estimator within the ~1.04/sqrt(m) band (3 sigma ~= 20% at p=8)
+    est = hll_estimate(sk, p=8).collect()[0]["est"]
+    assert abs(est - 3000) / 3000 < 0.20
+
+    # small-range regime: linear counting kicks in and is near-exact
+    small = spark.createDataFrame([(i,) for i in range(30)], "k long")
+    s = hll_estimate(hll_build(small, "k", p=8), p=8).collect()[0]
+    assert s["n_zero"] > 0
+    assert abs(s["est"] - 30) < 4
+
+    # duplicate-insensitivity: a multiset sketches like its support
+    dup = spark.createDataFrame(
+        [(i % 50,) for i in range(5000)], "k long"
+    )
+    d = hll_estimate(hll_build(dup, "k", p=8), p=8).collect()[0]
+    assert abs(d["est"] - 50) < 8
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="p "):
+        hll_build(a, "k", p=2)
