@@ -2071,6 +2071,78 @@ def pagerank_events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(ev, n_iter=10)
 
 
+# --- prefix-filtering exact similarity join -------------------------------
+
+_SIMJOIN_T = 0.5
+# Deterministic stride: the synthetic corpus draws from a tiny shared
+# vocabulary, so EVERY doc shares "rare" tokens with most others and the
+# prefix filter (correctly) degenerates toward all-pairs — a property of
+# this generator, not the operator (same caveat as span_dedup_stats).
+# The gate therefore verifies exactness on a fixed stride of docs.
+_SIMJOIN_STRIDE = 37
+
+
+def _simjoin_oracle(t: float = _SIMJOIN_T) -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_SIMJOIN_STRIDE} = 0
+    ),
+    toks AS (
+      SELECT doc_id AS id, t.tok
+      FROM docs,
+           LATERAL (SELECT unnest(list_distinct(string_split(text, ' ')))
+                    AS tok) t
+    ),
+    freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT id, tok,
+             ROW_NUMBER() OVER (
+               PARTITION BY id ORDER BY f ASC, tok ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY id) AS n
+      FROM toks JOIN freq USING (tok)
+    ),
+    prefix AS (
+      SELECT id, tok FROM ranked
+      WHERE rn <= n - CAST(CEIL({t!r} * n) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a.id < b.id
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM docs
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                   6) AS jaccard
+      FROM cand c JOIN sets a ON c.id_a = a.doc_id
+                  JOIN sets b ON c.id_b = b.doc_id
+    ) WHERE jaccard >= {t!r}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "similarity_join_exact",
+    oracle=_simjoin_oracle(),
+    survey_ids=["P7", "J3"],
+    description="EXACT all-pairs token-Jaccard join at t=0.5 by prefix "
+    "filtering (rarest-first global token order; no false negatives, "
+    "unlike LSH banding) + true-Jaccard verification",
+)
+def similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_spread(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _SIMJOIN_STRIDE == 0
+    )
+    return D.similarity_join(docs, _SIMJOIN_T).orderBy("id_a", "id_b")
+
+
 # --- triangle counting / clustering coefficient --------------------------
 
 _TRI_MOD = 211  # fold the bipartite user->item ids into one node space

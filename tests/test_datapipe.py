@@ -1524,3 +1524,57 @@ def test_triangle_counts_hand_computed(spark):
         assert got[n]["clustering"] == 1.0
     # global count from per-node credit: each triangle counted 3x
     assert sum(r["triangles"] for r in got.values()) == 3 * 5
+
+
+def test_similarity_join_exact_vs_bruteforce(spark):
+    """Prefix filtering must lose NO qualifying pair (the exactness
+    guarantee LSH banding gives up): compare against brute-force
+    all-pairs Jaccard on a corpus with planted near-dups, unique docs,
+    and shared common tokens."""
+    from itertools import combinations
+
+    from qudo_etl_pipeline_spark.operators.dedup import (
+        prefix_filter_candidates,
+        similarity_join,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox leaps"),      # ~0.67 with 1
+        (3, "the quick brown wolf jumps"),     # ~0.67 with 1
+        (4, "entirely different tokens here"),
+        (5, "the quick brown fox jumps"),      # exact dup of 1
+        (6, "lorem ipsum dolor sit amet"),
+        (7, "the and of to in"),               # all-common tokens
+        (8, "the and of to on"),               # 0.67 with 7
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    def jac(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        return len(sa & sb) / len(sa | sb)
+
+    for t in (0.5, 0.7, 0.9):
+        truth = {
+            (i, j)
+            for (i, ta), (j, tb) in combinations(docs, 2)
+            if round(jac(ta, tb), 6) >= t
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity_join(df, t).collect()
+        }
+        assert got == truth, (t, got ^ truth)
+
+    # candidate set is a SUPERSET of the truth but not all-pairs here
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_candidates(df, 0.9).collect()
+    }
+    assert {(1, 5)} <= cands
+    assert (4, 6) not in cands  # no shared token at all
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold"):
+        prefix_filter_candidates(df, 0.0)
