@@ -455,3 +455,105 @@ def sequence_match_view_purchase(
     ev = load_events(spark, sf_dir)
     out = A.sequence_match(ev, _SEQ_SYMBOLS, _SEQ_PATTERN)
     return out.orderBy("user_id")
+
+
+def _markov_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    p6 = ref_round_sql("n * 1.0 / tot", 6)
+    return f"""
+    WITH steps AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM steps WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    tot AS (
+      SELECT *, SUM(n) OVER (PARTITION BY prev_type) AS tot FROM counts
+    )
+    SELECT prev_type, next_type, n, {p6} AS p
+    FROM tot
+    ORDER BY prev_type, next_type
+    """
+
+
+@register(
+    "event_transitions_markov",
+    oracle=_markov_oracle(),
+    survey_ids=["A4", "A9"],
+    description="First-order Markov transition matrix over per-user "
+    "event streams: one lag-window shuffle, |types|^2-bounded "
+    "aggregate, row-normalized probabilities",
+)
+def event_transitions_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return A.event_transitions(ev).orderBy("prev_type", "next_type")
+
+
+_COOC_CAP = 200
+
+
+def _cooc_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    support = ref_round_sql("n_ab * 1.0 / n_users", 6)
+    conf = ref_round_sql("n_ab * 1.0 / n_a", 6)
+    lift = ref_round_sql(
+        "(n_ab * CAST(n_users AS DOUBLE)) / CAST(n_a * n_b AS DOUBLE)", 6
+    )
+    return f"""
+    WITH baskets AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS i
+      FROM events
+    ),
+    kept AS (
+      SELECT b.u, b.i FROM baskets b
+      JOIN (
+        SELECT u FROM baskets GROUP BY u HAVING COUNT(*) <= {_COOC_CAP}
+      ) s USING (u)
+    ),
+    nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM kept),
+    marg AS (SELECT i, COUNT(*) AS n_i FROM kept GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_ab
+      FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    joined AS (
+      SELECT item_a, item_b, n_ab, ma.n_i AS n_a, mb.n_i AS n_b, n_users
+      FROM pairs
+      JOIN marg ma ON pairs.item_a = ma.i
+      JOIN marg mb ON pairs.item_b = mb.i
+      CROSS JOIN nu
+    )
+    SELECT item_a, item_b, n_ab, n_a, n_b,
+           {support} AS support,
+           {conf} AS conf_a_b,
+           {lift} AS lift
+    FROM joined
+    ORDER BY item_a, item_b
+    """
+
+
+@register(
+    "item_cooccurrence_rules",
+    oracle=_cooc_oracle(),
+    survey_ids=["A4", "A9", "J3"],
+    description="Association rules over user->item baskets (support, "
+    "confidence, lift) with the max_basket power-user cap bounding the "
+    "quadratic pair fan-out",
+)
+def item_cooccurrence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    )
+    out = A.item_cooccurrence(ev, "user_id", "item", max_basket=_COOC_CAP)
+    return out.orderBy("item_a", "item_b")

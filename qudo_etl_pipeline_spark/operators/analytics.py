@@ -37,6 +37,8 @@ __all__ = [
     "robust_zscore",
     "corr_matrix",
     "sequence_match",
+    "event_transitions",
+    "item_cooccurrence",
 ]
 
 
@@ -478,5 +480,125 @@ def sequence_match(
             .cast("bigint")
             .alias("matched"),
             F.regexp_extract("seq", pattern, 0).alias("first_match"),
+        )
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for every observed (prev_type -> type) step, its count and the
+    row-normalized transition probability P(next = type | prev).
+
+    ONE keyed window shuffle (lag over each user's time-ordered events)
+    + one aggregation over the |types|^2-bounded pair space; the
+    probability normalization is a window over that schema-bound
+    aggregate, so nothing after the first shuffle scales with rows.
+    Output: (prev_type, next_type, n, p) — p rounded to 6.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    return steps.select(
+        "prev_type",
+        "next_type",
+        "n",
+        ref_round(
+            F.col("n") / F.sum("n").over(wrow).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+def item_cooccurrence(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    max_basket: int = 200,
+) -> DataFrame:
+    """Item co-occurrence with association-rule stats: for every item
+    pair appearing in some user's basket (the user's DISTINCT item
+    set), the pair count and support/confidence/lift.
+
+    The scale guard is ``max_basket``: a user's pair fan-out is
+    quadratic in basket size, so baskets over the cap are dropped
+    whole (the standard power-user cut in co-occurrence mining — a
+    crawler or bot account would otherwise dominate both cost AND the
+    statistics). Work is then <= max_basket x |kept events|.
+
+    Shuffles: distinct (user, item), per-user count + filter (same
+    key), the within-user pair self-join, pair aggregation, and two
+    broadcast joins of the item-marginal table. n_users counts KEPT
+    users only, so support/lift are consistent under the cap.
+    Output: (item_a, item_b, n_ab, n_a, n_b, support, conf_a_b, lift),
+    ratios rounded to 6.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    baskets = events.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    sizes = baskets.groupBy("u").agg(F.count(F.lit(1)).alias("bs"))
+    kept = baskets.join(
+        sizes.filter(F.col("bs") <= max_basket).select("u"), "u"
+    )
+    n_users = kept.select("u").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    marg = kept.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(
+            F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(
+        F.col("i").alias("item_a"), F.col("n_i").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("i").alias("item_b"), F.col("n_i").alias("n_b")
+    )
+    d = F.col("n_users").cast("double")
+    return (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            ref_round(F.col("n_ab") / d, 6).alias("support"),
+            ref_round(
+                F.col("n_ab") / F.col("n_a").cast("double"), 6
+            ).alias("conf_a_b"),
+            ref_round(
+                (F.col("n_ab") * d)
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
         )
     )

@@ -382,3 +382,59 @@ def test_sequence_match_hand_cases(spark):
         for r in sequence_match(df, sym, "^[^C]*P").collect()
     }
     assert got2[1] == 0 and got2[2] == 1
+
+
+def test_event_transitions_hand_computed(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import event_transitions
+
+    rows = [
+        # u1: A B A B  -> A->B x2, B->A x1
+        (1, 0, "2024-01-01 00:00:00", "A"),
+        (1, 1, "2024-01-01 00:01:00", "B"),
+        (1, 2, "2024-01-01 00:02:00", "A"),
+        (1, 3, "2024-01-01 00:03:00", "B"),
+        # u2: A C  -> A->C x1; single-event users contribute nothing
+        (2, 4, "2024-01-01 00:00:00", "A"),
+        (2, 5, "2024-01-01 00:01:00", "C"),
+        (3, 6, "2024-01-01 00:00:00", "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts: string, event_type: string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in event_transitions(df).collect()
+    }
+    assert got[("A", "B")] == (2, 0.666667)
+    assert got[("A", "C")] == (1, 0.333333)
+    assert got[("B", "A")] == (1, 1.0)
+    assert len(got) == 3  # u3's lone event emits no step
+
+
+def test_item_cooccurrence_cap_and_stats(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import item_cooccurrence
+
+    rows = (
+        [(1, i) for i in (10, 20)]
+        + [(2, i) for i in (10, 20, 30)]
+        + [(3, 10)]
+        + [(9, i) for i in range(50)]  # power user: capped out entirely
+        + [(1, 10)]  # duplicate event: baskets are DISTINCT items
+    )
+    df = spark.createDataFrame(rows, "user_id: long, item: long")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in item_cooccurrence(
+            df, "user_id", "item", max_basket=10
+        ).collect()
+    }
+    # capped user 9 contributes no pairs and is excluded from n_users
+    assert all(a < 40 and b < 40 for a, b in out)
+    r = out[(10, 20)]
+    # 3 kept users; {10,20} in u1+u2; 10 in u1,u2,u3; 20 in u1,u2
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 3, 2)
+    assert r["support"] == 0.666667
+    assert r["conf_a_b"] == 0.666667
+    assert r["lift"] == 1.0  # 2*3 / (3*2)
+    assert out[(10, 30)]["n_ab"] == 1 and out[(20, 30)]["n_ab"] == 1
+    assert len(out) == 3
