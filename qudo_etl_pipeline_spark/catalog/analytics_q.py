@@ -557,3 +557,71 @@ def item_cooccurrence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = A.item_cooccurrence(ev, "user_id", "item", max_basket=_COOC_CAP)
     return out.orderBy("item_a", "item_b")
+
+
+@register(
+    "table_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X-UPDATED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 50000000, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    fo AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(1),
+                 COALESCE(o_orderstatus, chr(2)),
+                 COALESCE(o_orderpriority, chr(2)))) AS fp
+      FROM old
+    ),
+    fn AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(1),
+                 COALESCE(o_orderstatus, chr(2)),
+                 COALESCE(o_orderpriority, chr(2)))) AS fp
+      FROM new
+    )
+    SELECT COALESCE(fo.o_orderkey, fn.o_orderkey) AS o_orderkey,
+           CASE WHEN fo.fp IS NULL THEN 'insert'
+                WHEN fn.fp IS NULL THEN 'delete'
+                WHEN fo.fp <> fn.fp THEN 'update' END AS change_type
+    FROM fo FULL OUTER JOIN fn ON fo.o_orderkey = fn.o_orderkey
+    WHERE (CASE WHEN fo.fp IS NULL THEN 'insert'
+                WHEN fn.fp IS NULL THEN 'delete'
+                WHEN fo.fp <> fn.fp THEN 'update' END) IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+    survey_ids=["J1", "R6"],
+    description="Snapshot table diff (insert/delete/update per key) via "
+    "md5 row fingerprints and ONE full-outer key join, on planted "
+    "deletes (keys % 97), updates (% 89), and inserts (% 101 offset)",
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.incremental import table_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    new = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.lit("X-UPDATED")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(50_000_000)
+            )
+        )
+    )
+    return table_diff(base, new, ["o_orderkey"]).orderBy("o_orderkey")

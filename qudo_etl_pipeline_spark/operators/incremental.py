@@ -21,7 +21,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partial_state", "merge_states", "finalize_state"]
+__all__ = ["partial_state", "merge_states", "finalize_state", "table_diff"]
 
 _SUM_T = "decimal(28,6)"
 _SQ_T = "decimal(38,12)"
@@ -76,4 +76,55 @@ def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
         # same IEEE division of identical operands — decimal division
         # would introduce engine-specific result scales
         (F.col("sum_v").cast("double") / F.col("n")).alias("mean"),
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff: classify every key as ``insert`` / ``delete`` /
+    ``update`` between two table versions (unchanged keys are omitted —
+    the diff IS the output).
+
+    Rows are compared by an md5 fingerprint of ``compare_cols``
+    (default: all shared non-key columns), each value null-coalesced to
+    a \\x02 sentinel and joined with a \\x01 separator — so NULL vs
+    'NULL'-the-string never collide, and the compare cost per row is
+    one md5 regardless of column count. Cast semantics for doubles
+    differ across engines; fingerprint string/int columns when the diff
+    must be replayed cross-engine.
+
+    ONE full-outer shuffle join on the key (exchange-free when both
+    snapshots are bucketed on it — the steady-state layout for a table
+    diffed every cycle). Output: keys + change_type.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    if not compare_cols:
+        raise ValueError("no columns to compare")
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
+            for c in compare_cols
+        ]
+        return df.select(
+            *keys, F.md5(F.concat_ws("\x01", *parts)).alias(alias)
+        )
+
+    o = fp(old, "_fp_old")
+    n = fp(new, "_fp_new")
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_fp_old").isNull(), F.lit("insert"))
+        .when(F.col("_fp_new").isNull(), F.lit("delete"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("update"))
+    )
+    return (
+        joined.select(*keys, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
     )

@@ -438,3 +438,45 @@ def test_item_cooccurrence_cap_and_stats(spark):
     assert r["lift"] == 1.0  # 2*3 / (3*2)
     assert out[(10, 30)]["n_ab"] == 1 and out[(20, 30)]["n_ab"] == 1
     assert len(out) == 3
+
+
+def test_table_diff_classification(spark):
+    from qudo_etl_pipeline_spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+        "k: long, v: string, w: string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "CHANGED"), (5, "e", "q"), (4, "d", "w")],
+        "k: long, v: string, w: string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    # 1 and 4 unchanged -> absent; NULL -> value counts as an update
+    assert got == {2: "update", 3: "delete", 5: "insert"}
+
+    # NULL vs the literal text 'NULL' must be an update, not equal
+    o2 = spark.createDataFrame([(1, None)], "k: long, v: string")
+    n3 = spark.createDataFrame([(1, "NULL")], "k: long, v: string")
+    assert (
+        table_diff(o2, n3, ["k"]).collect()[0]["change_type"] == "update"
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no columns"):
+        table_diff(
+            old.select("k"), new.select("k"), ["k"]
+        )
+
+    # scale shape: a single join, no cartesian
+    plan = (
+        table_diff(old, new, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Join") >= 1 and "CartesianProduct" not in plan
