@@ -382,3 +382,92 @@ def ewma_user_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "n_w", "ewma").orderBy(
         "event_id"
     )
+
+
+def _attribution_oracle(window_sec: int, half_life_sec: int | None) -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    win_us = window_sec * 1_000_000
+    if half_life_sec is None:
+        w = "1::BIGINT"
+    else:
+        hl_us = half_life_sec * 1_000_000
+        w = (
+            "(1::BIGINT << (40 - CAST(LEAST((ct - t) // "
+            f"{hl_us}, 40) AS INT)))"
+        )
+    credit7 = ref_round_sql("w * 1.0 / sw", 7)
+    credit6 = ref_round_sql("CAST(c AS DOUBLE)", 6)
+    return f"""
+    WITH ev AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+             event_type AS ty,
+             (event_type = 'purchase') AS is_conv
+      FROM events
+      WHERE event_type IN ('purchase', 'view', 'click')
+    ),
+    nxt AS (
+      SELECT *,
+             first_value(
+               CASE WHEN is_conv THEN struct_pack(t := t, eid := eid) END
+               IGNORE NULLS
+             ) OVER (
+               PARTITION BY u ORDER BY t, is_conv, eid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS conv
+      FROM ev
+    ),
+    touch AS (
+      SELECT u, t, eid, ty, conv.t AS ct, conv.eid AS ceid
+      FROM nxt
+      WHERE NOT is_conv AND conv IS NOT NULL
+        AND conv.t - t <= {win_us}
+    ),
+    wtd AS (SELECT *, {w} AS w FROM touch),
+    norm AS (
+      SELECT *, SUM(w) OVER (PARTITION BY u, ceid) AS sw FROM wtd
+    ),
+    agg AS (
+      SELECT ty AS touch_type,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(COUNT(DISTINCT (u, ceid)) AS BIGINT) AS n_conversions,
+             SUM(CAST({credit7} AS DECIMAL(28,7))) AS c
+      FROM norm GROUP BY ty
+    )
+    SELECT touch_type, n_touches, n_conversions, {credit6} AS credit
+    FROM agg ORDER BY touch_type
+    """
+
+
+@register(
+    "attribution_linear",
+    oracle=_attribution_oracle(86400, None),
+    survey_ids=["A5", "A9", "W1"],
+    description="Multi-touch attribution, linear model: each touch "
+    "credits the user's next purchase within 24h, equal split per "
+    "conversion; ONE keyed window shuffle, DECIMAL-exact credit sums",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return T.attribution_credit(
+        ev, "purchase", ["view", "click"], window_sec=86400
+    ).orderBy("touch_type")
+
+
+@register(
+    "attribution_time_decay",
+    oracle=_attribution_oracle(86400, 3600),
+    survey_ids=["A5", "A9", "W1"],
+    description="Multi-touch attribution, bucketed time-decay: weight "
+    "halves per elapsed hour (exact power-of-two fixed-point, no pow() "
+    "drift), normalized per conversion",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return T.attribution_credit(
+        ev,
+        "purchase",
+        ["view", "click"],
+        window_sec=86400,
+        half_life_sec=3600,
+    ).orderBy("touch_type")

@@ -41,6 +41,7 @@ __all__ = [
     "trailing_zscore",
     "rolling_time_stats",
     "ewma",
+    "attribution_credit",
 ]
 
 
@@ -492,4 +493,107 @@ def ewma(
         *df.columns,
         n.cast("bigint").alias("n_w"),
         ref_round(num / den, 6).alias("ewma"),
+    )
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    window_sec: int,
+    half_life_sec: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch attribution: every touch event credits the user's
+    NEXT conversion within ``window_sec``; credit per conversion sums
+    to 1 across its touches.
+
+    ``half_life_sec=None`` -> linear (equal split). Otherwise bucketed
+    time-decay: a touch's weight halves per ELAPSED half-life bucket
+    (``2^-floor(dt/half_life)``) — bucketing keeps the weight an exact
+    power of two, so weights/normalizers run in bigint fixed-point
+    (shifts + integer sums) and each row's credit is ONE double
+    division of identical integers on any engine; the standard smooth
+    ``exp(-dt)`` decay differs from this by at most 2x within a bucket
+    and would cost cross-engine pow() drift.
+
+    Plan: union-free — one window pass per user over the time-ordered
+    stream (forward ``first(ignorenulls)`` finds each touch's next
+    conversion, the same device asof_join uses backward), one window
+    over (user, conversion) for the normalizer, then a
+    touch-type-bounded aggregate. ONE keyed shuffle total; credits are
+    summed as DECIMAL(28,7) of the (scale-7) rounded per-row credit, so
+    the aggregate is order-independent.
+
+    Output: (touch_type, n_touches, n_conversions, credit) — credit
+    rounded to 6; conversions with no in-window touch receive no row
+    (their credit is unassigned, the standard reporting convention).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    if window_sec <= 0:
+        raise ValueError(f"window_sec {window_sec} must be positive")
+    relevant = [conversion_type] + list(touch_types)
+    ev = events.filter(F.col(type_col).isin(relevant)).select(
+        F.col(user_col).alias("u"),
+        # cast tolerates TIMESTAMP_NTZ sources (same normalization the
+        # catalog's load_events applies)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("ty"),
+        (F.col(type_col) == conversion_type).alias("is_conv"),
+    )
+    # touches sort before a same-timestamp conversion, so they credit it
+    wfwd = (
+        Window.partitionBy("u")
+        .orderBy(F.col("t").asc(), F.col("is_conv").asc(), F.col("eid").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    conv_ref = F.first(
+        F.when(F.col("is_conv"), F.struct("t", "eid")), ignorenulls=True
+    ).over(wfwd)
+    touches = (
+        ev.withColumn("conv", conv_ref)
+        .filter(
+            (~F.col("is_conv"))
+            & F.col("conv").isNotNull()
+            & (
+                F.col("conv.t") - F.col("t")
+                <= F.lit(window_sec * 1_000_000)
+            )
+        )
+    )
+    if half_life_sec is None:
+        w_fp = F.lit(1).cast("bigint")
+    else:
+        hl_us = half_life_sec * 1_000_000
+        # integer half-life bucket, clamped at 40 so the shift stays
+        # in range; shiftleft needs a literal in the Python API, so the
+        # column-shift goes through one SQL expr
+        w_fp = F.expr(
+            "shiftleft(1L, 40 - CAST(LEAST("
+            f"(conv.t - t) DIV {hl_us}, 40L) AS INT))"
+        )
+    wconv = Window.partitionBy("u", "conv.eid")
+    credit = ref_round(
+        F.col("_w").cast("double") / F.sum("_w").over(wconv).cast("double"),
+        7,
+    )
+    return (
+        touches.withColumn("_w", w_fp)
+        .withColumn("_credit", credit)
+        .groupBy(F.col("ty").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("u", "conv.eid").alias("n_conversions"),
+            ref_round(
+                F.sum(F.col("_credit").cast("decimal(28,7)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("credit"),
+        )
     )

@@ -388,3 +388,58 @@ def test_ewma_matches_pandas_and_truncates(spark):
         ewma(df, "k", ["t"], "v", alpha=0.0)
     with _pt.raises(ValueError, match="window"):
         ewma(df, "k", ["t"], "v", window=0)
+
+
+def test_attribution_credit_hand_computed(spark):
+    from qudo_etl_pipeline_spark.operators.temporal import attribution_credit
+
+    def r(uid, eid, minute, ty):
+        return (uid, eid, f"2024-01-01 00:{minute:02d}:00", ty)
+
+    rows = [
+        # u1: V(0) C(1) P(2) V(3) P(4): conv2 <- {V0, C1}, conv4 <- {V3}
+        r(1, 0, 0, "view"),
+        r(1, 1, 1, "click"),
+        r(1, 2, 2, "purchase"),
+        r(1, 3, 3, "view"),
+        r(1, 4, 4, "purchase"),
+        # u2: touch OUTSIDE the window (purchase 50 min later, win 10)
+        r(2, 5, 0, "click"),
+        r(2, 6, 50, "purchase"),
+        # u3: touch at the SAME timestamp as the conversion -> credits it
+        r(3, 7, 5, "view"),
+        (3, 8, "2024-01-01 00:05:00", "purchase"),
+        # u4: touch with no conversion at all
+        r(4, 9, 0, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts: string, event_type: string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    lin = {
+        r["touch_type"]: r
+        for r in attribution_credit(
+            df, "purchase", ["view", "click"], window_sec=600
+        ).collect()
+    }
+    # views: 0.5 (conv2) + 1.0 (conv4) + 1.0 (u3) = 2.5; clicks: 0.5
+    assert lin["view"]["credit"] == 2.5
+    assert lin["click"]["credit"] == 0.5
+    assert lin["view"]["n_conversions"] == 3
+    assert lin["click"]["n_conversions"] == 1  # u2/u4 clicks dropped
+
+    # time-decay, half-life 60s: conv2 gets V0 (dt=120s -> w=2^-2) and
+    # C1 (dt=60s -> w=2^-1): V share 1/3, C share 2/3
+    dec = {
+        r["touch_type"]: r["credit"]
+        for r in attribution_credit(
+            df, "purchase", ["view", "click"], 600, half_life_sec=60
+        ).collect()
+    }
+    assert abs(dec["view"] - (1 / 3 + 1.0 + 1.0)) < 1e-6
+    assert abs(dec["click"] - 2 / 3) < 1e-6
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_sec"):
+        attribution_credit(df, "purchase", ["view"], 0)
