@@ -555,9 +555,11 @@ def item_cooccurrence(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
     sizes = baskets.groupBy("u").agg(F.count(F.lit(1)).alias("bs"))
+    # kept feeds four branches (n_users, marginals, both pair sides);
+    # truncate lineage so the distinct+size-gate runs once, not 4x
     kept = baskets.join(
         sizes.filter(F.col("bs") <= max_basket).select("u"), "u"
-    )
+    ).localCheckpoint()
     n_users = kept.select("u").distinct().agg(
         F.count(F.lit(1)).alias("n_users")
     )

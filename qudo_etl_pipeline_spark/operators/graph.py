@@ -153,10 +153,14 @@ def triangle_counts(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        # the canonical edge set is referenced by the degree pass, the
+        # orientation join, and the wedge-closure join; without lineage
+        # truncation each reference re-executes the distinct (plan
+        # audit showed 50 exchanges) — same device as pagerank/CC
+        .localCheckpoint()
     )
     deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -193,9 +197,7 @@ def triangle_counts(
         & (F.greatest("v", "w") == F.col("b")),
     ).select("c", "v", "w")
     per_node = (
-        tri.select(F.col("c").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+        tri.select(F.explode(F.array("c", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
