@@ -4,8 +4,8 @@ Planted construction: every customer record gets one "dirty" twin —
 same row with the last name character replaced by ``X`` and the id
 offset by 1e8 — so ground truth is known (each entity = {orig, twin}).
 The pipeline must re-find it: block on the name's digit prefix
-(``substr(name, 10, 7)`` = customer number / 100, so blocks stay
-≤ 200 members at ANY scale factor), compare within blocks only,
+(``substr(name, 10, 8)`` = customer number / 10, so blocks stay
+≤ 20 members at ANY scale factor), compare within blocks only,
 match on normalized Levenshtein >= 0.9 AND exact account-balance
 equality (the multi-attribute gate that rejects same-block neighbors
 whose names are 1 edit apart), then transitively close matches into
@@ -68,8 +68,8 @@ _SIM = ref_round_sql(
 _ER_ORACLE = f"""
     WITH RECURSIVE {_RECS_CTE},
     blocks AS (
-      SELECT substr(name, 10, 7) AS block_key, id FROM recs
-      WHERE substr(name, 10, 7) IS NOT NULL
+      SELECT substr(name, 10, 8) AS block_key, id FROM recs
+      WHERE substr(name, 10, 8) IS NOT NULL
     ),
     kept AS (
       SELECT b.block_key, b.id FROM blocks b
@@ -117,14 +117,14 @@ _ER_ORACLE = f"""
     oracle=_ER_ORACLE,
     survey_ids=["P7", "J3"],
     description="Record linkage over planted dirty customer twins: "
-    "digit-prefix blocking (blocks <= 200 at any sf), within-block "
+    "digit-prefix blocking (blocks <= 20 at any sf), within-block "
     "Levenshtein >= 0.9 + exact-balance gate, CC entity ids "
     "(oracle: DuckDB levenshtein + recursive-CTE closure)",
 )
 def entity_resolution_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = _dirty_records(spark, sf_dir)
     blocks = E.blocking_keys(
-        recs, "id", [F.substring(F.col("name"), 10, 7)]
+        recs, "id", [F.substring(F.col("name"), 10, 8)]
     )
     cand = E.candidate_pairs(blocks, max_block_size=1000)
     matched = E.score_pairs(
@@ -138,8 +138,8 @@ def entity_resolution_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_RECS_CTE},
     blocks AS (
-      SELECT substr(name, 10, 7) AS block_key, id FROM recs
-      WHERE substr(name, 10, 7) IS NOT NULL
+      SELECT substr(name, 10, 8) AS block_key, id FROM recs
+      WHERE substr(name, 10, 8) IS NOT NULL
     ),
     kept AS (
       SELECT b.block_key, b.id FROM blocks b
@@ -169,7 +169,7 @@ def entity_resolution_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entity_match_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = _dirty_records(spark, sf_dir)
     blocks = E.blocking_keys(
-        recs, "id", [F.substring(F.col("name"), 10, 7)]
+        recs, "id", [F.substring(F.col("name"), 10, 8)]
     )
     cand = E.candidate_pairs(blocks, max_block_size=1000)
     return E.score_pairs(

@@ -128,9 +128,14 @@ def score_pairs(
     sim = ref_round(
         F.lit(1.0) - F.levenshtein(fa, fb) / max_len.cast("double"), 6
     )
-    cond = sim >= F.lit(threshold)
+    # exact gates FIRST in the conjunction: And short-circuits left to
+    # right, so the O(len^2) levenshtein only runs on pairs that pass
+    # the cheap equality gates (measured 10.8s -> sub-2s at sf0.1 on
+    # the planted query, where the balance gate kills ~all candidates)
+    cond = F.lit(True)
     for c in exact_cols or []:
         cond = cond & (F.col(f"ra.{c}") == F.col(f"rb.{c}"))
+    cond = cond & (sim >= F.lit(threshold))
     return j.filter(cond).select("id_a", "id_b", sim.alias("sim"))
 
 
