@@ -378,3 +378,38 @@ def hll_registers_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_estimate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return SK.hll_estimate(SK.hll_build(orders, "o_custkey", p=8), p=8)
+
+
+_HH_KEY = (
+    "CASE WHEN event_id % 3 <> 0 THEN user_id % 7 "
+    "ELSE 1000000 + event_id END"
+)
+
+
+@register(
+    "heavy_hitters_planted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT {_HH_KEY} AS hh_key FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM keyed),
+    cnts AS (SELECT hh_key, COUNT(*) AS cnt FROM keyed GROUP BY 1)
+    SELECT hh_key, cnt, n_total FROM cnts CROSS JOIN tot
+    WHERE cnt * 100 >= 1 * n_total
+    ORDER BY hh_key
+    """,
+    survey_ids=["A4", "A10"],
+    description="Exact 1%-heavy hitters over a planted skewed key (7 hot "
+    "keys holding 2/3 of the mass + a unique-key tail): per-partition "
+    "Misra-Gries candidate summaries (Arrow mapInPandas, mergeable-"
+    "summary compression) + exact broadcast-semi-join recount — the raw "
+    "key space is never shuffled; threshold kept in integer arithmetic",
+)
+def heavy_hitters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.catalog import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.expr(_HH_KEY).alias("hh_key")
+    )
+    out = SK.heavy_hitters(ev, "hh_key", phi_num=1, phi_den=100)
+    return out.orderBy("hh_key")

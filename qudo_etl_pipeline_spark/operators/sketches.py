@@ -37,6 +37,7 @@ __all__ = [
     "hll_build",
     "hll_merge",
     "hll_estimate",
+    "heavy_hitters",
 ]
 
 
@@ -359,3 +360,89 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         F.col("sum_fp").cast("bigint").alias("sum_fp"),
         ref_round(est, 6).alias("est"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (keys with count >= ceil(phi * N)) in two
+    passes, without ever shuffling the raw key space.
+
+    The direct formulation — ``groupBy(key).count().filter(...)`` —
+    shuffles one aggregate row per DISTINCT key. At 100 TB with
+    billions of mostly-rare keys that shuffle IS the job. The classic
+    two-pass remedy (Misra-Gries '82 candidates + exact recount):
+
+    - **pass 1 (map-only):** each partition runs a Misra-Gries summary
+      of ``capacity`` counters over its rows inside one Arrow
+      ``mapInPandas`` kernel (stateful across batches within the
+      partition, nothing leaves the executor but the summary). A key
+      absent from partition i's summary has local count <= n_i /
+      (capacity+1), so a key absent from EVERY summary has global count
+      <= N / (capacity+1) < phi*N whenever capacity >= 1/phi — the
+      union of summaries is a guaranteed superset of the true heavy
+      hitters. Each kernel also emits its exact partition row count, so
+      N costs no extra pass.
+    - **pass 2:** re-scan with the candidate set broadcast as a
+      semi-join filter (at most ``capacity * n_partitions`` keys) and
+      count EXACTLY, keeping ``cnt * phi_den >= ceil`` in integer
+      arithmetic — no float threshold, bit-identical to the oracle's
+      ``HAVING cnt * phi_den >= phi_num * N``.
+
+    Output: (key, cnt, n_total), exact, deterministic, one row per true
+    heavy hitter. phi is the exact rational phi_num/phi_den.
+    """
+    import pandas as pd
+
+    if capacity is None:
+        capacity = max(64, 4 * ((phi_den + phi_num - 1) // phi_num))
+    cap = int(capacity)
+
+    field = df.schema[key_col]
+    out_schema = (
+        f"`{key_col}` {field.dataType.simpleString()}, __pn bigint"
+    )
+
+    def mg_kernel(batches):
+        # Vectorized MERGE of per-batch exact counts into a running MG
+        # summary (Agarwal/Cormode "Mergeable Summaries": add counts,
+        # then subtract the (cap+1)-st largest and drop non-positives —
+        # preserves the est >= true - n_i/(cap+1) bound). No per-row
+        # Python: each batch is one value_counts + one dict merge.
+        summary = pd.Series(dtype="int64")
+        n_rows = 0
+        for pdf in batches:
+            keys = pdf[key_col].dropna()
+            n_rows += len(pdf)
+            summary = summary.add(keys.value_counts(), fill_value=0)
+            if len(summary) > cap:
+                m = summary.nlargest(cap + 1).iloc[-1]
+                summary = summary - m
+                summary = summary[summary > 0]
+        out = pd.DataFrame(
+            {key_col: summary.index.to_list() + [None],
+             "__pn": [0] * len(summary) + [n_rows]}
+        )
+        yield out
+
+    summary = (
+        df.select(key_col).mapInPandas(mg_kernel, out_schema).cache()
+    )
+    total = summary.agg(F.sum("__pn").alias("n_total"))
+    cands = summary.filter(F.col(key_col).isNotNull()).select(
+        key_col
+    ).distinct()
+    exact = (
+        df.join(F.broadcast(cands), on=key_col, how="inner")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("cnt") * phi_den
+        >= F.lit(phi_num) * F.col("n_total")
+    )
+    return out.select(key_col, "cnt", "n_total")

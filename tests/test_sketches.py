@@ -239,3 +239,34 @@ def test_hll_registers_merge_and_estimate(spark):
 
     with _pt.raises(ValueError, match="p "):
         hll_build(a, "k", p=2)
+
+
+def test_heavy_hitters_exact_on_skew(spark):
+    from qudo_etl_pipeline_spark.operators.sketches import heavy_hitters
+
+    # 3 hot keys + long unique tail; phi = 5% of 1060 rows = 53
+    data = [1] * 300 + [2] * 200 + [3] * 60 + list(range(100, 600))
+    df = _keys(spark, data).repartition(4)
+    out = {
+        r["k"]: (r["cnt"], r["n_total"])
+        for r in heavy_hitters(
+            df, "k", phi_num=5, phi_den=100, capacity=32
+        ).collect()
+    }
+    assert out == {1: (300, 1060), 2: (200, 1060), 3: (60, 1060)}
+
+
+def test_heavy_hitters_tiny_capacity_still_exact(spark):
+    from qudo_etl_pipeline_spark.operators.sketches import heavy_hitters
+
+    # capacity exactly 1/phi: the MG superset guarantee's edge.
+    # phi = 1/4 of 40 rows = 10; key 9 sits exactly AT the threshold.
+    data = [9] * 10 + [7] * 14 + list(range(20, 36))
+    df = _keys(spark, data).repartition(3)
+    out = {
+        r["k"]: r["cnt"]
+        for r in heavy_hitters(
+            df, "k", phi_num=1, phi_den=4, capacity=4
+        ).collect()
+    }
+    assert out == {9: 10, 7: 14}
