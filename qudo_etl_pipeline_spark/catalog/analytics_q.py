@@ -625,3 +625,154 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(base, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+def _km_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    surv = (
+        "CASE WHEN MAX(zs) OVER upto > 0 THEN 0.0 "
+        "ELSE exp(SUM(lt) OVER upto) END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(s.ship AS DATE)) AS dur,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders o
+      JOIN (SELECT l_orderkey, MAX(l_shipdate) AS ship
+            FROM lineitem GROUP BY 1) s
+        ON o.o_orderkey = s.l_orderkey
+      WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(s.ship AS DATE)) >= 0
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    per_t AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censor
+      FROM base GROUP BY dur
+    ),
+    r AS (
+      SELECT dur, n_event, n_censor,
+             CAST(n - COALESCE(SUM(n_event + n_censor) OVER (
+                 ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS n_risk
+      FROM per_t CROSS JOIN tot
+    ),
+    s AS (
+      SELECT dur, n_risk, n_event, n_censor,
+             CASE WHEN n_event > 0 AND n_risk = n_event
+                  THEN 1 ELSE 0 END AS zs,
+             CASE WHEN n_event > 0 AND n_risk > n_event
+                  THEN ln(CAST(n_risk - n_event AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE))
+                  ELSE 0.0 END AS lt
+      FROM r
+    )
+    SELECT dur, n_risk, n_event, n_censor,
+           {ref_round_sql(surv, 6)} AS surv6
+    FROM s
+    WINDOW upto AS (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@register(
+    "kaplan_meier_orders",
+    oracle=_km_oracle(),
+    survey_ids=["A4", "W1"],
+    description="Kaplan-Meier survival curve of order fulfilment time "
+    "(order date -> last shipment; non-finished orders right-censored): "
+    "one groupBy collapses subjects to the duration domain, then "
+    "ordered windows over that sketch-sized frame run the product-"
+    "limit estimate with an any-zero guard instead of infinities",
+)
+def kaplan_meier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("ship")
+    )
+    base = (
+        orders.join(ship, orders.o_orderkey == ship.l_orderkey)
+        .select(
+            F.datediff(F.col("ship"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("ev"),
+        )
+        .filter(F.col("dur") >= 0)
+    )
+    return A.kaplan_meier(base, "dur", "ev")
+
+
+def _ab_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+    from qudo_etl_pipeline_spark.operators.analytics import Z_CRIT_95
+
+    p1 = "CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)"
+    p2 = "CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE)"
+    pp = "(CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))"
+    se = (
+        f"sqrt({pp} * (1.0 - {pp}) * "
+        f"(1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))"
+    )
+    z = f"(CASE WHEN {se} > 0 THEN ({p1} - {p2}) / {se} END)"
+    return f"""
+    WITH conv AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT variant, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS k
+      FROM conv GROUP BY variant
+    ),
+    a AS (SELECT * FROM g ORDER BY variant ASC LIMIT 1),
+    b AS (SELECT * FROM g ORDER BY variant DESC LIMIT 1)
+    SELECT a.variant AS group_a, a.n AS n_a, a.k AS conv_a,
+           b.variant AS group_b, b.n AS n_b, b.k AS conv_b,
+           {ref_round_sql(f"({p1} - {p2})", 6)} AS rate_diff6,
+           {ref_round_sql(z, 6)} AS z6,
+           CAST(CASE WHEN ABS({z}) > {Z_CRIT_95!r}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_significant
+    FROM a CROSS JOIN b
+    """
+
+
+@register(
+    "ab_conversion_ztest",
+    oracle=_ab_oracle(),
+    survey_ids=["A8", "A12"],
+    description="Pooled two-proportion z-test on user-level purchase "
+    "conversion under a deterministic 50/50 assignment: two integer "
+    "aggregates collapse the event log to one row; significance "
+    "compares |z| against the exact normal critical value (monotone in "
+    "|z| — the same threshold trick as the chi-squared post-hoc layer)",
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    conv = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    return A.two_proportion_ztest(conv, "variant", "converted")

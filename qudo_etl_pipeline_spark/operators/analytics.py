@@ -39,6 +39,8 @@ __all__ = [
     "sequence_match",
     "event_transitions",
     "item_cooccurrence",
+    "kaplan_meier",
+    "two_proportion_ztest",
 ]
 
 
@@ -603,4 +605,153 @@ def item_cooccurrence(
                 6,
             ).alias("lift"),
         )
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator.
+
+    Input: one row per subject with an integer duration and a 0/1
+    event flag (0 = right-censored). Output: one row per DISTINCT
+    duration t with the at-risk count, event/censor counts, and the
+    survival estimate ``S(t) = prod_{t' <= t} (n_t' - d_t') / n_t'``.
+
+    Scale shape: the subject table collapses to the distinct-duration
+    frame in ONE groupBy whose output cardinality is the duration
+    domain (days/weeks — thousands, not rows), plus a 1-row broadcast
+    total; the running product then runs as ordered windows over that
+    sketch-sized frame (single-partition by construction — the
+    deliberate unpartitioned-window case session.py documents).
+
+    Determinism: at-risk counts are exact integers from a running
+    integer sum; the product runs as ``exp(running sum of ln factors)``
+    with identical operand order in any engine, and a running any-zero
+    flag pins ``S = 0`` exactly past a saturated step (no infinities).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    ev = F.col(event_col).cast("bigint")
+    per_t = df.groupBy(duration_col).agg(
+        F.sum(ev).alias("n_event"),
+        F.sum(F.lit(1) - ev).alias("n_censor"),
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    before = (
+        Window.orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    upto = (
+        Window.orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = F.col("__n") - F.coalesce(
+        F.sum(F.col("n_event") + F.col("n_censor")).over(before),
+        F.lit(0),
+    )
+    stepped = (
+        per_t.crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", at_risk)
+        .withColumn(
+            "__factor",
+            (F.col("n_risk") - F.col("n_event")).cast("double")
+            / F.col("n_risk").cast("double"),
+        )
+    )
+    ln_term = F.when(
+        F.col("n_event") > 0, F.log(F.col("__factor"))
+    ).otherwise(F.lit(0.0))
+    zero_step = F.when(
+        (F.col("n_event") > 0) & (F.col("n_risk") == F.col("n_event")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    surv = F.when(
+        F.max(zero_step).over(upto) > 0, F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            F.sum(
+                F.when(zero_step == 1, F.lit(0.0)).otherwise(ln_term)
+            ).over(upto)
+        )
+    )
+    return stepped.select(
+        duration_col,
+        "n_risk",
+        "n_event",
+        "n_censor",
+        ref_round(surv, 6).alias("surv6"),
+    )
+
+
+#: two-sided normal critical value for alpha = 0.05 — stated as the
+#: exact double both engines compare against (Python:
+#: ``-statistics.NormalDist().inv_cdf(0.025)``).
+Z_CRIT_95 = 1.959963984540054
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z_crit: float = Z_CRIT_95,
+) -> DataFrame:
+    """Pooled two-proportion z-test (the A/B conversion test).
+
+    Input: one row per experimental UNIT (already deduplicated —
+    assignment must be unit-level, not event-level) with a binary
+    success flag and exactly two group labels. Output: ONE row —
+    per-group n/successes, rate difference, pooled z, and the
+    ``|z| > z_crit`` verdict.
+
+    The whole test is two integer aggregates: a groupBy(variant) whose
+    output is 2 rows, collapsed to one via min/max structs (group
+    labels order the struct comparison, so A = lexicographically first
+    label — deterministic). Every double derives from the same integer
+    counts through one fixed IEEE expression tree, so z is
+    bit-identical cross-engine; significance compares against an exact
+    double constant rather than a p-value (monotone in |z|, the same
+    threshold trick the chi-squared post-hoc layer uses).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("bigint")).alias("k"),
+    )
+    row = g.agg(
+        F.min(
+            F.struct(F.col(group_col).alias("g"), F.col("n"), F.col("k"))
+        ).alias("a"),
+        F.max(
+            F.struct(F.col(group_col).alias("g"), F.col("n"), F.col("k"))
+        ).alias("b"),
+    )
+    n1 = F.col("a.n").cast("double")
+    n2 = F.col("b.n").cast("double")
+    p1 = F.col("a.k").cast("double") / n1
+    p2 = F.col("b.k").cast("double") / n2
+    pp = (F.col("a.k") + F.col("b.k")).cast("double") / (
+        F.col("a.n") + F.col("b.n")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    # degenerate pooled rate (0 or 1) -> no variance -> no test
+    z = F.when(se > 0, (p1 - p2) / se)
+    return row.select(
+        F.col("a.g").alias("group_a"),
+        F.col("a.n").alias("n_a"),
+        F.col("a.k").alias("conv_a"),
+        F.col("b.g").alias("group_b"),
+        F.col("b.n").alias("n_b"),
+        F.col("b.k").alias("conv_b"),
+        ref_round(p1 - p2, 6).alias("rate_diff6"),
+        ref_round(z, 6).alias("z6"),
+        F.when(F.abs(z) > F.lit(z_crit), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_significant"),
     )

@@ -480,3 +480,63 @@ def test_table_diff_classification(spark):
         .toString()
     )
     assert plan.count("Join") >= 1 and "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import kaplan_meier
+
+    # classic toy: durations (event=1 / censored=0)
+    # t=6: 3 events, 1 censored of 10 at risk -> S = 7/10 * ... careful:
+    # KM convention: deaths at t come out of the at-risk set AT t.
+    rows = [
+        (6, 1), (6, 1), (6, 1), (6, 0),
+        (7, 1), (9, 0), (10, 1), (10, 0), (11, 0), (13, 1),
+    ]
+    df = spark.createDataFrame(rows, "dur bigint, ev int")
+    out = {r["dur"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert out[6]["n_risk"] == 10
+    assert out[6]["n_event"] == 3 and out[6]["n_censor"] == 1
+    assert abs(out[6]["surv6"] - 0.7) < 1e-9          # 7/10
+    assert out[7]["n_risk"] == 6
+    assert abs(out[7]["surv6"] - 0.7 * 5 / 6) < 1e-6
+    assert out[9]["n_risk"] == 5                       # censor only
+    assert abs(out[9]["surv6"] - 0.7 * 5 / 6) < 1e-6   # S unchanged
+    assert out[10]["n_risk"] == 4
+    assert abs(out[10]["surv6"] - 0.7 * (5 / 6) * (3 / 4)) < 1e-6
+    # last subject dies: factor hits 0 -> S pinned exactly 0
+    assert out[13]["n_risk"] == 1 and out[13]["surv6"] == 0.0
+
+
+def test_two_proportion_ztest_hand_computed(spark):
+    import math
+
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        two_proportion_ztest,
+    )
+
+    # A: 40/100, B: 60/100 -> pooled p=.5, se=sqrt(.5*.5*.02)
+    rows = [("A", 1)] * 40 + [("A", 0)] * 60 + [("B", 1)] * 60 + [
+        ("B", 0)
+    ] * 40
+    df = spark.createDataFrame(rows, "v string, s int")
+    r = two_proportion_ztest(df, "v", "s").collect()[0]
+    assert (r["group_a"], r["group_b"]) == ("A", "B")
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+        100, 40, 100, 60,
+    )
+    se = math.sqrt(0.5 * 0.5 * 0.02)
+    assert abs(r["z6"] - round(-0.2 / se, 6)) < 1e-9
+    assert r["is_significant"] == 1
+    assert abs(r["rate_diff6"] + 0.2) < 1e-9
+
+
+def test_two_proportion_ztest_degenerate_rate_no_blowup(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        two_proportion_ztest,
+    )
+
+    # everyone converts -> se = 0 -> z NULL, not significant, no error
+    rows = [("A", 1)] * 5 + [("B", 1)] * 5
+    df = spark.createDataFrame(rows, "v string, s int")
+    r = two_proportion_ztest(df, "v", "s").collect()[0]
+    assert r["z6"] is None and r["is_significant"] == 0
