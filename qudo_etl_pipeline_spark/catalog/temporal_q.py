@@ -471,3 +471,175 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_sec=86400,
         half_life_sec=3600,
     ).orderBy("touch_type")
+
+
+def _interp_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    prev_v = "last_value(v IGNORE NULLS) OVER back"
+    prev_t = (
+        "last_value(CASE WHEN v IS NOT NULL THEN bucket END "
+        "IGNORE NULLS) OVER back"
+    )
+    next_v = "first_value(v IGNORE NULLS) OVER fwd"
+    next_t = (
+        "first_value(CASE WHEN v IS NOT NULL THEN bucket END "
+        "IGNORE NULLS) OVER fwd"
+    )
+    filled = f"""CASE WHEN v IS NOT NULL THEN v ELSE
+        {prev_v} + ({next_v} - {prev_v})
+        * (CAST(date_diff('second', {prev_t}, bucket) AS DOUBLE)
+           / CAST(date_diff('second', {prev_t}, {next_t}) AS DOUBLE))
+        END"""
+    return f"""
+    WITH obs AS (
+      SELECT user_id % 4 AS series_key,
+             time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events
+      WHERE event_type = 'purchase' AND event_id % 13 = 0
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT series_key, MIN(bucket) AS mn, MAX(bucket) AS mx
+      FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT series_key,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM spans
+    ),
+    g AS (
+      SELECT grid.series_key, grid.bucket, obs.v
+      FROM grid LEFT JOIN obs USING (series_key, bucket)
+    )
+    SELECT series_key,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_observed,
+           {ref_round_sql(filled, 6)} AS value_filled6
+    FROM g
+    WINDOW back AS (PARTITION BY series_key ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fwd AS (PARTITION BY series_key ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    """
+
+
+@register(
+    "resample_interpolate_hourly",
+    oracle=_interp_oracle(),
+    survey_ids=["W1", "R2", "J1"],
+    description="Regular-grid resample of a sparse hourly series with "
+    "linear interpolation across the gaps: sequence()+explode builds "
+    "the grid, two ignore-null window scans find the bracketing "
+    "observations, fractions stay in integer epoch arithmetic — ONE "
+    "keyed shuffle end to end",
+)
+def resample_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    obs = (
+        load_events(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_id") % 13 == 0)
+        )
+        .groupBy(
+            (F.col("user_id") % 4).alias("series_key"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    out = T.resample_interpolate(obs, "series_key", "bucket", "v", 3600)
+    return out.select(
+        "series_key",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "is_observed",
+        ref_round(F.col("value_filled"), 6).alias("value_filled6"),
+    )
+
+
+def _cusum_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    return f"""
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS c,
+             CAST(SUM(n) AS DOUBLE) AS s,
+             CAST(SUM(n * n) AS DOUBLE) AS ss
+      FROM hourly GROUP BY 1
+    ),
+    z AS (
+      SELECT h.event_type, h.bucket,
+             (CAST(h.n AS DOUBLE) - (s / c))
+               / sqrt((c * ss - s * s) / (c * (c - 1.0))) AS zv
+      FROM hourly h JOIN stats USING (event_type)
+      WHERE (c * ss - s * s) / (c * (c - 1.0)) > 0
+    ),
+    cum AS (
+      SELECT event_type, bucket,
+             SUM(zv - 0.5) OVER upto AS cp,
+             SUM(-zv - 0.5) OVER upto AS cn
+      FROM z
+      WINDOW upto AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT event_type, bucket,
+             cp - LEAST(0.0, MIN(cp) OVER upto) AS sp,
+             cn - LEAST(0.0, MIN(cn) OVER upto) AS sn
+      FROM cum
+      WINDOW upto AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           {ref_round_sql('sp', 6)} AS cusum_pos6,
+           {ref_round_sql('sn', 6)} AS cusum_neg6,
+           CAST(CASE WHEN sp > 5.0 OR sn > 5.0 THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm
+    FROM s
+    """
+
+
+@register(
+    "cusum_hourly_drift",
+    oracle=_cusum_oracle(),
+    survey_ids=["W1", "A8"],
+    description="Page's two-sided CUSUM drift detector on hourly event "
+    "counts: the reset recursion rewritten as its prefix closed form "
+    "(running sum minus running min), so the whole detector is two "
+    "ordered window scans in one keyed shuffle — integer-exact moments, "
+    "no iteration, no state store",
+)
+def cusum_hourly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = T.cusum_changepoints(
+        hourly, "event_type", "bucket", "n", k_sigma=0.5, h_sigma=5.0
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "cusum_pos6",
+        "cusum_neg6",
+        "alarm",
+    )

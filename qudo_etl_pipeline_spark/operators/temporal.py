@@ -42,6 +42,8 @@ __all__ = [
     "rolling_time_stats",
     "ewma",
     "attribution_credit",
+    "resample_interpolate",
+    "cusum_changepoints",
 ]
 
 
@@ -596,4 +598,161 @@ def attribution_credit(
                 6,
             ).alias("credit"),
         )
+    )
+
+
+def resample_interpolate(
+    obs: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Resample a sparse per-key series onto a regular time grid with
+    linear interpolation across the gaps.
+
+    Input: one row per OBSERVED (key, bucket) with a value (buckets
+    already truncated to the grid step). Output: one row per grid
+    point from each key's first to last observation — observed points
+    pass through untouched, gaps get the linear interpolation between
+    the surrounding observations, and ``is_observed`` tags which is
+    which.
+
+    Scale shape: per-key min/max is a map-side-combinable aggregate;
+    the grid materializes via ``sequence()`` + explode (span/step rows
+    per key — the dense series a downstream model wants anyway, NOT a
+    row-count blowup: it is the OUTPUT size); the neighbor search is
+    two ignore-null window scans on the (key, bucket) ordering, ONE
+    keyed shuffle total since grid, join, and windows share the key
+    partitioning.
+
+    Determinism: interpolation fractions derive from integer epoch
+    arithmetic, and the value expression is one fixed IEEE tree over
+    engine-identical inputs.
+    """
+    spans = obs.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
+    )
+    step = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), step)
+        ).alias(bucket_col),
+    )
+    g = grid.join(obs, [key_col, bucket_col], "left")
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_ts = F.when(v.isNotNull(), F.col(bucket_col))
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(fwd)
+    frac = (
+        (F.unix_timestamp(F.col(bucket_col)) - F.unix_timestamp(prev_t))
+        .cast("double")
+        / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)).cast(
+            "double"
+        )
+    )
+    filled = F.when(v.isNotNull(), v).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return g.select(
+        key_col,
+        bucket_col,
+        F.when(v.isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_observed"),
+        filled.alias("value_filled"),
+    )
+
+
+def cusum_changepoints(
+    series: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    k_sigma: float = 0.5,
+    h_sigma: float = 5.0,
+) -> DataFrame:
+    """Page's two-sided CUSUM drift detector over a per-key series.
+
+    The textbook recursion ``s+_t = max(0, s+_{t-1} + z_t - k)`` resets
+    at zero and looks inherently sequential — but it has the prefix
+    closed form ``s+_t = c_t - min(0, min_{j<=t-1} c_j)`` where
+    ``c_t = sum_{i<=t} (z_i - k)``, so the whole detector runs as TWO
+    ordered window scans (running sum + running min) per direction:
+    one keyed shuffle, no iteration, no state store. z-scores come
+    from DECIMAL-exact per-key moments broadcast back onto the series.
+
+    Output: one row per series point with both CUSUM statistics (in
+    sigma units) and ``alarm`` when either exceeds ``h_sigma``.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    stats = series.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(27,6)")).alias("__s"),
+        F.sum(
+            (
+                F.col(value_col).cast("decimal(18,6)")
+                * F.col(value_col).cast("decimal(18,6)")
+            ).cast("decimal(38,12)")
+        ).alias("__ss"),
+    )
+    n = F.col("__n").cast("double")
+    sm = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    var = (n * ss - sm * sm) / (n * (n - F.lit(1.0)))
+    stats = stats.select(
+        key_col,
+        (sm / n).alias("__mean"),
+        F.sqrt(var).alias("__sd"),
+    )
+    z = (F.col(value_col) - F.col("__mean")) / F.col("__sd")
+    upto = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # two stacked Window projections (running sum, then running min of
+    # it — Spark forbids nesting them in one expression) — same
+    # partitioning/ordering, so Catalyst plans ONE exchange+sort
+    cummed = (
+        series.join(F.broadcast(stats), key_col)
+        .filter(F.col("__sd") > 0)
+        .withColumn("__cp", F.sum(z - F.lit(k_sigma)).over(upto))
+        .withColumn("__cn", F.sum(-z - F.lit(k_sigma)).over(upto))
+    )
+    # the prefix min INCLUDES the current row (s_t = max(0, ...) needs
+    # j <= t: with j <= t-1 a first-step drop would go negative)
+    s_pos = F.col("__cp") - F.least(
+        F.lit(0.0), F.min("__cp").over(upto)
+    )
+    s_neg = F.col("__cn") - F.least(
+        F.lit(0.0), F.min("__cn").over(upto)
+    )
+    return cummed.select(
+        key_col,
+        bucket_col,
+        ref_round(s_pos, 6).alias("cusum_pos6"),
+        ref_round(s_neg, 6).alias("cusum_neg6"),
+        F.when(
+            (s_pos > F.lit(h_sigma)) | (s_neg > F.lit(h_sigma)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("alarm"),
     )

@@ -443,3 +443,72 @@ def test_attribution_credit_hand_computed(spark):
 
     with _pt.raises(ValueError, match="window_sec"):
         attribution_credit(df, "purchase", ["view"], 0)
+
+
+def test_resample_interpolate_hand_values(spark):
+    import datetime as dt
+
+    from qudo_etl_pipeline_spark.operators.temporal import (
+        resample_interpolate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    rows = [
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(hours=3), 40.0),  # 2-hour gap
+        ("a", t0 + dt.timedelta(hours=4), 0.0),
+        ("b", t0, 5.0),                            # single point
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    out = resample_interpolate(df, "k", "bucket", "v", 3600)
+    got = {
+        (r["k"], r["bucket"].hour): (r["is_observed"], r["value_filled"])
+        for r in out.collect()
+    }
+    assert got[("a", 0)] == (1, 10.0)
+    assert got[("a", 1)] == (0, 20.0)   # 10 + (40-10) * 1/3
+    assert got[("a", 2)] == (0, 30.0)
+    assert got[("a", 3)] == (1, 40.0)
+    assert got[("a", 4)] == (1, 0.0)
+    assert got[("b", 0)] == (1, 5.0)    # grid collapses to the point
+    assert len(got) == 6
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    from qudo_etl_pipeline_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    vals = [10, 11, 9, 10, 10, 11, 30, 31, 29, 30, 32, 31]
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t bigint, v double")
+    out = sorted(
+        cusum_changepoints(df, "k", "t", "v", 0.5, 2.0).collect(),
+        key=lambda r: r["t"],
+    )
+
+    # textbook recursion mirror
+    n = len(vals)
+    mean = sum(vals) / n
+    var = (n * sum(v * v for v in vals) - sum(vals) ** 2) / (n * (n - 1))
+    sd = var ** 0.5
+    sp = sn = 0.0
+    for r, v in zip(out, vals):
+        z = (v - mean) / sd
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        assert abs(r["cusum_pos6"] - sp) < 1e-6
+        assert abs(r["cusum_neg6"] - sn) < 1e-6
+        assert r["alarm"] == (1 if (sp > 2.0 or sn > 2.0) else 0)
+    # the level shift must alarm on the high side
+    assert any(r["alarm"] == 1 for r in out)
+
+
+def test_cusum_constant_series_dropped(spark):
+    from qudo_etl_pipeline_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    rows = [("k", i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t bigint, v double")
+    assert cusum_changepoints(df, "k", "t", "v").count() == 0
