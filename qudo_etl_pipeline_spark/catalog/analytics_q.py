@@ -776,3 +776,62 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "converted",
     )
     return A.two_proportion_ztest(conv, "variant", "converted")
+
+
+def _winsor_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    return f"""
+    WITH b AS (
+      SELECT l_returnflag AS g,
+             {ref_round_sql("quantile_cont(l_extendedprice, 0.05)", 6)}
+               AS lo6,
+             {ref_round_sql("quantile_cont(l_extendedprice, 0.95)", 6)}
+               AS hi6
+      FROM lineitem GROUP BY 1
+    ),
+    w AS (
+      SELECT b.g,
+             CASE WHEN l_extendedprice < lo6 THEN -1
+                  WHEN l_extendedprice > hi6 THEN 1 ELSE 0 END AS f,
+             CASE WHEN l_extendedprice < lo6 THEN lo6
+                  WHEN l_extendedprice > hi6 THEN hi6
+                  ELSE l_extendedprice END AS w
+      FROM lineitem l JOIN b ON l.l_returnflag = b.g
+    )
+    SELECT g AS l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN f = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sum_w
+    FROM w GROUP BY g
+    """
+
+
+@register(
+    "winsorize_prices",
+    oracle=_winsor_oracle(),
+    survey_ids=["A8", "P6"],
+    description="Per-group winsorization of extended prices at the "
+    "[p05, p95] group quantiles (one keyed percentile pass, bounds "
+    "broadcast back, big side never re-shuffled), verified through "
+    "clip counts and the DECIMAL-exact sum of the clipped measure",
+)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    w = A.winsorize(li, ["l_returnflag"], "l_extendedprice", 0.05, 0.95)
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("clip_flag") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("clip_flag") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_hi"),
+        F.sum(F.col("w").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_w"),
+    )

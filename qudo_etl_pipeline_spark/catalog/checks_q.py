@@ -173,3 +173,51 @@ def profile_customer_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return profile_table(cust, _PROFILE_COLS)
+
+
+def _benford_oracle() -> str:
+    dev = (
+        "(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)"
+        " - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))"
+    )
+    chi = (
+        f"CAST(n_total AS DOUBLE) * {dev} * {dev}"
+        f" / log10(1.0 + 1.0 / CAST(digit AS DOUBLE))"
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(regexp_replace(
+               printf('%.10f', ABS(CAST(o_totalprice AS DOUBLE))),
+               '[0.]', '', 'g'), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+    ),
+    d AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM d)
+    SELECT digit, n, n_total,
+           {ref_round_sql(
+               "CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)", 6)}
+             AS observed_p6,
+           {ref_round_sql(
+               "log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)}
+             AS benford_p6,
+           {ref_round_sql(chi, 6)} AS chi2_cell6
+    FROM d CROSS JOIN t
+    ORDER BY digit
+    """
+
+
+@register(
+    "benford_totalprice",
+    oracle=_benford_oracle(),
+    survey_ids=["A4", "A9"],
+    description="Benford first-significant-digit profile of order "
+    "totals: digit extraction via string stripping (no log10 edge "
+    "cases), a 9-row groupBy, exact-literal expected shares and "
+    "per-cell chi-squared contributions via a 1-row total broadcast",
+)
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.profile import benford_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_profile(orders, "o_totalprice").orderBy("digit")

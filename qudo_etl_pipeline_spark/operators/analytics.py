@@ -41,6 +41,7 @@ __all__ = [
     "item_cooccurrence",
     "kaplan_meier",
     "two_proportion_ztest",
+    "winsorize",
 ]
 
 
@@ -754,4 +755,69 @@ def two_proportion_ztest(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("is_significant"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    percentile: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to the group's
+    [lower, upper] quantile bounds — the standard tail-taming transform
+    before means/regressions on heavy-tailed measures.
+
+    Same shuffle shape and engine split as :func:`robust_zscore`: ONE
+    keyed percentile aggregate (both bounds in the same pass), bounds
+    ref_round(…, 6)ed for cross-engine parity, then broadcast back —
+    the big side is never re-shuffled. ``percentile="approx"`` swaps in
+    the Greenwald-Khanna sketch for unbounded per-group cardinality.
+
+    Output: input columns + ``lo6``/``hi6`` bounds, the clipped value
+    ``w``, and ``clip_flag`` (-1 clipped low / 0 untouched / +1 clipped
+    high). NULL values pass through unclipped with flag 0.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    if percentile not in ("exact", "approx"):
+        raise ValueError(f"unknown percentile engine: {percentile!r}")
+
+    def pct(col: F.Column, p: float) -> F.Column:
+        if percentile == "exact":
+            return F.percentile(col, F.lit(p))
+        return F.percentile_approx(col, F.lit(p), F.lit(accuracy))
+
+    v = F.col(value_col)
+    bounds = df.groupBy(*group_cols).agg(
+        ref_round(pct(v, lower), 6).alias("lo6"),
+        ref_round(pct(v, upper), 6).alias("hi6"),
+    )
+    ren = bounds
+    for i, c in enumerate(group_cols):
+        ren = ren.withColumnRenamed(c, f"_g{i}")
+    cond = F.lit(True)
+    for i, c in enumerate(group_cols):
+        cond = cond & df[c].eqNullSafe(F.col(f"_g{i}"))
+    j = df.join(F.broadcast(ren), cond).drop(
+        *[f"_g{i}" for i in range(len(group_cols))]
+    )
+    w = F.when(v < F.col("lo6"), F.col("lo6")).when(
+        v > F.col("hi6"), F.col("hi6")
+    ).otherwise(v)
+    flag = (
+        F.when(v < F.col("lo6"), F.lit(-1))
+        .when(v > F.col("hi6"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return j.select(
+        *df.columns,
+        "lo6",
+        "hi6",
+        w.alias("w"),
+        flag.alias("clip_flag"),
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "benford_profile"]
 
 
 def profile_table(
@@ -95,4 +95,59 @@ def profile_table(
             F.max("vn_max").alias("max_num"),
         )
         .orderBy("col_name")
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-data / unit-mixing smell test for a measure
+    column.
+
+    One map expression extracts the leading nonzero digit (string form
+    of ABS(x) with sign/zero/dot stripped — no log10 edge cases), then
+    ONE 9-row groupBy. Expected shares are exact literals
+    ``log10(1 + 1/d)``; the chi-squared statistic over the 9 cells
+    comes back via a 1-row total broadcast. Zero/NULL values are
+    excluded (they carry no leading digit).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    v = F.col(value_col)
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(v.cast("double")), 10), "[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("bigint")
+    digits = (
+        df.filter(v.isNotNull() & (v != 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = digits.agg(F.sum("n").alias("n_total"))
+    import math
+
+    expected = F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    obs_p = F.col("n").cast("double") / F.col("n_total").cast("double")
+    dev = obs_p - expected
+    chi_cell = (
+        F.col("n_total").cast("double") * dev * dev / expected
+    )
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            "n_total",
+            ref_round(obs_p, 6).alias("observed_p6"),
+            ref_round(expected, 6).alias("benford_p6"),
+            ref_round(chi_cell, 6).alias("chi2_cell6"),
+        )
     )

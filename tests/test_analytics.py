@@ -540,3 +540,34 @@ def test_two_proportion_ztest_degenerate_rate_no_blowup(spark):
     df = spark.createDataFrame(rows, "v string, s int")
     r = two_proportion_ztest(df, "v", "s").collect()[0]
     assert r["z6"] is None and r["is_significant"] == 0
+
+
+def test_winsorize_hand_bounds(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import winsorize
+
+    vals = list(range(1, 101))  # 1..100 -> p05=5.95, p95=95.05
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    )
+    out = winsorize(df, ["g"], "v", 0.05, 0.95).collect()
+    assert len(out) == 100
+    lo = {r["v"]: r for r in out}[1.0]
+    hi = {r["v"]: r for r in out}[100.0]
+    mid = {r["v"]: r for r in out}[50.0]
+    assert lo["w"] == lo["lo6"] == 5.95 and lo["clip_flag"] == -1
+    assert hi["w"] == hi["hi6"] == 95.05 and hi["clip_flag"] == 1
+    assert mid["w"] == 50.0 and mid["clip_flag"] == 0
+    n_lo = sum(1 for r in out if r["clip_flag"] == -1)
+    n_hi = sum(1 for r in out if r["clip_flag"] == 1)
+    assert (n_lo, n_hi) == (5, 5)
+
+
+def test_winsorize_null_group_and_value(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import winsorize
+
+    rows = [(None, 1.0), (None, 2.0), (None, 3.0), ("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, ["g"], "v", 0.0, 1.0).collect()
+    assert len(out) == 4  # NULL group kept (eqNullSafe), NULL value kept
+    nullv = [r for r in out if r["v"] is None][0]
+    assert nullv["w"] is None and nullv["clip_flag"] == 0

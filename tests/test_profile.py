@@ -64,3 +64,23 @@ def test_single_shuffle_plan(spark, mixed):
     assert plan.count("Scan ExistingRDD") == 1  # one pass over the input
     assert "partial_count" in plan  # map-side combine on the cell table
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_benford_digit_extraction_and_shares(spark):
+    import math
+
+    from qudo_etl_pipeline_spark.operators.profile import benford_profile
+
+    # crafted values incl. <1 magnitudes, negatives, zeros, nulls
+    vals = [123.0, 0.042, -950.0, 1000.0, 2.5, 0.0, None, 0.19, 31.0,
+            700.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["digit"]: r for r in benford_profile(df, "x").collect()}
+    # leading digits: 1,4,9,1,2,_,_,1,3,7 -> {1:3, 2:1, 3:1, 4:1, 7:1, 9:1}
+    assert {d: r["n"] for d, r in out.items()} == {
+        1: 3, 2: 1, 3: 1, 4: 1, 7: 1, 9: 1,
+    }
+    assert all(r["n_total"] == 8 for r in out.values())
+    for d, r in out.items():
+        assert abs(r["benford_p6"] - round(math.log10(1 + 1 / d), 6)) < 1e-9
+        assert abs(r["observed_p6"] - round(r["n"] / 8, 6)) < 1e-6
