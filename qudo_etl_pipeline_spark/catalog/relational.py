@@ -744,3 +744,74 @@ def cube_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid",
         )
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,6)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    survey_ids=["J1", "J5", "A5", "W3"],
+    description="TPC-H Q5 shape (local supplier volume): six-way star "
+    "join where every dimension chain (region->nation->customer/"
+    "supplier) broadcasts, the customer-nation == supplier-nation "
+    "residual rides the supplier join, and only the orders-lineitem "
+    "spine shuffles — DECIMAL-exact revenue per nation",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue: the classic 'does the optimizer keep the
+    fact-table spine as the only shuffle' benchmark. The region/nation
+    dimension chain and supplier/customer sides are broadcast-sized at
+    any SF where they fit (Catalyst picks broadcast-hash from stats);
+    the c_nationkey = s_nationkey clause is a residual on the lineitem-
+    supplier join, not a separate shuffle."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    ).cast("double")
+    asian_nations = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(
+            F.broadcast(asian_nations),
+            supp["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
