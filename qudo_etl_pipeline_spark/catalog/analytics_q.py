@@ -835,3 +835,90 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_w"),
     )
+
+
+@register(
+    "exact_quantile_totalprice",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice) - 1 AS r
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*) AS c FROM s)
+    SELECT c AS n, (c - 1) // 2 AS k, v AS value
+    FROM s CROSS JOIN n WHERE r = (c - 1) // 2
+    """,
+    survey_ids=["A8", "W3"],
+    description="Exact median of order totals WITHOUT a global sort: "
+    "iterative equal-width histogram refinement (B-row aggregate per "
+    "round, driver walks the bucket counts, ~log_B(n) scans), final "
+    "sub-leaf resolved by distributed take-ordered — the 100 TB order "
+    "statistic that percentile()'s unbounded histogram state cannot do",
+)
+def exact_quantile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # max_leaf small enough that the refinement loop actually runs at
+    # the gate scale factor (15k rows at sf0.01)
+    return A.exact_quantile(
+        orders, "o_totalprice", 1, 2, buckets=256, max_leaf=2_000
+    )
+
+
+def _qn_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    arms = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id AS id, 'd{i}' AS c, "
+        f"{ref_round_sql(f'CAST(embedding[{i + 1}] AS DOUBLE)', 6)} AS v "
+        f"FROM embeddings"
+        for i in range(3)
+    )
+    return f"""
+    WITH m AS (
+      {arms}
+    ),
+    r AS (
+      SELECT id, c, v,
+             ROW_NUMBER() OVER (PARTITION BY c ORDER BY v, id) AS rank
+      FROM m
+    ),
+    mn AS (
+      SELECT rank,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS qnorm
+      FROM r GROUP BY rank
+    )
+    SELECT id AS vec_id, c AS col_name, v AS value, rank, qnorm
+    FROM r JOIN mn USING (rank)
+    WHERE id % 23 = 0
+    """
+
+
+@register(
+    "quantile_normalize_embeddings",
+    oracle=_qn_oracle(),
+    survey_ids=["W1", "A8", "R2"],
+    description="Quantile normalization of the first three embedding "
+    "dimensions (every dimension forced onto the shared rank-mean "
+    "distribution): within-column ranks via the range-partitioned "
+    "two-pass prefix count — never a one-task-per-column window — then "
+    "DECIMAL-exact rank means joined home; three shuffles total "
+    "independent of column count",
+)
+def quantile_normalize_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        *[
+            ref_round(F.col("embedding")[i].cast("double"), 6).alias(
+                f"d{i}"
+            )
+            for i in range(3)
+        ],
+    )
+    out = A.quantile_normalize(emb, "vec_id", ["d0", "d1", "d2"])
+    return out.filter(F.col("vec_id") % 23 == 0)

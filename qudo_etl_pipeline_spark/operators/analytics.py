@@ -42,6 +42,8 @@ __all__ = [
     "kaplan_meier",
     "two_proportion_ztest",
     "winsorize",
+    "exact_quantile",
+    "quantile_normalize",
 ]
 
 
@@ -820,4 +822,165 @@ def winsorize(
         "hi6",
         w.alias("w"),
         flag.alias("clip_flag"),
+    )
+
+
+def exact_quantile(
+    df: DataFrame,
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    buckets: int = 1024,
+    max_leaf: int = 100_000,
+) -> DataFrame:
+    """EXACT order statistic (the value of rank ``floor(q*(n-1))``,
+    q = q_num/q_den) without a global sort.
+
+    ``percentile()`` keeps a per-group distinct-value histogram —
+    unbounded state on a 100 TB column; a global ``orderBy`` is a full
+    shuffle of the table. This is the classic iterative histogram
+    refinement instead: each round partitions the CURRENT value range
+    into ``buckets`` equal-width bins with one map-side-combinable
+    aggregate (a bucket-count frame, B rows), the driver locates the
+    bin holding the remaining rank (a legitimate aggregated collect,
+    like centroids), and the search narrows to that bin. Rounds =
+    log_B(n / max_leaf) — TWO extra scans at 100 TB with B=1024 —
+    and the final ≤ ``max_leaf``-row leaf resolves by distributed
+    take-ordered. Equal values always share a bin (bucketing is a
+    monotone value function), so ties never split the rank.
+
+    Returns a 1-row DataFrame (n, k, value). NULLs are excluded.
+    """
+    src = df.select(F.col(value_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    n = stats["n"]
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "n bigint, k bigint, value double"
+        )
+    k = (q_num * (n - 1)) // q_den
+    k_rem, lo, hi = k, float(stats["lo"]), float(stats["hi"])
+    cur = src
+    cur_n = n
+    while cur_n > max_leaf and lo < hi:
+        width = (hi - lo) / buckets
+        b = F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+        ).cast("int")
+        hist = {
+            r["b"]: r["c"]
+            for r in cur.groupBy(b.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        seen = 0
+        for i in range(buckets):
+            c = hist.get(i, 0)
+            if seen + c > k_rem:
+                k_rem -= seen
+                cur_n = c
+                b_lo = lo + i * width
+                b_hi = lo + (i + 1) * width if i < buckets - 1 else hi
+                sel = F.least(
+                    F.lit(buckets - 1),
+                    F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+                ) == i
+                cur = cur.filter(sel)
+                lo, hi = b_lo, b_hi
+                break
+            seen += c
+    if lo >= hi:
+        value = cur.limit(1)
+    else:
+        value = (
+            cur.orderBy(F.asc("v"))
+            .limit(k_rem + 1)
+            .orderBy(F.desc("v"))
+            .limit(1)
+        )
+    return value.select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("v").alias("value"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Quantile normalization across measure columns: every column is
+    forced onto the SAME distribution — each value is replaced by the
+    mean of the values sharing its within-column rank (the standard
+    cross-sample calibration transform; ties break by id for a
+    deterministic rank).
+
+    Columns must be non-null and equally sized (one value per id). The
+    within-column rank is a RANGE-PARTITIONED two-pass prefix count —
+    the same device as token_budget_sample, NOT a per-column
+    Window.orderBy (which would move each whole column into one task):
+    rows range-partition on (col, v, id), each partition counts
+    locally, and per-(partition, col) totals — a partition-count-sized
+    frame — window into per-column offsets that broadcast back. Then
+    one groupBy(rank) computes the rank means DECIMAL-exactly and one
+    rank-keyed join brings them home: three shuffles total,
+    independent of column count.
+    """
+    melted = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_c"),
+                        F.col(c).cast("double").alias("_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv"),
+    ).select("_id", F.col("kv._c").alias("_c"), F.col("kv._v").alias("_v"))
+    order = [F.asc("_c"), F.asc("_v"), F.asc("_id")]
+    part = melted.repartitionByRange(*order).cache()
+    part = part.withColumn("_pid", F.spark_partition_id())
+    inner = Window.partitionBy("_pid", "_c").orderBy(
+        F.asc("_v"), F.asc("_id")
+    )
+    local = part.withColumn("_rn_in", F.row_number().over(inner))
+    totals = part.groupBy("_pid", "_c").agg(
+        F.count(F.lit(1)).alias("_pt")
+    )
+    off_w = (
+        Window.partitionBy("_c")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        "_c",
+        F.coalesce(F.sum("_pt").over(off_w), F.lit(0)).alias("_off"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["_pid", "_c"]).withColumn(
+        "_rank", F.col("_rn_in") + F.col("_off")
+    )
+    means = ranked.groupBy("_rank").agg(
+        (
+            F.sum(F.col("_v").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_qnorm")
+    )
+    return ranked.join(means, "_rank").select(
+        F.col("_id").alias(id_col),
+        F.col("_c").alias("col_name"),
+        F.col("_v").alias("value"),
+        F.col("_rank").alias("rank"),
+        F.col("_qnorm").alias("qnorm"),
     )

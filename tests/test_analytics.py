@@ -571,3 +571,54 @@ def test_winsorize_null_group_and_value(spark):
     assert len(out) == 4  # NULL group kept (eqNullSafe), NULL value kept
     nullv = [r for r in out if r["v"] is None][0]
     assert nullv["w"] is None and nullv["clip_flag"] == 0
+
+
+def test_exact_quantile_matches_sorted_rank(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import exact_quantile
+
+    # deterministic non-uniform values, incl. heavy ties
+    vals = [((i * 37) % 101) * 0.5 for i in range(1000)] + [7.0] * 500
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    srt = sorted(vals)
+    for q_num, q_den in [(1, 2), (1, 4), (9, 10), (0, 1), (1, 1)]:
+        k = (q_num * (len(vals) - 1)) // q_den
+        r = exact_quantile(
+            df, "x", q_num, q_den, buckets=8, max_leaf=50
+        ).collect()[0]
+        assert (r["n"], r["k"]) == (len(vals), k)
+        assert r["value"] == srt[k], (q_num, q_den)
+
+
+def test_exact_quantile_all_equal_and_empty(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import exact_quantile
+
+    df = spark.createDataFrame([(3.5,)] * 100, "x double")
+    r = exact_quantile(df, "x", 1, 2, buckets=4, max_leaf=10).collect()[0]
+    assert r["value"] == 3.5
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantile(empty, "x", 1, 2).count() == 0
+
+
+def test_quantile_normalize_textbook(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        quantile_normalize,
+    )
+
+    # classic worked example: A=[5,2,3,4], B=[4,1,4,2] ->
+    # sorted A: 2,3,4,5; sorted B: 1,2,4,4; rank means: 1.5, 2.5, 4, 4.5
+    rows = [(1, 5.0, 4.0), (2, 2.0, 1.0), (3, 3.0, 4.0), (4, 4.0, 2.0)]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double")
+    out = quantile_normalize(df, "id", ["a", "b"])
+    got = {
+        (r["col_name"], r["id"]): (r["rank"], r["qnorm"])
+        for r in out.collect()
+    }
+    assert got[("a", 2)] == (1, 1.5)
+    assert got[("a", 3)] == (2, 2.5)
+    assert got[("a", 4)] == (3, 4.0)
+    assert got[("a", 1)] == (4, 4.5)
+    assert got[("b", 2)] == (1, 1.5)
+    assert got[("b", 4)] == (2, 2.5)
+    # tie 4.0/4.0 in B -> id breaks: id=1 before id=3
+    assert got[("b", 1)] == (3, 4.0)
+    assert got[("b", 3)] == (4, 4.5)
