@@ -922,3 +922,41 @@ def quantile_normalize_embeddings(
     )
     out = A.quantile_normalize(emb, "vec_id", ["d0", "d1", "d2"])
     return out.filter(F.col("vec_id") % 23 == 0)
+
+
+@register(
+    "weighted_median_prices",
+    oracle="""
+    WITH f AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(18,6)) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    c AS (
+      SELECT g, v,
+             SUM(w) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumw,
+             SUM(w) OVER (PARTITION BY g) AS totw,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM f
+    )
+    SELECT g AS l_returnflag,
+           MIN(v) AS wq_value,
+           CAST(ANY_VALUE(totw) AS DOUBLE) AS total_weight,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n
+    FROM c WHERE 2 * cumw >= 1 * totw
+    GROUP BY g
+    """,
+    survey_ids=["A5", "A8", "W1"],
+    description="Quantity-weighted median extended price per return "
+    "flag: value-ordered DECIMAL running weight + integer-exact "
+    "crossing test + min-over-crossing-rows (tie-stable in any engine) "
+    "— ONE keyed shuffle, the aggregate reuses the window partitioning",
+)
+def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return A.weighted_quantile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", 1, 2
+    )

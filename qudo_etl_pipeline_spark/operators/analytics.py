@@ -44,6 +44,7 @@ __all__ = [
     "winsorize",
     "exact_quantile",
     "quantile_normalize",
+    "weighted_quantile",
 ]
 
 
@@ -983,4 +984,61 @@ def quantile_normalize(
         F.col("_v").alias("value"),
         F.col("_rank").alias("rank"),
         F.col("_qnorm").alias("qnorm"),
+    )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+) -> DataFrame:
+    """Per-group weighted quantile (default: weighted median) — the
+    survey-statistics primitive where each row speaks for ``weight``
+    design units: the smallest value v such that the cumulative weight
+    of rows <= v reaches q of the group total.
+
+    ONE keyed shuffle: a value-ordered running weight sum per group,
+    a crossing flag, and a min-value aggregate that reuses the
+    window's partitioning (Catalyst plans no second exchange). Weights
+    accumulate in DECIMAL and the crossing test is the integer-exact
+    ``q_den * cumw >= q_num * totw`` — no float thresholds.
+
+    Determinism under ties: rows sharing a value may cum in any order,
+    but a value group crosses the threshold iff its END cumulative
+    weight does — order-independent — and the selected value is the
+    min over crossing rows, so every engine picks the same value.
+    NULL values/weights are excluded.
+    """
+    v = F.col(value_col)
+    wt = F.col(weight_col).cast("decimal(18,6)")
+    src = df.filter(v.isNotNull() & F.col(weight_col).isNotNull())
+    upto = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    full = Window.partitionBy(*group_cols)
+    cumw = F.sum(wt).over(upto)
+    totw = F.sum(wt).over(full)
+    crossed = (
+        F.lit(q_den) * cumw >= F.lit(q_num) * totw
+    )
+    flagged = src.select(
+        *group_cols,
+        v.alias("__v"),
+        totw.alias("__totw"),
+        F.count(F.lit(1)).over(full).alias("__n"),
+        crossed.alias("__x"),
+    )
+    return (
+        flagged.filter(F.col("__x"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").alias("wq_value"),
+            F.first("__totw").cast("double").alias("total_weight"),
+            F.first("__n").alias("n"),
+        )
     )

@@ -622,3 +622,30 @@ def test_quantile_normalize_textbook(spark):
     # tie 4.0/4.0 in B -> id breaks: id=1 before id=3
     assert got[("b", 1)] == (3, 4.0)
     assert got[("b", 3)] == (4, 4.5)
+
+
+def test_weighted_quantile_hand_cases(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        weighted_quantile,
+    )
+
+    # g1: values 1..4 with weights 1,1,6,2 (tot 10) -> median at cum>=5 -> 3
+    # g2: tie group at v=5 crosses midway -> still 5
+    rows = [
+        ("g1", 1.0, 1.0), ("g1", 2.0, 1.0), ("g1", 3.0, 6.0),
+        ("g1", 4.0, 2.0),
+        ("g2", 5.0, 1.0), ("g2", 5.0, 9.0), ("g2", 6.0, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {
+        r["g"]: r for r in weighted_quantile(df, ["g"], "v", "w").collect()
+    }
+    assert out["g1"]["wq_value"] == 3.0
+    assert out["g1"]["total_weight"] == 10.0 and out["g1"]["n"] == 4
+    assert out["g2"]["wq_value"] == 5.0
+    # p90: g1 cum target 9 -> value 4
+    p90 = {
+        r["g"]: r["wq_value"]
+        for r in weighted_quantile(df, ["g"], "v", "w", 9, 10).collect()
+    }
+    assert p90["g1"] == 4.0
