@@ -960,3 +960,63 @@ def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.weighted_quantile(
         li, ["l_returnflag"], "l_extendedprice", "l_quantity", 1, 2
     )
+
+
+def _mw_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+    from qudo_etl_pipeline_spark.operators.analytics import Z_CRIT_95
+
+    num = "((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
+    num += " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0)"
+    nn = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    var = (
+        f"(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * "
+        f"(({nn} + 1.0) - CAST(t3 AS DOUBLE) / ({nn} * ({nn} - 1.0))))"
+    )
+    z = f"(CASE WHEN {var} > 0 THEN {num} / sqrt({var}) END)"
+    return f"""
+    WITH per_v AS (
+      SELECT l_quantity AS v,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM lineitem
+      WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+      GROUP BY l_quantity
+    ),
+    ranked AS (
+      SELECT ca, cb, ca + cb AS ct,
+             ca * (2 * COALESCE(SUM(ca + cb) OVER (
+                 ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) + (ca + cb) + 1) AS r2a
+      FROM per_v
+    ),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(SUM(r2a) AS BIGINT) AS r2_a,
+             CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS t3
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+           {ref_round_sql(z, 6)} AS z6,
+           CAST(CASE WHEN ABS({z}) > {Z_CRIT_95!r} THEN 1 ELSE 0 END
+                AS BIGINT) AS is_significant
+    FROM agg
+    """
+
+
+@register(
+    "mann_whitney_quantity",
+    oracle=_mw_oracle(),
+    survey_ids=["A8", "M21"],
+    description="Mann-Whitney U rank-sum test of lineitem quantity "
+    "between return flags A and R on the distinct-value frame "
+    "(midrank mass in integer arithmetic via the 2R doubling trick, "
+    "tie-corrected normal approximation, threshold significance)",
+)
+def mann_whitney_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return A.mann_whitney_u(li, "l_returnflag", "l_quantity", "A", "R")

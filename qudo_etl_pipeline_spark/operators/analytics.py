@@ -45,6 +45,7 @@ __all__ = [
     "exact_quantile",
     "quantile_normalize",
     "weighted_quantile",
+    "mann_whitney_u",
 ]
 
 
@@ -1041,4 +1042,82 @@ def weighted_quantile(
             F.first("__totw").cast("double").alias("total_weight"),
             F.first("__n").alias("n"),
         )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    label_a: str,
+    label_b: str,
+    z_crit: float = Z_CRIT_95,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
+    normal approximation and tie correction — the nonparametric
+    "did the distribution shift" test that needs no variance
+    assumptions.
+
+    Built on the DISTINCT-VALUE frame, not per-row ranks: one
+    groupBy(value) collapses both samples to (value, cnt_a, cnt_b),
+    then an ordered scan over that frame assigns midrank mass. Sized
+    for discrete/binned measures (quantities, scores, Likert scales —
+    frame = value domain); for a continuous measure bin first, or the
+    frame grows to the row count. All rank mass stays in INTEGER
+    arithmetic via the doubling trick: 2·R_a = sum cnt_a·(2·cum_before
+    + cnt + 1) is a bigint, so R_a, U_a and the z numerator are exact
+    halves — no summation-order drift, bit-identical cross-engine.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    g = F.col(group_col)
+    per_v = (
+        df.filter(g.isin([label_a, label_b]) & F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(g == label_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(g == label_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    before = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cnt = F.col("ca") + F.col("cb")
+    cum = F.coalesce(F.sum(cnt).over(before), F.lit(0))
+    ranked = per_v.select(
+        "ca",
+        "cb",
+        cnt.alias("ct"),
+        (F.col("ca") * (F.lit(2) * cum + cnt + F.lit(1))).alias("r2a"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum("r2a").alias("r2_a"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")).alias(
+            "t3"
+        ),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    nn = n_a + n_b
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + F.lit(1))
+    num = (u2.cast("double") - n_a * n_b) / F.lit(2.0)
+    var = (
+        n_a * n_b / F.lit(12.0)
+        * (
+            (nn + F.lit(1.0))
+            - F.col("t3").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    z = F.when(var > 0, num / F.sqrt(var))
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        ref_round(z, 6).alias("z6"),
+        F.when(F.abs(z) > F.lit(z_crit), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_significant"),
     )

@@ -649,3 +649,46 @@ def test_weighted_quantile_hand_cases(spark):
         for r in weighted_quantile(df, ["g"], "v", "w", 9, 10).collect()
     }
     assert p90["g1"] == 4.0
+
+
+def test_mann_whitney_matches_reference_formula(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import mann_whitney_u
+
+    # small two-sample with ties; mirror computed by the textbook
+    # midrank formula in plain python
+    a = [1, 2, 2, 3, 5, 7, 7, 8]
+    b = [2, 4, 4, 5, 6, 7, 9, 9, 10]
+    rows = [("A", float(v)) for v in a] + [("B", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+
+    allv = sorted(a + b)
+    import collections
+
+    cnt = collections.Counter(allv)
+    # midrank per value
+    mid, seen = {}, 0
+    for v in sorted(cnt):
+        mid[v] = seen + (cnt[v] + 1) / 2
+        seen += cnt[v]
+    r_a = sum(mid[v] for v in a)
+    u_a = r_a - len(a) * (len(a) + 1) / 2
+    n1, n2, n = len(a), len(b), len(a) + len(b)
+    t3 = sum(c**3 - c for c in cnt.values())
+    var = n1 * n2 / 12 * ((n + 1) - t3 / (n * (n - 1)))
+    z = (u_a - n1 * n2 / 2) / var**0.5
+    assert (r["n_a"], r["n_b"]) == (n1, n2)
+    assert r["u_a"] == u_a
+    assert abs(r["z6"] - round(z, 6)) < 1e-9
+    assert r["is_significant"] == 0
+
+
+def test_mann_whitney_detects_shift(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import mann_whitney_u
+
+    rows = [("A", float(v % 10)) for v in range(200)] + [
+        ("B", float(v % 10 + 5)) for v in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    assert r["is_significant"] == 1 and r["z6"] < 0
