@@ -1020,3 +1020,93 @@ def _mw_oracle() -> str:
 def mann_whitney_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return A.mann_whitney_u(li, "l_returnflag", "l_quantity", "A", "R")
+
+
+def _hill_oracle(d_min: int = 70) -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    alpha = "1.0 + CAST(cum_n AS DOUBLE) / cum_ln"
+    return f"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    per_v AS (
+      SELECT c AS v, COUNT(*) AS m FROM counts
+      WHERE c >= {d_min} GROUP BY c
+    ),
+    sums AS (
+      SELECT v,
+             CAST(SUM(m) OVER upto AS BIGINT) AS cum_n,
+             SUM(CAST(m AS DOUBLE)
+                 * ln(CAST(v AS DOUBLE) / {float(d_min)!r})) OVER upto
+               AS cum_ln
+      FROM per_v
+      WINDOW upto AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY v DESC) = 1
+    )
+    SELECT CAST({d_min} AS BIGINT) AS d_min, cum_n AS n_tail,
+           CASE WHEN cum_ln > 0 THEN {ref_round_sql(alpha, 6)} END
+             AS alpha6
+    FROM sums
+    """
+
+
+@register(
+    "hill_tail_user_activity",
+    oracle=_hill_oracle(),
+    survey_ids=["A8", "A4"],
+    description="Hill power-law tail exponent of per-user event counts "
+    "(the will-this-key-distribution-skew-my-shuffles diagnostic): "
+    "tail ln-mass accumulated in pinned value order on the distinct-"
+    "count frame, alpha from one fixed IEEE expression",
+)
+def hill_tail_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return A.hill_tail_index(counts, "c", 70)
+
+
+@register(
+    "gini_user_activity",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    per_v AS (SELECT c AS v, COUNT(*) AS m FROM counts GROUP BY c),
+    terms AS (
+      SELECT v, m,
+             v * m * (2 * COALESCE(SUM(m) OVER (
+                 ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) + m + 1) AS r2x
+      FROM per_v
+    ),
+    agg AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(v * m) AS BIGINT) AS sx,
+             CAST(SUM(r2x) AS BIGINT) AS r2x
+      FROM terms
+    )
+    SELECT n, sx,
+           CASE WHEN sx > 0 THEN ROUND(
+             CAST(r2x AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) END
+             AS gini6
+    FROM agg
+    """,
+    survey_ids=["A8", "A9"],
+    description="Gini inequality coefficient of per-user event counts: "
+    "midrank mass on the distinct-value frame keeps 2*sum(rank*x) a "
+    "pure bigint, so G is one fixed IEEE expression over exact "
+    "integers — tie-order free, bit-identical cross-engine",
+)
+def gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return A.gini_coefficient(counts, "c")

@@ -46,6 +46,8 @@ __all__ = [
     "quantile_normalize",
     "weighted_quantile",
     "mann_whitney_u",
+    "hill_tail_index",
+    "gini_coefficient",
 ]
 
 
@@ -1120,4 +1122,101 @@ def mann_whitney_u(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("is_significant"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    d_min: int,
+) -> DataFrame:
+    """Hill estimator of a power-law tail exponent: alpha = 1 +
+    n_tail / sum(ln(x / d_min)) over the tail x >= d_min — the
+    standard heavy-tail diagnostic for degree/activity/frequency
+    distributions (is this key-popularity curve Zipfian, and how
+    hard will it skew my shuffles?).
+
+    ONE filtered aggregate; the ln sum is order-insensitive only up to
+    IEEE reassociation, so it aggregates over the DISTINCT-value frame
+    (value domain-sized) where each distinct value contributes
+    count·ln(v/d_min) in a deterministic per-value expression summed
+    in value order.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    per_v = (
+        df.filter(F.col(value_col) >= d_min)
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    upto = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # order-pinned running sum -> the LAST row carries the total
+    summed = per_v.select(
+        "m",
+        F.sum("m").over(upto).alias("cum_n"),
+        F.sum(
+            F.col("m").cast("double")
+            * F.log(F.col("v").cast("double") / F.lit(float(d_min)))
+        )
+        .over(upto)
+        .alias("cum_ln"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("v")))
+        .alias("__rev"),
+    )
+    last = summed.filter(F.col("__rev") == 1)
+    alpha = F.lit(1.0) + F.col("cum_n").cast("double") / F.col("cum_ln")
+    return last.select(
+        F.lit(d_min).cast("bigint").alias("d_min"),
+        F.col("cum_n").alias("n_tail"),
+        F.when(F.col("cum_ln") > 0, ref_round(alpha, 6)).alias("alpha6"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient (inequality) of a non-negative INTEGER measure
+    — how concentrated is activity/spend across keys (0 = uniform,
+    ->1 = one key holds everything).
+
+    Runs on the distinct-value frame with midrank mass: with m_v keys
+    at value v, 2·sum(rank_i·x_i) = sum_v v·m_v·(2·cum_before + m_v
+    + 1) — a pure bigint — so G = that/(n·sum x) − (n+1)/n is one
+    fixed IEEE expression over exact integers, bit-identical in any
+    engine (ties need no ordering decisions: equal values contribute
+    identically under any tie order).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    per_v = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("bigint").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    before = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = F.coalesce(F.sum("m").over(before), F.lit(0))
+    terms = per_v.select(
+        "v",
+        "m",
+        (
+            F.col("v") * F.col("m") * (F.lit(2) * cum + F.col("m") + 1)
+        ).alias("r2x"),
+    )
+    agg = terms.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("v") * F.col("m")).alias("sx"),
+        F.sum("r2x").alias("r2x"),
+    )
+    n = F.col("n").cast("double")
+    g = F.col("r2x").cast("double") / (
+        n * F.col("sx").cast("double")
+    ) - (n + F.lit(1.0)) / n
+    return agg.select(
+        "n",
+        "sx",
+        F.when(F.col("sx") > 0, ref_round(g, 6)).alias("gini6"),
     )

@@ -692,3 +692,35 @@ def test_mann_whitney_detects_shift(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
     assert r["is_significant"] == 1 and r["z6"] < 0
+
+
+def test_gini_known_values(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import gini_coefficient
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([(5,)] * 10, "x bigint")
+    assert gini_coefficient(eq, "x").collect()[0]["gini6"] == 0.0
+    # one key holds everything among n=10 -> G = (n-1)/n * ... for
+    # x = [0]*9 + [100]: G = 9/10
+    conc = spark.createDataFrame([(0,)] * 9 + [(100,)], "x bigint")
+    assert abs(gini_coefficient(conc, "x").collect()[0]["gini6"] - 0.9) < 1e-9
+    # textbook small case [1,2,3,4] -> G = 0.25
+    s = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x bigint")
+    assert abs(gini_coefficient(s, "x").collect()[0]["gini6"] - 0.25) < 1e-9
+
+
+def test_hill_alpha_recovers_pareto_exponent(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import hill_tail_index
+
+    # deterministic Pareto sample with ccdf exponent 2 via inverse CDF
+    # on a grid: x = d_min / sqrt(1-u), u = (i+0.5)/n. The estimator is
+    # the Clauset-Shalizi-Newman PDF-exponent form alpha = 1 + n/sum(ln)
+    # -> expects ~3 (ccdf exponent + 1); integer truncation biases high.
+    import math
+
+    d_min, n = 10, 4000
+    xs = [int(d_min / math.sqrt(1 - (i + 0.5) / n)) for i in range(n)]
+    df = spark.createDataFrame([(x,) for x in xs], "x bigint")
+    r = hill_tail_index(df, "x", d_min).collect()[0]
+    assert r["n_tail"] == n
+    assert 2.8 < r["alpha6"] < 3.4
