@@ -815,3 +815,51 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue.alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation")
     )
+
+
+def _rankfn_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    pr = ref_round_sql("PERCENT_RANK() OVER w", 6)
+    cd = ref_round_sql("CUME_DIST() OVER w", 6)
+    return f"""
+    SELECT s_suppkey,
+           s_nationkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           {pr} AS prank6,
+           {cd} AS cdist6,
+           NTILE(4) OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_suppkey
+    """
+
+
+@register(
+    "rank_functions_suppliers",
+    oracle=_rankfn_oracle(),
+    survey_ids=["W1", "W3"],
+    description="Full ranking-function surface in one keyed window "
+    "(rank, dense_rank, percent_rank, cume_dist, ntile) over suppliers "
+    "by balance within nation — deterministic tie-break key so every "
+    "rank is engine-stable",
+)
+def rank_functions_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    supp = load_table(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    )
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        ref_round(F.percent_rank().over(w), 6).alias("prank6"),
+        ref_round(F.cume_dist().over(w), 6).alias("cdist6"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    ).orderBy("s_suppkey")

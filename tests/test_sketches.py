@@ -270,3 +270,37 @@ def test_heavy_hitters_tiny_capacity_still_exact(spark):
         ).collect()
     }
     assert out == {9: 10, 7: 14}
+
+
+def test_heavy_hitters_property_random(spark):
+    """MG superset guarantee under random data and partitioning."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n_hot = rng.randint(1, 4)
+        data = []
+        for h in range(n_hot):
+            data += [h] * rng.randint(80, 200)
+        data += [1000 + i for i in range(rng.randint(200, 800))]
+        rng.shuffle(data)
+        from qudo_etl_pipeline_spark.operators.sketches import (
+            heavy_hitters,
+        )
+
+        df = _keys(spark, data).repartition(rng.randint(2, 8))
+        phi_num, phi_den = 5, 100
+        out = {
+            r["k"]: r["cnt"]
+            for r in heavy_hitters(
+                df, "k", phi_num, phi_den, capacity=24
+            ).collect()
+        }
+        import collections
+
+        true = collections.Counter(data)
+        n = len(data)
+        expected = {
+            k: c for k, c in true.items() if c * phi_den >= phi_num * n
+        }
+        assert out == expected, (trial, out, expected)
