@@ -643,3 +643,78 @@ def cusum_hourly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_neg6",
         "alarm",
     )
+
+
+def _xcorr_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    corr = (
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / "
+        "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)"
+        " * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))"
+    )
+    guard = (
+        "CAST(n AS DOUBLE) * sxx - sx * sx > 0 "
+        "AND CAST(n AS DOUBLE) * syy - sy * sy > 0"
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) // 3600
+                  AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM hourly a
+      JOIN lags l ON TRUE
+      JOIN hourly b ON b.t = a.t + l.lag
+    ),
+    m AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,6))
+                      * CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(19,6))
+                      * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(19,6))
+                      * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN {guard} THEN {ref_round_sql(corr, 6)} END AS corr6
+    FROM m ORDER BY lag
+    """
+
+
+@register(
+    "lag_crosscorr_view_purchase",
+    oracle=_xcorr_oracle(),
+    survey_ids=["A5", "A8", "J1"],
+    description="Lead-lag cross-correlation between hourly view and "
+    "purchase counts (lags -3..+3): bounded explode of shifted copies, "
+    "integer bucket-index equi-join, ONE groupBy(lag) with DECIMAL-"
+    "exact moments — does X lead Y, as one aggregation pass",
+)
+def lag_crosscorr_view_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    out = T.lag_crosscorr(hourly, "bucket", "x", "y", 3, 3600)
+    return out.orderBy("lag")

@@ -44,6 +44,7 @@ __all__ = [
     "attribution_credit",
     "resample_interpolate",
     "cusum_changepoints",
+    "lag_crosscorr",
 ]
 
 
@@ -755,4 +756,62 @@ def cusum_changepoints(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("alarm"),
+    )
+
+
+def lag_crosscorr(
+    series: DataFrame,
+    bucket_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int,
+    step_seconds: int,
+) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson corr(x_t, y_{t+L}) for every
+    lag L in [-max_lag, max_lag] — the "does series X lead series Y"
+    scan behind attribution and capacity planning.
+
+    Input: one row per time bucket with both measures (a regular grid —
+    run :func:`resample_interpolate` first if sparse). The y side
+    explodes into 2·max_lag+1 shifted copies (bounded fan-out, a map),
+    joins back on the integer bucket index, and ONE groupBy(lag)
+    computes all per-lag moments map-side-combinably. Integer-valued
+    measures keep every moment exact; corr is the usual fixed IEEE
+    tree.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    idx = (F.unix_timestamp(F.col(bucket_col)) / step_seconds).cast(
+        "bigint"
+    )
+    xs = series.select(idx.alias("t"), F.col(x_col).alias("x"))
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    ys = series.select(
+        idx.alias("ty"), F.col(y_col).alias("y")
+    ).select("ty", "y", lags)
+    # y at t+L pairs with x at t  ->  join where ty - lag == t
+    pairs = xs.join(
+        ys, xs["t"] == ys["ty"] - ys["lag"], "inner"
+    )
+    dx = F.col("x").cast("decimal(18,6)")
+    dy = F.col("y").cast("decimal(18,6)")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum((dx * dx).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((dy * dy).cast("decimal(38,12)")).cast("double").alias("syy"),
+        F.sum((dx * dy).cast("decimal(38,12)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = cov / (F.sqrt(vx) * F.sqrt(vy))
+    return m.select(
+        "lag",
+        "n",
+        F.when((vx > 0) & (vy > 0), ref_round(corr, 6)).alias("corr6"),
     )

@@ -512,3 +512,25 @@ def test_cusum_constant_series_dropped(spark):
     rows = [("k", i, 5.0) for i in range(10)]
     df = spark.createDataFrame(rows, "k string, t bigint, v double")
     assert cusum_changepoints(df, "k", "t", "v").count() == 0
+
+
+def test_lag_crosscorr_detects_planted_lead(spark):
+    import datetime as dt
+
+    from qudo_etl_pipeline_spark.operators.temporal import lag_crosscorr
+
+    # y is exactly x shifted by +2 buckets -> corr at lag=2 is 1.0
+    t0 = dt.datetime(2024, 1, 1)
+    xs = [5, 9, 2, 7, 4, 8, 1, 6, 3, 9, 2, 5, 7, 1, 8, 4]
+    rows = [
+        (t0 + dt.timedelta(hours=i), float(xs[i]),
+         float(xs[i - 2]) if i >= 2 else 0.0)
+        for i in range(len(xs))
+    ]
+    df = spark.createDataFrame(rows, "bucket timestamp, x double, y double")
+    out = {r["lag"]: r for r in
+           lag_crosscorr(df, "bucket", "x", "y", 3, 3600).collect()}
+    assert out[2]["corr6"] == 1.0
+    assert abs(out[0]["corr6"]) < 0.7
+    # pair counts shrink with |lag|
+    assert out[3]["n"] == len(xs) - 3 and out[-3]["n"] == len(xs) - 3
