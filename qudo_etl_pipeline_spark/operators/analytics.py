@@ -953,6 +953,10 @@ def quantile_normalize(
         ).alias("kv"),
     ).select("_id", F.col("kv._c").alias("_c"), F.col("kv._v").alias("_v"))
     order = [F.asc("_c"), F.asc("_v"), F.asc("_id")]
+    # cache before _pid for the same reason token_budget_sample does:
+    # range boundaries are sampled, and both prefix-sum branches must
+    # see ONE physical partitioning; reclaimed by ContextCleaner when
+    # the caller drops the returned plan.
     part = melted.repartitionByRange(*order).cache()
     part = part.withColumn("_pid", F.spark_partition_id())
     inner = Window.partitionBy("_pid", "_c").orderBy(

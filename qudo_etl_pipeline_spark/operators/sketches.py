@@ -429,6 +429,12 @@ def heavy_hitters(
         )
         yield out
 
+    # The summary is read twice (total + candidates) and is bounded at
+    # cap x n_partitions rows; the cache is correctness-neutral but
+    # stops the MG pass running twice. Like token_budget_sample's cache
+    # it is load-bearing for the RETURNED lazy plan, so it cannot be
+    # unpersisted here — ContextCleaner reclaims it when the caller
+    # drops the plan.
     summary = (
         df.select(key_col).mapInPandas(mg_kernel, out_schema).cache()
     )
