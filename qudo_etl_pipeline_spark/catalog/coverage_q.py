@@ -741,3 +741,56 @@ def data_slicer_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_core: bigint, n_sub: bigint, pct_retained: double, "
         "signal: double, recall_score: double",
     )
+
+
+def _spatial_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import token_hash64_sql
+
+    cx = f"({token_hash64_sql('CAST(c_custkey AS VARCHAR)', 101)} % 100000)"
+    cy = f"({token_hash64_sql('CAST(c_custkey AS VARCHAR)', 202)} % 100000)"
+    sx = f"({token_hash64_sql('CAST(s_suppkey AS VARCHAR)', 101)} % 100000)"
+    sy = f"({token_hash64_sql('CAST(s_suppkey AS VARCHAR)', 202)} % 100000)"
+    return f"""
+    WITH c AS (
+      SELECT c_custkey, {cx} AS x, {cy} AS y FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, {sx} AS x, {sy} AS y FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+             AS dist2
+    FROM c CROSS JOIN s
+    WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+          <= 500 * 500
+    ORDER BY c.c_custkey, s.s_suppkey
+    """
+
+
+@register(
+    "spatial_radius_pairs",
+    oracle=_spatial_oracle(),
+    survey_ids=["J3", "J1"],
+    description="Grid-bucketed radius join: customers and suppliers at "
+    "hash-derived integer coordinates, all pairs within 500 units — "
+    "left points map to ONE home cell, right points replicate to the "
+    "3x3 neighborhood, the cell equi-join bounds candidates by local "
+    "density, and the exact int64 squared-distance filter has no float "
+    "knife edges (oracle is the brute-force cross join)",
+)
+def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.hashing import token_hash64
+    from qudo_etl_pipeline_spark.operators.spatial import grid_radius_join
+
+    def coords(df, key):
+        k = F.col(key).cast("string")
+        return df.select(
+            key,
+            (token_hash64(k, 101) % 100000).alias("x"),
+            (token_hash64(k, 202) % 100000).alias("y"),
+        )
+
+    cust = coords(load_table(spark, sf_dir, "customer"), "c_custkey")
+    supp = coords(load_table(spark, sf_dir, "supplier"), "s_suppkey")
+    out = grid_radius_join(cust, supp, "c_custkey", "s_suppkey", 500)
+    return out.orderBy("c_custkey", "s_suppkey")

@@ -534,3 +534,56 @@ def test_lag_crosscorr_detects_planted_lead(spark):
     assert abs(out[0]["corr6"]) < 0.7
     # pair counts shrink with |lag|
     assert out[3]["n"] == len(xs) - 3 and out[-3]["n"] == len(xs) - 3
+
+
+def test_grid_radius_join_matches_bruteforce(spark):
+    import random
+
+    from qudo_etl_pipeline_spark.operators.spatial import grid_radius_join
+
+    rng = random.Random(7)
+    left = [(i, rng.randrange(0, 2000), rng.randrange(0, 2000))
+            for i in range(120)]
+    right = [(j, rng.randrange(0, 2000), rng.randrange(0, 2000))
+             for j in range(90)]
+    ldf = spark.createDataFrame(left, "lid bigint, x bigint, y bigint")
+    rdf = spark.createDataFrame(right, "rid bigint, x bigint, y bigint")
+    for radius, cell in [(150, None), (150, 300), (700, 700)]:
+        got = {
+            (r["lid"], r["rid"], r["dist2"])
+            for r in grid_radius_join(
+                ldf, rdf, "lid", "rid", radius, cell
+            ).collect()
+        }
+        want = {
+            (i, j, (xi - xj) ** 2 + (yi - yj) ** 2)
+            for i, xi, yi in left
+            for j, xj, yj in right
+            if (xi - xj) ** 2 + (yi - yj) ** 2 <= radius * radius
+        }
+        assert got == want, (radius, cell, len(got), len(want))
+
+
+def test_grid_radius_join_rejects_narrow_cell(spark):
+    import pytest
+
+    from qudo_etl_pipeline_spark.operators.spatial import grid_radius_join
+
+    df = spark.createDataFrame([(1, 0, 0)], "i bigint, x bigint, y bigint")
+    with pytest.raises(ValueError, match="cell width"):
+        grid_radius_join(df, df, "i", "i", 100, 50)
+
+
+def test_grid_radius_join_negative_coords(spark):
+    from qudo_etl_pipeline_spark.operators.spatial import grid_radius_join
+
+    # floor-division cells must stay consistent below zero
+    left = [(1, -5, -5)]
+    right = [(2, 5, 5), (3, -250, -5), (4, -90, -90)]
+    ldf = spark.createDataFrame(left, "lid bigint, x bigint, y bigint")
+    rdf = spark.createDataFrame(right, "rid bigint, x bigint, y bigint")
+    got = {
+        (r["lid"], r["rid"])
+        for r in grid_radius_join(ldf, rdf, "lid", "rid", 150).collect()
+    }
+    assert got == {(1, 2), (1, 4)}
