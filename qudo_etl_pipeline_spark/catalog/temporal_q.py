@@ -718,3 +718,49 @@ def lag_crosscorr_view_purchase(
     )
     out = T.lag_crosscorr(hourly, "bucket", "x", "y", 3, 3600)
     return out.orderBy("lag")
+
+
+def _pband_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    qs = {
+        "p50_6": 0.5,
+        "p95_6": 0.95,
+        "p99_6": 0.99,
+    }
+    cols = ",\n           ".join(
+        f"{ref_round_sql(f'quantile_cont(value, {p})', 6)} AS {a}"
+        for a, p in qs.items()
+    )
+    return f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           {cols}
+    FROM events GROUP BY 1, 2
+    """
+
+
+@register(
+    "hourly_percentile_bands",
+    oracle=_pband_oracle(),
+    survey_ids=["A4", "A8"],
+    description="Observability percentile bands (P50/P95/P99 of event "
+    "value per type-hour): all three exact percentiles in ONE "
+    "map-side-combinable aggregate pass",
+)
+def hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        ref_round(F.percentile("value", F.lit(0.5)), 6).alias("p50_6"),
+        ref_round(F.percentile("value", F.lit(0.95)), 6).alias("p95_6"),
+        ref_round(F.percentile("value", F.lit(0.99)), 6).alias("p99_6"),
+    )
