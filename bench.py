@@ -100,6 +100,19 @@ EXTENDED = [
     "span_dedup_stats",
     "dsir_selection",
     "pagerank_events_graph",
+    # round-6 second wave: exact statistics / series / spatial
+    "heavy_hitters_planted",
+    "kaplan_meier_orders",
+    "winsorize_prices",
+    "exact_quantile_totalprice",
+    "quantile_normalize_embeddings",
+    "weighted_median_prices",
+    "mann_whitney_quantity",
+    "cusum_hourly_drift",
+    "resample_interpolate_hourly",
+    "lag_crosscorr_view_purchase",
+    "spatial_radius_pairs",
+    "q5_local_supplier_volume",
 ]
 
 
