@@ -194,3 +194,62 @@ def test_expensive_extended_query_plan_shapes(spark):
     assert p.count("BroadcastNestedLoopJoin") == 2
     assert p.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in p
+
+
+def test_round6_second_wave_plan_shapes(spark):
+    """Round-6 second-wave operators' scale claims as plan assertions:
+
+    - winsorize / weighted_median: bounds/stats come back via
+      BroadcastHashJoin (big side never re-shuffled), no sort-merge;
+    - kaplan_meier / mann_whitney / gini / hill: no Python eval nodes,
+      no cartesian products (1-row totals ride broadcasts);
+    - cusum: exactly ONE exchange feeds both stacked window projections;
+    - q5: the star query keeps every dimension on BroadcastHashJoin;
+    - spatial radius join: a plain equi-join (AQE-splittable), never
+      BroadcastNestedLoop/cartesian.
+    """
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    specs = registry()
+    names = [
+        "winsorize_prices",
+        "weighted_median_prices",
+        "kaplan_meier_orders",
+        "mann_whitney_quantity",
+        "gini_user_activity",
+        "hill_tail_user_activity",
+        "cusum_hourly_drift",
+        "q5_local_supplier_volume",
+        "spatial_radius_pairs",
+    ]
+    plans = {
+        n: _formatted(specs[n].spark(spark, SF_DIR)) for n in names
+    }
+    for name, plan in plans.items():
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    assert "SortMergeJoin" not in plans["winsorize_prices"]
+    assert "BroadcastHashJoin" in plans["winsorize_prices"]
+    assert "SortMergeJoin" not in plans["q5_local_supplier_volume"]
+    assert plans["q5_local_supplier_volume"].count(
+        "BroadcastHashJoin"
+    ) >= 2
+    assert "BroadcastNestedLoopJoin" not in plans["spatial_radius_pairs"]
+    # cusum: the stacked running-sum/running-min Window nodes must sit
+    # DIRECTLY on one shared Exchange — consecutive Window lines with
+    # the exchange immediately beneath, no re-shuffle between them
+    cusum = plans["cusum_hourly_drift"]
+    tree = cusum.split("\n\n")[0].splitlines()
+    w_idx = [i for i, line in enumerate(tree) if "Window" in line]
+    assert len(w_idx) >= 2, "expected stacked window projections"
+    # Sort nodes between Windows are fine (same partitioning); an
+    # Exchange inside the stack would be a re-shuffle regression
+    between = tree[w_idx[0]: w_idx[-1] + 1]
+    assert not any("Exchange" in line for line in between), between
+    # ...and the node chain directly under the last Window must reach
+    # an Exchange before any other Window/Join/Aggregate (one shared
+    # shuffle feeds the whole stack)
+    below = tree[w_idx[-1] + 1: w_idx[-1] + 3]
+    assert any("Exchange" in line for line in below), below
