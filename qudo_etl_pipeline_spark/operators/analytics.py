@@ -896,7 +896,15 @@ def exact_quantile(
                     F.lit(buckets - 1),
                     F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
                 ) == i
-                cur = cur.filter(sel)
+                # the floor-bucket predicate is exact but opaque to the
+                # scanner; the redundant (1-bucket-slack) range test is
+                # a superset, changes nothing, and IS pushable — at
+                # scale each refinement round prunes parquet row groups
+                # instead of re-reading the table
+                guard = (F.col("v") >= F.lit(b_lo - width)) & (
+                    F.col("v") <= F.lit(b_hi + width)
+                )
+                cur = cur.filter(guard & sel)
                 lo, hi = b_lo, b_hi
                 break
             seen += c
