@@ -207,3 +207,81 @@ def streaming_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_col: str,
+    capacity: int,
+    publisher: Publisher | str | None = None,
+):
+    """Continuously maintain a Misra-Gries heavy-hitter summary from a
+    raw stream — the streaming twin of ``sketches.heavy_hitters``'s
+    pass 1, with the same exactly-once versioned-manifest publish as
+    :func:`streaming_rollup`.
+
+    Each micro-batch aggregates to exact (key, cnt) deltas
+    (batch-sized), merges into the published summary by count addition,
+    and compresses to ``capacity`` counters with the mergeable-summary
+    rule (subtract the (capacity+1)-st largest, drop non-positives) —
+    so after ANY number of batches the summary obeys the MG bound:
+    true_count - n_total/(capacity+1) <= est <= true_count, and every
+    key with frequency > n_total/(capacity+1) is present. The exact
+    processed-row total rides along in the state (key NULL), giving
+    the threshold denominator without a second stream.
+
+    State size is <= capacity + 1 rows forever; like streaming_rollup
+    the merge is NOT idempotent, so the manifest batch-id gate guards
+    replays.
+    """
+    spark = stream.sparkSession
+    pub = resolve_publisher(table_path, publisher)
+    cap = int(capacity)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        qid = _query_id(checkpoint)
+        skip, rebuild, gen = _gate(pub.read(), batch_id, qid)
+        if skip:
+            return
+        delta = (
+            batch.select(F.col(key_col).alias("__hk"))
+            .groupBy("__hk")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        n_batch = batch.count()
+        total_row = spark.createDataFrame(
+            [(None, n_batch)], delta.schema
+        )
+        current = (
+            None if rebuild else read_maintained_table(spark, table_path, pub)
+        )
+        parts = [delta, total_row] + ([current] if current is not None else [])
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        merged = u.groupBy("__hk").agg(F.sum("cnt").alias("cnt"))
+        keys_only = merged.filter(F.col("__hk").isNotNull())
+        # state-sized compression: subtract the (cap+1)-st largest
+        if keys_only.count() > cap:
+            m = (
+                keys_only.orderBy(F.desc("cnt"))
+                .limit(cap + 1)
+                .agg(F.min("cnt"))
+                .collect()[0][0]
+            )
+            keys_only = keys_only.select(
+                "__hk", (F.col("cnt") - F.lit(m)).alias("cnt")
+            ).filter(F.col("cnt") > 0)
+        out = keys_only.unionByName(
+            merged.filter(F.col("__hk").isNull())
+        )
+        _publish(pub, table_path, out, batch_id, gen, qid)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

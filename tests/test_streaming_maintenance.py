@@ -249,3 +249,74 @@ def test_conditional_put_lost_manifest_rebuild(spark, tmp_path):
     shutil.rmtree(ckpt)
     _drain(spark, src, table, ckpt, "conditional_put")
     assert _state(spark, table) == [(1, "a"), (2, "b")]
+
+
+def test_streaming_heavy_hitters_bound_and_replay(spark, tmp_path):
+    """MG summary maintained across micro-batches: after any number of
+    batches every estimate obeys true - n/(cap+1) <= est <= true, every
+    key above the n/(cap+1) mass is PRESENT, the exact processed-row
+    total rides in the NULL-key row, and a checkpoint loss rebuilds
+    without double counting."""
+    import collections
+    import shutil
+    import time
+
+    from qudo_etl_pipeline_spark.streaming.maintenance import (
+        streaming_heavy_hitters,
+    )
+
+    schema = "k bigint"
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(table, exist_ok=True)
+    cap = 8
+
+    b1 = [7] * 60 + [8] * 30 + list(range(100, 140))
+    b2 = [7] * 20 + [9] * 45 + list(range(200, 230))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        streaming_heavy_hitters(
+            stream, table, ckpt, "k", cap
+        ).awaitTermination()
+
+    def state():
+        df = read_maintained_table(spark, table)
+        rows = {r["__hk"]: r["cnt"] for r in df.collect()}
+        total = rows.pop(None)
+        return rows, total
+
+    def check(data):
+        est, total = state()
+        assert total == len(data)
+        assert len(est) <= cap
+        true = collections.Counter(data)
+        err = len(data) / (cap + 1)
+        for k, c in est.items():
+            assert c <= true[k] and c >= true[k] - err, (k, c, true[k])
+        for k, c in true.items():
+            if c > err:
+                assert k in est, (k, c, err)
+
+    spark.createDataFrame([(k,) for k in b1], schema).write.parquet(
+        f"{src}/b1"
+    )
+    drain()
+    check(b1)
+
+    time.sleep(1.1)
+    spark.createDataFrame([(k,) for k in b2], schema).write.parquet(
+        f"{src}/b2"
+    )
+    drain()
+    check(b1 + b2)
+
+    # checkpoint loss: full replay under fresh ids -> rebuild, same bound
+    shutil.rmtree(ckpt)
+    drain()
+    check(b1 + b2)
