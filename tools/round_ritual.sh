@@ -43,5 +43,5 @@ else
   exit 1
 fi
 
-python tools/write_selfcheck_md.py "$ROUND" /tmp/ritual_selfcheck.log
+python tools/write_selfcheck_md.py "$ROUND" 0.01:/tmp/ritual_selfcheck.log
 echo "ritual complete: SELFCHECK_r0${ROUND}.md refreshed"
