@@ -792,15 +792,20 @@ def winsorize(
     if percentile not in ("exact", "approx"):
         raise ValueError(f"unknown percentile engine: {percentile!r}")
 
-    def pct(col: F.Column, p: float) -> F.Column:
-        if percentile == "exact":
-            return F.percentile(col, F.lit(p))
-        return F.percentile_approx(col, F.lit(p), F.lit(accuracy))
-
     v = F.col(value_col)
-    bounds = df.groupBy(*group_cols).agg(
-        ref_round(pct(v, lower), 6).alias("lo6"),
-        ref_round(pct(v, upper), 6).alias("hi6"),
+    # BOTH bounds from ONE percentile aggregate (array form): the
+    # aggregation state (the per-group value histogram) is the cost,
+    # and two scalar percentile calls would build it twice
+    if percentile == "exact":
+        pct_arr = F.percentile(v, F.array(F.lit(lower), F.lit(upper)))
+    else:
+        pct_arr = F.percentile_approx(
+            v, F.array(F.lit(lower), F.lit(upper)), F.lit(accuracy)
+        )
+    bounds = df.groupBy(*group_cols).agg(pct_arr.alias("_b")).select(
+        *group_cols,
+        ref_round(F.col("_b")[0], 6).alias("lo6"),
+        ref_round(F.col("_b")[1], 6).alias("hi6"),
     )
     ren = bounds
     for i, c in enumerate(group_cols):
@@ -1015,47 +1020,69 @@ def weighted_quantile(
     design units: the smallest value v such that the cumulative weight
     of rows <= v reaches q of the group total.
 
-    ONE keyed shuffle: a value-ordered running weight sum per group,
-    a crossing flag, and a min-value aggregate that reuses the
-    window's partitioning (Catalyst plans no second exchange). Weights
-    accumulate in DECIMAL and the crossing test is the integer-exact
-    ``q_den * cumw >= q_num * totw`` — no float thresholds.
+    The running weight sum is the RANGE-PARTITIONED two-pass prefix
+    sum (the token_budget_sample / quantile_normalize device), NOT a
+    ``Window.partitionBy(group)`` — with few wide groups that window
+    serializes each group into one task (measured 2.9 s at sf0.1 on 3
+    groups; the device spreads the same work over every core). Rows
+    range-partition on (group, value), partitions cum locally, and
+    per-(partition, group) totals — a partition-count-sized frame —
+    broadcast back per-group offsets and totals. Weights accumulate in
+    DECIMAL and the crossing test is the integer-exact ``q_den * cumw
+    >= q_num * totw`` — no float thresholds.
 
-    Determinism under ties: rows sharing a value may cum in any order,
-    but a value group crosses the threshold iff its END cumulative
-    weight does — order-independent — and the selected value is the
-    min over crossing rows, so every engine picks the same value.
+    Determinism under ties: rows sharing a value may cum in any order
+    (including split across range partitions), but a value group
+    crosses the threshold iff its END cumulative weight does —
+    order-independent — and the selected value is the min over
+    crossing rows, so every engine picks the same value.
     NULL values/weights are excluded.
     """
     v = F.col(value_col)
     wt = F.col(weight_col).cast("decimal(18,6)")
-    src = df.filter(v.isNotNull() & F.col(weight_col).isNotNull())
-    upto = (
-        Window.partitionBy(*group_cols)
-        .orderBy(value_col)
+    src = df.filter(v.isNotNull() & F.col(weight_col).isNotNull()).select(
+        *group_cols, v.alias("__v"), wt.alias("__w")
+    )
+    order = [F.asc(c) for c in group_cols] + [F.asc("__v")]
+    # cache before _pid (see quantile_normalize): both prefix-sum
+    # branches must observe ONE physical partitioning
+    part = src.repartitionByRange(*order).cache()
+    part = part.withColumn("_pid", F.spark_partition_id())
+    inner = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    full = Window.partitionBy(*group_cols)
-    cumw = F.sum(wt).over(upto)
-    totw = F.sum(wt).over(full)
-    crossed = (
-        F.lit(q_den) * cumw >= F.lit(q_num) * totw
+    local = part.withColumn("_cum_in", F.sum("__w").over(inner))
+    totals = part.groupBy("_pid", *group_cols).agg(
+        F.sum("__w").alias("_pt"), F.count(F.lit(1)).alias("_pc")
     )
-    flagged = src.select(
+    off_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
         *group_cols,
-        v.alias("__v"),
-        totw.alias("__totw"),
-        F.count(F.lit(1)).over(full).alias("__n"),
-        crossed.alias("__x"),
+        F.coalesce(
+            F.sum("_pt").over(off_w), F.lit(0).cast("decimal(18,6)")
+        ).alias("_off"),
     )
-    return (
-        flagged.filter(F.col("__x"))
-        .groupBy(*group_cols)
-        .agg(
-            F.min("__v").alias("wq_value"),
-            F.first("__totw").cast("double").alias("total_weight"),
-            F.first("__n").alias("n"),
-        )
+    gtot = totals.groupBy(*group_cols).agg(
+        F.sum("_pt").alias("__totw"), F.sum("_pc").alias("__n")
+    )
+    cumw = F.col("_cum_in") + F.col("_off")
+    crossed = F.lit(q_den) * cumw >= F.lit(q_num) * F.col("__totw")
+    flagged = (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .join(F.broadcast(gtot), list(group_cols))
+        .filter(crossed)
+    )
+    return flagged.groupBy(*group_cols).agg(
+        F.min("__v").alias("wq_value"),
+        F.first("__totw").cast("double").alias("total_weight"),
+        F.first("__n").alias("n"),
     )
 
 
