@@ -794,3 +794,90 @@ def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = coords(load_table(spark, sf_dir, "supplier"), "s_suppkey")
     out = grid_radius_join(cust, supp, "c_custkey", "s_suppkey", 500)
     return out.orderBy("c_custkey", "s_suppkey")
+
+
+_RAKE_SEGS = [
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+]
+_RAKE_DIMS = {
+    "seg": {s: 0.2 for s in _RAKE_SEGS},
+    "ngrp": {"0": 0.30, "1": 0.25, "2": 0.20, "3": 0.15, "4": 0.10},
+}
+_RAKE_ITERS = 3
+
+
+def _rake_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import (
+        fp_round_sql,
+        ref_round_sql,
+    )
+
+    def tcase(dim: str, targets: dict) -> str:
+        whens = " ".join(
+            f"WHEN {dim} = '{v}' THEN CAST({float(s)!r} AS DOUBLE)"
+            for v, s in sorted(targets.items())
+        )
+        return f"(CASE {whens} END)"
+
+    steps = ["base AS MATERIALIZED (SELECT c_custkey, c_mktsegment AS seg, "
+             "CAST(c_nationkey % 5 AS VARCHAR) AS ngrp, "
+             "CAST(1.0 AS DOUBLE) AS w FROM customer)"]
+    prev = "base"
+    i = 0
+    for _ in range(_RAKE_ITERS):
+        for dim, targets in _RAKE_DIMS.items():
+            i += 1
+            f = f"({tcase(dim, targets)} * tot._wt / sums._wc)"
+            steps.append(f"""s{i} AS MATERIALIZED (
+      SELECT c.c_custkey, c.seg, c.ngrp,
+             {fp_round_sql(f"c.w * {f}", 9)} AS w
+      FROM {prev} c
+      JOIN (SELECT {dim},
+                   CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS _wc
+            FROM {prev} GROUP BY {dim}) sums USING ({dim})
+      CROSS JOIN (SELECT CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)
+                    AS _wt FROM {prev}) tot
+    )""")
+            prev = f"s{i}"
+    arms = []
+    for dim, targets in _RAKE_DIMS.items():
+        arms.append(f"""
+      SELECT '{dim}' AS dim, {dim} AS category, COUNT(*) AS n,
+             {ref_round_sql(
+                 "CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)"
+                 " / (SELECT CAST(SUM(CAST(w AS DECIMAL(28,9)))"
+                 " AS DOUBLE) FROM " + prev + ")", 6)} AS share6,
+             {ref_round_sql(tcase(dim, targets), 6)} AS target6
+      FROM {prev} GROUP BY {dim}""")
+    return (
+        "WITH " + ",\n    ".join(steps)
+        + "\n    SELECT * FROM ("
+        + "\n      UNION ALL".join(arms)
+        + "\n    ) ORDER BY dim, category"
+    )
+
+
+@register(
+    "rake_weights_customers",
+    oracle=_rake_oracle(),
+    survey_ids=["A5", "A9", "M25"],
+    description="Survey raking (iterative proportional fitting) of "
+    "customer weights to two margin sets (uniform market segments; a "
+    "planted skewed nation-group margin): 3 IPF iterations, each rake "
+    "step one category-sized groupBy + broadcast factor map, weights "
+    "pinned to 9-decimal fixed-point doubles so the whole fit replays "
+    "bit-identically against the unrolled-CTE oracle",
+)
+def rake_weights_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.weighting import (
+        rake_summary,
+        rake_weights,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).cast("string").alias("ngrp"),
+    )
+    raked = rake_weights(cust, _RAKE_DIMS, iters=_RAKE_ITERS)
+    return rake_summary(raked, _RAKE_DIMS).orderBy("dim", "category")

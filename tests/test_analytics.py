@@ -724,3 +724,51 @@ def test_hill_alpha_recovers_pareto_exponent(spark):
     r = hill_tail_index(df, "x", d_min).collect()[0]
     assert r["n_tail"] == n
     assert 2.8 < r["alpha6"] < 3.4
+
+
+def test_rake_weights_matches_ipf_mirror(spark):
+    from qudo_etl_pipeline_spark.operators.weighting import (
+        rake_summary,
+        rake_weights,
+    )
+
+    # 2x2 design, deliberately unbalanced sample
+    rows = (
+        [("a", "x")] * 50 + [("a", "y")] * 10
+        + [("b", "x")] * 20 + [("b", "y")] * 20
+    )
+    dims = {"d1": {"a": 0.5, "b": 0.5}, "d2": {"x": 0.4, "y": 0.6}}
+    df = spark.createDataFrame(rows, "d1 string, d2 string")
+    raked = rake_weights(df, dims, iters=5)
+    summ = {
+        (r["dim"], r["category"]): r["share6"]
+        for r in rake_summary(raked, dims).collect()
+    }
+
+    # plain-python IPF mirror (same 9-dec fixed-point pinning)
+    def fp9(x):
+        import math
+
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    w = {i: 1.0 for i in range(len(rows))}
+    for _ in range(5):
+        for dim, targets in dims.items():
+            pos = 0 if dim == "d1" else 1
+            tot = sum(w.values())
+            cat = {}
+            for i, r in enumerate(rows):
+                cat[r[pos]] = cat.get(r[pos], 0.0) + w[i]
+            for i, r in enumerate(rows):
+                f = targets[r[pos]] * tot / cat[r[pos]]
+                w[i] = fp9(w[i] * f)
+    tot = sum(w.values())
+    for dim, targets in dims.items():
+        pos = 0 if dim == "d1" else 1
+        for c in targets:
+            share = sum(
+                w[i] for i, r in enumerate(rows) if r[pos] == c
+            ) / tot
+            assert abs(summ[(dim, c)] - round(share, 6)) < 2e-6, (dim, c)
+            # converged close to target after 5 iterations
+            assert abs(summ[(dim, c)] - targets[c]) < 0.01, (dim, c)
