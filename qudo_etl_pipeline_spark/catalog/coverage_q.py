@@ -881,3 +881,43 @@ def rake_weights_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raked = rake_weights(cust, _RAKE_DIMS, iters=_RAKE_ITERS)
     return rake_summary(raked, _RAKE_DIMS).orderBy("dim", "category")
+
+
+def _kish_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    neff = "(sw * sw / sw2)"
+    return f"""
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+               AS sw,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6))
+                           * CAST(l_quantity AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sw2,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_quantity > 0
+      GROUP BY 1
+    )
+    SELECT g AS l_returnflag, n,
+           {ref_round_sql(neff, 6)} AS n_eff6,
+           {ref_round_sql(f"CAST(n AS DOUBLE) / {neff}", 6)} AS deff6
+    FROM base
+    """
+
+
+@register(
+    "kish_neff_quantity",
+    oracle=_kish_oracle(),
+    survey_ids=["A5", "A8"],
+    description="Kish effective sample size / design effect per return "
+    "flag with quantity as the weight: one map-side-combinable "
+    "aggregate, DECIMAL-exact weight moments — the diagnostic every "
+    "weighting report pairs with raked weights",
+)
+def kish_neff_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.weighting import kish_neff
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kish_neff(li, "l_quantity", ["l_returnflag"])

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rake_weights", "rake_summary"]
+__all__ = ["rake_weights", "rake_summary", "kish_neff"]
 
 
 def _w_sum(col: str = "w") -> F.Column:
@@ -113,3 +113,44 @@ def rake_summary(
     for o in outs[1:]:
         u = u.unionByName(o)
     return u
+
+
+def kish_neff(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kish effective sample size and design effect — the diagnostic
+    every weighting report pairs with raked weights: n_eff =
+    (sum w)^2 / sum w^2, deff = n / n_eff. A deff of 1 means weighting
+    cost no precision; 2 means the weighted sample carries the
+    information of half its rows.
+
+    ONE map-side-combinable aggregate per group; both moments
+    accumulate in DECIMAL (exact for fixed-point weights), the ratios
+    are fixed IEEE trees. NULL/non-positive weights are excluded.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    gcols = group_cols or []
+    w = F.col(weight_col)
+    src = df.filter(w.isNotNull() & (w > 0))
+    agg = src.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w.cast("decimal(27,6)")).cast("double").alias("_sw"),
+        F.sum(
+            (w.cast("decimal(18,6)") * w.cast("decimal(18,6)")).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("_sw2"),
+    )
+    neff = F.col("_sw") * F.col("_sw") / F.col("_sw2")
+    deff = F.col("n").cast("double") / neff
+    return agg.select(
+        *gcols,
+        "n",
+        ref_round(neff, 6).alias("n_eff6"),
+        ref_round(deff, 6).alias("deff6"),
+    )

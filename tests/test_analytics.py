@@ -772,3 +772,17 @@ def test_rake_weights_matches_ipf_mirror(spark):
             assert abs(summ[(dim, c)] - round(share, 6)) < 2e-6, (dim, c)
             # converged close to target after 5 iterations
             assert abs(summ[(dim, c)] - targets[c]) < 0.01, (dim, c)
+
+
+def test_kish_neff_known_values(spark):
+    from qudo_etl_pipeline_spark.operators.weighting import kish_neff
+
+    # equal weights -> n_eff = n, deff = 1
+    eq = spark.createDataFrame([(2.0,)] * 8, "w double")
+    r = kish_neff(eq, "w").collect()[0]
+    assert (r["n"], r["n_eff6"], r["deff6"]) == (8, 8.0, 1.0)
+    # one dominant weight: w=[9,1,1,1] -> neff = 144/84
+    dom = spark.createDataFrame([(9.0,), (1.0,), (1.0,), (1.0,)], "w double")
+    r = kish_neff(dom, "w").collect()[0]
+    assert abs(r["n_eff6"] - round(144 / 84, 6)) < 1e-9
+    assert abs(r["deff6"] - round(4 * 84 / 144, 6)) < 1e-9
