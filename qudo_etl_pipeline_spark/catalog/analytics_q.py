@@ -1110,3 +1110,72 @@ def gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return A.gini_coefficient(counts, "c")
+
+
+_BOOT_B = 200
+
+
+def _boot_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64_sql
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        _POISSON1_CDF_PPM,
+    )
+
+    h = hash64_sql("('17:' || id || ':' || CAST(r AS VARCHAR))")
+    whens = " ".join(
+        f"WHEN ({h} % 1000000) < {t} THEN {k}"
+        for k, t in enumerate(_POISSON1_CDF_PPM)
+    )
+    return f"""
+    WITH src AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id, o_totalprice AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    fan AS (
+      SELECT v, r, CASE {whens} ELSE 6 END AS w
+      FROM src CROSS JOIN (
+        SELECT unnest(range(0, {_BOOT_B})) AS r
+      )
+    ),
+    reps AS (
+      SELECT r,
+             CAST(SUM(CAST(w * CAST(v AS DECIMAL(18,6))
+                           AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE) AS m
+      FROM fan GROUP BY r
+    ),
+    ci AS (
+      SELECT quantile_cont(m, 0.025) AS lo,
+             quantile_cont(m, 0.975) AS hi
+      FROM reps
+    ),
+    base AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean
+      FROM src
+    )
+    SELECT n, {ref_round_sql("mean", 6)} AS mean6,
+           {ref_round_sql("lo", 6)} AS ci_lo6,
+           {ref_round_sql("hi", 6)} AS ci_hi6,
+           CAST({_BOOT_B} AS BIGINT) AS n_boot
+    FROM base CROSS JOIN ci
+    """
+
+
+@register(
+    "bootstrap_ci_totalprice",
+    oracle=_boot_oracle(),
+    survey_ids=["A8", "R5"],
+    description="Poisson-bootstrap 95% CI for the mean order total: "
+    "deterministic hash-drawn Poisson(1) weights per (row, replicate) "
+    "through a quantized inverse-CDF table, map-side-combined to a "
+    "200-row replicate-mean frame — the index-free distributed "
+    "bootstrap, bit-reproducible in any engine",
+)
+def bootstrap_ci_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return A.bootstrap_ci_mean(
+        orders, "o_orderkey", "o_totalprice", n_boot=_BOOT_B, seed=17
+    )

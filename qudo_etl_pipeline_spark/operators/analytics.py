@@ -48,6 +48,7 @@ __all__ = [
     "mann_whitney_u",
     "hill_tail_index",
     "gini_coefficient",
+    "bootstrap_ci_mean",
 ]
 
 
@@ -1258,4 +1259,83 @@ def gini_coefficient(
         "n",
         "sx",
         F.when(F.col("sx") > 0, ref_round(g, 6)).alias("gini6"),
+    )
+
+
+#: Poisson(1) CDF thresholds quantized to 1e-6 — the inverse-CDF table
+#: both engines use to draw deterministic bootstrap weights.
+_POISSON1_CDF_PPM = [367879, 735758, 919698, 980998, 996323, 999405]
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 17,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean, via the
+    POISSON bootstrap — the resampling scheme that works on a dataset
+    too large to index: replicate r counts row i with weight
+    w ~ Poisson(1), drawn DETERMINISTICALLY from the seeded hash of
+    (id, r) through a quantized inverse-CDF table, so the whole CI is
+    reproducible in any engine (no rng state, no shuffle of samples).
+
+    Cost shape: one pass with an in-map ``n_boot``-way fan-out that
+    collapses immediately under map-side combine — the shuffle carries
+    n_boot partial rows per partition, never n x n_boot rows. The
+    replicate means (a ``n_boot``-row frame) resolve to the percentile
+    interval in one sketch-sized aggregate. n_boot is the CPU knob.
+
+    Returns 1 row: n, mean6 (full-sample, DECIMAL-exact), ci_lo6,
+    ci_hi6, n_boot. Weights are integers 0..6, so every replicate sum
+    is DECIMAL-exact.
+    """
+    from qudo_etl_pipeline_spark.functions.hashing import hash64
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).alias("__v"),
+    )
+    r = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__r")
+    h = hash64(
+        F.concat(F.lit(f"{seed}:"), F.col("__id"), F.lit(":"),
+                 F.col("__r").cast("string"))
+    ) % 1_000_000
+    w = F.lit(6)
+    for k in range(len(_POISSON1_CDF_PPM) - 1, -1, -1):
+        w = F.when(h < _POISSON1_CDF_PPM[k], F.lit(k)).otherwise(w)
+    reps = (
+        src.select("__id", "__v", r)
+        .select("__r", w.alias("__w"), F.col("__v"))
+        .groupBy("__r")
+        .agg(
+            (
+                F.sum(
+                    (F.col("__w") * F.col("__v").cast("decimal(18,6)"))
+                    .cast("decimal(28,6)")
+                ).cast("double")
+                / F.sum("__w").cast("double")
+            ).alias("__m")
+        )
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = reps.agg(
+        F.percentile("__m", F.array(F.lit(lo), F.lit(hi))).alias("_ci")
+    )
+    base = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("__v").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mean"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n",
+        ref_round(F.col("_mean"), 6).alias("mean6"),
+        ref_round(F.col("_ci")[0], 6).alias("ci_lo6"),
+        ref_round(F.col("_ci")[1], 6).alias("ci_hi6"),
+        F.lit(n_boot).cast("bigint").alias("n_boot"),
     )

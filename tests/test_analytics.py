@@ -786,3 +786,22 @@ def test_kish_neff_known_values(spark):
     r = kish_neff(dom, "w").collect()[0]
     assert abs(r["n_eff6"] - round(144 / 84, 6)) < 1e-9
     assert abs(r["deff6"] - round(4 * 84 / 144, 6)) < 1e-9
+
+
+def test_bootstrap_ci_covers_mean_and_is_deterministic(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        bootstrap_ci_mean,
+    )
+
+    rows = [(i, float((i * 37) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    r1 = bootstrap_ci_mean(df, "id", "v", n_boot=80, seed=5).collect()[0]
+    r2 = bootstrap_ci_mean(df, "id", "v", n_boot=80, seed=5).collect()[0]
+    assert r1 == r2                       # fully deterministic
+    assert r1["n"] == 500
+    assert r1["ci_lo6"] < r1["mean6"] < r1["ci_hi6"]
+    # CI width sane for sd~29, n=500: se ~ 1.3 -> 95% half-width ~2.6
+    assert 1.0 < (r1["ci_hi6"] - r1["ci_lo6"]) < 8.0
+    # different seed -> different replicate draws
+    r3 = bootstrap_ci_mean(df, "id", "v", n_boot=80, seed=6).collect()[0]
+    assert (r3["ci_lo6"], r3["ci_hi6"]) != (r1["ci_lo6"], r1["ci_hi6"])
