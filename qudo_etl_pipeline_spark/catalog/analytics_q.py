@@ -1179,3 +1179,50 @@ def bootstrap_ci_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.bootstrap_ci_mean(
         orders, "o_orderkey", "o_totalprice", n_boot=_BOOT_B, seed=17
     )
+
+
+def _ltv_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    return f"""
+    WITH cohort AS (
+      SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS c
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+             CAST(CAST(e.ts AS DATE) - c AS BIGINT) AS day_offset,
+             SUM(CAST(e.value AS DECIMAL(18,6))) AS _rev
+      FROM events e JOIN cohort ON e.user_id = cohort.u
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+             COUNT(*) AS cohort_size
+      FROM cohort GROUP BY 1
+    )
+    SELECT r.cohort_day, r.day_offset, s.cohort_size,
+           CAST(r._rev AS DOUBLE) AS rev,
+           CAST(SUM(r._rev) OVER w AS DOUBLE) AS cum_rev,
+           {ref_round_sql(
+               "CAST(SUM(r._rev) OVER w AS DOUBLE)"
+               " / CAST(s.cohort_size AS DOUBLE)", 6)} AS ltv6
+    FROM rev r JOIN sizes s USING (cohort_day)
+    WINDOW w AS (PARTITION BY r.cohort_day ORDER BY r.day_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle=_ltv_oracle(),
+    survey_ids=["A4", "A5", "W1"],
+    description="Cohort lifetime-value curves (cumulative purchase "
+    "revenue per user by cohort age): the retention-cohort device plus "
+    "a DECIMAL-exact running total over the date-domain-bounded "
+    "(cohort, offset) frame — events are never windowed",
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return A.cohort_ltv(ev, ["purchase"])

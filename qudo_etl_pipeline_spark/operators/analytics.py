@@ -49,6 +49,7 @@ __all__ = [
     "hill_tail_index",
     "gini_coefficient",
     "bootstrap_ci_mean",
+    "cohort_ltv",
 ]
 
 
@@ -1338,4 +1339,76 @@ def bootstrap_ci_mean(
         ref_round(F.col("_ci")[0], 6).alias("ci_lo6"),
         ref_round(F.col("_ci")[1], 6).alias("ci_hi6"),
         F.lit(n_boot).cast("bigint").alias("n_boot"),
+    )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    revenue_types: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value curves: users cohort by first-active day,
+    and each (cohort, day_offset) row carries the cohort's cumulative
+    revenue per user up to that age — the payback-period table every
+    growth dashboard draws.
+
+    Shape: the retention_cohorts device (distinct user-day activity,
+    min-day cohorts, one user-keyed join) plus a revenue aggregate to
+    the (cohort, offset) frame; the running total is an ordered window
+    over that DATE-DOMAIN-bounded frame, never over events. Revenue
+    accumulates in DECIMAL end to end, so the cumulative sums are
+    exact and engine-identical.
+
+    Output: (cohort_day, day_offset, cohort_size, rev, cum_rev,
+    ltv6 = cum_rev / cohort_size). Offsets appear only where the
+    cohort had revenue that day.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    cohort = (
+        events.select(
+            F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+        )
+        .groupBy("u")
+        .agg(F.min("d").alias("c"))
+    )
+    rev = (
+        events.filter(F.col(type_col).isin(revenue_types))
+        .select(
+            F.col(user_col).alias("u"),
+            F.to_date(F.col(ts_col)).alias("d"),
+            F.col(value_col).cast("decimal(18,6)").alias("v"),
+        )
+        .join(cohort, "u")
+        .groupBy(
+            F.date_format("c", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "c").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.sum("v").alias("_rev"))
+    )
+    sizes = cohort.groupBy(
+        F.date_format("c", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("_rev").over(w)
+    return (
+        rev.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            F.col("_rev").cast("double").alias("rev"),
+            cum.cast("double").alias("cum_rev"),
+            ref_round(
+                cum.cast("double") / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("ltv6"),
+        )
     )

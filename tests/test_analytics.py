@@ -805,3 +805,32 @@ def test_bootstrap_ci_covers_mean_and_is_deterministic(spark):
     # different seed -> different replicate draws
     r3 = bootstrap_ci_mean(df, "id", "v", n_boot=80, seed=6).collect()[0]
     assert (r3["ci_lo6"], r3["ci_hi6"]) != (r1["ci_lo6"], r1["ci_hi6"])
+
+
+def test_cohort_ltv_hand_values(spark):
+    import datetime as dt
+
+    from qudo_etl_pipeline_spark.operators.analytics import cohort_ltv
+
+    d = lambda day, h=12: dt.datetime(2024, 1, day, h)
+    rows = [
+        # cohort 01-01: users 1,2 — u1 buys day0 10.0, day2 5.0;
+        # u2 never buys (still counts in cohort size)
+        (1, d(1), "purchase", 10.0), (1, d(3), "purchase", 5.0),
+        (2, d(1), "view", 1.0),
+        # cohort 01-02: user 3 buys twice SAME day -> one offset row
+        (3, d(2), "purchase", 2.0), (3, d(2), "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): (
+            r["cohort_size"], r["rev"], r["cum_rev"], r["ltv6"]
+        )
+        for r in cohort_ltv(df, ["purchase"]).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 10.0, 10.0, 5.0)
+    assert got[("2024-01-01", 2)] == (2, 5.0, 15.0, 7.5)
+    assert got[("2024-01-02", 0)] == (1, 5.0, 5.0, 5.0)
+    assert len(got) == 3
