@@ -764,3 +764,60 @@ def hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_round(F.percentile("value", F.lit(0.95)), 6).alias("p95_6"),
         ref_round(F.percentile("value", F.lit(0.99)), 6).alias("p99_6"),
     )
+
+
+def _theil_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    return f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) // 3600
+                  AS DOUBLE) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.y - a.y) / (b.x - a.x) AS s
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    med AS (
+      SELECT event_type, COUNT(*) AS n_pairs,
+             {ref_round_sql("quantile_cont(s, 0.5)", 6)} AS slope6
+      FROM pairs GROUP BY event_type
+    ),
+    cnt AS (
+      SELECT event_type, COUNT(*) AS n_points FROM hourly GROUP BY 1
+    )
+    SELECT m.event_type, c.n_points, m.n_pairs, m.slope6
+    FROM med m JOIN cnt c USING (event_type)
+    """
+
+
+@register(
+    "theil_sen_hourly_trend",
+    oracle=_theil_oracle(),
+    survey_ids=["A8", "J3"],
+    description="Theil-Sen robust trend of hourly event counts per "
+    "type (median of pairwise slopes, 29% breakdown point): a series-"
+    "frame operator by contract — the quadratic pair fan-out runs on "
+    "the date-domain-bounded aggregate, never raw events",
+)
+def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                / 3600
+            )
+            .cast("bigint")
+            .cast("double")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return T.theil_sen_slope(hourly, "event_type", "x", "y")

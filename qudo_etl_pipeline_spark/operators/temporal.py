@@ -45,6 +45,7 @@ __all__ = [
     "resample_interpolate",
     "cusum_changepoints",
     "lag_crosscorr",
+    "theil_sen_slope",
 ]
 
 
@@ -814,4 +815,54 @@ def lag_crosscorr(
         "lag",
         "n",
         F.when((vx > 0) & (vy > 0), ref_round(corr, 6)).alias("corr6"),
+    )
+
+
+def theil_sen_slope(
+    series: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend: per key, the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i), x_i < x_j — the slope estimator
+    with a 29% outlier breakdown point, vs OLS's zero.
+
+    Deliberately a SERIES-frame operator: all-pairs is quadratic, so
+    the input contract is the already-aggregated per-key series
+    (hours/days — the frame rolling stats and CUSUM run on), where
+    n_pairs = O(domain²) is bounded by construction, NOT the raw event
+    table. The pair fan-out is a self-equi-join on the key; the median
+    is one exact percentile per key over the pair frame.
+
+    Output: (key, n_points, n_pairs, slope6).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    a = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(x_col).cast("double").alias("_xa"),
+        F.col(y_col).cast("double").alias("_ya"),
+    )
+    b = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(x_col).cast("double").alias("_xb"),
+        F.col(y_col).cast("double").alias("_yb"),
+    )
+    pairs = a.join(b, "_k").filter(F.col("_xa") < F.col("_xb"))
+    slope = (F.col("_yb") - F.col("_ya")) / (
+        F.col("_xb") - F.col("_xa")
+    )
+    counts = series.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    med = pairs.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        ref_round(F.percentile(slope, F.lit(0.5)), 6).alias("slope6"),
+    )
+    return (
+        med.join(F.broadcast(counts), "_k")
+        .select(
+            F.col("_k").alias(key_col), "n_points", "n_pairs", "slope6"
+        )
     )

@@ -587,3 +587,18 @@ def test_grid_radius_join_negative_coords(spark):
         for r in grid_radius_join(ldf, rdf, "lid", "rid", 150).collect()
     }
     assert got == {(1, 2), (1, 4)}
+
+
+def test_theil_sen_resists_outlier(spark):
+    from qudo_etl_pipeline_spark.operators.temporal import theil_sen_slope
+
+    # perfect slope-2 line with one massive outlier: OLS would bend,
+    # Theil-Sen must stay at 2
+    pts = [(float(x), 2.0 * x + 1) for x in range(20)]
+    pts[10] = (10.0, 500.0)
+    df = spark.createDataFrame(
+        [("k", x, y) for x, y in pts], "k string, x double, y double"
+    )
+    r = theil_sen_slope(df, "k", "x", "y").collect()[0]
+    assert r["n_points"] == 20 and r["n_pairs"] == 190
+    assert abs(r["slope6"] - 2.0) < 1e-9
