@@ -1226,3 +1226,65 @@ def _ltv_oracle() -> str:
 def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     return A.cohort_ltv(ev, ["purchase"])
+
+
+def _ks_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    d = "CAST(dmax AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    crit = (
+        "1.3581015157406195 * sqrt((CAST(n_a AS DOUBLE)"
+        " + CAST(n_b AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+    )
+    return f"""
+    WITH per_v AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND o_totalprice IS NOT NULL
+      GROUP BY o_totalprice
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM per_v
+    ),
+    cums AS (
+      SELECT ABS(SUM(ca) OVER upto * n_b - SUM(cb) OVER upto * n_a)
+               AS dev, n_a, n_b
+      FROM per_v CROSS JOIN tot
+      WINDOW upto AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    ),
+    agg AS (
+      SELECT n_a, n_b, CAST(MAX(dev) AS BIGINT) AS dmax
+      FROM cums GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b,
+           {ref_round_sql(d, 6)} AS d6,
+           {ref_round_sql(crit, 6)} AS crit6,
+           CAST(CASE WHEN {d} > {crit} THEN 1 ELSE 0 END AS BIGINT)
+             AS is_significant
+    FROM agg
+    """
+
+
+@register(
+    "ks_test_totalprice",
+    oracle=_ks_oracle(),
+    survey_ids=["A8", "M21"],
+    description="Two-sample Kolmogorov-Smirnov test of order totals "
+    "between URGENT and HIGH priorities: ECDF deviations maximized in "
+    "the integer cross-multiplied form on the distinct-value frame "
+    "(1-row totals broadcast), large-sample critical-value verdict",
+)
+def ks_test_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return A.ks_two_sample(
+        orders, "o_orderpriority", "o_totalprice", "1-URGENT", "2-HIGH"
+    )

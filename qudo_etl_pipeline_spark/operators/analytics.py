@@ -50,6 +50,7 @@ __all__ = [
     "gini_coefficient",
     "bootstrap_ci_mean",
     "cohort_ltv",
+    "ks_two_sample",
 ]
 
 
@@ -1411,4 +1412,73 @@ def cohort_ltv(
                 6,
             ).alias("ltv6"),
         )
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    label_a: str,
+    label_b: str,
+    alpha_c: float = 1.3581015157406195,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: D = max over v of
+    |F_a(v) - F_b(v)| between the two samples' empirical CDFs — the
+    distribution-shape companion to Mann-Whitney's location shift.
+
+    Same frame discipline as :func:`mann_whitney_u`: ONE
+    groupBy(value) collapses both samples to (value, cnt_a, cnt_b),
+    ordered running sums over that domain-sized frame give both ECDFs,
+    and the deviation maximized is the INTEGER cross-multiplied form
+    |n_b*cum_a - n_a*cum_b| (totals ride a 1-row broadcast), so the
+    argmax is exact and tie-free cross-engine; only the final
+    normalization divides. Significance: D > c(alpha) *
+    sqrt((n_a+n_b)/(n_a*n_b)), c(0.05) = 1.3581... (the classic
+    large-sample critical value).
+
+    Returns 1 row: (n_a, n_b, d6, crit6, is_significant).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    g = F.col(group_col)
+    per_v = (
+        df.filter(
+            g.isin([label_a, label_b]) & F.col(value_col).isNotNull()
+        )
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(g == label_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(g == label_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    upto = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = F.abs(
+        F.sum("ca").over(upto) * F.col("n_b")
+        - F.sum("cb").over(upto) * F.col("n_a")
+    )
+    agg = (
+        per_v.crossJoin(F.broadcast(tot))
+        .select(dev.alias("_dev"), "n_a", "n_b")
+        .groupBy("n_a", "n_b")
+        .agg(F.max("_dev").alias("_dmax"))
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("_dmax").cast("double") / (na * nb)
+    crit = F.lit(alpha_c) * F.sqrt((na + nb) / (na * nb))
+    return agg.select(
+        "n_a",
+        "n_b",
+        ref_round(d, 6).alias("d6"),
+        ref_round(crit, 6).alias("crit6"),
+        F.when(d > crit, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_significant"),
     )

@@ -834,3 +834,37 @@ def test_cohort_ltv_hand_values(spark):
     assert got[("2024-01-01", 2)] == (2, 5.0, 15.0, 7.5)
     assert got[("2024-01-02", 0)] == (1, 5.0, 5.0, 5.0)
     assert len(got) == 3
+
+
+def test_ks_two_sample_matches_reference(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import ks_two_sample
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 7.0]
+    b = [2.0, 4.0, 5.0, 6.0, 8.0, 9.0, 9.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "g", "v", "A", "B").collect()[0]
+
+    # plain-python ECDF mirror
+    vals = sorted(set(a + b))
+    dmax = max(
+        abs(
+            sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b if x <= v) / len(b)
+        )
+        for v in vals
+    )
+    assert (r["n_a"], r["n_b"]) == (6, 7)
+    assert abs(r["d6"] - round(dmax, 6)) < 1e-9
+    assert r["is_significant"] == 0  # tiny samples
+
+
+def test_ks_detects_separated_distributions(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import ks_two_sample
+
+    rows = [("A", float(i % 50)) for i in range(300)] + [
+        ("B", float(i % 50 + 40)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "g", "v", "A", "B").collect()[0]
+    assert r["is_significant"] == 1 and r["d6"] > 0.7
