@@ -612,3 +612,46 @@ def deliver_stats_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "targeting_seg",
         "chi2_stat",
     )
+
+
+@register(
+    "cramers_v_by_variable",
+    oracle=_MELT_CTE + """
+    , pervar AS (
+      SELECT variable,
+             SUM(POW(observed - row_tot * col_tot * 1.0 / n, 2) /
+                 (row_tot * col_tot * 1.0 / n)) AS stat_plain,
+             SUM(POW(GREATEST(ABS(observed - row_tot * col_tot * 1.0 / n) - 0.5, 0), 2) /
+                 (row_tot * col_tot * 1.0 / n)) AS stat_yates,
+             MIN(observed) AS min_observed,
+             COUNT(DISTINCT value) AS n_values,
+             COUNT(DISTINCT cluster) AS n_clusters,
+             CAST(SUM(observed) AS BIGINT) AS n_obs
+      FROM tot GROUP BY variable
+    ),
+    fin AS (
+      SELECT variable,
+             ROUND(CASE WHEN (n_values - 1) * (n_clusters - 1) = 1 AND min_observed <= 5
+                        THEN stat_yates ELSE stat_plain END, 6) AS chi2_stat,
+             CAST((n_values - 1) * (n_clusters - 1) AS BIGINT) AS dof,
+             n_obs,
+             CAST(LEAST(n_values, n_clusters) - 1 AS DOUBLE) AS k
+      FROM pervar
+    )
+    SELECT variable, chi2_stat, dof, n_obs,
+           CASE WHEN k > 0 THEN """
+    + ref_round_sql("sqrt(chi2_stat / (CAST(n_obs AS DOUBLE) * k))", 6)
+    + """ END AS cramers_v6
+    FROM fin
+    """,
+    survey_ids=["M21", "M22"],
+    description="Cramér's V effect size per variable (the magnitude "
+    "companion to the chi-squared p): derived from the same dense cell "
+    "frame as the test statistic plus a per-variable total — all "
+    "|variables|-row broadcast-sized arithmetic",
+)
+def cramers_v_by_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.contingency import cramers_v
+
+    t = contingency_tables(_survey_wide(spark, sf_dir), "cluster", id_vars=["id"])
+    return cramers_v(t)

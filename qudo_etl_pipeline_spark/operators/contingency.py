@@ -730,3 +730,39 @@ def discover_stats(deliver: DataFrame, n_feats: int = 10) -> DataFrame:
             "category_percentages",
         )
     )
+
+
+def cramers_v(
+    tables: "ContingencyTables", dense: DataFrame | None = None
+) -> DataFrame:
+    """Cramér's V effect size per variable — the magnitude companion to
+    the chi-squared p-value (p says "dependent"; V says "how much"):
+    V = sqrt(chi2 / (n * (min(r, c) - 1))), in [0, 1].
+
+    Reuses :func:`chi2_by_variable`'s per-variable aggregate and adds
+    only a per-variable observation total over the SAME dense frame —
+    both are |variables|-row frames, so the join is broadcast and the
+    whole statistic stays schema-bound.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    if dense is None:
+        dense = tables.dense_with_expected()
+    chi2 = chi2_by_variable(tables, dense)
+    totals = dense.groupBy("variable").agg(
+        F.sum("observed").alias("n_obs")
+    )
+    k = (
+        F.least(F.col("n_values"), F.col("n_clusters")) - F.lit(1)
+    ).cast("double")
+    # V from the 6-rounded statistic, mirroring the chi2 query's
+    # rounding so the oracle derives from the identical value
+    stat6 = F.round(F.col("chi2_stat"), 6)
+    v = F.sqrt(stat6 / (F.col("n_obs").cast("double") * k))
+    return chi2.join(F.broadcast(totals), "variable").select(
+        "variable",
+        stat6.alias("chi2_stat"),
+        F.col("dof").cast("bigint").alias("dof"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.when(k > 0, ref_round(v, 6)).alias("cramers_v6"),
+    )

@@ -211,3 +211,27 @@ def test_salt_cells_auto_activates_and_is_hash_identical(spark):
     finally:
         t_auto.unpersist()
         t_plain.unpersist()
+
+
+def test_cramers_v_known_table(spark):
+    """Perfect association in a 2x2 -> V = 1; independence -> V ~ 0."""
+    from qudo_etl_pipeline_spark.operators.contingency import (
+        contingency_tables,
+        cramers_v,
+    )
+
+    # perfect: cluster == x
+    rows = [(i, str(i % 2), str(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, cluster string, x string")
+    t = contingency_tables(df, "cluster", id_vars=["id"])
+    v = {r["variable"]: r for r in cramers_v(t).collect()}
+    assert v["x"]["cramers_v6"] is not None
+    assert abs(v["x"]["cramers_v6"] - 1.0) < 0.15  # Yates shrinks 2x2
+    assert v["x"]["n_obs"] == 40
+
+    # independent: x alternates within each cluster
+    rows2 = [(i, str(i % 2), str((i // 2) % 2)) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "id bigint, cluster string, x string")
+    t2 = contingency_tables(df2, "cluster", id_vars=["id"])
+    v2 = {r["variable"]: r for r in cramers_v(t2).collect()}
+    assert v2["x"]["cramers_v6"] < 0.2
