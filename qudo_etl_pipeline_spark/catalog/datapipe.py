@@ -2633,3 +2633,50 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "documents", columns=["doc_id", "n_chars"]
     )
     return weighted_sample(docs, "doc_id", "n_chars", k=200)
+
+
+def _js_oracle() -> str:
+    import math
+
+    ps = "(c_st * 1.0 / t_s)"
+    p = "(c_t * 1.0 / t)"
+    m = f"(({ps} + {p}) / 2.0)"
+    term = (
+        f"ROUND(0.5 * {ps} * ln({ps} / {m})"
+        f" + 0.5 * {p} * ln({p} / {m}), 9)"
+    )
+    half_ln2 = 0.5 * math.log(2.0)
+    return f"""
+    WITH toks AS (
+      SELECT source AS src, UNNEST(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    toks2 AS (SELECT src, tok FROM toks WHERE tok <> ''),
+    sc AS (SELECT src, tok, COUNT(*) AS c_st FROM toks2 GROUP BY 1, 2),
+    corpus AS (SELECT tok, SUM(c_st) AS c_t FROM sc GROUP BY 1),
+    st AS (SELECT src, SUM(c_st) AS t_s FROM sc GROUP BY 1),
+    pool AS (SELECT SUM(c_t) AS t FROM corpus)
+    SELECT src AS source,
+           ROUND(CAST(SUM(CAST({term} AS DECIMAL(38,9))) AS DOUBLE)
+                 + {half_ln2!r} * (1.0 - CAST(SUM(c_t) AS DOUBLE)
+                                   / CAST(MAX(t) AS DOUBLE)), 6) AS js,
+           CAST(MAX(t_s) AS BIGINT) AS n_tokens
+    FROM sc JOIN corpus USING (tok) JOIN st USING (src) CROSS JOIN pool
+    GROUP BY src
+    """
+
+
+@register(
+    "source_js_divergence",
+    oracle=_js_oracle(),
+    survey_ids=["A5", "A9", "J1"],
+    description="Per-source Jensen-Shannon divergence vs the pooled "
+    "corpus (symmetric, bounded domain-shift score): round-9 "
+    "present-token terms summed in DECIMAL, the absent-vocabulary tail "
+    "folded into a closed form over integer corpus counts — no dense "
+    "sources x vocab fan-out",
+)
+def source_js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.source_js_divergence(
+        load_table_spread(spark, sf_dir, "documents")
+    )

@@ -480,3 +480,64 @@ def source_kl_divergence(
         )
         .select(F.col("src").alias(source_col), "kl", "n_tokens")
     )
+
+
+def source_js_divergence(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Jensen-Shannon divergence per source vs the pooled corpus — the
+    SYMMETRIC, bounded ([0, ln 2]) domain-shift score; unlike KL it
+    never explodes on vocabulary mismatch, so it compares cleanly
+    across slices.
+
+    JS(P_s, P) = 0.5·sum p_s·ln(p_s/m) + 0.5·sum p·ln(p/m),
+    m = (p_s + p)/2. Tokens ABSENT from the source contribute a pure
+    closed form: their second term is 0.5·p·ln 2, and their pooled
+    mass is an INTEGER (total corpus count minus the corpus count of
+    the source's own vocabulary) — so the whole absent-vocabulary tail
+    costs one subtraction instead of a |sources| x |vocab| dense
+    fan-out. Present-token terms follow the KL determinism recipe:
+    round-9 terms summed in DECIMAL.
+
+    Same scale shape as :func:`source_kl_divergence`: ONE explode
+    feeds every distribution; everything after is vocabulary-sized.
+    """
+    toks = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sc = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    corpus = sc.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    src_tot = sc.groupBy("src").agg(F.sum("c_st").alias("t_s"))
+    pool_tot = corpus.agg(F.sum("c_t").alias("t"))
+    p_s = F.col("c_st") / F.col("t_s")
+    p = F.col("c_t") / F.col("t")
+    m = (p_s + p) / F.lit(2.0)
+    term = F.round(
+        F.lit(0.5) * p_s * F.log(p_s / m)
+        + F.lit(0.5) * p * F.log(p / m),
+        9,
+    )
+    present = (
+        sc.join(corpus, "tok")
+        .join(F.broadcast(src_tot), "src")
+        .crossJoin(F.broadcast(pool_tot))
+        .groupBy("src")
+        .agg(
+            F.sum(term.cast("decimal(38,9)")).alias("_sum9"),
+            F.max("t_s").alias("n_tokens"),
+            F.sum("c_t").alias("_cov"),   # corpus count of source vocab
+            F.max("t").alias("_t"),
+        )
+    )
+    import math
+
+    tail = (
+        F.lit(0.5 * math.log(2.0))
+        * (F.lit(1.0) - F.col("_cov").cast("double") / F.col("_t").cast("double"))
+    )
+    return present.select(
+        F.col("src").alias(source_col),
+        F.round(F.col("_sum9").cast("double") + tail, 6).alias("js"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )

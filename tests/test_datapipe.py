@@ -1578,3 +1578,45 @@ def test_similarity_join_exact_vs_bruteforce(spark):
 
     with _pt.raises(ValueError, match="threshold"):
         prefix_filter_candidates(df, 0.0)
+
+
+def test_js_divergence_bounds_and_mirror(spark):
+    import math
+
+    from qudo_etl_pipeline_spark.operators.text import source_js_divergence
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b c", "s1"),
+            (2, "a b b d", "s1"),
+            (3, "x x y z", "s2"),   # disjoint vocabulary
+            (4, "a b c d", "s3"),   # close to pooled
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r["source"]: r["js"] for r in
+           source_js_divergence(docs).collect()}
+    # symmetric-bounded: 0 <= JS <= ln 2
+    for v in out.values():
+        assert -1e-9 <= v <= math.log(2) + 1e-9
+    # the disjoint-vocab source must diverge most
+    assert out["s2"] == max(out.values())
+
+    # plain-python mirror for s3
+    import collections
+
+    alltoks = "a a b c a b b d x x y z a b c d".split()
+    s3 = "a b c d".split()
+    pc = collections.Counter(alltoks)
+    sc = collections.Counter(s3)
+    t, ts = len(alltoks), len(s3)
+    js = 0.0
+    for tok, c in sc.items():
+        p_s, p = c / ts, pc[tok] / t
+        m = (p_s + p) / 2
+        js += round(
+            0.5 * p_s * math.log(p_s / m) + 0.5 * p * math.log(p / m), 9
+        )
+    cov = sum(pc[tok] for tok in sc)
+    js += 0.5 * math.log(2) * (1 - cov / t)
+    assert abs(out["s3"] - round(js, 6)) < 2e-6
