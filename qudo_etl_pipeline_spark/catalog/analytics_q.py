@@ -1116,15 +1116,26 @@ _BOOT_B = 200
 
 
 def _boot_oracle() -> str:
-    from qudo_etl_pipeline_spark.functions.hashing import hash64_sql
+    from qudo_etl_pipeline_spark.functions.hashing import (
+        UNIVERSAL_MOD,
+        UNIVERSAL_RANGE,
+        hash64_sql,
+    )
     from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
     from qudo_etl_pipeline_spark.operators.analytics import (
         _POISSON1_CDF_PPM,
     )
 
-    h = hash64_sql("('17:' || id || ':' || CAST(r AS VARCHAR))")
+    h0 = hash64_sql("('17:' || id)")
+    base = f"({h0} % {UNIVERSAL_RANGE})"
+    a = (
+        f"(CASE WHEN (r * 2654435761 + 1) % {UNIVERSAL_MOD} = 0 THEN 1"
+        f" ELSE (r * 2654435761 + 1) % {UNIVERSAL_MOD} END)"
+    )
+    b = f"((r * 1013904223 + 12345) % {UNIVERSAL_MOD})"
+    u = f"((({a} * b0 + {b}) % {UNIVERSAL_MOD}) % 1000000)"
     whens = " ".join(
-        f"WHEN ({h} % 1000000) < {t} THEN {k}"
+        f"WHEN {u} < {t} THEN {k}"
         for k, t in enumerate(_POISSON1_CDF_PPM)
     )
     return f"""
@@ -1132,9 +1143,10 @@ def _boot_oracle() -> str:
       SELECT CAST(o_orderkey AS VARCHAR) AS id, o_totalprice AS v
       FROM orders WHERE o_totalprice IS NOT NULL
     ),
+    based AS (SELECT v, {base} AS b0 FROM src),
     fan AS (
       SELECT v, r, CASE {whens} ELSE 6 END AS w
-      FROM src CROSS JOIN (
+      FROM based CROSS JOIN (
         SELECT unnest(range(0, {_BOOT_B})) AS r
       )
     ),
