@@ -113,6 +113,14 @@ EXTENDED = [
     "lag_crosscorr_view_purchase",
     "spatial_radius_pairs",
     "q5_local_supplier_volume",
+    "bootstrap_ci_totalprice",
+    "cohort_ltv_curves",
+    "theil_sen_hourly_trend",
+    "ks_test_totalprice",
+    "cramers_v_by_variable",
+    "source_js_divergence",
+    "rake_weights_customers",
+    "kish_neff_quantity",
 ]
 
 
