@@ -186,13 +186,14 @@ def _benford_oracle() -> str:
     )
     return f"""
     WITH digits AS (
-      SELECT CAST(substr(regexp_replace(
+      SELECT TRY_CAST(substr(regexp_replace(
                printf('%.10f', ABS(CAST(o_totalprice AS DOUBLE))),
                '[0.]', '', 'g'), 1, 1) AS BIGINT) AS digit
       FROM orders
       WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
     ),
-    d AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1),
+    d AS (SELECT digit, COUNT(*) AS n FROM digits
+          WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
     t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM d)
     SELECT digit, n, n_total,
            {ref_round_sql(

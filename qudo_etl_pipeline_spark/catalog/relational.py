@@ -803,7 +803,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
-            F.broadcast(supp),
+            # no broadcast hint: supplier grows with SF, so forcing it
+            # would override Catalyst's size-based planning and risk
+            # executor OOM at scale — stats pick broadcast-hash at any
+            # SF where it actually fits
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (cust["c_nationkey"] == supp["s_nationkey"]),
         )

@@ -723,7 +723,10 @@ def two_proportion_ztest(
     counts through one fixed IEEE expression tree, so z is
     bit-identical cross-engine; significance compares against an exact
     double constant rather than a p-value (monotone in |z|, the same
-    threshold trick the chi-squared post-hoc layer uses).
+    threshold trick the chi-squared post-hoc layer uses). The
+    exactly-two-labels contract is ENFORCED: with any other label
+    count the row comes back all-NULL rather than a
+    plausible-but-wrong test between the lexicographic extremes.
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
@@ -738,7 +741,13 @@ def two_proportion_ztest(
         F.max(
             F.struct(F.col(group_col).alias("g"), F.col("n"), F.col("k"))
         ).alias("b"),
+        F.count(F.lit(1)).alias("_ng"),
     )
+    # contract guard: min/max structs keep only the lexicographic
+    # extremes, so >2 group labels would silently drop the middle
+    # groups and report a plausible-but-wrong test — null every output
+    # instead of answering a different question
+    ok = F.col("_ng") == 2
     n1 = F.col("a.n").cast("double")
     n2 = F.col("b.n").cast("double")
     p1 = F.col("a.k").cast("double") / n1
@@ -752,18 +761,20 @@ def two_proportion_ztest(
     # degenerate pooled rate (0 or 1) -> no variance -> no test
     z = F.when(se > 0, (p1 - p2) / se)
     return row.select(
-        F.col("a.g").alias("group_a"),
-        F.col("a.n").alias("n_a"),
-        F.col("a.k").alias("conv_a"),
-        F.col("b.g").alias("group_b"),
-        F.col("b.n").alias("n_b"),
-        F.col("b.k").alias("conv_b"),
-        ref_round(p1 - p2, 6).alias("rate_diff6"),
-        ref_round(z, 6).alias("z6"),
-        F.when(F.abs(z) > F.lit(z_crit), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("is_significant"),
+        F.when(ok, F.col("a.g")).alias("group_a"),
+        F.when(ok, F.col("a.n")).alias("n_a"),
+        F.when(ok, F.col("a.k")).alias("conv_a"),
+        F.when(ok, F.col("b.g")).alias("group_b"),
+        F.when(ok, F.col("b.n")).alias("n_b"),
+        F.when(ok, F.col("b.k")).alias("conv_b"),
+        F.when(ok, ref_round(p1 - p2, 6)).alias("rate_diff6"),
+        F.when(ok, ref_round(z, 6)).alias("z6"),
+        F.when(
+            ok,
+            F.when(F.abs(z) > F.lit(z_crit), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        ).alias("is_significant"),
     )
 
 
@@ -882,9 +893,17 @@ def exact_quantile(
     cur_n = n
     while cur_n > max_leaf and lo < hi:
         width = (hi - lo) / buckets
-        b = F.least(
-            F.lit(buckets - 1),
-            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+        # clamp BOTH sides: IEEE rounding of (v - lo)/width at a bucket
+        # boundary can push a surviving row to bucket -1 in a later
+        # refinement round (lo has moved above the row's value by one
+        # ulp) — invisible to the range(buckets) walk below and able to
+        # stall the rank bookkeeping
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(buckets - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+            ),
         ).cast("int")
         hist = {
             r["b"]: r["c"]
@@ -900,9 +919,12 @@ def exact_quantile(
                 cur_n = c
                 b_lo = lo + i * width
                 b_hi = lo + (i + 1) * width if i < buckets - 1 else hi
-                sel = F.least(
-                    F.lit(buckets - 1),
-                    F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+                sel = F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(buckets - 1),
+                        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+                    ),
                 ) == i
                 # the floor-bucket predicate is exact but opaque to the
                 # scanner; the redundant (1-bucket-slack) range test is

@@ -116,16 +116,24 @@ def benford_profile(
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
     v = F.col(value_col)
+    # try_cast: |x| < 5e-11 strips to the EMPTY string (no leading
+    # digit at 10-decimal precision) — ANSI cast would error; NULL is
+    # correct and the filter below drops it
     digit = F.substring(
         F.regexp_replace(
             F.format_number(F.abs(v.cast("double")), 10), "[0.,]", ""
         ),
         1,
         1,
-    ).cast("bigint")
+    ).try_cast("bigint")
     digits = (
         df.filter(v.isNotNull() & (v != 0))
         .select(digit.alias("digit"))
+        # |x| < 5e-11 survives the v != 0 filter but formats to an
+        # all-zero string -> NULL digit: such rows carry no leading
+        # digit at this precision, so drop them (keeps the output to
+        # the 9 meaningful Benford cells)
+        .filter(F.col("digit").between(1, 9))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -245,8 +245,13 @@ def streaming_heavy_hitters(
         skip, rebuild, gen = _gate(pub.read(), batch_id, qid)
         if skip:
             return
+        # null stream keys must NOT reach the delta: a null __hk count
+        # row would merge into the NULL-key total-row sentinel and
+        # inflate n_total (nulls are already counted by batch.count()),
+        # matching the batch kernel's dropna-candidates semantics
         delta = (
-            batch.select(F.col(key_col).alias("__hk"))
+            batch.filter(F.col(key_col).isNotNull())
+            .select(F.col(key_col).alias("__hk"))
             .groupBy("__hk")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -542,6 +542,20 @@ def test_two_proportion_ztest_degenerate_rate_no_blowup(spark):
     assert r["z6"] is None and r["is_significant"] == 0
 
 
+def test_two_proportion_ztest_three_groups_all_null(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        two_proportion_ztest,
+    )
+
+    # 3 labels violate the exactly-two contract: the min/max struct
+    # collapse would silently drop B and test A vs C — the guard must
+    # null EVERY output instead of answering a different question
+    rows = [("A", 1), ("A", 0), ("B", 1), ("C", 0), ("C", 1)]
+    df = spark.createDataFrame(rows, "v string, s int")
+    r = two_proportion_ztest(df, "v", "s").collect()[0]
+    assert all(r[c] is None for c in r.asDict())
+
+
 def test_winsorize_hand_bounds(spark):
     from qudo_etl_pipeline_spark.operators.analytics import winsorize
 
@@ -597,6 +611,30 @@ def test_exact_quantile_all_equal_and_empty(spark):
     assert r["value"] == 3.5
     empty = spark.createDataFrame([], "x double")
     assert exact_quantile(empty, "x", 1, 2).count() == 0
+
+
+def test_exact_quantile_boundary_values_terminate(spark):
+    """Values sitting exactly on refinement-bucket boundaries (and one
+    ulp either side) must never land in bucket -1 after the range
+    narrows — the two-sided clamp keeps every surviving row visible to
+    the rank walk, so the loop terminates with the exact answer."""
+    import math
+
+    from qudo_etl_pipeline_spark.operators.analytics import exact_quantile
+
+    base = [float(i) for i in range(0, 64)]
+    edgy = [math.nextafter(v, -math.inf) for v in base] + [
+        math.nextafter(v, math.inf) for v in base
+    ]
+    vals = base * 4 + edgy
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    srt = sorted(vals)
+    for q_num, q_den in [(1, 3), (1, 2), (2, 3), (99, 100)]:
+        k = (q_num * (len(vals) - 1)) // q_den
+        r = exact_quantile(
+            df, "x", q_num, q_den, buckets=4, max_leaf=8
+        ).collect()[0]
+        assert r["value"] == srt[k], (q_num, q_den)
 
 
 def test_quantile_normalize_textbook(spark):

@@ -84,3 +84,17 @@ def test_benford_digit_extraction_and_shares(spark):
     for d, r in out.items():
         assert abs(r["benford_p6"] - round(math.log10(1 + 1 / d), 6)) < 1e-9
         assert abs(r["observed_p6"] - round(r["n"] / 8, 6)) < 1e-6
+
+
+def test_benford_subprecision_values_dropped(spark):
+    """|x| < 5e-11 formats to an all-zero string at 10 decimals: such
+    rows survive the x != 0 filter but carry no leading digit — they
+    must be dropped, not emitted as a NULL-digit row with NULL shares."""
+    from qudo_etl_pipeline_spark.operators.profile import benford_profile
+
+    vals = [1e-12, -4.9e-11, 123.0, 2.5, 0.19]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = benford_profile(df, "x").collect()
+    assert {r["digit"]: r["n"] for r in out} == {1: 2, 2: 1}
+    # and the degenerate rows are excluded from the denominator too
+    assert all(r["n_total"] == 3 for r in out)

@@ -320,3 +320,40 @@ def test_streaming_heavy_hitters_bound_and_replay(spark, tmp_path):
     shutil.rmtree(ckpt)
     drain()
     check(b1 + b2)
+
+
+def test_streaming_heavy_hitters_null_keys_only_inflate_total(
+    spark, tmp_path
+):
+    """Null stream keys count toward n_total (they were processed rows)
+    but must NOT merge a null candidate row into the NULL-key total
+    sentinel — the published total must equal exactly the processed row
+    count, matching the batch kernel's dropna-candidates semantics."""
+    from qudo_etl_pipeline_spark.streaming.maintenance import (
+        streaming_heavy_hitters,
+    )
+
+    schema = "k bigint"
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(table, exist_ok=True)
+
+    data = [7] * 10 + [None] * 5 + [8] * 3
+    spark.createDataFrame([(k,) for k in data], schema).write.parquet(
+        f"{src}/b1"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    streaming_heavy_hitters(stream, table, ckpt, "k", 4).awaitTermination()
+    rows = {
+        r["__hk"]: r["cnt"]
+        for r in read_maintained_table(spark, table).collect()
+    }
+    # sentinel == processed rows INCLUDING nulls, not inflated by a
+    # null candidate row's count merging in
+    assert rows.pop(None) == len(data)
+    assert rows == {7: 10, 8: 3}
