@@ -1025,7 +1025,7 @@ def mann_whitney_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hill_oracle(d_min: int = 70) -> str:
     from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 
-    alpha = "1.0 + CAST(cum_n AS DOUBLE) / cum_ln"
+    alpha = "1.0 + CAST(n_tail AS DOUBLE) / CAST(lnsum AS DOUBLE)"
     return f"""
     WITH counts AS (
       SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
@@ -1034,21 +1034,18 @@ def _hill_oracle(d_min: int = 70) -> str:
       SELECT c AS v, COUNT(*) AS m FROM counts
       WHERE c >= {d_min} GROUP BY c
     ),
-    sums AS (
-      SELECT v,
-             CAST(SUM(m) OVER upto AS BIGINT) AS cum_n,
-             SUM(CAST(m AS DOUBLE)
-                 * ln(CAST(v AS DOUBLE) / {float(d_min)!r})) OVER upto
-               AS cum_ln
+    agg AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n_tail,
+             SUM(CAST(CAST(m AS DOUBLE)
+                 * ln(CAST(v AS DOUBLE) / {float(d_min)!r})
+                 AS DECIMAL(38,12))) AS lnsum
       FROM per_v
-      WINDOW upto AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND CURRENT ROW)
-      QUALIFY ROW_NUMBER() OVER (ORDER BY v DESC) = 1
     )
-    SELECT CAST({d_min} AS BIGINT) AS d_min, cum_n AS n_tail,
-           CASE WHEN cum_ln > 0 THEN {ref_round_sql(alpha, 6)} END
+    SELECT CAST({d_min} AS BIGINT) AS d_min, n_tail,
+           CASE WHEN lnsum > 0 THEN {ref_round_sql(alpha, 6)} END
              AS alpha6
-    FROM sums
+    FROM agg
+    WHERE n_tail IS NOT NULL
     """
 
 
@@ -1058,8 +1055,9 @@ def _hill_oracle(d_min: int = 70) -> str:
     survey_ids=["A8", "A4"],
     description="Hill power-law tail exponent of per-user event counts "
     "(the will-this-key-distribution-skew-my-shuffles diagnostic): "
-    "tail ln-mass accumulated in pinned value order on the distinct-"
-    "count frame, alpha from one fixed IEEE expression",
+    "tail ln-mass quantized to DECIMAL(38,12) per distinct count and "
+    "summed exactly (association-free, no ordered window), alpha from "
+    "one fixed IEEE expression",
 )
 def hill_tail_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
@@ -1299,4 +1297,96 @@ def ks_test_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return A.ks_two_sample(
         orders, "o_orderpriority", "o_totalprice", "1-URGENT", "2-HIGH"
+    )
+
+
+_KS_BINS = 64
+
+
+def _ks_binned_oracle(bins: int = _KS_BINS) -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    d = "CAST(dmax AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    crit = (
+        "1.3581015157406195 * sqrt((CAST(n_a AS DOUBLE)"
+        " + CAST(n_b AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+    )
+    # bucket arithmetic mirrors the Spark plan OPERATION FOR OPERATION:
+    # (v - lo) / ((hi - lo) / bins), floor, two-sided clamp — identical
+    # IEEE expression tree, identical buckets in both engines
+    bucket = (
+        f"GREATEST(0, LEAST({bins - 1}, "
+        f"FLOOR((CAST(v AS DOUBLE) - lo) / ((hi - lo) / {float(bins)!r}))))"
+    )
+    return f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND o_totalprice IS NOT NULL
+    ),
+    rng AS (
+      SELECT MIN(CAST(v AS DOUBLE)) AS lo, MAX(CAST(v AS DOUBLE)) AS hi
+      FROM src
+    ),
+    binned AS (
+      SELECT g,
+             CAST(CASE WHEN (hi - lo) / {float(bins)!r} > 0
+                       THEN {bucket} ELSE 0 END AS BIGINT) AS v
+      FROM src CROSS JOIN rng
+    ),
+    per_v AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM binned GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM per_v
+    ),
+    cums AS (
+      SELECT ABS(SUM(ca) OVER upto * n_b - SUM(cb) OVER upto * n_a)
+               AS dev, n_a, n_b
+      FROM per_v CROSS JOIN tot
+      WINDOW upto AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    ),
+    agg AS (
+      SELECT n_a, n_b, CAST(MAX(dev) AS BIGINT) AS dmax
+      FROM cums GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b,
+           {ref_round_sql(d, 6)} AS d6,
+           {ref_round_sql(crit, 6)} AS crit6,
+           CAST(CASE WHEN {d} > {crit} THEN 1 ELSE 0 END AS BIGINT)
+             AS is_significant
+    FROM agg
+    """
+
+
+@register(
+    "ks_test_totalprice_binned",
+    oracle=_ks_binned_oracle(),
+    survey_ids=["A8", "M21"],
+    description="Binned two-sample KS test of order totals (64 "
+    "equi-width bins on the pooled broadcast range): the frame the "
+    "ECDFs run on is 64 rows REGARDLESS of measure cardinality — the "
+    "documented scale path for continuous measures; conservative to "
+    "within the max per-bin sample mass (D_binned <= D_exact <= "
+    "D_binned + max bin mass)",
+)
+def ks_test_totalprice_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return A.ks_two_sample(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        "1-URGENT",
+        "2-HIGH",
+        bins=_KS_BINS,
     )

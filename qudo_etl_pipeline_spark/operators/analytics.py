@@ -1126,15 +1126,21 @@ def mann_whitney_u(
 
     Built on the DISTINCT-VALUE frame, not per-row ranks: one
     groupBy(value) collapses both samples to (value, cnt_a, cnt_b),
-    then an ordered scan over that frame assigns midrank mass. Sized
-    for discrete/binned measures (quantities, scores, Likert scales —
-    frame = value domain); for a continuous measure bin first, or the
-    frame grows to the row count. All rank mass stays in INTEGER
+    then the midrank mass accumulates via the RANGE-PARTITIONED
+    two-pass prefix sum (:func:`~qudo_etl_pipeline_spark.operators.
+    prefix.ranged_prefix_sums` — NOT a global ``Window.orderBy``, which
+    would move the whole frame through one task: harmless on a bounded
+    value domain, a scale-killer on a continuous measure whose distinct
+    count approaches the row count). All rank mass stays in INTEGER
     arithmetic via the doubling trick: 2·R_a = sum cnt_a·(2·cum_before
     + cnt + 1) is a bigint, so R_a, U_a and the z numerator are exact
-    halves — no summation-order drift, bit-identical cross-engine.
+    halves — no summation-order drift, bit-identical cross-engine (the
+    device reassociates additions, which is a no-op on integers).
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        ranged_prefix_sums,
+    )
 
     g = F.col(group_col)
     per_v = (
@@ -1144,17 +1150,19 @@ def mann_whitney_u(
             F.sum(F.when(g == label_a, 1).otherwise(0)).alias("ca"),
             F.sum(F.when(g == label_b, 1).otherwise(0)).alias("cb"),
         )
+        .withColumn("_ct", F.col("ca") + F.col("cb"))
     )
-    before = Window.orderBy(value_col).rowsBetween(
-        Window.unboundedPreceding, -1
+    cum = ranged_prefix_sums(
+        per_v, [value_col], {"_cum": "_ct"}, inclusive=False
     )
-    cnt = F.col("ca") + F.col("cb")
-    cum = F.coalesce(F.sum(cnt).over(before), F.lit(0))
-    ranked = per_v.select(
+    ranked = cum.select(
         "ca",
         "cb",
-        cnt.alias("ct"),
-        (F.col("ca") * (F.lit(2) * cum + cnt + F.lit(1))).alias("r2a"),
+        F.col("_ct").alias("ct"),
+        (
+            F.col("ca")
+            * (F.lit(2) * F.col("_cum") + F.col("_ct") + F.lit(1))
+        ).alias("r2a"),
     )
     agg = ranked.agg(
         F.sum("ca").alias("n_a"),
@@ -1200,11 +1208,14 @@ def hill_tail_index(
     distributions (is this key-popularity curve Zipfian, and how
     hard will it skew my shuffles?).
 
-    ONE filtered aggregate; the ln sum is order-insensitive only up to
-    IEEE reassociation, so it aggregates over the DISTINCT-value frame
-    (value domain-sized) where each distinct value contributes
-    count·ln(v/d_min) in a deterministic per-value expression summed
-    in value order.
+    ONE filtered aggregate over the DISTINCT-value frame (value
+    domain-sized): each distinct value contributes count·ln(v/d_min)
+    as a deterministic per-value double expression QUANTIZED to
+    DECIMAL(38,12), and the tail sum accumulates in DECIMAL — exact
+    and association-free, so the total is bit-identical in any engine
+    under ANY aggregation order (no ordered window anywhere in the
+    plan; the quantization error is 1e-12 per term, ~9 decimal digits
+    below the 1e-6 output rounding at any plausible tail size).
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
@@ -1213,27 +1224,22 @@ def hill_tail_index(
         .groupBy(F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    upto = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    # order-pinned running sum -> the LAST row carries the total
-    summed = per_v.select(
-        "m",
-        F.sum("m").over(upto).alias("cum_n"),
-        F.sum(
-            F.col("m").cast("double")
-            * F.log(F.col("v").cast("double") / F.lit(float(d_min)))
-        )
-        .over(upto)
-        .alias("cum_ln"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("v")))
-        .alias("__rev"),
+    term = (
+        F.col("m").cast("double")
+        * F.log(F.col("v").cast("double") / F.lit(float(d_min)))
+    ).cast("decimal(38,12)")
+    agg = per_v.agg(
+        F.sum("m").alias("n_tail"),
+        F.sum(term).alias("_lnsum"),
+    ).filter(F.col("n_tail").isNotNull())
+    alpha = (
+        F.lit(1.0)
+        + F.col("n_tail").cast("double") / F.col("_lnsum").cast("double")
     )
-    last = summed.filter(F.col("__rev") == 1)
-    alpha = F.lit(1.0) + F.col("cum_n").cast("double") / F.col("cum_ln")
-    return last.select(
+    return agg.select(
         F.lit(d_min).cast("bigint").alias("d_min"),
-        F.col("cum_n").alias("n_tail"),
-        F.when(F.col("cum_ln") > 0, ref_round(alpha, 6)).alias("alpha6"),
+        F.col("n_tail"),
+        F.when(F.col("_lnsum") > 0, ref_round(alpha, 6)).alias("alpha6"),
     )
 
 
@@ -1250,24 +1256,28 @@ def gini_coefficient(
     + 1) — a pure bigint — so G = that/(n·sum x) − (n+1)/n is one
     fixed IEEE expression over exact integers, bit-identical in any
     engine (ties need no ordering decisions: equal values contribute
-    identically under any tie order).
+    identically under any tie order). The running count is the
+    RANGE-PARTITIONED two-pass prefix sum, so a high-cardinality value
+    domain never funnels through a single ordered task.
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        ranged_prefix_sums,
+    )
 
     per_v = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).cast("bigint").alias("v"))
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    before = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = F.coalesce(F.sum("m").over(before), F.lit(0))
-    terms = per_v.select(
+    cum = ranged_prefix_sums(per_v, ["v"], {"_cum": "m"}, inclusive=False)
+    terms = cum.select(
         "v",
         "m",
         (
-            F.col("v") * F.col("m") * (F.lit(2) * cum + F.col("m") + 1)
+            F.col("v")
+            * F.col("m")
+            * (F.lit(2) * F.col("_cum") + F.col("m") + 1)
         ).alias("r2x"),
     )
     agg = terms.agg(
@@ -1461,6 +1471,7 @@ def ks_two_sample(
     label_a: str,
     label_b: str,
     alpha_c: float = 1.3581015157406195,
+    bins: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test: D = max over v of
     |F_a(v) - F_b(v)| between the two samples' empirical CDFs — the
@@ -1468,41 +1479,74 @@ def ks_two_sample(
 
     Same frame discipline as :func:`mann_whitney_u`: ONE
     groupBy(value) collapses both samples to (value, cnt_a, cnt_b),
-    ordered running sums over that domain-sized frame give both ECDFs,
-    and the deviation maximized is the INTEGER cross-multiplied form
-    |n_b*cum_a - n_a*cum_b| (totals ride a 1-row broadcast), so the
-    argmax is exact and tie-free cross-engine; only the final
-    normalization divides. Significance: D > c(alpha) *
-    sqrt((n_a+n_b)/(n_a*n_b)), c(0.05) = 1.3581... (the classic
-    large-sample critical value).
+    the ECDF running sums come from the RANGE-PARTITIONED two-pass
+    prefix sum (:func:`~qudo_etl_pipeline_spark.operators.prefix.
+    ranged_prefix_sums` — never a global ``Window.orderBy``, so a
+    CONTINUOUS measure whose distinct-value frame approaches the row
+    count still spreads over every core), and the deviation maximized
+    is the INTEGER cross-multiplied form |n_b*cum_a - n_a*cum_b|
+    (totals ride a 1-row broadcast), so the argmax is exact and
+    tie-free cross-engine; only the final normalization divides.
+    Significance: D > c(alpha) * sqrt((n_a+n_b)/(n_a*n_b)),
+    c(0.05) = 1.3581... (the classic large-sample critical value).
+
+    ``bins=B`` optionally pre-buckets the measure into B equi-width
+    bins on the pooled [min, max] (a broadcast 1-row range), shrinking
+    the frame from the distinct-value count to B regardless of
+    cardinality. Discretization error bound: the binned ECDFs agree
+    with the exact ones at every bin edge, and inside a bin each ECDF
+    moves by at most that bin's sample mass, so
+    D_binned <= D_exact <= D_binned + max_bin max(p_a_bin, p_b_bin);
+    with B equi-width bins on a roughly uniform measure that slack is
+    O(1/B). The test stays conservative (never inflates D).
 
     Returns 1 row: (n_a, n_b, d6, crit6, is_significant).
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        ranged_prefix_sums,
+    )
 
     g = F.col(group_col)
-    per_v = (
-        df.filter(
-            g.isin([label_a, label_b]) & F.col(value_col).isNotNull()
+    src = df.filter(
+        g.isin([label_a, label_b]) & F.col(value_col).isNotNull()
+    ).select(g.alias("_g"), F.col(value_col).alias("_v"))
+    if bins is not None:
+        rng = src.agg(
+            F.min(F.col("_v").cast("double")).alias("_lo"),
+            F.max(F.col("_v").cast("double")).alias("_hi"),
         )
-        .groupBy(value_col)
-        .agg(
-            F.sum(F.when(g == label_a, 1).otherwise(0)).alias("ca"),
-            F.sum(F.when(g == label_b, 1).otherwise(0)).alias("cb"),
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(bins)
+        bucket = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("_v").cast("double") - F.col("_lo")) / width
+                ),
+            ),
+        ).cast("bigint")
+        src = src.crossJoin(F.broadcast(rng)).select(
+            "_g",
+            # degenerate range (all values equal) -> one bucket, and
+            # width=0 would divide by zero under ANSI
+            F.when(width > 0, bucket).otherwise(F.lit(0)).alias("_v"),
         )
+    per_v = src.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g") == label_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("_g") == label_b, 1).otherwise(0)).alias("cb"),
     )
     tot = per_v.agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
-    upto = Window.orderBy(value_col).rowsBetween(
-        Window.unboundedPreceding, 0
+    cums = ranged_prefix_sums(
+        per_v, ["_v"], {"_ca": "ca", "_cb": "cb"}, inclusive=True
     )
     dev = F.abs(
-        F.sum("ca").over(upto) * F.col("n_b")
-        - F.sum("cb").over(upto) * F.col("n_a")
+        F.col("_ca") * F.col("n_b") - F.col("_cb") * F.col("n_a")
     )
     agg = (
-        per_v.crossJoin(F.broadcast(tot))
+        cums.crossJoin(F.broadcast(tot))
         .select(dev.alias("_dev"), "n_a", "n_b")
         .groupBy("n_a", "n_b")
         .agg(F.max("_dev").alias("_dmax"))

@@ -1,0 +1,114 @@
+"""Range-partitioned distributed prefix sums.
+
+The device behind ``quantile_normalize`` / ``weighted_quantile`` /
+``token_budget_sample``, extracted so every rank-statistic operator
+shares ONE scale-safe implementation instead of each hand-rolling a
+``Window.orderBy(...)`` — which has no PARTITION BY and therefore moves
+the whole frame through a single task: fine on a value-domain-sized
+frame, a scale-killer the day a caller feeds a row-count-sized one
+(e.g. a KS test over a continuous measure, where the distinct-value
+frame IS the row count).
+
+Shape (three stages, ~2 shuffles, no single-task stage):
+
+1. ``repartitionByRange`` on the order key — each output partition
+   holds a contiguous key range, partition count set by
+   ``spark.sql.shuffle.partitions`` (cached: both downstream branches
+   must observe ONE physical partitioning, since stage 3 joins on the
+   partition id).
+2. Per-partition local running sums (``Window.partitionBy(_pid)`` —
+   parallel across partitions) plus per-partition totals (ONE keyed
+   aggregate, partition-count-sized output).
+3. The totals frame windows into per-partition starting offsets — an
+   ordered window over a PARTITION-COUNT-sized frame, the only ordered
+   scan in the plan — and broadcast-joins back: global cum = local cum
+   + partition offset.
+
+Reference parity note: the reference engine computes rank statistics
+with eager single-process scans (sorted numpy arrays); this is the
+distributed re-expression with identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ranged_prefix_sums"]
+
+
+def ranged_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: dict[str, str],
+    group_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Append global running sums over ``order_cols`` order to ``df``.
+
+    ``sum_cols`` maps each OUTPUT column name to the INPUT column it
+    accumulates; ``inclusive=False`` gives the exclusive ("cum before")
+    form, zero on each first row. With ``group_cols`` the running sums
+    restart per group (groups may straddle range partitions — offsets
+    are tracked per (partition, group)).
+
+    Contract: the summed columns must be exactly summable (integral or
+    DECIMAL) — partition totals aggregate WITHOUT an intra-partition
+    order, which reassociates IEEE addition; integers and DECIMALs are
+    association-free so the result is bit-identical to a sequential
+    scan in any engine. Order keys must be unique per group (the
+    distinct-value frames every rank statistic runs on satisfy this by
+    construction); duplicate keys could split across range partitions
+    with engine-dependent cum values at the duplicates.
+    """
+    groups = list(group_cols or [])
+    order = [F.asc(c) for c in groups] + [F.asc(c) for c in order_cols]
+    # cache before _pid: range boundaries are SAMPLED, and the local-cum
+    # and totals branches below must see the SAME physical partitioning
+    # (reclaimed by ContextCleaner when the caller drops the plan)
+    part = df.repartitionByRange(*order).cache()
+    part = part.withColumn("_pid", F.spark_partition_id())
+    bound = 0 if inclusive else -1
+    inner = (
+        Window.partitionBy("_pid", *groups)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, bound)
+    )
+    local = part.select(
+        "*",
+        *[
+            F.coalesce(F.sum(src).over(inner), F.lit(0)).alias(
+                f"_cin_{out}"
+            )
+            for out, src in sum_cols.items()
+        ],
+    )
+    totals = part.groupBy("_pid", *groups).agg(
+        *[
+            F.sum(src).alias(f"_pt_{out}")
+            for out, src in sum_cols.items()
+        ]
+    )
+    off_w = (
+        Window.partitionBy(*groups)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        *groups,
+        *[
+            F.coalesce(F.sum(f"_pt_{out}").over(off_w), F.lit(0)).alias(
+                f"_off_{out}"
+            )
+            for out in sum_cols
+        ],
+    )
+    joined = local.join(F.broadcast(offsets), ["_pid", *groups])
+    return joined.select(
+        *df.columns,
+        *[
+            (F.col(f"_cin_{out}") + F.col(f"_off_{out}")).alias(out)
+            for out in sum_cols
+        ],
+    )

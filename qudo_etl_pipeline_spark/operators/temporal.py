@@ -823,6 +823,8 @@ def theil_sen_slope(
     key_col: str,
     x_col: str,
     y_col: str,
+    max_points_per_key: int = 1000,
+    on_excess: str = "error",
 ) -> DataFrame:
     """Theil-Sen robust trend: per key, the MEDIAN of all pairwise
     slopes (y_j - y_i)/(x_j - x_i), x_i < x_j — the slope estimator
@@ -832,29 +834,82 @@ def theil_sen_slope(
     the input contract is the already-aggregated per-key series
     (hours/days — the frame rolling stats and CUSUM run on), where
     n_pairs = O(domain²) is bounded by construction, NOT the raw event
-    table. The pair fan-out is a self-equi-join on the key; the median
-    is one exact percentile per key over the pair frame.
+    table. The contract is ENFORCED by ``max_points_per_key``:
 
-    Output: (key, n_points, n_pairs, slope6).
+    - ``on_excess="error"`` (default): a plan-side ``assert_true``
+      gate fires before any pair is built, so a raw event table can
+      never silently fan out quadratically — the job fails with the
+      offending key in the message.
+    - ``on_excess="subsample"``: each oversized key keeps its
+      ``max_points_per_key`` seeded-hash-smallest points (the
+      randomized/subsampled Theil-Sen variant from the estimator
+      literature — same breakdown robustness, bounded pair count;
+      deterministic because the hash order is a pure row function).
+      Under-cap keys are untouched either way.
+
+    The pair fan-out is a self-equi-join on the key; the median is one
+    exact percentile per key over the pair frame.
+
+    Output: (key, n_points, n_pairs, slope6) — n_points is the
+    ORIGINAL series size (pre-cap), n_pairs the pairs actually used.
     """
+    from qudo_etl_pipeline_spark.functions.hashing import hash64
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
-    a = series.select(
-        F.col(key_col).alias("_k"),
-        F.col(x_col).cast("double").alias("_xa"),
-        F.col(y_col).cast("double").alias("_ya"),
+    if on_excess not in ("error", "subsample"):
+        raise ValueError(f"unknown on_excess policy: {on_excess!r}")
+
+    counts = series.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("n_points")
     )
-    b = series.select(
+    src = series.select(
         F.col(key_col).alias("_k"),
-        F.col(x_col).cast("double").alias("_xb"),
-        F.col(y_col).cast("double").alias("_yb"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    if on_excess == "error":
+        # assert_true inside a FILTER is not prunable by the optimizer
+        # and materializes with the broadcast build side below — the
+        # quadratic join can never start against an oversized key
+        gate = F.assert_true(
+            F.col("n_points") <= F.lit(max_points_per_key),
+            F.concat(
+                F.lit("theil_sen_slope: a key has n_points > "),
+                F.lit(str(max_points_per_key)),
+                F.lit(
+                    " (max_points_per_key). Pre-aggregate the series "
+                    "per key or pass on_excess='subsample'."
+                ),
+            ),
+        )
+        gated = counts.filter(gate.isNull())
+        src = src.join(F.broadcast(gated.select("_k")), "_k")
+    else:
+        order = Window.partitionBy("_k").orderBy(
+            hash64(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("_x").cast("string"),
+                    F.col("_y").cast("string"),
+                )
+            ),
+            "_x",
+            "_y",
+        )
+        src = (
+            src.withColumn("_rn", F.row_number().over(order))
+            .filter(F.col("_rn") <= max_points_per_key)
+            .drop("_rn")
+        )
+    a = src.select(
+        "_k", F.col("_x").alias("_xa"), F.col("_y").alias("_ya")
+    )
+    b = src.select(
+        "_k", F.col("_x").alias("_xb"), F.col("_y").alias("_yb")
     )
     pairs = a.join(b, "_k").filter(F.col("_xa") < F.col("_xb"))
     slope = (F.col("_yb") - F.col("_ya")) / (
         F.col("_xb") - F.col("_xa")
-    )
-    counts = series.groupBy(F.col(key_col).alias("_k")).agg(
-        F.count(F.lit(1)).alias("n_points")
     )
     med = pairs.groupBy("_k").agg(
         F.count(F.lit(1)).alias("n_pairs"),

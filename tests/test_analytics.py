@@ -906,3 +906,33 @@ def test_ks_detects_separated_distributions(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = ks_two_sample(df, "g", "v", "A", "B").collect()[0]
     assert r["is_significant"] == 1 and r["d6"] > 0.7
+
+
+def test_ks_binned_bounds_and_degenerate(spark):
+    """bins=B: with one bin per integer value the binned test equals
+    the exact one; with coarse bins D is conservative (never above the
+    exact D, within max-bin-mass below); an all-equal measure (width 0)
+    collapses to one bucket with D = 0 instead of dividing by zero."""
+    from qudo_etl_pipeline_spark.operators.analytics import ks_two_sample
+
+    rows = [("A", float(i % 50)) for i in range(300)] + [
+        ("B", float(i % 50 + 40)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    exact = ks_two_sample(df, "g", "v", "A", "B").collect()[0]
+    # 90 distinct integer values over range [0, 89] -> 90 equi-width
+    # bins separate every value: identical statistic
+    fine = ks_two_sample(df, "g", "v", "A", "B", bins=90).collect()[0]
+    assert fine["d6"] == exact["d6"]
+    assert (fine["n_a"], fine["n_b"]) == (exact["n_a"], exact["n_b"])
+    coarse = ks_two_sample(df, "g", "v", "A", "B", bins=9).collect()[0]
+    # conservative: D_binned <= D_exact <= D_binned + max bin mass
+    assert coarse["d6"] <= exact["d6"] + 1e-9
+    assert coarse["d6"] >= exact["d6"] - (1 / 9 + 2e-2) - 1e-9
+    assert coarse["is_significant"] == 1  # separation survives binning
+
+    const = spark.createDataFrame(
+        [("A", 5.0)] * 10 + [("B", 5.0)] * 10, "g string, v double"
+    )
+    r = ks_two_sample(const, "g", "v", "A", "B", bins=16).collect()[0]
+    assert r["d6"] == 0.0 and r["is_significant"] == 0

@@ -253,3 +253,48 @@ def test_round6_second_wave_plan_shapes(spark):
     # shuffle feeds the whole stack)
     below = tree[w_idx[-1] + 1: w_idx[-1] + 3]
     assert any("Exchange" in line for line in below), below
+
+
+def test_rank_statistics_have_no_single_task_data_window(spark):
+    """Round-7 scale fix (the r6 verdict's one surviving scale-killer):
+    KS / Mann-Whitney / Gini ECDF and rank running sums go through the
+    range-partitioned two-pass prefix-sum device, so EVERY window over
+    the data frame is partitioned by the physical partition id and the
+    only unpartitioned ordered window runs on the partition-TOTALS
+    frame (bounded by shuffle partition count, recognizable by its
+    _pt_ columns). Hill needs no window at all (DECIMAL term sums).
+    """
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    specs = registry()
+    for name in (
+        "ks_test_totalprice",
+        "ks_test_totalprice_binned",
+        "mann_whitney_quantity",
+        "gini_user_activity",
+    ):
+        plan = (
+            specs[name]
+            .spark(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        windows = [
+            line
+            for line in plan.splitlines()
+            if "windowspecdefinition" in line
+        ]
+        assert windows, name
+        for line in windows:
+            assert (
+                "windowspecdefinition(_pid#" in line or "_pt_" in line
+            ), (name, line)
+    hill = (
+        specs["hill_tail_user_activity"]
+        .spark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition" not in hill

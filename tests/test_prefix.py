@@ -1,0 +1,101 @@
+"""ranged_prefix_sums: the shared range-partitioned prefix-sum device."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.operators.prefix import ranged_prefix_sums
+
+
+def _seq(vals):
+    out, c = [], 0
+    for v in vals:
+        c += v
+        out.append(c)
+    return out
+
+
+def test_global_inclusive_and_exclusive_match_sequential(spark):
+    # unique keys in scrambled input order, enough rows to span several
+    # range partitions under the test session's shuffle_partitions
+    keys = [(i * 37) % 101 for i in range(101)]
+    rows = [(k, k % 7 + 1) for k in keys]
+    df = spark.createDataFrame(rows, "k bigint, x bigint")
+    ordered = sorted(rows)
+    inc = {
+        r["k"]: r["cum"]
+        for r in ranged_prefix_sums(df, ["k"], {"cum": "x"}).collect()
+    }
+    exc = {
+        r["k"]: r["cum"]
+        for r in ranged_prefix_sums(
+            df, ["k"], {"cum": "x"}, inclusive=False
+        ).collect()
+    }
+    seq = _seq([x for _, x in ordered])
+    for i, (k, x) in enumerate(ordered):
+        assert inc[k] == seq[i], k
+        assert exc[k] == seq[i] - x, k
+
+
+def test_multiple_sum_columns_one_pass(spark):
+    rows = [(i, 1, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k bigint, one bigint, x bigint")
+    out = {
+        r["k"]: (r["cnt"], r["sx"])
+        for r in ranged_prefix_sums(
+            df, ["k"], {"cnt": "one", "sx": "x"}
+        ).collect()
+    }
+    for k in range(50):
+        assert out[k] == (k + 1, k * (k + 1) // 2), k
+
+
+def test_grouped_prefix_sums_restart_per_group(spark):
+    # groups deliberately interleaved in key space so group boundaries
+    # straddle range partitions
+    rows = [(g, i, 1) for g in ("a", "b", "c") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, k bigint, x bigint")
+    out = ranged_prefix_sums(
+        df, ["k"], {"cum": "x"}, group_cols=["g"]
+    ).collect()
+    for r in out:
+        assert r["cum"] == r["k"] + 1, (r["g"], r["k"])
+
+
+def test_decimal_sums_stay_exact(spark):
+    rows = [(i, "0.1") for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, s string").select(
+        "k", F.col("s").cast("decimal(18,6)").alias("w")
+    )
+    out = {
+        r["k"]: r["cum"]
+        for r in ranged_prefix_sums(df, ["k"], {"cum": "w"}).collect()
+    }
+    from decimal import Decimal
+
+    for k in range(100):
+        assert out[k] == Decimal("0.1") * (k + 1), k
+
+
+def test_device_plan_has_no_unpartitioned_data_window(spark):
+    """The scale contract itself: the only Window over the DATA frame
+    is partitioned by the physical partition id; the only ordered
+    unpartitioned window runs on the partition-TOTALS frame (bounded
+    by shuffle partition count), recognizable by its _pt_ columns."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(1).alias("x")
+    )
+    plan = (
+        ranged_prefix_sums(df, ["k"], {"cum": "x"})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert windows, "expected window nodes in the device plan"
+    for line in windows:
+        partitioned_by_pid = "windowspecdefinition(_pid#" in line
+        totals_frame = "_pt_" in line
+        assert partitioned_by_pid or totals_frame, line

@@ -602,3 +602,56 @@ def test_theil_sen_resists_outlier(spark):
     r = theil_sen_slope(df, "k", "x", "y").collect()[0]
     assert r["n_points"] == 20 and r["n_pairs"] == 190
     assert abs(r["slope6"] - 2.0) < 1e-9
+
+
+def test_theil_sen_oversized_key_raises(spark):
+    """The series contract is ENFORCED: a key with more points than
+    max_points_per_key fails loudly before the quadratic pair join,
+    instead of silently fanning out O(n^2)."""
+    import pytest
+
+    from qudo_etl_pipeline_spark.operators.temporal import theil_sen_slope
+
+    df = spark.createDataFrame(
+        [("k", float(i), float(i)) for i in range(50)],
+        "k string, x double, y double",
+    )
+    with pytest.raises(Exception, match="max_points_per_key"):
+        theil_sen_slope(df, "k", "x", "y", max_points_per_key=10).collect()
+    with pytest.raises(ValueError, match="on_excess"):
+        theil_sen_slope(df, "k", "x", "y", on_excess="nope")
+
+
+def test_theil_sen_subsample_caps_pairs_and_keeps_small_keys_exact(spark):
+    from qudo_etl_pipeline_spark.operators.temporal import theil_sen_slope
+
+    big = [("big", float(i), 3.0 * i) for i in range(60)]
+    small = [("small", float(i), 2.0 * i + 1) for i in range(8)]
+    df = spark.createDataFrame(
+        big + small, "k string, x double, y double"
+    )
+    out = {
+        r["k"]: r
+        for r in theil_sen_slope(
+            df, "k", "x", "y", max_points_per_key=20,
+            on_excess="subsample",
+        ).collect()
+    }
+    # oversized key: 20 seeded-hash-chosen points -> at most C(20,2)
+    # pairs; a perfect line still yields the exact slope
+    assert out["big"]["n_points"] == 60  # ORIGINAL size reported
+    assert out["big"]["n_pairs"] <= 190
+    assert abs(out["big"]["slope6"] - 3.0) < 1e-9
+    # under-cap key untouched: full pair frame, exact answer
+    assert out["small"]["n_pairs"] == 28
+    assert abs(out["small"]["slope6"] - 2.0) < 1e-9
+    # determinism: same input -> identical subsample -> identical stats
+    again = {
+        r["k"]: r
+        for r in theil_sen_slope(
+            df, "k", "x", "y", max_points_per_key=20,
+            on_excess="subsample",
+        ).collect()
+    }
+    assert again["big"]["n_pairs"] == out["big"]["n_pairs"]
+    assert again["big"]["slope6"] == out["big"]["slope6"]
