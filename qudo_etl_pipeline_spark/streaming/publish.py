@@ -24,7 +24,17 @@ atomicity depends on the storage system, so it is abstracted here:
   so readers can never observe a partial manifest, which ``open(path,
   'x')`` + write would not guarantee.
 
-Both publishers expose the same two operations — ``read()`` (latest
+- :class:`ObjectStoreConditionalPutPublisher` — the same sequence-log
+  protocol spoken through an :class:`ObjectStore` adapter: the real
+  S3/GCS/Azure conditional-PUT semantics (If-None-Match / generation
+  match), a CAS retry loop for PreconditionFailed losers, and
+  writer-token read-back resolution for AMBIGUOUS puts (5xx/timeout
+  after the object landed). A cloud deployment implements the
+  three-method :class:`ObjectStore` with its vendor SDK; the protocol
+  layer above is store-independent and contract-tested here through
+  the fault-injecting :class:`LocalObjectStore`.
+
+All publishers expose the same two operations — ``read()`` (latest
 committed manifest or None) and ``commit(manifest)`` (True if this
 writer won) — so the sinks' exactly-once gate logic is protocol-
 independent. ``resolve_publisher`` auto-detects which protocol a table
@@ -41,6 +51,10 @@ __all__ = [
     "Publisher",
     "RenamePublisher",
     "ConditionalPutPublisher",
+    "ObjectStore",
+    "LocalObjectStore",
+    "TransientStoreError",
+    "ObjectStoreConditionalPutPublisher",
     "resolve_publisher",
 ]
 
@@ -168,6 +182,191 @@ class ConditionalPutPublisher(Publisher):
         )
 
 
+class TransientStoreError(Exception):
+    """A store request failed with an UNKNOWN outcome (the 5xx /
+    timeout class): the object may or may not have been created. The
+    caller must resolve the ambiguity by reading back — never by
+    blindly retrying a non-idempotent create."""
+
+
+class ObjectStore:
+    """The minimal object-store surface the commit protocol needs —
+    three operations, each with a direct mapping onto every major
+    store's public API:
+
+    - ``get(key)``: GET object (None on 404).
+    - ``put_if_absent(key, data)``: conditional create — S3
+      ``PUT`` + ``If-None-Match: *`` (412 Precondition Failed when the
+      key exists; 409 under a concurrent in-flight conditional write,
+      which surfaces here as :class:`TransientStoreError` to retry),
+      GCS ``ifGenerationMatch=0``, Azure Blob ``If-None-Match: *``.
+      Returns True iff this call created the object.
+    - ``list_keys()``: LIST under the commit prefix (object stores
+      list lexicographically, which is exactly the sequence order).
+
+    A cloud adapter implements these three calls with the vendor SDK
+    and raises :class:`TransientStoreError` for retryable/ambiguous
+    failures; everything above it (sequencing, CAS retries, ambiguity
+    resolution) is store-independent.
+    """
+
+    def get(self, key: str) -> bytes | None:
+        raise NotImplementedError
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+    def list_keys(self) -> list[str]:
+        raise NotImplementedError
+
+
+class LocalObjectStore(ObjectStore):
+    """Directory-backed :class:`ObjectStore` with EXACT
+    conditional-create semantics (stage + ``os.link``: the key appears
+    with its full content atomically or the call loses with EEXIST —
+    readers can never observe a partial object).
+
+    Fault injection for contract tests: ``fail_before`` / ``fail_after``
+    are ``key -> bool`` callables; returning True raises
+    :class:`TransientStoreError` respectively BEFORE the create (the
+    request never reached the store) or AFTER it succeeded (the object
+    exists but the response was lost — the classic ambiguous PUT every
+    real network client must handle).
+    """
+
+    def __init__(self, root: str, fail_before=None, fail_after=None):
+        self.root = root
+        self.fail_before = fail_before
+        self.fail_after = fail_after
+
+    def get(self, key: str) -> bytes | None:
+        try:
+            with open(os.path.join(self.root, key), "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def list_keys(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            f for f in os.listdir(self.root) if f.endswith(".json")
+        )
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        if self.fail_before is not None and self.fail_before(key):
+            raise TransientStoreError(f"injected fault before PUT {key}")
+        os.makedirs(self.root, exist_ok=True)
+        final = os.path.join(self.root, key)
+        tmp = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, final)
+            created = True
+        except FileExistsError:
+            created = False
+        finally:
+            os.unlink(tmp)
+        if created and self.fail_after is not None and self.fail_after(key):
+            raise TransientStoreError(f"injected fault after PUT {key}")
+        return created
+
+
+class ObjectStoreConditionalPutPublisher(Publisher):
+    """The :class:`ConditionalPutPublisher` sequence-log protocol
+    spoken through an :class:`ObjectStore` — i.e. the REAL S3/GCS/Azure
+    conditional-PUT commit, not just its local-FS shadow. Same
+    ``_commits/{seq:020d}.json`` layout (the two publishers are
+    layout-interchangeable on a local store), plus the two behaviors a
+    networked store forces:
+
+    1. **CAS retry loop**: LIST -> next sequence -> conditional PUT;
+       a PreconditionFailed loser re-reads and either finds its batch
+       already covered by the same query incarnation (success-by-proxy,
+       returns False) or retries at the next sequence.
+    2. **Ambiguous-PUT resolution**: every payload carries this
+       writer's UUID under ``"_writer"``. When the PUT outcome is
+       unknown (:class:`TransientStoreError`), the writer GETs the key
+       back: its own token means ITS put landed (win — retrying the
+       create would wrongly lose to itself); another writer's token
+       means a genuine race loss; 404 means the request never landed
+       and the same sequence is retried. This is the standard
+       idempotency device for non-idempotent creates over an
+       at-most-once-unknown transport.
+    """
+
+    MAX_ATTEMPTS = 16
+
+    def __init__(
+        self,
+        table_path: str,
+        store: ObjectStore | None = None,
+        writer_id: str | None = None,
+    ):
+        self.table_path = table_path
+        self.store = (
+            store
+            if store is not None
+            else LocalObjectStore(os.path.join(table_path, "_commits"))
+        )
+        self.writer_id = writer_id or uuid.uuid4().hex
+
+    def _get_with_retry(self, key: str) -> bytes | None:
+        last: Exception | None = None
+        for _ in range(self.MAX_ATTEMPTS):
+            try:
+                return self.store.get(key)
+            except TransientStoreError as exc:  # pragma: no cover
+                last = exc
+        raise last  # pragma: no cover
+
+    def read(self) -> dict | None:
+        keys = self.store.list_keys()
+        if not keys:
+            return None
+        data = self._get_with_retry(keys[-1])
+        if data is None:  # pragma: no cover - vacuum race
+            return None
+        return json.loads(data)
+
+    def commit(self, manifest: dict) -> bool:
+        payload = json.dumps(
+            {**manifest, "_writer": self.writer_id}
+        ).encode()
+        for _ in range(self.MAX_ATTEMPTS):
+            keys = self.store.list_keys()
+            seq = int(keys[-1].split(".")[0]) + 1 if keys else 0
+            key = f"{seq:020d}.json"
+            try:
+                created = self.store.put_if_absent(key, payload)
+            except TransientStoreError:
+                readback = self._get_with_retry(key)
+                if readback is None:
+                    # the PUT never landed: same sequence is still free
+                    # (or will collide next attempt, which is fine)
+                    continue
+                created = (
+                    json.loads(readback).get("_writer") == self.writer_id
+                )
+            if created:
+                return True
+            # lost the race: if the winner (same query incarnation)
+            # already covers this batch, the publish goal is met
+            live = self.read()
+            if (
+                live is not None
+                and live.get("query_id") == manifest.get("query_id")
+                and live.get("gen", 0) >= manifest.get("gen", 0)
+                and live["batch_id"] >= manifest["batch_id"]
+            ):
+                return False
+        raise RuntimeError(
+            f"manifest commit contended {self.MAX_ATTEMPTS} times at "
+            f"{self.table_path}/_commits"
+        )
+
+
 def resolve_publisher(
     table_path: str, publisher: "Publisher | str | None" = None
 ) -> Publisher:
@@ -183,6 +382,8 @@ def resolve_publisher(
         return RenamePublisher(table_path)
     if publisher == "conditional_put":
         return ConditionalPutPublisher(table_path)
+    if publisher == "object_store":
+        return ObjectStoreConditionalPutPublisher(table_path)
     if publisher is None:
         if os.path.isdir(os.path.join(table_path, "_commits")):
             return ConditionalPutPublisher(table_path)

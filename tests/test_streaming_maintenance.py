@@ -92,7 +92,9 @@ def test_streaming_upsert_maintains_and_survives_restart(
     assert batch_result == after2
 
 
-@pytest.mark.parametrize("publisher", ["rename", "conditional_put"])
+@pytest.mark.parametrize(
+    "publisher", ["rename", "conditional_put", "object_store"]
+)
 def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path, publisher):
     """Two micro-batches of raw values -> maintained state must equal a
     one-shot batch aggregate over everything; then a checkpoint LOSS
@@ -224,6 +226,177 @@ def test_conditional_put_publisher_protocol(tmp_path):
     fresh = str(tmp_path / "fresh")
     os.makedirs(fresh)
     assert isinstance(resolve_publisher(fresh), RenamePublisher)
+
+
+def test_object_store_publisher_cas_race_and_coverage(tmp_path):
+    """The real conditional-PUT protocol under an injected LIST race:
+    a writer acting on a STALE listing collides at an occupied
+    sequence (PreconditionFailed), then either retries at the next
+    sequence (newer batch -> wins) or reconciles as already-covered
+    (same batch -> False, no duplicate commit object)."""
+    from qudo_etl_pipeline_spark.streaming.publish import (
+        LocalObjectStore,
+        ObjectStoreConditionalPutPublisher,
+    )
+
+    table = str(tmp_path / "t")
+    root = os.path.join(table, "_commits")
+
+    class StaleListStore(LocalObjectStore):
+        def __init__(self, root, stale_times):
+            super().__init__(root)
+            self.stale = stale_times
+
+        def list_keys(self):
+            keys = super().list_keys()
+            if self.stale > 0 and keys:
+                self.stale -= 1
+                return keys[:-1]  # pretend the newest commit isn't there
+            return keys
+
+    a = ObjectStoreConditionalPutPublisher(table, writer_id="A")
+    m = {"query_id": "q", "gen": 0}
+    assert a.commit({**m, "batch_id": 0, "version": "v0"}) is True
+
+    # stale racer with a NEWER batch: collides at seq 0, retries, wins
+    b = ObjectStoreConditionalPutPublisher(
+        table, store=StaleListStore(root, stale_times=1), writer_id="B"
+    )
+    assert b.commit({**m, "batch_id": 1, "version": "v1"}) is True
+    assert a.read()["batch_id"] == 1
+    assert len(os.listdir(root)) == 2
+
+    # stale racer REPLAYING the covered batch: collides, reconciles as
+    # covered -> False and the commit log does not grow
+    c = ObjectStoreConditionalPutPublisher(
+        table, store=StaleListStore(root, stale_times=1), writer_id="C"
+    )
+    assert c.commit({**m, "batch_id": 1, "version": "v1r"}) is False
+    assert len(os.listdir(root)) == 2
+    assert a.read()["version"] == "v1"
+
+
+def test_object_store_publisher_ambiguous_put_resolution(tmp_path):
+    """The 5xx-after-success case: the PUT landed but the response was
+    lost. The writer must recognize its own token on read-back and
+    claim the win WITHOUT creating a duplicate commit; the
+    fault-before case (request never landed) must retry and succeed."""
+    from qudo_etl_pipeline_spark.streaming.publish import (
+        LocalObjectStore,
+        ObjectStoreConditionalPutPublisher,
+    )
+
+    table = str(tmp_path / "t")
+    root = os.path.join(table, "_commits")
+    m = {"query_id": "q", "gen": 0}
+
+    after = {"arm": 1}
+    store = LocalObjectStore(
+        root,
+        fail_after=lambda key: after.__setitem__("arm", after["arm"] - 1)
+        or after["arm"] >= 0,
+    )
+    p = ObjectStoreConditionalPutPublisher(table, store=store, writer_id="W")
+    assert p.commit({**m, "batch_id": 0, "version": "v0"}) is True
+    assert len(os.listdir(root)) == 1  # no duplicate despite the fault
+    assert p.read()["version"] == "v0"
+
+    before = {"arm": 2}
+    store2 = LocalObjectStore(
+        root,
+        fail_before=lambda key: before.__setitem__(
+            "arm", before["arm"] - 1
+        )
+        or before["arm"] >= 0,
+    )
+    p2 = ObjectStoreConditionalPutPublisher(
+        table, store=store2, writer_id="X"
+    )
+    assert p2.commit({**m, "batch_id": 1, "version": "v1"}) is True
+    assert p2.read()["batch_id"] == 1
+    assert len(os.listdir(root)) == 2
+
+    # a DIFFERENT writer suffering ambiguity on a key another writer
+    # won must NOT claim it: token mismatch -> race loss path
+    class AlwaysAmbiguousOnOccupied(LocalObjectStore):
+        def put_if_absent(self, key, data):
+            from qudo_etl_pipeline_spark.streaming.publish import (
+                TransientStoreError,
+            )
+
+            if self.get(key) is not None:
+                raise TransientStoreError("ambiguous on occupied key")
+            return super().put_if_absent(key, data)
+
+    class Stale(AlwaysAmbiguousOnOccupied):
+        def __init__(self, root):
+            super().__init__(root)
+            self.stale = 1
+
+        def list_keys(self):
+            keys = super().list_keys()
+            if self.stale > 0 and keys:
+                self.stale -= 1
+                return keys[:-1]
+            return keys
+
+    y = ObjectStoreConditionalPutPublisher(
+        table, store=Stale(root), writer_id="Y"
+    )
+    # replays batch 1 against a stale list: ambiguous collision at the
+    # occupied seq, read-back shows writer X's token -> covered -> False
+    assert y.commit({**m, "batch_id": 1, "version": "v1r"}) is False
+    assert len(os.listdir(root)) == 2
+
+
+def test_streaming_upsert_through_faulty_object_store(spark, tmp_path):
+    """End-to-end exactly-once THROUGH injected store faults: every
+    micro-batch commit first suffers an ambiguous PUT (object landed,
+    response lost) — the maintained table must still equal batch-mode
+    compaction, with one commit object per published batch."""
+    from qudo_etl_pipeline_spark.streaming.publish import (
+        LocalObjectStore,
+        ObjectStoreConditionalPutPublisher,
+    )
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(table, exist_ok=True)
+    root = os.path.join(table, "_commits")
+
+    seen: set = set()
+
+    def ambiguous_once_per_key(key: str) -> bool:
+        if key in seen:
+            return False
+        seen.add(key)
+        return True
+
+    pub = ObjectStoreConditionalPutPublisher(
+        table, store=LocalObjectStore(root, fail_after=ambiguous_once_per_key)
+    )
+
+    batch1 = [(1, "a", _ts(0), "U"), (2, "b", _ts(0), "U")]
+    batch2 = [(1, "a2", _ts(1), "U"), (3, "c", _ts(1), "U")]
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(
+        f"{src}/b1.parquet", mode="overwrite"
+    )
+    _drain(spark, src, table, ckpt, pub)
+    assert _state(spark, table) == [(1, "a"), (2, "b")]
+
+    import time
+
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, SCHEMA).write.parquet(
+        f"{src}/b2.parquet", mode="overwrite"
+    )
+    _drain(spark, src, table, ckpt, pub)
+    assert _state(spark, table) == [(1, "a2"), (2, "b"), (3, "c")]
+    # one commit object per PUBLISHED batch — the ambiguity never
+    # produced a duplicate
+    commits = [f for f in os.listdir(root) if f.endswith(".json")]
+    assert len(commits) == len(seen) == 2
 
 
 def test_conditional_put_lost_manifest_rebuild(spark, tmp_path):

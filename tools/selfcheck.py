@@ -6,6 +6,15 @@ order-insensitive values. Run before every commit that touches the
 catalog:
 
     python tools/selfcheck.py [sf_dir] [query ...]
+
+``--hashes-out PATH`` additionally writes a result-hash manifest
+{query: {rows, cols, hash}} over the CANONICAL Spark result (sorted
+columns, order-insensitive rows, full float repr). Committed once per
+round as HASHES_r{N}.json, a one-line diff against the previous
+round's manifest proves "no query's answer changed" without
+re-running the full oracle comparison — the correctness analog of the
+bench's paired A/B record (covers rows-only queries too, which the
+oracle gate cannot).
 """
 
 from __future__ import annotations
@@ -17,7 +26,9 @@ import time
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -96,11 +107,32 @@ def driver_gap() -> int:
     return 0
 
 
+def result_hash(sdf) -> str:
+    """Stable digest of a canonical (column-sorted, row-sorted,
+    full-float-repr) pandas result — engine- and order-independent."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(",".join(sorted(sdf.columns)).encode())
+    for row in canon(sdf):
+        h.update("\x1f".join(row).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def main() -> int:
     if "--driver-gap" in sys.argv:
         return driver_gap()
+    argv = list(sys.argv[1:])
+    hashes_out = None
+    if "--hashes-out" in argv:
+        i = argv.index("--hashes-out")
+        hashes_out = argv[i + 1]
+        del argv[i: i + 2]
+    sys.argv = [sys.argv[0]] + argv
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    hashes: dict[str, dict] = {}
 
     from qudo_etl_pipeline_spark.catalog import registry
     from qudo_etl_pipeline_spark.session import get_spark
@@ -124,6 +156,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
             continue
+        if hashes_out:
+            hashes[name] = {
+                "rows": len(sdf),
+                "cols": sorted(sdf.columns),
+                "hash": result_hash(sdf),
+            }
         if spec.oracle is None:
             status = "rows-only"
             ok = len(sdf) >= 0
@@ -160,6 +198,13 @@ def main() -> int:
             print(f"ok   {name:32s} rows={len(sdf)} ({time.time()-t0:.1f}s)")
 
     print()
+    if hashes_out:
+        import json
+
+        with open(hashes_out, "w") as fh:
+            json.dump(hashes, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"result-hash manifest ({len(hashes)} queries) -> {hashes_out}")
     if failures:
         print(f"FAILED: {len(failures)} queries: {failures}")
         return 1
