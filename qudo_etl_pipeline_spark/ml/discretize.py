@@ -26,11 +26,49 @@ __all__ = ["ntile_bucketize", "bounds_bucketize"]
 def ntile_bucketize(
     df: DataFrame, col: str, k: int, tiebreak: list[str]
 ) -> DataFrame:
-    """Append ``bucket`` (1..k, exact equal counts ±1) by NTILE over
-    (col, *tiebreak). The tiebreak columns must make the order total,
-    or tied rows would land nondeterministically across engines."""
-    w = Window.orderBy(F.col(col), *[F.col(t) for t in tiebreak])
-    return df.withColumn("bucket", F.ntile(k).over(w).cast("bigint"))
+    """Append ``bucket`` (1..k, exact equal counts ±1) with EXACT
+    ``NTILE`` semantics over (col, *tiebreak). The tiebreak columns
+    must make the order total, or tied rows would land
+    nondeterministically across engines.
+
+    NOT ``F.ntile`` over a global ``Window.orderBy`` — that moves the
+    whole table through one task. Instead the global rank comes from
+    the range-partitioned two-pass prefix COUNT
+    (:func:`~qudo_etl_pipeline_spark.operators.prefix.
+    ranged_prefix_sums`) and the bucket from NTILE's closed form over
+    (rank, n): the first ``n % k`` buckets take ``n // k + 1`` rows,
+    the rest ``n // k`` — integer arithmetic on a broadcast 1-row
+    total, bit-identical to the window form for any total order
+    (full-row duplicates may swap ranks across engines, but swapping
+    identical rows is a no-op on every downstream aggregate).
+    """
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        ranged_prefix_sums,
+    )
+
+    src = df.withColumn("_one", F.lit(1))
+    ranked = ranged_prefix_sums(
+        src, [col, *tiebreak], {"_rank": "_one"}
+    )
+    n_row = df.agg(F.count(F.lit(1)).alias("_n"))
+    r = F.col("_rank")
+    n = F.col("_n")
+    small = F.floor(n / F.lit(k)).cast("bigint")
+    big = small + F.lit(1)
+    cnt_big = n % F.lit(k)
+    thresh = cnt_big * big
+    bucket = (
+        F.when(r <= thresh, F.floor((r - F.lit(1)) / big) + F.lit(1))
+        .otherwise(
+            cnt_big
+            + F.floor((r - thresh - F.lit(1)) / small)
+            + F.lit(1)
+        )
+        .cast("bigint")
+    )
+    return ranked.crossJoin(F.broadcast(n_row)).select(
+        *df.columns, bucket.alias("bucket")
+    )
 
 
 def bounds_bucketize(

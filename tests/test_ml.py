@@ -194,6 +194,53 @@ def test_hierarchical_with_custom_fitter(spark):
     assert by_grp["b"] == [2, 3]
 
 
+def test_ntile_bucketize_matches_window_ntile(spark):
+    """The closed-form device must reproduce F.ntile EXACTLY — every
+    (row, bucket) pair — across n % k == 0 and != 0, k > n, and heavy
+    ties broken by the tiebreak column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.ml.discretize import ntile_bucketize
+
+    for n, k in [(40, 8), (41, 8), (10, 4), (3, 8), (100, 7)]:
+        df = spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") * 7) % 5).cast("double").alias("v"),  # ties
+        )
+        got = {
+            r["id"]: r["bucket"]
+            for r in ntile_bucketize(df, "v", k, ["id"]).collect()
+        }
+        w = Window.orderBy(F.col("v"), F.col("id"))
+        ref = {
+            r["id"]: r["b"]
+            for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+        }
+        assert got == ref, (n, k)
+
+
+def test_ntile_bucketize_plan_has_no_single_task_data_window(spark):
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.ml.discretize import ntile_bucketize
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 13).cast("double").alias("v")
+    )
+    plan = (
+        ntile_bucketize(df, "v", 8, ["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert (
+                "windowspecdefinition(_pid#" in line or "_pt_" in line
+            ), line
+
+
 def test_bounds_bucketize_tracks_exact_ntile(spark):
     """Scale-path discretizer: approx-boundary buckets must agree with
     exact NTILE buckets on >=99% of rows (sketch accuracy), and bucket
