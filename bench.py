@@ -121,6 +121,9 @@ EXTENDED = [
     "source_js_divergence",
     "rake_weights_customers",
     "kish_neff_quantity",
+    # round-7: scale-safe rank statistics (prefix-sum device)
+    "ks_test_totalprice_binned",
+    "running_revenue_ecdf",
 ]
 
 

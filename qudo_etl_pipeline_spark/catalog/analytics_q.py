@@ -1390,3 +1390,68 @@ def ks_test_totalprice_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2-HIGH",
         bins=_KS_BINS,
     )
+
+
+def _running_ecdf_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    share = "CAST(crev AS DOUBLE) / CAST(trev AS DOUBLE)"
+    return f"""
+    WITH per_v AS (
+      SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_totalprice
+    ),
+    tot AS (SELECT SUM(rev) AS trev FROM per_v),
+    c AS (
+      SELECT v, n,
+             CAST(SUM(n) OVER upto AS BIGINT) AS cum_n,
+             SUM(rev) OVER upto AS crev
+      FROM per_v
+      WINDOW upto AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT v, n, cum_n, CAST(crev AS DOUBLE) AS cum_rev,
+           {ref_round_sql(share, 6)} AS share6
+    FROM c CROSS JOIN tot
+    """
+
+
+@register(
+    "running_revenue_ecdf",
+    oracle=_running_ecdf_oracle(),
+    survey_ids=["W3", "A9"],
+    description="Row-count-scaled running sums through the "
+    "range-partitioned prefix device, oracle-checked at FULL output "
+    "cardinality: per distinct order total, cumulative order count "
+    "(bigint-exact) and DECIMAL-exact cumulative revenue + share — "
+    "the distinct-value frame is ~the table's row count, exactly the "
+    "shape a global Window.orderBy would serialize into one task",
+)
+def running_revenue_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        ranged_prefix_sums,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    per_v = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_rev"),
+    )
+    cum = ranged_prefix_sums(
+        per_v, ["v"], {"cum_n": "n", "_crev": "_rev"}
+    )
+    tot = per_v.agg(F.sum("_rev").alias("_trev"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n",
+        "cum_n",
+        F.col("_crev").cast("double").alias("cum_rev"),
+        ref_round(
+            F.col("_crev").cast("double") / F.col("_trev").cast("double"),
+            6,
+        ).alias("share6"),
+    )

@@ -46,6 +46,16 @@ def rake_weights(
     input columns plus the fitted 9-decimal weight ``w``.
 
     Weights start at 1 (or ``weight_col`` if present, pre-rounded).
+
+    Cost note for corpus-scale reweighting: each sweep runs small keyed
+    aggregates plus broadcast factor joins (the big side is never
+    re-shuffled), but the per-sweep ``localCheckpoint`` MATERIALIZES
+    the full frame on executor storage to truncate the growing lineage
+    — iters × table-size of checkpoint I/O. Sized for survey frames
+    (the reference's use case); to rake a 100 TB corpus, rake a
+    (category-tuple, count) CONTRACTION instead — weights are constant
+    within each category cell by construction, so the fit is identical
+    and the checkpoint is cell-count-sized.
     """
     from qudo_etl_pipeline_spark.functions.rounding import fp_round
 

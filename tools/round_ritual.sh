@@ -27,6 +27,7 @@ fi
 
 echo "== full selfcheck (sf0.01) =="
 if python tools/selfcheck.py /root/testdata/sf0.01 \
+     --hashes-out "HASHES_r0${ROUND}.json" \
      > /tmp/ritual_selfcheck.log 2>&1; then
   tail -2 /tmp/ritual_selfcheck.log
 else
@@ -44,4 +45,11 @@ else
 fi
 
 python tools/write_selfcheck_md.py "$ROUND" 0.01:/tmp/ritual_selfcheck.log
+
+PREV=$(printf 'HASHES_r%02d.json' $((ROUND - 1)))
+if [ -f "$PREV" ]; then
+  echo "== result-hash diff vs $PREV =="
+  python tools/hash_diff.py "$PREV" "HASHES_r0${ROUND}.json" \
+    || echo "hash diff: CHANGED answers above need an explanation in SELFCHECK_r0${ROUND}.md"
+fi
 echo "ritual complete: SELFCHECK_r0${ROUND}.md refreshed"
