@@ -1455,3 +1455,147 @@ def running_revenue_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share6"),
     )
+
+
+def _mi_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    mi = "CAST(mis AS DOUBLE) / CAST(n AS DOUBLE)"
+    h_a = "CAST(has AS DOUBLE) / CAST(n AS DOUBLE)"
+    h_b = "CAST(hbs AS DOUBLE) / CAST(n AS DOUBLE)"
+    nmi = f"({mi}) / sqrt(({h_a}) * ({h_b}))"
+    return f"""
+    WITH cells AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+             CAST(COUNT(*) AS BIGINT) AS nab
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY a),
+    mb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells),
+    mis_t AS (
+      SELECT SUM(CAST(
+               CAST(nab AS DOUBLE) * ln(
+                 (CAST(n AS DOUBLE) * CAST(nab AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             AS DECIMAL(38,12))) AS mis,
+             MAX(n) AS n
+      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    ),
+    ha_t AS (
+      SELECT SUM(CAST(
+               CAST(na AS DOUBLE)
+               * ln(CAST(n AS DOUBLE) / CAST(na AS DOUBLE))
+             AS DECIMAL(38,12))) AS has
+      FROM ma CROSS JOIN tot
+    ),
+    hb_t AS (
+      SELECT SUM(CAST(
+               CAST(nb AS DOUBLE)
+               * ln(CAST(n AS DOUBLE) / CAST(nb AS DOUBLE))
+             AS DECIMAL(38,12))) AS hbs
+      FROM mb CROSS JOIN tot
+    )
+    SELECT n, {ref_round_sql(mi, 6)} AS mi6,
+           {ref_round_sql(h_a, 6)} AS h_a6,
+           {ref_round_sql(h_b, 6)} AS h_b6,
+           CASE WHEN {h_a} > 0 AND {h_b} > 0
+                THEN {ref_round_sql(nmi, 6)} END AS nmi6
+    FROM mis_t CROSS JOIN ha_t CROSS JOIN hb_t
+    WHERE n IS NOT NULL
+    """
+
+
+@register(
+    "mutual_information_priority_status",
+    oracle=_mi_oracle(),
+    survey_ids=["M21", "A1"],
+    description="Mutual information + entropies + NMI between order "
+    "status and priority from ONE cell-frame pass: every ln term is a "
+    "fixed IEEE expression over exact integer counts quantized to "
+    "DECIMAL(38,12) before summation (association-free, the "
+    "hill_tail_index device), marginals broadcast from the cell frame "
+    "— never a second table scan",
+)
+def mutual_information_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return A.mutual_information(orders, "o_orderstatus", "o_orderpriority")
+
+
+def _tau_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    tau = (
+        "2.0 * CAST(conc - disc AS DOUBLE) / sqrt("
+        "CAST(n * (n - 1) - t1x2 AS DOUBLE)"
+        " * CAST(n * (n - 1) - t2x2 AS DOUBLE))"
+    )
+    den = (
+        "CAST(n * (n - 1) - t1x2 AS DOUBLE)"
+        " * CAST(n * (n - 1) - t2x2 AS DOUBLE)"
+    )
+    return f"""
+    WITH src AS (
+      SELECT l_quantity AS a,
+             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 10000.0)
+                  AS BIGINT) AS b
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM src GROUP BY a, b
+    ),
+    cd AS (
+      SELECT CAST(SUM(CASE WHEN c2.b > c1.b THEN c1.nab * c2.nab
+                           ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN c2.b < c1.b THEN c1.nab * c2.nab
+                           ELSE 0 END) AS BIGINT) AS disc
+      FROM cells c1 JOIN cells c2 ON c2.a > c1.a
+    ),
+    ta AS (
+      SELECT CAST(SUM(m * (m - 1)) AS BIGINT) AS t1x2,
+             CAST(SUM(m) AS BIGINT) AS n
+      FROM (SELECT CAST(SUM(nab) AS BIGINT) AS m FROM cells GROUP BY a)
+    ),
+    tb AS (
+      SELECT CAST(SUM(m * (m - 1)) AS BIGINT) AS t2x2
+      FROM (SELECT CAST(SUM(nab) AS BIGINT) AS m FROM cells GROUP BY b)
+    )
+    SELECT n, COALESCE(conc, 0) AS conc, COALESCE(disc, 0) AS disc,
+           CASE WHEN {den} > 0 THEN {ref_round_sql(tau, 6)} END
+             AS tau_b6
+    FROM cd CROSS JOIN ta CROSS JOIN tb
+    WHERE n IS NOT NULL
+    """
+
+
+@register(
+    "kendall_tau_quantity_price",
+    oracle=_tau_oracle(),
+    survey_ids=["M21", "A8"],
+    description="Kendall's tau-b between lineitem quantity and the "
+    "10k-wide price band, exactly from the contingency cells: C/D "
+    "from the domain-bounded cell-frame self-join (never O(rows^2) "
+    "pairs), tie-corrected denominator in doubled-integer form, one "
+    "fixed IEEE expression at the end",
+)
+def kendall_tau_quantity_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    binned = li.select(
+        F.col("l_quantity").alias("qty"),
+        F.floor(
+            F.col("l_extendedprice").cast("double") / F.lit(10000.0)
+        )
+        .cast("bigint")
+        .alias("price_band"),
+    )
+    return A.kendall_tau_b(binned, "qty", "price_band")

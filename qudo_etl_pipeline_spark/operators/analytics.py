@@ -51,6 +51,8 @@ __all__ = [
     "bootstrap_ci_mean",
     "cohort_ltv",
     "ks_two_sample",
+    "mutual_information",
+    "kendall_tau_b",
 ]
 
 
@@ -1564,4 +1566,176 @@ def ks_two_sample(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("is_significant"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information I(A;B) between two categorical columns in
+    nats, plus both entropies and the normalized MI
+    (NMI = I / sqrt(H_A * H_B)) — the effect-size companion to the
+    chi-squared family that is comparable ACROSS tables of different
+    shapes (Cramér's V saturates differently with table size).
+
+    Shape: ONE groupBy(a, b) collapses the table to the cell frame
+    (|A|·|B| rows, bounded by the category domains); marginals and the
+    grand total derive from that frame (never a second table scan) and
+    ride broadcasts. Determinism: every ln term is a fixed IEEE
+    expression over exact integer counts, QUANTIZED to DECIMAL(38,12)
+    before summation (the hill_tail_index device) — the sums are
+    association-free and bit-identical cross-engine; only the final
+    1-row normalization divides.
+
+    Returns 1 row: (n, mi6, h_a6, h_b6, nmi6); empty input -> 0 rows.
+    NULLs in either column are excluded. NMI is NULL when either
+    marginal entropy is 0 (a constant column carries no information).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_nab"))
+    )
+    ma = cells.groupBy("_a").agg(F.sum("_nab").alias("_na"))
+    mb = cells.groupBy("_b").agg(F.sum("_nab").alias("_nb"))
+    tot = cells.agg(F.sum("_nab").alias("_n"))
+    dn = F.col("_n").cast("double")
+    mi_term = (
+        F.col("_nab").cast("double")
+        * F.log(
+            (dn * F.col("_nab").cast("double"))
+            / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+        )
+    ).cast("decimal(38,12)")
+    mis = (
+        cells.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(mi_term).alias("_mis"), F.max("_n").alias("n"))
+        .filter(F.col("n").isNotNull())
+    )
+
+    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        term = (
+            F.col(cnt).cast("double")
+            * F.log(dn / F.col(cnt).cast("double"))
+        ).cast("decimal(38,12)")
+        return marg.crossJoin(F.broadcast(tot)).agg(
+            F.sum(term).alias(out)
+        )
+
+    ha = _entropy(ma, "_na", "_has")
+    hb = _entropy(mb, "_nb", "_hbs")
+    n = F.col("n").cast("double")
+    mi = F.col("_mis").cast("double") / n
+    h_a = F.col("_has").cast("double") / n
+    h_b = F.col("_hbs").cast("double") / n
+    nmi = mi / F.sqrt(h_a * h_b)
+    return (
+        mis.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n",
+            ref_round(mi, 6).alias("mi6"),
+            ref_round(h_a, 6).alias("h_a6"),
+            ref_round(h_b, 6).alias("h_b6"),
+            F.when((h_a > 0) & (h_b > 0), ref_round(nmi, 6)).alias(
+                "nmi6"
+            ),
+        )
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between two ORDINAL columns,
+    computed exactly from the contingency cells with the standard tie
+    correction: tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)), where C/D
+    are concordant/discordant pair counts, n0 = n(n-1)/2 and n1/n2 the
+    within-marginal tie pair counts.
+
+    Deliberately a CELL-frame operator (the domain-bounded contract
+    Mann-Whitney documents): the table collapses to |A|·|B| cells in
+    ONE groupBy, and C/D come from the cell-frame self-join
+    sum_{i<i'} n_ij · n_i'j' split by j-direction — |cells|² work,
+    bounded by the category domains, NEVER an O(rows²) pair join. Bin
+    continuous measures first. Every count is a bigint; tau_b is one
+    fixed IEEE expression over exact integers.
+
+    Returns 1 row: (n, conc, disc, tau_b6); empty input -> 0 rows.
+    tau_b6 is NULL when either margin is constant (denominator 0).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_nab"))
+    )
+    lo = cells.select(
+        F.col("_a").alias("_a1"),
+        F.col("_b").alias("_b1"),
+        F.col("_nab").alias("_n1"),
+    )
+    hi = cells.select(
+        F.col("_a").alias("_a2"),
+        F.col("_b").alias("_b2"),
+        F.col("_nab").alias("_n2"),
+    )
+    cross = lo.crossJoin(F.broadcast(hi)).filter(
+        F.col("_a2") > F.col("_a1")
+    )
+    prod = F.col("_n1") * F.col("_n2")
+    cd = cross.agg(
+        F.sum(
+            F.when(F.col("_b2") > F.col("_b1"), prod).otherwise(F.lit(0))
+        ).alias("conc"),
+        F.sum(
+            F.when(F.col("_b2") < F.col("_b1"), prod).otherwise(F.lit(0))
+        ).alias("disc"),
+    )
+    ties_a = (
+        cells.groupBy("_a")
+        .agg(F.sum("_nab").alias("_m"))
+        .agg(
+            F.sum(F.col("_m") * (F.col("_m") - 1)).alias("_t1x2"),
+            F.sum("_m").alias("_n"),
+        )
+    )
+    ties_b = (
+        cells.groupBy("_b")
+        .agg(F.sum("_nab").alias("_m"))
+        .agg(F.sum(F.col("_m") * (F.col("_m") - 1)).alias("_t2x2"))
+    )
+    joined = (
+        cd.crossJoin(F.broadcast(ties_a))
+        .crossJoin(F.broadcast(ties_b))
+        .filter(F.col("_n").isNotNull())
+    )
+    # doubled pair counts keep everything integral: 2*n0 = n(n-1),
+    # 2*n1 = sum m(m-1) — the ratio is unchanged
+    n0x2 = F.col("_n") * (F.col("_n") - 1)
+    den = (
+        (n0x2 - F.col("_t1x2")).cast("double")
+        * (n0x2 - F.col("_t2x2")).cast("double")
+    )
+    tau = (
+        F.lit(2.0)
+        * (F.col("conc") - F.col("disc")).cast("double")
+        / F.sqrt(den)
+    )
+    return joined.select(
+        F.col("_n").alias("n"),
+        F.coalesce(F.col("conc"), F.lit(0)).alias("conc"),
+        F.coalesce(F.col("disc"), F.lit(0)).alias("disc"),
+        F.when(den > 0, ref_round(tau, 6)).alias("tau_b6"),
     )

@@ -936,3 +936,98 @@ def test_ks_binned_bounds_and_degenerate(spark):
     )
     r = ks_two_sample(const, "g", "v", "A", "B", bins=16).collect()[0]
     assert r["d6"] == 0.0 and r["is_significant"] == 0
+
+
+def test_mutual_information_hand_computed(spark):
+    import math
+
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        mutual_information,
+    )
+
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 30
+        + [(None, "p"), ("x", None)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    n = 80
+    cells = {("x", "p"): 30, ("x", "q"): 10, ("y", "p"): 10, ("y", "q"): 30}
+    na = {"x": 40, "y": 40}
+    nb = {"p": 40, "q": 40}
+    mi = sum(
+        c / n * math.log(n * c / (na[a] * nb[b]))
+        for (a, b), c in cells.items()
+    )
+    h = sum(-(40 / n) * math.log(40 / n) for _ in range(2))
+    assert r["n"] == n
+    assert abs(r["mi6"] - round(mi, 6)) < 2e-6
+    assert abs(r["h_a6"] - round(h, 6)) < 2e-6
+    assert abs(r["nmi6"] - round(mi / math.sqrt(h * h), 6)) < 2e-6
+
+
+def test_mutual_information_degenerate_and_empty(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        mutual_information,
+    )
+
+    const = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5, "a string, b string"
+    )
+    r = mutual_information(const, "a", "b").collect()[0]
+    # constant A: I = 0 exactly, H_A = 0 -> NMI undefined (NULL)
+    assert r["mi6"] == 0.0 and r["h_a6"] == 0.0 and r["nmi6"] is None
+    empty = spark.createDataFrame([], "a string, b string")
+    assert mutual_information(empty, "a", "b").count() == 0
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    import itertools
+    import math
+
+    from qudo_etl_pipeline_spark.operators.analytics import kendall_tau_b
+
+    # ordinal data with ties in both margins
+    pts = [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3), (3, 1), (3, 3),
+           (3, 3), (4, 2), (4, 4), (5, 5), (5, 4)]
+    df = spark.createDataFrame(pts, "a bigint, b bigint")
+    r = kendall_tau_b(df, "a", "b").collect()[0]
+    conc = disc = 0
+    for (a1, b1), (a2, b2) in itertools.combinations(pts, 2):
+        s = (a1 - a2) * (b1 - b2)
+        conc += s > 0
+        disc += s < 0
+    n = len(pts)
+    n0 = n * (n - 1) // 2
+    n1 = sum(
+        m * (m - 1) // 2
+        for m in __import__("collections").Counter(a for a, _ in pts).values()
+    )
+    n2 = sum(
+        m * (m - 1) // 2
+        for m in __import__("collections").Counter(b for _, b in pts).values()
+    )
+    tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert (r["n"], r["conc"], r["disc"]) == (n, conc, disc)
+    assert abs(r["tau_b6"] - round(tau, 6)) < 1e-9
+
+
+def test_kendall_tau_b_perfect_and_degenerate(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import kendall_tau_b
+
+    asc = spark.createDataFrame(
+        [(i, i * 2) for i in range(10)], "a bigint, b bigint"
+    )
+    assert kendall_tau_b(asc, "a", "b").collect()[0]["tau_b6"] == 1.0
+    desc = spark.createDataFrame(
+        [(i, -i) for i in range(10)], "a bigint, b bigint"
+    )
+    assert kendall_tau_b(desc, "a", "b").collect()[0]["tau_b6"] == -1.0
+    const = spark.createDataFrame(
+        [(1, i) for i in range(5)], "a bigint, b bigint"
+    )
+    r = kendall_tau_b(const, "a", "b").collect()[0]
+    assert r["tau_b6"] is None and r["conc"] == 0 and r["disc"] == 0
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    assert kendall_tau_b(empty, "a", "b").count() == 0
