@@ -103,7 +103,9 @@ def join_manual_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cust.join(F.broadcast(seg), cust.c_custkey == seg.id, "left")
+        # no broadcast hint: seg derives from customer and grows with
+        # SF — stats-based planning picks broadcast where it fits
+        cust.join(seg, cust.c_custkey == seg.id, "left")
         .select(
             F.coalesce(F.col("manual_seg"), F.lit("unassigned")).alias(
                 "manual_seg"

@@ -463,7 +463,10 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.sum(_d("l_extendedprice")).cast("double").alias("revenue")
     )
-    rev = rev.join(F.broadcast(p.select("p_partkey", "p_brand")), "p_partkey")
+    # no broadcast hint on part (grows with SF): both join sides are
+    # |part|-row frames here, so stats pick broadcast when it fits and
+    # a keyed shuffle join stays safe when it doesn't
+    rev = rev.join(p.select("p_partkey", "p_brand"), "p_partkey")
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (
         rev.withColumn("rn", F.row_number().over(w))

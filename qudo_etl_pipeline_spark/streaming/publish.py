@@ -55,6 +55,7 @@ __all__ = [
     "LocalObjectStore",
     "TransientStoreError",
     "ObjectStoreConditionalPutPublisher",
+    "vacuum_commits",
     "resolve_publisher",
 ]
 
@@ -219,6 +220,11 @@ class ObjectStore:
     def list_keys(self) -> list[str]:
         raise NotImplementedError
 
+    def delete(self, key: str) -> None:
+        """Idempotent delete (no error on 404) — used only by vacuum,
+        never by the commit protocol itself."""
+        raise NotImplementedError
+
 
 class LocalObjectStore(ObjectStore):
     """Directory-backed :class:`ObjectStore` with EXACT
@@ -271,6 +277,12 @@ class LocalObjectStore(ObjectStore):
         if created and self.fail_after is not None and self.fail_after(key):
             raise TransientStoreError(f"injected fault after PUT {key}")
         return created
+
+    def delete(self, key: str) -> None:
+        try:
+            os.unlink(os.path.join(self.root, key))
+        except FileNotFoundError:
+            pass
 
 
 class ObjectStoreConditionalPutPublisher(Publisher):
@@ -365,6 +377,34 @@ class ObjectStoreConditionalPutPublisher(Publisher):
             f"manifest commit contended {self.MAX_ATTEMPTS} times at "
             f"{self.table_path}/_commits"
         )
+
+
+def vacuum_commits(
+    table_path: str,
+    keep_last: int = 10,
+    store: ObjectStore | None = None,
+) -> int:
+    """Drop all but the newest ``keep_last`` commit objects from a
+    sequence-log table (the Delta-log-cleanup analogue the commit
+    protocol's docstring promises). SAFE under concurrency by the
+    protocol's own reading rule: readers take the HIGHEST sequence, so
+    deleting strictly-older objects can never change the live
+    manifest, and writers compute the next sequence from the highest
+    remaining entry, so numbering continues monotonically. Returns the
+    number of objects removed. No-op (0) for rename-protocol tables.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    st = (
+        store
+        if store is not None
+        else LocalObjectStore(os.path.join(table_path, "_commits"))
+    )
+    keys = st.list_keys()
+    victims = keys[:-keep_last] if len(keys) > keep_last else []
+    for key in victims:
+        st.delete(key)
+    return len(victims)
 
 
 def resolve_publisher(

@@ -530,3 +530,40 @@ def test_streaming_heavy_hitters_null_keys_only_inflate_total(
     # null candidate row's count merging in
     assert rows.pop(None) == len(data)
     assert rows == {7: 10, 8: 3}
+
+
+def test_vacuum_commits_preserves_live_manifest_and_sequencing(tmp_path):
+    """Vacuum drops only strictly-older commit objects: the live
+    manifest is unchanged, the next commit continues the sequence
+    monotonically, and keep_last >= log size is a no-op."""
+    from qudo_etl_pipeline_spark.streaming.publish import (
+        ConditionalPutPublisher,
+        ObjectStoreConditionalPutPublisher,
+        vacuum_commits,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    p = ObjectStoreConditionalPutPublisher(table, writer_id="W")
+    for i in range(7):
+        assert p.commit(
+            {"query_id": "q", "gen": 0, "batch_id": i, "version": f"v{i}"}
+        )
+    root = os.path.join(table, "_commits")
+    assert len(os.listdir(root)) == 7
+    assert vacuum_commits(table, keep_last=3) == 4
+    assert len(os.listdir(root)) == 3
+    assert p.read()["version"] == "v6"
+    # layout interop: the plain conditional publisher reads the same
+    assert ConditionalPutPublisher(table).read()["version"] == "v6"
+    # sequencing continues past the vacuumed prefix
+    assert p.commit(
+        {"query_id": "q", "gen": 0, "batch_id": 7, "version": "v7"}
+    )
+    assert sorted(os.listdir(root))[-1] == f"{7:020d}.json"
+    # no-op when the log is already small enough
+    assert vacuum_commits(table, keep_last=10) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vacuum_commits(table, keep_last=0)
