@@ -1599,3 +1599,78 @@ def kendall_tau_quantity_price(
         .alias("price_band"),
     )
     return A.kendall_tau_b(binned, "qty", "price_band")
+
+
+def _spearman_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    num = "CAST(CAST(w AS HUGEINT) * sxy - sx * sy AS DOUBLE)"
+    vx = "CAST(CAST(w AS HUGEINT) * sxx - sx * sx AS DOUBLE)"
+    vy = "CAST(CAST(w AS HUGEINT) * syy - sy * sy AS DOUBLE)"
+    rho = f"({num}) / (sqrt({vx}) * sqrt({vy}))"
+    return f"""
+    WITH src AS (
+      SELECT l_quantity AS a,
+             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 10000.0)
+                  AS BIGINT) AS b
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM src GROUP BY a, b
+    ),
+    ra AS (
+      SELECT a, 2 * COALESCE(SUM(m) OVER (ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + m + 1 AS r2a
+      FROM (SELECT a, CAST(SUM(nab) AS BIGINT) AS m FROM cells GROUP BY a)
+    ),
+    rb AS (
+      SELECT b, 2 * COALESCE(SUM(m) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + m + 1 AS r2b
+      FROM (SELECT b, CAST(SUM(nab) AS BIGINT) AS m FROM cells GROUP BY b)
+    ),
+    moments AS (
+      SELECT CAST(SUM(nab) AS HUGEINT) AS w,
+             SUM(CAST(nab AS HUGEINT) * r2a) AS sx,
+             SUM(CAST(nab AS HUGEINT) * r2b) AS sy,
+             SUM(CAST(nab AS HUGEINT) * r2a * r2a) AS sxx,
+             SUM(CAST(nab AS HUGEINT) * r2b * r2b) AS syy,
+             SUM(CAST(nab AS HUGEINT) * r2a * r2b) AS sxy
+      FROM cells JOIN ra USING (a) JOIN rb USING (b)
+    )
+    SELECT CAST(w AS BIGINT) AS n,
+           CASE WHEN {vx} > 0 AND {vy} > 0
+                THEN {ref_round_sql(rho, 6)} END AS rho6
+    FROM moments
+    WHERE w IS NOT NULL
+    """
+
+
+@register(
+    "spearman_rho_quantity_price",
+    oracle=_spearman_oracle(),
+    survey_ids=["M21", "A8"],
+    description="Tie-corrected Spearman rank correlation between "
+    "lineitem quantity and the 10k price band: Pearson over DOUBLED "
+    "integer midranks from the cell frame (doubling cancels in the "
+    "correlation), every moment a DECIMAL/HUGEINT product of exact "
+    "integers — only the final sqrt/divide is IEEE",
+)
+def spearman_rho_quantity_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    binned = li.select(
+        F.col("l_quantity").alias("qty"),
+        F.floor(
+            F.col("l_extendedprice").cast("double") / F.lit(10000.0)
+        )
+        .cast("bigint")
+        .alias("price_band"),
+    )
+    return A.spearman_rho(binned, "qty", "price_band")

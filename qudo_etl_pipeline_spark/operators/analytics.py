@@ -53,6 +53,7 @@ __all__ = [
     "ks_two_sample",
     "mutual_information",
     "kendall_tau_b",
+    "spearman_rho",
 ]
 
 
@@ -1738,4 +1739,83 @@ def kendall_tau_b(
         F.coalesce(F.col("conc"), F.lit(0)).alias("conc"),
         F.coalesce(F.col("disc"), F.lit(0)).alias("disc"),
         F.when(den > 0, ref_round(tau, 6)).alias("tau_b6"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Spearman rank correlation (tie-corrected, via midranks) between
+    two ORDINAL columns — the rank-statistics companion to
+    :func:`kendall_tau_b`: rho = Pearson correlation of the midrank
+    transforms, computed EXACTLY from the contingency cells.
+
+    Same domain-bounded cell-frame contract as Kendall/Mann-Whitney
+    (bin continuous measures first): ONE groupBy(a, b) builds the cell
+    frame; each marginal's midranks come from an ordered window over
+    the DOMAIN-BOUNDED marginal frame (the deliberate bounded-window
+    case) in DOUBLED integer form (2·midrank = 2·cum_before + m + 1 —
+    a pure bigint, and the doubling cancels in the correlation); every
+    moment then accumulates as DECIMAL(38,0) products of exact
+    integers, so num/den are exact integers in any engine and only the
+    final sqrt/divide is IEEE. Bound: the decimal moments hold to
+    n ≲ 2·10^9 observations — beyond that, sample (rank correlations
+    stabilize long before).
+
+    Returns 1 row: (n, rho6); empty input -> 0 rows; rho6 NULL when
+    either margin is constant.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_nab"))
+    )
+
+    def _midranks(key: str, out: str) -> DataFrame:
+        marg = cells.groupBy(key).agg(F.sum("_nab").alias("_m"))
+        before = Window.orderBy(key).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = F.coalesce(F.sum("_m").over(before), F.lit(0))
+        return marg.select(
+            key,
+            (F.lit(2) * cum + F.col("_m") + F.lit(1)).alias(out),
+        )
+
+    ra = _midranks("_a", "_r2a")
+    rb = _midranks("_b", "_r2b")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = d(F.col("_nab"))
+    x = d(F.col("_r2a"))
+    y = d(F.col("_r2b"))
+    m = (
+        cells.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(rb), "_b")
+        .agg(
+            F.sum(w).alias("_w"),
+            F.sum(w * x).alias("_sx"),
+            F.sum(w * y).alias("_sy"),
+            F.sum(w * x * x).alias("_sxx"),
+            F.sum(w * y * y).alias("_syy"),
+            F.sum(w * x * y).alias("_sxy"),
+        )
+        .filter(F.col("_w").isNotNull())
+    )
+    num = d(F.col("_w")) * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = d(F.col("_w")) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = d(F.col("_w")) * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = num.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return m.select(
+        F.col("_w").cast("bigint").alias("n"),
+        F.when(
+            (vx.cast("double") > 0) & (vy.cast("double") > 0),
+            ref_round(rho, 6),
+        ).alias("rho6"),
     )

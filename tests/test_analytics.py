@@ -1031,3 +1031,54 @@ def test_kendall_tau_b_perfect_and_degenerate(spark):
     assert r["tau_b6"] is None and r["conc"] == 0 and r["disc"] == 0
     empty = spark.createDataFrame([], "a bigint, b bigint")
     assert kendall_tau_b(empty, "a", "b").count() == 0
+
+
+def test_spearman_rho_matches_midrank_pearson(spark):
+    import collections
+    import math
+
+    from qudo_etl_pipeline_spark.operators.analytics import spearman_rho
+
+    pts = [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3), (3, 1), (3, 3),
+           (3, 3), (4, 2), (4, 4), (5, 5), (5, 4)]
+    df = spark.createDataFrame(pts, "a bigint, b bigint")
+    r = spearman_rho(df, "a", "b").collect()[0]
+
+    def midranks(vals):
+        c = collections.Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(c):
+            out[v] = cum + (c[v] + 1) / 2
+            cum += c[v]
+        return out
+    ma = midranks([a for a, _ in pts])
+    mb = midranks([b for _, b in pts])
+    xs = [ma[a] for a, _ in pts]
+    ys = [mb[b] for _, b in pts]
+    n = len(pts)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    rho = cov / math.sqrt(vx * vy)
+    assert r["n"] == n
+    assert abs(r["rho6"] - round(rho, 6)) < 2e-6
+
+
+def test_spearman_rho_perfect_and_degenerate(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import spearman_rho
+
+    asc = spark.createDataFrame(
+        [(i, i * 3 + 1) for i in range(12)], "a bigint, b bigint"
+    )
+    assert spearman_rho(asc, "a", "b").collect()[0]["rho6"] == 1.0
+    desc = spark.createDataFrame(
+        [(i, -i) for i in range(12)], "a bigint, b bigint"
+    )
+    assert spearman_rho(desc, "a", "b").collect()[0]["rho6"] == -1.0
+    const = spark.createDataFrame(
+        [(7, i) for i in range(5)], "a bigint, b bigint"
+    )
+    assert spearman_rho(const, "a", "b").collect()[0]["rho6"] is None
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    assert spearman_rho(empty, "a", "b").count() == 0
