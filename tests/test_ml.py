@@ -269,3 +269,26 @@ def test_bounds_bucketize_tracks_exact_ntile(spark):
     ]
     assert len(sizes) == k
     assert max(sizes) <= 1.1 * (n / k) and min(sizes) >= 0.9 * (n / k)
+
+
+def test_ntile_bucketize_null_order_values_match_window(spark):
+    """NULLs in the bucketize column sort FIRST under ascending order
+    (Spark default) — the closed-form device must agree with F.ntile
+    row for row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.ml.discretize import ntile_bucketize
+
+    rows = [(i, None if i % 5 == 0 else float(i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = {
+        r["id"]: r["bucket"]
+        for r in ntile_bucketize(df, "v", 6, ["id"]).collect()
+    }
+    w = Window.orderBy(F.col("v"), F.col("id"))
+    ref = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(6).over(w)).collect()
+    }
+    assert got == ref
