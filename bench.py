@@ -124,6 +124,8 @@ EXTENDED = [
     # round-7: scale-safe rank statistics (prefix-sum device)
     "ks_test_totalprice_binned",
     "running_revenue_ecdf",
+    "table_diff_orders_planted",
+    "q18_large_volume_customers",
 ]
 
 

@@ -11,6 +11,7 @@ compare-on-the-rounded-metric pass rule.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.catalog import load_table, register
 from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
@@ -222,3 +223,88 @@ def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return benford_profile(orders, "o_totalprice").orderBy("digit")
+
+
+_DIFF_L = """
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+"""
+_DIFF_R = """
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 3 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 101 = 5
+"""
+
+
+@register(
+    "table_diff_orders_planted",
+    oracle=f"""
+    WITH l AS ({_DIFF_L}), r AS ({_DIFF_R}),
+    j AS (
+      SELECT l.o_orderkey AS lk, r.o_orderkey AS rk,
+             l.o_totalprice AS lp, r.o_totalprice AS rp,
+             l.o_orderstatus AS ls, r.o_orderstatus AS rs
+      FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN lk IS NULL AND rk IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS added,
+        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                 AND (lp IS DISTINCT FROM rp OR ls IS DISTINCT FROM rs)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                 AND lp IS NOT DISTINCT FROM rp
+                 AND ls IS NOT DISTINCT FROM rs
+                 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                 AND lp IS DISTINCT FROM rp
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ch_price,
+        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                 AND ls IS DISTINCT FROM rs
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ch_status
+      FROM j
+    )
+    SELECT * FROM (
+      SELECT 'added' AS metric, added AS n FROM agg
+      UNION ALL SELECT 'removed', removed FROM agg
+      UNION ALL SELECT 'changed', changed FROM agg
+      UNION ALL SELECT 'unchanged', unchanged FROM agg
+      UNION ALL SELECT 'changed:o_totalprice', ch_price FROM agg
+      UNION ALL SELECT 'changed:o_orderstatus', ch_status FROM agg
+    ) ORDER BY metric
+    """,
+    survey_ids=["J3", "A4", "R6"],
+    description="Table reconciliation after a planted perturbation "
+    "(deleted keys, shifted prices, injected keys): ONE full-outer "
+    "key join + a single aggregate -> added/removed/changed/unchanged "
+    "+ per-column change counts, null-safe comparison throughout",
+)
+def table_diff_orders_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.checks import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    key = F.col("o_orderkey")
+    right = left.filter(key % 97 != 0).select(
+        "o_orderkey",
+        F.when(key % 13 == 3, F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    ).unionByName(
+        left.filter(key % 101 == 5).select(
+            (key + F.lit(100000000)).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+    )
+    return table_diff(
+        left, right, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).orderBy("metric")

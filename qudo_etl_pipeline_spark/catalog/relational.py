@@ -870,3 +870,47 @@ def rank_functions_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_round(F.cume_dist().over(w), 6).alias("cdist6"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+           o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice,
+           b.sum_qty AS sum_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    survey_ids=["A5", "J1", "W2", "W3"],
+    description="TPC-H Q18 shape (large-volume customers): the "
+    "HAVING-subquery pattern as aggregate-then-join — lineitem "
+    "collapses to the qualifying-order frame FIRST (tiny after the "
+    "threshold), so the orders/customer joins see hundreds of rows, "
+    "not the fact table; deterministic top-100 by (price desc, key)",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

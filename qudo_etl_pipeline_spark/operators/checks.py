@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
-__all__ = ["Check", "check_suite"]
+__all__ = ["Check", "check_suite", "table_diff"]
 
 # metric comparison direction per check kind: metric OP threshold
 _DIRECTION = {
@@ -180,3 +180,85 @@ def check_suite(
         row.select(F.explode(F.array(*structs)).alias("c"))
         .select("c.*")
     )
+
+
+def table_diff(
+    left,
+    right,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+):
+    """Key-level reconciliation of two table versions — the
+    anti-entropy audit a pipeline runs after a migration, backfill, or
+    engine swap: which keys were added / removed, which changed in
+    ANY compared column, and per-column change counts.
+
+    ONE full-outer join on the keys (AQE-coalescible, skew-splittable
+    — the only shuffle), then a single aggregate over the joined frame:
+    output is O(4 + #columns) rows regardless of input size. Column
+    comparison is null-safe (NULL == NULL is "unchanged", NULL vs
+    value is a change); keys must be non-null on both sides.
+
+    Output (long format): metric in {added, removed, changed,
+    unchanged, changed:<col>...}, n — the shape a publish gate or
+    drift alert consumes.
+    """
+    from pyspark.sql import functions as F
+
+    if compare_cols is None:
+        compare_cols = [
+            c for c in left.columns if c in set(right.columns)
+            and c not in set(keys)
+        ]
+    lf = left.select(
+        *[F.col(k).alias(f"_lk_{k}") for k in keys],
+        *[F.col(c).alias(f"_l_{c}") for c in compare_cols],
+    )
+    rf = right.select(
+        *[F.col(k).alias(f"_rk_{k}") for k in keys],
+        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"_lk_{k}") == F.col(f"_rk_{k}")
+        cond = e if cond is None else cond & e
+    j = lf.join(rf, cond, "full_outer")
+    in_l = F.col(f"_lk_{keys[0]}").isNotNull()
+    in_r = F.col(f"_rk_{keys[0]}").isNotNull()
+    col_changed = {
+        c: in_l
+        & in_r
+        & ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+        for c in compare_cols
+    }
+    any_changed = F.lit(False)
+    for e in col_changed.values():
+        any_changed = any_changed | e
+    # coalesce: an empty-vs-empty diff must report zeros, not NULLs
+    cnt = lambda e: F.coalesce(  # noqa: E731
+        F.sum(e.cast("bigint")), F.lit(0)
+    )
+    agg = j.agg(
+        cnt(in_l & ~in_r).alias("removed"),
+        cnt(~in_l & in_r).alias("added"),
+        cnt(any_changed).alias("changed"),
+        cnt(in_l & in_r & ~any_changed).alias("unchanged"),
+        *[
+            cnt(e).alias(f"changed:{c}")
+            for c, e in col_changed.items()
+        ],
+    )
+    metrics = ["added", "removed", "changed", "unchanged"] + [
+        f"changed:{c}" for c in compare_cols
+    ]
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("metric"), F.col(f"`{m}`").alias("n")
+                )
+                for m in metrics
+            ]
+        )
+    ).alias("kv")
+    return agg.select(stacked).select("kv.metric", "kv.n")

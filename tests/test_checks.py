@@ -126,3 +126,45 @@ def test_one_aggregation_pass(spark, table, countries):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_table_diff_statuses_and_nullsafe_compare(spark):
+    from qudo_etl_pipeline_spark.operators.checks import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k bigint, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # unchanged
+            (2, "b", None),      # unchanged (NULL == NULL)
+            (3, "c", 31.0),      # changed: v
+            (5, "e", 50.0),      # added
+        ],                        # key 4 removed
+        "k bigint, s string, v double",
+    )
+    out = {
+        r["metric"]: r["n"]
+        for r in table_diff(left, right, ["k"]).collect()
+    }
+    assert out == {
+        "added": 1,
+        "removed": 1,
+        "changed": 1,
+        "unchanged": 2,
+        "changed:s": 0,
+        "changed:v": 1,
+    }
+    # NULL vs value IS a change
+    l2 = spark.createDataFrame([(1, None)], "k bigint, v double")
+    r2 = spark.createDataFrame([(1, 9.0)], "k bigint, v double")
+    out2 = {
+        r["metric"]: r["n"] for r in table_diff(l2, r2, ["k"]).collect()
+    }
+    assert out2["changed"] == 1 and out2["changed:v"] == 1
+    # empty-vs-empty: all zero counts, full metric set
+    e = spark.createDataFrame([], "k bigint, v double")
+    out3 = {r["metric"]: r["n"] for r in table_diff(e, e, ["k"]).collect()}
+    assert out3 == {"added": 0, "removed": 0, "changed": 0,
+                    "unchanged": 0, "changed:v": 0}
