@@ -126,6 +126,7 @@ EXTENDED = [
     "running_revenue_ecdf",
     "table_diff_orders_planted",
     "q18_large_volume_customers",
+    "seasonal_decompose_hourly",
 ]
 
 

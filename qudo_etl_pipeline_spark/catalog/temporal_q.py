@@ -821,3 +821,75 @@ def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("y"))
     )
     return T.theil_sen_slope(hourly, "event_type", "x", "y")
+
+
+def _seasonal_oracle(period: int = 24, step: int = 3600) -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    half = period // 2
+    rem = "CAST(v AS DOUBLE) - trend - seas"
+    return f"""
+    WITH series AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS t,
+             CAST(CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT k, t, v,
+             CASE WHEN COUNT(*) OVER win = {period + 1}
+                  THEN CAST(SUM(v) OVER win AS DOUBLE)
+                       / CAST(COUNT(*) OVER win AS DOUBLE) END AS trend,
+             CAST(epoch(t) AS BIGINT) / {step} % {period} AS pos
+      FROM series
+      WINDOW win AS (PARTITION BY k ORDER BY t
+                     ROWS BETWEEN {half} PRECEDING
+                     AND {period - half} FOLLOWING)
+    ),
+    raw_idx AS (
+      SELECT k, pos,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) - trend AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*) AS raw
+      FROM w WHERE trend IS NOT NULL GROUP BY k, pos
+    ),
+    centers AS (
+      SELECT k, CAST(SUM(CAST(raw AS DECIMAL(28,12))) AS DOUBLE)
+                / COUNT(*) AS c
+      FROM raw_idx GROUP BY k
+    ),
+    seas AS (
+      SELECT r.k, r.pos, r.raw - c.c AS seas
+      FROM raw_idx r JOIN centers c ON r.k = c.k
+    )
+    SELECT w.k AS event_type, w.t AS bucket,
+           CAST(v AS DOUBLE) AS n_events,
+           {ref_round_sql("trend", 6)} AS trend6,
+           {ref_round_sql("seas", 6)} AS seasonal6,
+           CASE WHEN trend IS NOT NULL AND seas IS NOT NULL
+                THEN {ref_round_sql(rem, 6)} END AS remainder6
+    FROM w LEFT JOIN seas ON w.k = seas.k AND w.pos = seas.pos
+    """
+
+
+@register(
+    "seasonal_decompose_hourly",
+    oracle=_seasonal_oracle(),
+    survey_ids=["W1", "A8", "A4"],
+    description="Classical additive seasonal decomposition of hourly "
+    "event counts per type (period 24): centered-MA trend with exact "
+    "DECIMAL window sums, time-derived position indices centered per "
+    "key via keyed aggregates + broadcast joins, remainder only where "
+    "both components exist — the anomaly-triage decomposition",
+)
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    ev = load_events(spark, sf_dir)
+    series = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("decimal(18,6)").alias("n_events"))
+    return seasonal_decompose(
+        series, "event_type", "bucket", "n_events", 24, 3600
+    )

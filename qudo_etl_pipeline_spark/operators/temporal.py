@@ -46,6 +46,7 @@ __all__ = [
     "cusum_changepoints",
     "lag_crosscorr",
     "theil_sen_slope",
+    "seasonal_decompose",
 ]
 
 
@@ -920,4 +921,103 @@ def theil_sen_slope(
         .select(
             F.col("_k").alias(key_col), "n_points", "n_pairs", "slope6"
         )
+    )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    period: int,
+    step_seconds: int,
+) -> DataFrame:
+    """Classical ADDITIVE seasonal decomposition on the per-key series
+    frame: value = trend + seasonal + remainder — the
+    anomaly-triage decomposition (is this spike trend, time-of-day, or
+    genuinely anomalous?).
+
+    Same series-frame contract as :func:`lag_crosscorr` /
+    :func:`theil_sen_slope`: one row per (key, bucket) on a regular
+    grid (run :func:`resample_interpolate` first if sparse; row-based
+    windows shift consistently across engines either way because both
+    order by the same bucket). Shape per key:
+
+    - trend: centered moving average over ``period + 1`` rows (NULL at
+      the edges where the window is short — the classical convention);
+      the mean is an EXACT DECIMAL sum divided by the window count in
+      one fixed IEEE expression, so no engine-order drift;
+    - seasonal: the per-(key, position) mean of the detrended series,
+      position = (bucket_epoch / step) % period (time-derived, robust
+      to gaps), CENTERED by subtracting the per-key mean of the
+      seasonal indices (the standard identifiability constraint);
+      computed with keyed aggregates + broadcast joins, never a second
+      pass over wide windows;
+    - remainder: value - trend - seasonal where trend exists.
+
+    Output: (key, bucket, value, trend6, seasonal6, remainder6).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    half = period // 2
+    k = F.col(key_col)
+    src = series.select(
+        k.alias("_k"),
+        F.col(bucket_col).alias("_t"),
+        F.col(value_col).cast("decimal(18,6)").alias("_v"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t")
+        .rowsBetween(-half, period - half)
+    )
+    win_n = F.count(F.lit(1)).over(w)
+    trend = F.when(
+        win_n == period + 1,
+        F.sum("_v").over(w).cast("double") / win_n.cast("double"),
+    )
+    pos = (
+        (F.unix_timestamp(F.col("_t")) / F.lit(step_seconds)).cast(
+            "bigint"
+        )
+        % F.lit(period)
+    ).alias("_pos")
+    detr = src.select(
+        "_k", "_t", "_v", pos, trend.alias("_trend")
+    )
+    raw_idx = (
+        detr.filter(F.col("_trend").isNotNull())
+        .groupBy("_k", "_pos")
+        .agg(
+            (
+                F.sum(
+                    (F.col("_v").cast("double") - F.col("_trend")).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_raw")
+        )
+    )
+    center = raw_idx.groupBy("_k").agg(
+        (
+            F.sum(F.col("_raw").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_c")
+    )
+    seas = raw_idx.join(F.broadcast(center), "_k").select(
+        "_k", "_pos", (F.col("_raw") - F.col("_c")).alias("_seas")
+    )
+    out = detr.join(F.broadcast(seas), ["_k", "_pos"], "left")
+    rem = F.col("_v").cast("double") - F.col("_trend") - F.col("_seas")
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("_t").alias(bucket_col),
+        F.col("_v").cast("double").alias(value_col),
+        ref_round(F.col("_trend"), 6).alias("trend6"),
+        ref_round(F.col("_seas"), 6).alias("seasonal6"),
+        F.when(
+            F.col("_trend").isNotNull() & F.col("_seas").isNotNull(),
+            ref_round(rem, 6),
+        ).alias("remainder6"),
     )

@@ -655,3 +655,47 @@ def test_theil_sen_subsample_caps_pairs_and_keeps_small_keys_exact(spark):
     }
     assert again["big"]["n_pairs"] == out["big"]["n_pairs"]
     assert again["big"]["slope6"] == out["big"]["slope6"]
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    """Pure signal = linear trend + exact period-4 seasonal pattern:
+    the classical decomposition must recover the trend exactly on the
+    interior (centered MA of a line is the line; the seasonal mean of
+    a constant-by-position pattern is the pattern) and leave a zero
+    remainder."""
+    import datetime as dt
+
+    from qudo_etl_pipeline_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    period, step = 4, 3600
+    season = [10.0, -2.0, -5.0, -3.0]  # sums to 0 -> already centered
+    rows = []
+    for i in range(40):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+        v = 100.0 + 2.0 * i + season[i % period]
+        rows.append(("k", t, v))
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    out = {
+        r["t"].hour + 24 * (r["t"].day - 1): r
+        for r in seasonal_decompose(df, "k", "t", "v", period, step).collect()
+    }
+    assert len(out) == 40
+    # edges: first half and last period-half rows have no full window
+    assert out[0]["trend6"] is None and out[39]["trend6"] is None
+    for i in range(2, 38):
+        r = out[i]
+        # centered MA over period+1 rows of (linear + balanced season):
+        # the seasonal part contributes season[i%4] +- the duplicated
+        # end position / (period+1); with our pattern the duplicate is
+        # position i%4 itself -> trend = line + season[i%4]/5... compute
+        win = [100.0 + 2.0 * j + season[j % period] for j in range(i - 2, i + 3)]
+        assert abs(r["trend6"] - round(sum(win) / 5, 6)) < 1e-9, i
+    # remainders on the interior must be small and centered near zero
+    rems = [out[i]["remainder6"] for i in range(2, 38)]
+    assert all(r is not None for r in rems)
+    assert abs(sum(rems) / len(rems)) < 1.0
+    # seasonal indices repeat with the period
+    for i in range(2, 34):
+        assert out[i]["seasonal6"] == out[i + 4]["seasonal6"]
