@@ -1529,14 +1529,15 @@ def mutual_information_priority_status(
 def _tau_oracle() -> str:
     from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 
+    n0x2 = "CAST(n AS HUGEINT) * (n - 1)"
     tau = (
         "2.0 * CAST(conc - disc AS DOUBLE) / sqrt("
-        "CAST(n * (n - 1) - t1x2 AS DOUBLE)"
-        " * CAST(n * (n - 1) - t2x2 AS DOUBLE))"
+        f"CAST({n0x2} - t1x2 AS DOUBLE)"
+        f" * CAST({n0x2} - t2x2 AS DOUBLE))"
     )
     den = (
-        "CAST(n * (n - 1) - t1x2 AS DOUBLE)"
-        " * CAST(n * (n - 1) - t2x2 AS DOUBLE)"
+        f"CAST({n0x2} - t1x2 AS DOUBLE)"
+        f" * CAST({n0x2} - t2x2 AS DOUBLE)"
     )
     return f"""
     WITH src AS (
@@ -1551,19 +1552,21 @@ def _tau_oracle() -> str:
       FROM src GROUP BY a, b
     ),
     cd AS (
-      SELECT CAST(SUM(CASE WHEN c2.b > c1.b THEN c1.nab * c2.nab
+      SELECT CAST(SUM(CASE WHEN c2.b > c1.b
+                           THEN CAST(c1.nab AS HUGEINT) * c2.nab
                            ELSE 0 END) AS BIGINT) AS conc,
-             CAST(SUM(CASE WHEN c2.b < c1.b THEN c1.nab * c2.nab
+             CAST(SUM(CASE WHEN c2.b < c1.b
+                           THEN CAST(c1.nab AS HUGEINT) * c2.nab
                            ELSE 0 END) AS BIGINT) AS disc
       FROM cells c1 JOIN cells c2 ON c2.a > c1.a
     ),
     ta AS (
-      SELECT CAST(SUM(m * (m - 1)) AS BIGINT) AS t1x2,
+      SELECT SUM(CAST(m AS HUGEINT) * (m - 1)) AS t1x2,
              CAST(SUM(m) AS BIGINT) AS n
       FROM (SELECT CAST(SUM(nab) AS BIGINT) AS m FROM cells GROUP BY a)
     ),
     tb AS (
-      SELECT CAST(SUM(m * (m - 1)) AS BIGINT) AS t2x2
+      SELECT SUM(CAST(m AS HUGEINT) * (m - 1)) AS t2x2
       FROM (SELECT CAST(SUM(nab) AS BIGINT) AS m FROM cells GROUP BY b)
     )
     SELECT n, COALESCE(conc, 0) AS conc, COALESCE(disc, 0) AS disc,

@@ -244,29 +244,42 @@ _DIFF_R = """
     "table_diff_orders_planted",
     oracle=f"""
     WITH l AS ({_DIFF_L}), r AS ({_DIFF_R}),
+    lk AS (
+      SELECT o_orderkey, COUNT(*) AS ln,
+             MAX(o_totalprice) AS lp, MAX(o_orderstatus) AS ls
+      FROM l GROUP BY o_orderkey
+    ),
+    rk AS (
+      SELECT o_orderkey, COUNT(*) AS rn,
+             MAX(o_totalprice) AS rp, MAX(o_orderstatus) AS rs
+      FROM r GROUP BY o_orderkey
+    ),
     j AS (
-      SELECT l.o_orderkey AS lk, r.o_orderkey AS rk,
-             l.o_totalprice AS lp, r.o_totalprice AS rp,
-             l.o_orderstatus AS ls, r.o_orderstatus AS rs
-      FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+      SELECT lk.o_orderkey AS lkey, rk.o_orderkey AS rkey,
+             ln, rn, lp, rp, ls, rs
+      FROM lk FULL OUTER JOIN rk ON lk.o_orderkey = rk.o_orderkey
     ),
     agg AS (
       SELECT
-        CAST(SUM(CASE WHEN lk IS NULL AND rk IS NOT NULL
+        CAST(SUM(CASE WHEN lkey IS NULL AND rkey IS NOT NULL
                  THEN 1 ELSE 0 END) AS BIGINT) AS added,
-        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NULL
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NULL
                  THEN 1 ELSE 0 END) AS BIGINT) AS removed,
-        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
                  AND (lp IS DISTINCT FROM rp OR ls IS DISTINCT FROM rs)
                  THEN 1 ELSE 0 END) AS BIGINT) AS changed,
-        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
                  AND lp IS NOT DISTINCT FROM rp
                  AND ls IS NOT DISTINCT FROM rs
                  THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
-        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND ln > 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS dupl,
+        CAST(SUM(CASE WHEN rkey IS NOT NULL AND rn > 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS dupr,
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
                  AND lp IS DISTINCT FROM rp
                  THEN 1 ELSE 0 END) AS BIGINT) AS ch_price,
-        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
                  AND ls IS DISTINCT FROM rs
                  THEN 1 ELSE 0 END) AS BIGINT) AS ch_status
       FROM j
@@ -276,6 +289,8 @@ _DIFF_R = """
       UNION ALL SELECT 'removed', removed FROM agg
       UNION ALL SELECT 'changed', changed FROM agg
       UNION ALL SELECT 'unchanged', unchanged FROM agg
+      UNION ALL SELECT 'dup_keys:left', dupl FROM agg
+      UNION ALL SELECT 'dup_keys:right', dupr FROM agg
       UNION ALL SELECT 'changed:o_totalprice', ch_price FROM agg
       UNION ALL SELECT 'changed:o_orderstatus', ch_status FROM agg
     ) ORDER BY metric

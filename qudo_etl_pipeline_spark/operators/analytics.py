@@ -969,16 +969,18 @@ def quantile_normalize(
     deterministic rank).
 
     Columns must be non-null and equally sized (one value per id). The
-    within-column rank is a RANGE-PARTITIONED two-pass prefix count —
-    the same device as token_budget_sample, NOT a per-column
-    Window.orderBy (which would move each whole column into one task):
-    rows range-partition on (col, v, id), each partition counts
-    locally, and per-(partition, col) totals — a partition-count-sized
-    frame — window into per-column offsets that broadcast back. Then
-    one groupBy(rank) computes the rank means DECIMAL-exactly and one
-    rank-keyed join brings them home: three shuffles total,
+    within-column rank is the RANGE-PARTITIONED two-pass prefix count
+    (:func:`~qudo_etl_pipeline_spark.operators.prefix.
+    ranged_prefix_sums` — the shared device, NOT a per-column
+    Window.orderBy which would move each whole column into one task).
+    Then one groupBy(rank) computes the rank means DECIMAL-exactly and
+    one rank-keyed join brings them home: three shuffles total,
     independent of column count.
     """
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        ranged_prefix_sums,
+    )
+
     melted = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -993,32 +995,14 @@ def quantile_normalize(
             )
         ).alias("kv"),
     ).select("_id", F.col("kv._c").alias("_c"), F.col("kv._v").alias("_v"))
-    order = [F.asc("_c"), F.asc("_v"), F.asc("_id")]
-    # cache before _pid for the same reason token_budget_sample does:
-    # range boundaries are sampled, and both prefix-sum branches must
-    # see ONE physical partitioning; reclaimed by ContextCleaner when
-    # the caller drops the returned plan.
-    part = melted.repartitionByRange(*order).cache()
-    part = part.withColumn("_pid", F.spark_partition_id())
-    inner = Window.partitionBy("_pid", "_c").orderBy(
-        F.asc("_v"), F.asc("_id")
-    )
-    local = part.withColumn("_rn_in", F.row_number().over(inner))
-    totals = part.groupBy("_pid", "_c").agg(
-        F.count(F.lit(1)).alias("_pt")
-    )
-    off_w = (
-        Window.partitionBy("_c")
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        "_pid",
-        "_c",
-        F.coalesce(F.sum("_pt").over(off_w), F.lit(0)).alias("_off"),
-    )
-    ranked = local.join(F.broadcast(offsets), ["_pid", "_c"]).withColumn(
-        "_rank", F.col("_rn_in") + F.col("_off")
+    # within-column rank = inclusive prefix COUNT through the shared
+    # device ((_v, _id) is a total order per column, so row_number and
+    # the running count coincide)
+    ranked = ranged_prefix_sums(
+        melted.withColumn("_one", F.lit(1)),
+        ["_v", "_id"],
+        {"_rank": "_one"},
+        group_cols=["_c"],
     )
     means = ranked.groupBy("_rank").agg(
         (
@@ -1049,15 +1033,16 @@ def weighted_quantile(
     of rows <= v reaches q of the group total.
 
     The running weight sum is the RANGE-PARTITIONED two-pass prefix
-    sum (the token_budget_sample / quantile_normalize device), NOT a
+    sum (:func:`~qudo_etl_pipeline_spark.operators.prefix.
+    ranged_prefix_sums` — the shared device), NOT a
     ``Window.partitionBy(group)`` — with few wide groups that window
     serializes each group into one task (measured 2.9 s at sf0.1 on 3
-    groups; the device spreads the same work over every core). Rows
-    range-partition on (group, value), partitions cum locally, and
-    per-(partition, group) totals — a partition-count-sized frame —
-    broadcast back per-group offsets and totals. Weights accumulate in
-    DECIMAL and the crossing test is the integer-exact ``q_den * cumw
-    >= q_num * totw`` — no float thresholds.
+    groups; the device spreads the same work over every core). Weights
+    must be NON-NEGATIVE (quantile semantics) and accumulate in
+    DECIMAL; the crossing test is the integer-exact ``q_den * cumw >=
+    q_num * totw`` — no float thresholds. Group totals come from the
+    cum column's per-group maximum (exact under non-negative weights),
+    a map-side-combinable aggregate over the device's cached frame.
 
     Determinism under ties: rows sharing a value may cum in any order
     (including split across range partitions), but a value group
@@ -1066,46 +1051,26 @@ def weighted_quantile(
     crossing rows, so every engine picks the same value.
     NULL values/weights are excluded.
     """
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        ranged_prefix_sums,
+    )
+
     v = F.col(value_col)
     wt = F.col(weight_col).cast("decimal(18,6)")
     src = df.filter(v.isNotNull() & F.col(weight_col).isNotNull()).select(
         *group_cols, v.alias("__v"), wt.alias("__w")
     )
-    order = [F.asc(c) for c in group_cols] + [F.asc("__v")]
-    # cache before _pid (see quantile_normalize): both prefix-sum
-    # branches must observe ONE physical partitioning
-    part = src.repartitionByRange(*order).cache()
-    part = part.withColumn("_pid", F.spark_partition_id())
-    inner = (
-        Window.partitionBy("_pid", *group_cols)
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranged_prefix_sums(
+        src, ["__v"], {"__cumw": "__w"}, group_cols=list(group_cols)
     )
-    local = part.withColumn("_cum_in", F.sum("__w").over(inner))
-    totals = part.groupBy("_pid", *group_cols).agg(
-        F.sum("__w").alias("_pt"), F.count(F.lit(1)).alias("_pc")
+    gtot = cum.groupBy(*group_cols).agg(
+        F.max("__cumw").alias("__totw"), F.count(F.lit(1)).alias("__n")
     )
-    off_w = (
-        Window.partitionBy(*group_cols)
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    crossed = F.lit(q_den) * F.col("__cumw") >= F.lit(q_num) * F.col(
+        "__totw"
     )
-    offsets = totals.select(
-        "_pid",
-        *group_cols,
-        F.coalesce(
-            F.sum("_pt").over(off_w), F.lit(0).cast("decimal(18,6)")
-        ).alias("_off"),
-    )
-    gtot = totals.groupBy(*group_cols).agg(
-        F.sum("_pt").alias("__totw"), F.sum("_pc").alias("__n")
-    )
-    cumw = F.col("_cum_in") + F.col("_off")
-    crossed = F.lit(q_den) * cumw >= F.lit(q_num) * F.col("__totw")
-    flagged = (
-        local.join(F.broadcast(offsets), ["_pid", *group_cols])
-        .join(F.broadcast(gtot), list(group_cols))
-        .filter(crossed)
+    flagged = cum.join(F.broadcast(gtot), list(group_cols)).filter(
+        crossed
     )
     return flagged.groupBy(*group_cols).agg(
         F.min("__v").alias("wq_value"),
@@ -1668,11 +1633,17 @@ def kendall_tau_b(
     ONE groupBy, and C/D come from the cell-frame self-join
     sum_{i<i'} n_ij · n_i'j' split by j-direction — |cells|² work,
     bounded by the category domains, NEVER an O(rows²) pair join. Bin
-    continuous measures first. Every count is a bigint; tau_b is one
-    fixed IEEE expression over exact integers.
+    continuous measures first. Pair counts are ~n²/2 and the
+    denominator ~n⁴, far past bigint at scale, so every product
+    accumulates in DECIMAL(38,0) (HUGEINT in the oracle) — exact to
+    n ≲ 3·10⁹ observations, the same documented moment bound as
+    :func:`spearman_rho` (sample beyond that; rank statistics
+    stabilize long before). tau_b is one fixed IEEE expression over
+    those exact integers.
 
-    Returns 1 row: (n, conc, disc, tau_b6); empty input -> 0 rows.
-    tau_b6 is NULL when either margin is constant (denominator 0).
+    Returns 1 row: (n, conc, disc, tau_b6) with conc/disc as exact
+    DECIMAL pair counts; empty input -> 0 rows. tau_b6 is NULL when
+    either margin is constant (denominator 0).
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
@@ -1695,27 +1666,35 @@ def kendall_tau_b(
     cross = lo.crossJoin(F.broadcast(hi)).filter(
         F.col("_a2") > F.col("_a1")
     )
-    prod = F.col("_n1") * F.col("_n2")
+    dec = "decimal(38,0)"
+    prod = F.col("_n1").cast(dec) * F.col("_n2").cast(dec)
+    zero = F.lit(0).cast(dec)
     cd = cross.agg(
         F.sum(
-            F.when(F.col("_b2") > F.col("_b1"), prod).otherwise(F.lit(0))
+            F.when(F.col("_b2") > F.col("_b1"), prod).otherwise(zero)
         ).alias("conc"),
         F.sum(
-            F.when(F.col("_b2") < F.col("_b1"), prod).otherwise(F.lit(0))
+            F.when(F.col("_b2") < F.col("_b1"), prod).otherwise(zero)
         ).alias("disc"),
     )
     ties_a = (
         cells.groupBy("_a")
         .agg(F.sum("_nab").alias("_m"))
         .agg(
-            F.sum(F.col("_m") * (F.col("_m") - 1)).alias("_t1x2"),
+            F.sum(
+                F.col("_m").cast(dec) * (F.col("_m") - 1).cast(dec)
+            ).alias("_t1x2"),
             F.sum("_m").alias("_n"),
         )
     )
     ties_b = (
         cells.groupBy("_b")
         .agg(F.sum("_nab").alias("_m"))
-        .agg(F.sum(F.col("_m") * (F.col("_m") - 1)).alias("_t2x2"))
+        .agg(
+            F.sum(
+                F.col("_m").cast(dec) * (F.col("_m") - 1).cast(dec)
+            ).alias("_t2x2")
+        )
     )
     joined = (
         cd.crossJoin(F.broadcast(ties_a))
@@ -1724,7 +1703,7 @@ def kendall_tau_b(
     )
     # doubled pair counts keep everything integral: 2*n0 = n(n-1),
     # 2*n1 = sum m(m-1) — the ratio is unchanged
-    n0x2 = F.col("_n") * (F.col("_n") - 1)
+    n0x2 = F.col("_n").cast(dec) * (F.col("_n") - 1).cast(dec)
     den = (
         (n0x2 - F.col("_t1x2")).cast("double")
         * (n0x2 - F.col("_t2x2")).cast("double")
@@ -1736,8 +1715,11 @@ def kendall_tau_b(
     )
     return joined.select(
         F.col("_n").alias("n"),
-        F.coalesce(F.col("conc"), F.lit(0)).alias("conc"),
-        F.coalesce(F.col("disc"), F.lit(0)).alias("disc"),
+        # bigint on the OUTPUT is safe within the documented n bound
+        # (conc <= n^2/2 < 2^63 for n <= 4e9); the DECIMAL accumulation
+        # above is what protects the intermediates
+        F.coalesce(F.col("conc"), F.lit(0)).cast("bigint").alias("conc"),
+        F.coalesce(F.col("disc"), F.lit(0)).cast("bigint").alias("disc"),
         F.when(den > 0, ref_round(tau, 6)).alias("tau_b6"),
     )
 

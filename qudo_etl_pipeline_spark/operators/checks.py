@@ -193,15 +193,23 @@ def table_diff(
     engine swap: which keys were added / removed, which changed in
     ANY compared column, and per-column change counts.
 
-    ONE full-outer join on the keys (AQE-coalescible, skew-splittable
-    — the only shuffle), then a single aggregate over the joined frame:
-    output is O(4 + #columns) rows regardless of input size. Column
-    comparison is null-safe (NULL == NULL is "unchanged", NULL vs
-    value is a change); keys must be non-null on both sides.
+    KEY-LEVEL by construction: each side pre-aggregates to one row per
+    key (count + a deterministic max-struct representative of the
+    compared columns), so duplicate keys can never fan out the join
+    and inflate the counts — they are surfaced instead as
+    ``dup_keys:left`` / ``dup_keys:right`` (keys occurring more than
+    once; a nonzero value means the per-key "changed" verdicts compare
+    REPRESENTATIVES and the duplication itself is the finding to
+    chase). The join is then a unique-key full-outer (AQE-coalescible,
+    skew-splittable — the only shuffle on the wide data) feeding a
+    single aggregate: output is O(6 + #columns) rows regardless of
+    input size. Column comparison is null-safe (NULL == NULL is
+    "unchanged", NULL vs value is a change); keys must be non-null on
+    both sides.
 
     Output (long format): metric in {added, removed, changed,
-    unchanged, changed:<col>...}, n — the shape a publish gate or
-    drift alert consumes.
+    unchanged, dup_keys:left, dup_keys:right, changed:<col>...}, n —
+    the shape a publish gate or drift alert consumes.
     """
     from pyspark.sql import functions as F
 
@@ -210,14 +218,24 @@ def table_diff(
             c for c in left.columns if c in set(right.columns)
             and c not in set(keys)
         ]
-    lf = left.select(
-        *[F.col(k).alias(f"_lk_{k}") for k in keys],
-        *[F.col(c).alias(f"_l_{c}") for c in compare_cols],
-    )
-    rf = right.select(
-        *[F.col(k).alias(f"_rk_{k}") for k in keys],
-        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
-    )
+
+    def _keyed(df, tag):
+        return (
+            df.select(
+                *[F.col(k).alias(f"_{tag}k_{k}") for k in keys],
+                F.struct(
+                    *[F.col(c).alias(c) for c in compare_cols]
+                ).alias(f"_{tag}v"),
+            )
+            .groupBy(*[f"_{tag}k_{k}" for k in keys])
+            .agg(
+                F.count(F.lit(1)).alias(f"_{tag}n"),
+                F.max(f"_{tag}v").alias(f"_{tag}v"),
+            )
+        )
+
+    lf = _keyed(left, "l")
+    rf = _keyed(right, "r")
     cond = None
     for k in keys:
         e = F.col(f"_lk_{k}") == F.col(f"_rk_{k}")
@@ -228,7 +246,7 @@ def table_diff(
     col_changed = {
         c: in_l
         & in_r
-        & ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+        & ~F.col("_lv")[c].eqNullSafe(F.col("_rv")[c])
         for c in compare_cols
     }
     any_changed = F.lit(False)
@@ -243,14 +261,21 @@ def table_diff(
         cnt(~in_l & in_r).alias("added"),
         cnt(any_changed).alias("changed"),
         cnt(in_l & in_r & ~any_changed).alias("unchanged"),
+        cnt(in_l & (F.col("_ln") > 1)).alias("dup_keys:left"),
+        cnt(in_r & (F.col("_rn") > 1)).alias("dup_keys:right"),
         *[
             cnt(e).alias(f"changed:{c}")
             for c, e in col_changed.items()
         ],
     )
-    metrics = ["added", "removed", "changed", "unchanged"] + [
-        f"changed:{c}" for c in compare_cols
-    ]
+    metrics = [
+        "added",
+        "removed",
+        "changed",
+        "unchanged",
+        "dup_keys:left",
+        "dup_keys:right",
+    ] + [f"changed:{c}" for c in compare_cols]
     stacked = F.explode(
         F.array(
             *[

@@ -56,16 +56,31 @@ def ranged_prefix_sums(
     DECIMAL) — partition totals aggregate WITHOUT an intra-partition
     order, which reassociates IEEE addition; integers and DECIMALs are
     association-free so the result is bit-identical to a sequential
-    scan in any engine. Order keys must be unique per group (the
+    scan in any engine. Order keys SHOULD be unique per group (the
     distinct-value frames every rank statistic runs on satisfy this by
-    construction); duplicate keys could split across range partitions
-    with engine-dependent cum values at the duplicates.
+    construction): duplicate keys may split across range partitions,
+    making the cum values AT the duplicates tie-order/engine-dependent.
+    Duplicates are still safe for uses that only consume
+    tie-order-INVARIANT reductions of the cum — monotone
+    threshold-crossing (weighted_quantile: a value group crosses iff
+    its end cum does) or pure counts over full-row duplicates
+    (ntile_bucketize: swapping identical rows is a no-op downstream).
+
+    Cache lifecycle: the ranged frame is ``.cache()``d because range
+    boundaries are SAMPLED per execution — without one materialized
+    partitioning, the local-cum and totals branches could disagree on
+    partition ids and silently mis-offset. The entry lives in the
+    session's CacheManager until ``unpersist``/session end (it is NOT
+    reclaimed merely by dropping the returned plan); short-lived
+    sessions (tests, selfcheck, bench, jobs) shed it at exit, and a
+    long-lived session running many DISTINCT rank-statistic plans
+    should ``spark.catalog.clearCache()`` between batches or
+    ``unpersist`` via its own handle on the input.
     """
     groups = list(group_cols or [])
     order = [F.asc(c) for c in groups] + [F.asc(c) for c in order_cols]
-    # cache before _pid: range boundaries are SAMPLED, and the local-cum
-    # and totals branches below must see the SAME physical partitioning
-    # (reclaimed by ContextCleaner when the caller drops the plan)
+    # cache before _pid: see "Cache lifecycle" above — correctness, not
+    # speed; both branches must observe ONE physical partitioning
     part = df.repartitionByRange(*order).cache()
     part = part.withColumn("_pid", F.spark_partition_id())
     bound = 0 if inclusive else -1

@@ -333,8 +333,20 @@ class ObjectStoreConditionalPutPublisher(Publisher):
                 last = exc
         raise last  # pragma: no cover
 
+    def _list_with_retry(self) -> list[str]:
+        # LIST is as retryable as GET: an adapter following the
+        # documented contract raises TransientStoreError on 5xx, and a
+        # crash here would bypass the commit loop's own retry machinery
+        last: Exception | None = None
+        for _ in range(self.MAX_ATTEMPTS):
+            try:
+                return self.store.list_keys()
+            except TransientStoreError as exc:
+                last = exc
+        raise last
+
     def read(self) -> dict | None:
-        keys = self.store.list_keys()
+        keys = self._list_with_retry()
         if not keys:
             return None
         data = self._get_with_retry(keys[-1])
@@ -347,7 +359,7 @@ class ObjectStoreConditionalPutPublisher(Publisher):
             {**manifest, "_writer": self.writer_id}
         ).encode()
         for _ in range(self.MAX_ATTEMPTS):
-            keys = self.store.list_keys()
+            keys = self._list_with_retry()
             seq = int(keys[-1].split(".")[0]) + 1 if keys else 0
             key = f"{seq:020d}.json"
             try:

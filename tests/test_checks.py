@@ -153,6 +153,8 @@ def test_table_diff_statuses_and_nullsafe_compare(spark):
         "removed": 1,
         "changed": 1,
         "unchanged": 2,
+        "dup_keys:left": 0,
+        "dup_keys:right": 0,
         "changed:s": 0,
         "changed:v": 1,
     }
@@ -167,4 +169,31 @@ def test_table_diff_statuses_and_nullsafe_compare(spark):
     e = spark.createDataFrame([], "k bigint, v double")
     out3 = {r["metric"]: r["n"] for r in table_diff(e, e, ["k"]).collect()}
     assert out3 == {"added": 0, "removed": 0, "changed": 0,
-                    "unchanged": 0, "changed:v": 0}
+                    "unchanged": 0, "dup_keys:left": 0,
+                    "dup_keys:right": 0, "changed:v": 0}
+
+
+def test_table_diff_duplicate_keys_stay_key_level(spark):
+    """Duplicate keys must NOT fan out the join: counts stay at key
+    level (added+removed+changed+unchanged == distinct key count) and
+    the duplication itself is surfaced as dup_keys metrics."""
+    from qudo_etl_pipeline_spark.operators.checks import table_diff
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (2, 21.0), (2, 21.0), (2, 21.0),
+         (4, 40.0)],
+        "k bigint, v double",
+    )
+    out = {
+        r["metric"]: r["n"] for r in table_diff(left, right, ["k"]).collect()
+    }
+    assert out["added"] == 1            # key 4, counted ONCE
+    assert out["removed"] == 1          # key 3
+    assert out["changed"] == 1          # key 2 (representative differs)
+    assert out["unchanged"] == 1        # key 1 (duplicates identical)
+    assert out["added"] + out["removed"] + out["changed"] + out["unchanged"] == 4
+    assert out["dup_keys:left"] == 0
+    assert out["dup_keys:right"] == 2   # keys 1 and 2 duplicated

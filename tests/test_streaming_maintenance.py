@@ -567,3 +567,41 @@ def test_vacuum_commits_preserves_live_manifest_and_sequencing(tmp_path):
 
     with _pytest.raises(ValueError):
         vacuum_commits(table, keep_last=0)
+
+
+def test_object_store_publisher_survives_transient_list_failures(tmp_path):
+    """LIST is as retryable as PUT/GET: a commit whose first listings
+    return 5xx must retry and land, and read() must survive a flaky
+    listing too — the commit loop's retry contract covers every store
+    call, not just the conditional create."""
+    from qudo_etl_pipeline_spark.streaming.publish import (
+        LocalObjectStore,
+        ObjectStoreConditionalPutPublisher,
+        TransientStoreError,
+    )
+
+    table = str(tmp_path / "t")
+    root = os.path.join(table, "_commits")
+
+    class FlakyListStore(LocalObjectStore):
+        def __init__(self, root, fail_times):
+            super().__init__(root)
+            self.fail = fail_times
+
+        def list_keys(self):
+            if self.fail > 0:
+                self.fail -= 1
+                raise TransientStoreError("injected LIST 503")
+            return super().list_keys()
+
+    p = ObjectStoreConditionalPutPublisher(
+        table, store=FlakyListStore(root, fail_times=3), writer_id="W"
+    )
+    m = {"query_id": "q", "gen": 0}
+    assert p.commit({**m, "batch_id": 0, "version": "v0"}) is True
+    assert len(os.listdir(root)) == 1
+
+    r = ObjectStoreConditionalPutPublisher(
+        table, store=FlakyListStore(root, fail_times=2), writer_id="R"
+    )
+    assert r.read()["version"] == "v0"

@@ -14,6 +14,10 @@
 # suite or bench must fail the ritual, not produce green evidence.
 set -e
 ROUND="${1:?usage: round_ritual.sh <round-number>}"
+# zero-padded once, used for EVERY artifact name (r07, r10, r11 — the
+# same scheme hash_diff's PREV computation uses, so the cross-round
+# gate still fires at double-digit rounds)
+RPAD=$(printf 'r%02d' "$ROUND")
 cd "$(dirname "$0")/.."
 
 echo "== pytest =="
@@ -27,7 +31,7 @@ fi
 
 echo "== full selfcheck (sf0.01) =="
 if python tools/selfcheck.py /root/testdata/sf0.01 \
-     --hashes-out "HASHES_r0${ROUND}.json" \
+     --hashes-out "HASHES_${RPAD}.json" \
      > /tmp/ritual_selfcheck.log 2>&1; then
   tail -2 /tmp/ritual_selfcheck.log
 else
@@ -49,7 +53,7 @@ python tools/write_selfcheck_md.py "$ROUND" 0.01:/tmp/ritual_selfcheck.log
 PREV=$(printf 'HASHES_r%02d.json' $((ROUND - 1)))
 if [ -f "$PREV" ]; then
   echo "== result-hash diff vs $PREV =="
-  python tools/hash_diff.py "$PREV" "HASHES_r0${ROUND}.json" \
-    || echo "hash diff: CHANGED answers above need an explanation in SELFCHECK_r0${ROUND}.md"
+  python tools/hash_diff.py "$PREV" "HASHES_${RPAD}.json" \
+    || echo "hash diff: CHANGED answers above need an explanation in SELFCHECK_${RPAD}.md"
 fi
-echo "ritual complete: SELFCHECK_r0${ROUND}.md refreshed"
+echo "ritual complete: SELFCHECK_${RPAD}.md refreshed"

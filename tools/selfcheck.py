@@ -127,6 +127,9 @@ def main() -> int:
     hashes_out = None
     if "--hashes-out" in argv:
         i = argv.index("--hashes-out")
+        if i + 1 >= len(argv):
+            print("usage: selfcheck.py [sf_dir] [--hashes-out PATH] [query...]")
+            return 2
         hashes_out = argv[i + 1]
         del argv[i: i + 2]
     sys.argv = [sys.argv[0]] + argv
