@@ -127,6 +127,8 @@ EXTENDED = [
     "table_diff_orders_planted",
     "q18_large_volume_customers",
     "seasonal_decompose_hourly",
+    "q4_late_shipment_priority",
+    "q14_promo_revenue_share",
 ]
 
 

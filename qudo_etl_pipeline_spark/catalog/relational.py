@@ -914,3 +914,108 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+    survey_ids=["J3", "A4", "P6"],
+    description="TPC-H Q4 shape (order-priority checking, adapted to "
+    "this schema's dates): EXISTS with a CORRELATED cross-table range "
+    "predicate expressed as a left-semi join carrying the non-equi "
+    "residual — the fact table never fans out, each order counts once "
+    "no matter how many late lines it has",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+           CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,6)))
+                    ELSE 0 END), 4) AS DOUBLE) AS promo_rev,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4)
+                AS DOUBLE) AS total_rev,
+           ROUND(100.0
+             * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l.l_discount AS DECIMAL(8,6)))
+                      ELSE 0 END), 4) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4)
+                    AS DOUBLE), 6) AS promo_share6
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey_ids=["A5", "A9", "J1"],
+    description="TPC-H Q14 shape (promo revenue share) per ship month: "
+    "conditional DECIMAL-exact revenue split on a dimension attribute "
+    "(part joins AFTER the date filter prunes the fact side), share "
+    "from the scale-4-rounded exact sums so both engines divide "
+    "identical doubles",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _d("l_extendedprice") * (F.lit(1) - _d(F.col("l_discount")))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    total = F.sum(rev)
+    promo4 = F.round(promo, 4).cast("double")
+    total4 = F.round(total, 4).cast("double")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            promo4.alias("promo_rev"),
+            total4.alias("total_rev"),
+            F.round(F.lit(100.0) * promo4 / total4, 6).alias(
+                "promo_share6"
+            ),
+        )
+        .orderBy("ship_month")
+    )
