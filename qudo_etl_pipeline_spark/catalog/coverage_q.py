@@ -137,16 +137,27 @@ def join_manual_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM a JOIN b ON a.rn = b.rn
     """,
     survey_ids=["J4"],
-    description="Positional alignment as an explicit row_number equi-join "
-    "(no implicit row order in Spark)",
+    description="Positional alignment as an explicit row_number "
+    "equi-join (no implicit row order in Spark); the SF-scaled side's "
+    "row number comes from the range-partitioned prefix-count device, "
+    "never a single-task global window",
 )
 def positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    sup = load_table(spark, sf_dir, "supplier").select(
-        "s_name",
-        F.row_number().over(Window.orderBy("s_suppkey")).alias("rn"),
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        ranged_prefix_sums,
     )
+
+    # supplier grows with SF -> device; nation is a 25-row dimension,
+    # where a plain ordered window is the documented bounded case
+    sup = ranged_prefix_sums(
+        load_table(spark, sf_dir, "supplier")
+        .select("s_name", "s_suppkey")
+        .withColumn("_one", F.lit(1)),
+        ["s_suppkey"],
+        {"rn": "_one"},
+    ).select("s_name", "rn")
     nat = load_table(spark, sf_dir, "nation").select(
         "n_name",
         F.row_number().over(Window.orderBy("n_nationkey")).alias("rn"),
