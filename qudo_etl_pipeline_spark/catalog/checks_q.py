@@ -323,3 +323,75 @@ def table_diff_orders_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         left, right, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     ).orderBy("metric")
+
+
+@register(
+    "join_profile_orders_lineitem",
+    oracle="""
+    WITH lk AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ln
+      FROM orders GROUP BY o_orderkey
+    ),
+    rk AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS rn
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT lk.k AS lkey, rk.k AS rkey, ln, rn
+      FROM lk FULL OUTER JOIN rk ON lk.k = rk.k
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN lkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS keys_left,
+        CAST(SUM(CASE WHEN rkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS keys_right,
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS keys_matched,
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS keys_left_only,
+        CAST(SUM(CASE WHEN rkey IS NOT NULL AND lkey IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS keys_right_only,
+        CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL
+                 AND rkey IS NOT NULL THEN ln * rn END), 0)
+             AS BIGINT) AS joined_rows,
+        CAST(COALESCE(MAX(CASE WHEN lkey IS NOT NULL
+                 AND rkey IS NOT NULL THEN ln END), 0)
+             AS BIGINT) AS max_left_rows_per_key,
+        CAST(COALESCE(MAX(CASE WHEN lkey IS NOT NULL
+                 AND rkey IS NOT NULL THEN rn END), 0)
+             AS BIGINT) AS max_right_rows_per_key
+      FROM j
+    )
+    SELECT * FROM (
+      SELECT 'keys_left' AS metric, keys_left AS n FROM agg
+      UNION ALL SELECT 'keys_right', keys_right FROM agg
+      UNION ALL SELECT 'keys_matched', keys_matched FROM agg
+      UNION ALL SELECT 'keys_left_only', keys_left_only FROM agg
+      UNION ALL SELECT 'keys_right_only', keys_right_only FROM agg
+      UNION ALL SELECT 'joined_rows', joined_rows FROM agg
+      UNION ALL SELECT 'max_left_rows_per_key', max_left_rows_per_key
+        FROM agg
+      UNION ALL SELECT 'max_right_rows_per_key', max_right_rows_per_key
+        FROM agg
+      UNION ALL SELECT 'null_keys_left', 0 FROM agg
+      UNION ALL SELECT 'null_keys_right', 0 FROM agg
+    ) ORDER BY metric
+    """,
+    survey_ids=["J1", "A4", "A7"],
+    description="Pre-join key-overlap profile of orders->lineitem: "
+    "distinct/matched/orphan key counts, exact joined-row prediction "
+    "and per-key fan-out maxima from two keyed aggregates + one "
+    "unique-key full-outer join (the fan-out itself is never "
+    "materialized); null keys ride sentinel groups, one lazy plan",
+)
+def join_profile_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.checks import join_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_profile(orders, li, "o_orderkey", "l_orderkey").orderBy(
+        "metric"
+    )

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
-__all__ = ["Check", "check_suite", "table_diff"]
+__all__ = ["Check", "check_suite", "table_diff", "join_profile"]
 
 # metric comparison direction per check kind: metric OP threshold
 _DIRECTION = {
@@ -281,6 +281,101 @@ def table_diff(
             *[
                 F.struct(
                     F.lit(m).alias("metric"), F.col(f"`{m}`").alias("n")
+                )
+                for m in metrics
+            ]
+        )
+    ).alias("kv")
+    return agg.select(stacked).select("kv.metric", "kv.n")
+
+
+def join_profile(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+):
+    """Pre-join sanity profile of a key pair — the check a pipeline
+    runs BEFORE a big join to predict fan-out and orphan loss:
+    distinct key counts, matched keys, orphans on each side, row
+    multiplicities (max and total rows per side over matched keys —
+    the fan-out predictor: a matched row count far above the matched
+    key count means the join will explode), and null-key row counts
+    (silently dropped by an inner equi-join).
+
+    Each side collapses to its (key, row-count) frame first (one keyed
+    aggregate per side — the NULL-key group rides along as a sentinel
+    row, so the whole profile is ONE lazy plan with no driver-side
+    count jobs), then a unique-key full-outer join on the key-count
+    frames feeds a single aggregate — never a pass over the joined
+    fan-out itself.
+
+    Output (long format): metric, n.
+    """
+    from pyspark.sql import functions as F
+
+    lk = (
+        left.groupBy(F.col(left_key).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_ln"))
+        .withColumn("_lhas", F.lit(1))
+    )
+    rk = (
+        right.groupBy(F.col(right_key).alias("_rk"))
+        .agg(F.count(F.lit(1)).alias("_rn"))
+        .withColumn("_rhas", F.lit(1))
+    )
+    # NULL keys never satisfy the equi-condition, so each side's
+    # sentinel group survives as an unmatched row and is routed to the
+    # null_keys metrics below instead of the key counts
+    j = lk.join(rk, lk["_k"] == rk["_rk"], "full_outer")
+    in_l = F.col("_lhas").isNotNull()
+    in_r = F.col("_rhas").isNotNull()
+    lkey_ok = in_l & F.col("_k").isNotNull()
+    rkey_ok = in_r & F.col("_rk").isNotNull()
+    cnt = lambda e: F.coalesce(  # noqa: E731
+        F.sum(e.cast("bigint")), F.lit(0)
+    )
+    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
+    matched = lkey_ok & rkey_ok
+    agg = j.agg(
+        cnt(lkey_ok).alias("keys_left"),
+        cnt(rkey_ok).alias("keys_right"),
+        cnt(matched).alias("keys_matched"),
+        cnt(lkey_ok & ~in_r).alias("keys_left_only"),
+        cnt(rkey_ok & ~in_l).alias("keys_right_only"),
+        zsum(F.when(matched, F.col("_ln") * F.col("_rn"))).alias(
+            "joined_rows"
+        ),
+        F.coalesce(F.max(F.when(matched, F.col("_ln"))), F.lit(0)).alias(
+            "max_left_rows_per_key"
+        ),
+        F.coalesce(F.max(F.when(matched, F.col("_rn"))), F.lit(0)).alias(
+            "max_right_rows_per_key"
+        ),
+        zsum(F.when(in_l & F.col("_k").isNull(), F.col("_ln"))).alias(
+            "null_keys_left"
+        ),
+        zsum(F.when(in_r & F.col("_rk").isNull(), F.col("_rn"))).alias(
+            "null_keys_right"
+        ),
+    )
+    metrics = [
+        "keys_left",
+        "keys_right",
+        "keys_matched",
+        "keys_left_only",
+        "keys_right_only",
+        "joined_rows",
+        "max_left_rows_per_key",
+        "max_right_rows_per_key",
+        "null_keys_left",
+        "null_keys_right",
+    ]
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("metric"), F.col(m).alias("n")
                 )
                 for m in metrics
             ]

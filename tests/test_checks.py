@@ -197,3 +197,43 @@ def test_table_diff_duplicate_keys_stay_key_level(spark):
     assert out["added"] + out["removed"] + out["changed"] + out["unchanged"] == 4
     assert out["dup_keys:left"] == 0
     assert out["dup_keys:right"] == 2   # keys 1 and 2 duplicated
+
+
+def test_join_profile_fanout_orphans_and_nulls(spark):
+    from qudo_etl_pipeline_spark.operators.checks import join_profile
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "x"), (None, "y")],
+        "k bigint, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "p"), (2, "q"), (2, "r"), (2, "s"), (4, "t"), (None, "z")],
+        "k bigint, v string",
+    )
+    out = {
+        r["metric"]: r["n"]
+        for r in join_profile(left, right, "k", "k").collect()
+    }
+    assert out == {
+        "keys_left": 3,            # 1, 2, 3 (nulls not keys)
+        "keys_right": 3,           # 1, 2, 4
+        "keys_matched": 2,         # 1, 2
+        "keys_left_only": 1,       # 3
+        "keys_right_only": 1,      # 4
+        "joined_rows": 2 * 1 + 1 * 3,   # exact inner-join prediction
+        "max_left_rows_per_key": 2,
+        "max_right_rows_per_key": 3,
+        "null_keys_left": 2,       # rows an inner join silently drops
+        "null_keys_right": 1,
+    }
+    # prediction check: the actual inner join yields exactly that many
+    actual = left.filter("k IS NOT NULL").join(
+        right.filter("k IS NOT NULL"), "k"
+    ).count()
+    assert actual == out["joined_rows"]
+    # empty sides: all-zero profile, no NULLs
+    e = spark.createDataFrame([], "k bigint, v string")
+    out2 = {
+        r["metric"]: r["n"] for r in join_profile(e, e, "k", "k").collect()
+    }
+    assert set(out2.values()) == {0} and len(out2) == 10
