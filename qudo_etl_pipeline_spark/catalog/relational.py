@@ -972,14 +972,7 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                     * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4)
                 AS DOUBLE) AS total_rev,
-           ROUND(100.0
-             * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                      THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
-                           * (1 - CAST(l.l_discount AS DECIMAL(8,6)))
-                      ELSE 0 END), 4) AS DOUBLE)
-             / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                      * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4)
-                    AS DOUBLE), 6) AS promo_share6
+           (CASE WHEN ((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) IS NULL OR isnan(CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE)) OR isinf(CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE)) OR ABS(CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE)) >= 9007199254.740992 THEN CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE) ELSE CAST(CAST(FLOOR((CAST(printf('%.20f', CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE)) AS DECIMAL(38,20)) * 1000000)) AS HUGEINT) + CASE WHEN ((((CAST(printf('%.20f', CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE)) AS DECIMAL(38,20)) * 1000000) - FLOOR((CAST(printf('%.20f', CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE)) AS DECIMAL(38,20)) * 1000000)))) > 0.5 OR ((((CAST(printf('%.20f', CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE)) AS DECIMAL(38,20)) * 1000000) - FLOOR((CAST(printf('%.20f', CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE)) AS DECIMAL(38,20)) * 1000000)))) = 0.5 AND (CAST(FLOOR((CAST(printf('%.20f', CAST(((100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6))) ELSE 0 END), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE))) AS DOUBLE)) AS DECIMAL(38,20)) * 1000000)) AS HUGEINT)) % 2 != 0)) THEN 1 ELSE 0 END AS DOUBLE) / 1000000 END) AS promo_share6
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -993,12 +986,19 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical doubles",
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1997-01-01")
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = _d("l_extendedprice") * (F.lit(1) - _d(F.col("l_discount")))
+    # discount at DECIMAL(8,6), mirroring the oracle's cast exactly
+    # (the q5/q3 pairing convention — a 4dp cast would quantize
+    # differently from the oracle's 6dp on finer-grained discounts)
+    rev = _d("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,6)")
+    )
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", rev).otherwise(
             F.lit(0).cast("decimal(18,4)")
@@ -1013,7 +1013,9 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             promo4.alias("promo_rev"),
             total4.alias("total_rev"),
-            F.round(F.lit(100.0) * promo4 / total4, 6).alias(
+            # ref_round, never F.round, on a double RATIO — the
+            # round-6 cross-engine determinism rule
+            ref_round(F.lit(100.0) * promo4 / total4, 6).alias(
                 "promo_share6"
             ),
         )

@@ -182,6 +182,22 @@ def check_suite(
     )
 
 
+def _stack_metrics(agg, metrics: list[str]):
+    """Pivot a 1-row wide aggregate into the long (metric, n) contract
+    every reconciliation/profile operator emits."""
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("metric"), F.col(f"`{m}`").alias("n")
+                )
+                for m in metrics
+            ]
+        )
+    ).alias("kv")
+    return agg.select(stacked).select("kv.metric", "kv.n")
+
+
 def table_diff(
     left,
     right,
@@ -211,8 +227,6 @@ def table_diff(
     unchanged, dup_keys:left, dup_keys:right, changed:<col>...}, n —
     the shape a publish gate or drift alert consumes.
     """
-    from pyspark.sql import functions as F
-
     if compare_cols is None:
         compare_cols = [
             c for c in left.columns if c in set(right.columns)
@@ -276,17 +290,7 @@ def table_diff(
         "dup_keys:left",
         "dup_keys:right",
     ] + [f"changed:{c}" for c in compare_cols]
-    stacked = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(m).alias("metric"), F.col(f"`{m}`").alias("n")
-                )
-                for m in metrics
-            ]
-        )
-    ).alias("kv")
-    return agg.select(stacked).select("kv.metric", "kv.n")
+    return _stack_metrics(agg, metrics)
 
 
 def join_profile(
@@ -312,8 +316,6 @@ def join_profile(
 
     Output (long format): metric, n.
     """
-    from pyspark.sql import functions as F
-
     lk = (
         left.groupBy(F.col(left_key).alias("_k"))
         .agg(F.count(F.lit(1)).alias("_ln"))
@@ -371,14 +373,4 @@ def join_profile(
         "null_keys_left",
         "null_keys_right",
     ]
-    stacked = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(m).alias("metric"), F.col(m).alias("n")
-                )
-                for m in metrics
-            ]
-        )
-    ).alias("kv")
-    return agg.select(stacked).select("kv.metric", "kv.n")
+    return _stack_metrics(agg, metrics)
