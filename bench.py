@@ -129,6 +129,8 @@ EXTENDED = [
     "seasonal_decompose_hourly",
     "q4_late_shipment_priority",
     "q14_promo_revenue_share",
+    "psi_drift_priority_prices",
+    "gains_curve_planted",
 ]
 
 

@@ -1677,3 +1677,152 @@ def spearman_rho_quantity_price(
         .alias("price_band"),
     )
     return A.spearman_rho(binned, "qty", "price_band")
+
+
+def _psi_oracle(bins: int = 10, floor_ppm: int = 100) -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    floor = f"{floor_ppm}.0 / 1000000.0"
+    pa = f"GREATEST(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE), {floor})"
+    pb = f"GREATEST(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE), {floor})"
+    bucket = (
+        f"GREATEST(0, LEAST({bins - 1}, "
+        f"FLOOR((CAST(v AS DOUBLE) - lo) / ((hi - lo) / {float(bins)!r}))))"
+    )
+    return f"""
+    WITH u AS (
+      SELECT o_totalprice AS v, 0 AS s FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL
+      UNION ALL
+      SELECT o_totalprice AS v, 1 AS s FROM orders
+      WHERE o_orderpriority = '5-LOW' AND o_totalprice IS NOT NULL
+    ),
+    rng AS (SELECT MIN(CAST(v AS DOUBLE)) AS lo,
+                   MAX(CAST(v AS DOUBLE)) AS hi FROM u),
+    binned AS (
+      SELECT s,
+             CAST(CASE WHEN (hi - lo) / {float(bins)!r} > 0
+                       THEN {bucket} ELSE 0 END AS BIGINT) AS b
+      FROM u CROSS JOIN rng
+    ),
+    per_b AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM binned GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_bins_used
+      FROM per_b
+    ),
+    agg AS (
+      SELECT n_a, n_b, n_bins_used,
+             SUM(CAST(({pa} - {pb}) * ln({pa} / {pb})
+                 AS DECIMAL(38,12))) AS psi
+      FROM per_b CROSS JOIN tot
+      GROUP BY n_a, n_b, n_bins_used
+    )
+    SELECT n_a, n_b, n_bins_used,
+           {ref_round_sql("CAST(psi AS DOUBLE)", 6)} AS psi6
+    FROM agg
+    WHERE n_a IS NOT NULL AND n_a > 0 AND n_b > 0
+    """
+
+
+@register(
+    "psi_drift_priority_prices",
+    oracle=_psi_oracle(),
+    survey_ids=["A8", "A9", "M21"],
+    description="Population Stability Index of order totals between "
+    "URGENT and LOW priorities: equi-width bins on the pooled "
+    "broadcast range (the binned-KS device), identical ppm floor on "
+    "both shares, per-bin terms DECIMAL(38,12)-quantized before the "
+    "association-free sum — the standard feature-drift monitor",
+)
+def psi_drift_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    return A.psi_drift(a, b, "o_totalprice", bins=10)
+
+
+def _gains_oracle(k: int = 10) -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    label = (
+        "CASE WHEN (c_custkey * 2654435761) % 997"
+        " < 200 + FLOOR(CAST(c_acctbal AS DOUBLE) / 20.0)"
+        " THEN 1 ELSE 0 END"
+    )
+    base = "CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)"
+    return f"""
+    WITH scored AS (
+      SELECT -CAST(c_acctbal AS DOUBLE) AS negscore,
+             CAST({label} AS BIGINT) AS y,
+             c_custkey
+      FROM customer
+    ),
+    b AS (
+      SELECT y, NTILE({k}) OVER (ORDER BY negscore, c_custkey) AS bucket
+      FROM scored
+    ),
+    per_b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS responders
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(responders) AS BIGINT) AS tr
+      FROM per_b
+    ),
+    c AS (
+      SELECT bucket, n, responders,
+             CAST(SUM(n) OVER upto AS BIGINT) AS cum_n,
+             CAST(SUM(responders) OVER upto AS BIGINT) AS cum_r,
+             tn, tr
+      FROM per_b CROSS JOIN tot
+      WINDOW upto AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n, responders,
+           {ref_round_sql(
+               "CAST(responders AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+             AS resp_rate6,
+           CASE WHEN tr > 0 THEN {ref_round_sql(
+               "CAST(cum_r AS DOUBLE) / CAST(tr AS DOUBLE)", 6)} END
+             AS cum_capture6,
+           CASE WHEN tr > 0 THEN {ref_round_sql(
+               "(CAST(cum_r AS DOUBLE) / CAST(cum_n AS DOUBLE))"
+               f" / ({base})", 6)} END AS cum_lift6
+    FROM c
+    """
+
+
+@register(
+    "gains_curve_planted",
+    oracle=_gains_oracle(),
+    survey_ids=["W2", "A9", "M2"],
+    description="Cumulative gains / lift table over a PLANTED "
+    "score-dependent outcome on customer (response probability rises "
+    "with account balance by construction): exact decile NTILE via "
+    "the closed-form prefix device on the negated score, capture and "
+    "lift from integer cumulative sums over the 10-row bucket frame",
+)
+def gains_curve_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    label = F.when(
+        (F.col("c_custkey") * F.lit(2654435761)) % 997
+        < F.lit(200) + F.floor(F.col("c_acctbal").cast("double") / 20.0),
+        1,
+    ).otherwise(0)
+    scored = cust.select(
+        F.col("c_acctbal").alias("score"),
+        label.cast("bigint").alias("resp"),
+        "c_custkey",
+    )
+    return A.gains_curve(
+        scored, "score", "resp", 10, tiebreak=["c_custkey"]
+    ).orderBy("bucket")

@@ -54,6 +54,8 @@ __all__ = [
     "mutual_information",
     "kendall_tau_b",
     "spearman_rho",
+    "psi_drift",
+    "gains_curve",
 ]
 
 
@@ -1800,4 +1802,153 @@ def spearman_rho(
             (vx.cast("double") > 0) & (vy.cast("double") > 0),
             ref_round(rho, 6),
         ).alias("rho6"),
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    floor_ppm: int = 100,
+) -> DataFrame:
+    """Population Stability Index between two samples of a numeric
+    measure — the standard model/feature drift monitor
+    (PSI = sum (p_a - p_b) * ln(p_a / p_b) over bins; rule of thumb:
+    <0.1 stable, 0.1-0.25 drifting, >0.25 shifted).
+
+    Bins are equi-width on the POOLED min/max (a broadcast 1-row
+    range, the binned-KS device) so both samples discretize
+    identically; empty-bin shares are floored at ``floor_ppm`` parts
+    per million (the standard epsilon guard, applied IDENTICALLY to
+    both sides so a bin empty in both contributes ~0). Each bin's PSI
+    term is a fixed IEEE expression over exact integer counts
+    quantized to DECIMAL(38,12) before the sum (the hill device) —
+    association-free, engine-identical.
+
+    Returns 1 row: (n_a, n_b, n_bins_used, psi6); empty input on
+    either side -> 0 rows.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    a = df_a.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v"), F.lit(0).alias("_s")
+    )
+    b = df_b.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v"), F.lit(1).alias("_s")
+    )
+    u = a.unionByName(b)
+    rng = u.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(bins)
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("_v") - F.col("_lo")) / width),
+        ),
+    ).cast("bigint")
+    binned = u.crossJoin(F.broadcast(rng)).select(
+        "_s",
+        F.when(width > 0, bucket).otherwise(F.lit(0)).alias("_b"),
+    )
+    per_b = binned.groupBy("_b").agg(
+        F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = per_b.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )
+    j = per_b.crossJoin(F.broadcast(tot))
+    floor = F.lit(floor_ppm).cast("double") / F.lit(1_000_000.0)
+    pa = F.greatest(
+        F.col("ca").cast("double") / F.col("n_a").cast("double"), floor
+    )
+    pb = F.greatest(
+        F.col("cb").cast("double") / F.col("n_b").cast("double"), floor
+    )
+    term = ((pa - pb) * F.log(pa / pb)).cast("decimal(38,12)")
+    agg = j.groupBy("n_a", "n_b", "n_bins_used").agg(
+        F.sum(term).alias("_psi")
+    )
+    return agg.filter(
+        F.col("n_a").isNotNull() & (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    ).select(
+        "n_a",
+        "n_b",
+        "n_bins_used",
+        ref_round(F.col("_psi").cast("double"), 6).alias("psi6"),
+    )
+
+
+def gains_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Cumulative gains / lift table for a scored binary outcome — the
+    campaign-targeting evaluation every propensity model ships with:
+    rank by score DESCENDING into ``n_buckets`` exact equal-count
+    buckets, then per bucket the response rate, the cumulative capture
+    of all responders, and the cumulative lift vs the base rate.
+
+    Ranking is EXACT NTILE through the scale-safe closed-form device
+    (:func:`~qudo_etl_pipeline_spark.ml.discretize.ntile_bucketize` on
+    the negated score — never a single-task global window); ``tiebreak``
+    columns must make the order total. The cumulative sums run over the
+    ``n_buckets``-row aggregate frame (bounded window by construction).
+    Counts are exact integers; every ratio is one fixed IEEE expression
+    ref_round(6)ed.
+
+    Output per bucket (1 = highest scores): (bucket, n, responders,
+    resp_rate6, cum_capture6, cum_lift6).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.ml.discretize import ntile_bucketize
+
+    src = df.select(
+        (-F.col(score_col).cast("double")).alias("_negscore"),
+        F.col(label_col).cast("bigint").alias("_y"),
+        *[F.col(t) for t in (tiebreak or [])],
+    )
+    b = ntile_bucketize(
+        src, "_negscore", n_buckets, list(tiebreak or [])
+    )
+    per_b = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("responders"),
+    )
+    tot = per_b.agg(
+        F.sum("n").alias("_tn"), F.sum("responders").alias("_tr")
+    )
+    upto = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_n = F.sum("n").over(upto)
+    cum_r = F.sum("responders").over(upto)
+    j = per_b.crossJoin(F.broadcast(tot))
+    base = F.col("_tr").cast("double") / F.col("_tn").cast("double")
+    return j.select(
+        "bucket",
+        "n",
+        "responders",
+        ref_round(
+            F.col("responders").cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("resp_rate6"),
+        F.when(
+            F.col("_tr") > 0,
+            ref_round(
+                cum_r.cast("double") / F.col("_tr").cast("double"), 6
+            ),
+        ).alias("cum_capture6"),
+        F.when(
+            F.col("_tr") > 0,
+            ref_round(
+                (cum_r.cast("double") / cum_n.cast("double")) / base, 6
+            ),
+        ).alias("cum_lift6"),
     )

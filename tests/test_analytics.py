@@ -1082,3 +1082,80 @@ def test_spearman_rho_perfect_and_degenerate(spark):
     assert spearman_rho(const, "a", "b").collect()[0]["rho6"] is None
     empty = spark.createDataFrame([], "a bigint, b bigint")
     assert spearman_rho(empty, "a", "b").count() == 0
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    import math
+
+    from qudo_etl_pipeline_spark.operators.analytics import psi_drift
+
+    same = spark.createDataFrame(
+        [(float(i % 40),) for i in range(400)], "v double"
+    )
+    r = psi_drift(same, same, "v", bins=8).collect()[0]
+    # identical distributions -> every bin share pair equal -> PSI = 0
+    assert r["psi6"] == 0.0 and r["n_a"] == r["n_b"] == 400
+
+    a = spark.createDataFrame([(float(i % 40),) for i in range(400)], "v double")
+    b = spark.createDataFrame(
+        [(float(i % 40 + 30),) for i in range(400)], "v double"
+    )
+    rs = psi_drift(a, b, "v", bins=8).collect()[0]
+    # python mirror with the same pooled-range binning and ppm floor
+    lo, hi = 0.0, 69.0
+    width = (hi - lo) / 8
+    import collections
+    ca, cb = collections.Counter(), collections.Counter()
+    for i in range(400):
+        ca[min(7, max(0, int((float(i % 40) - lo) // width)))] += 1
+        cb[min(7, max(0, int((float(i % 40 + 30) - lo) // width)))] += 1
+    floor = 100 / 1_000_000
+    psi = sum(
+        (max(ca[k] / 400, floor) - max(cb[k] / 400, floor))
+        * math.log(max(ca[k] / 400, floor) / max(cb[k] / 400, floor))
+        for k in set(ca) | set(cb)
+    )
+    assert abs(rs["psi6"] - round(psi, 6)) < 2e-6
+    assert rs["psi6"] > 0.25  # clearly shifted
+
+    empty = spark.createDataFrame([], "v double")
+    assert psi_drift(a, empty, "v").count() == 0
+
+
+def test_gains_curve_separates_planted_signal(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import gains_curve
+
+    # deterministic signal: top-scored half responds 80%, bottom 10%
+    rows = []
+    for i in range(400):
+        score = float(400 - i)
+        resp = 1 if (i < 200 and i % 5 != 0) or (i >= 200 and i % 10 == 0) else 0
+        rows.append((i, score, resp))
+    df = spark.createDataFrame(rows, "id bigint, score double, resp bigint")
+    out = {
+        r["bucket"]: r
+        for r in gains_curve(df, "score", "resp", 4, ["id"]).collect()
+    }
+    assert [out[b]["n"] for b in (1, 2, 3, 4)] == [100] * 4
+    # exact mirror: bucket 1..2 are i in [0,200) -> 80 responders each
+    assert out[1]["responders"] == 80 and out[2]["responders"] == 80
+    assert out[3]["responders"] == 10 and out[4]["responders"] == 10
+    total = 180
+    assert abs(out[2]["cum_capture6"] - round(160 / total, 6)) < 1e-9
+    base = total / 400
+    assert abs(out[1]["cum_lift6"] - round(0.8 / base, 6)) < 1e-9
+    # lift decays toward 1.0 at the full population
+    assert out[4]["cum_lift6"] == 1.0
+
+
+def test_gains_curve_no_responders_nulls_ratios(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import gains_curve
+
+    df = spark.createDataFrame(
+        [(i, float(i), 0) for i in range(40)],
+        "id bigint, score double, resp bigint",
+    )
+    out = gains_curve(df, "score", "resp", 4, ["id"]).collect()
+    assert all(r["cum_capture6"] is None and r["cum_lift6"] is None
+               for r in out)
+    assert all(r["resp_rate6"] == 0.0 for r in out)
