@@ -1526,7 +1526,56 @@ def mutual_information_priority_status(
     return A.mutual_information(orders, "o_orderstatus", "o_orderpriority")
 
 
-def _tau_oracle() -> str:
+#: src CTE both rank-correlation oracles share by default: quantity
+#: (already discrete) x the 10k-wide price band.
+_RANK_SRC_BANDED = """
+      SELECT l_quantity AS a,
+             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 10000.0)
+                  AS BIGINT) AS b
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+"""
+
+
+def _rank_src_autobinned(bins: int) -> str:
+    """src CTE mirroring the operator's ``on_excess='bin'`` device
+    OPERATION FOR OPERATION (the ks_binned bucket arithmetic, per
+    column): price and the discounted charge, each equi-width
+    discretized onto ``bins`` buckets over its own broadcast min/max.
+    """
+    w = f"{float(bins)!r}"
+
+    def bucket(v: str, lo: str, hi: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({hi} - {lo}) / {w} > 0 THEN "
+            f"GREATEST(0, LEAST({bins - 1}, "
+            f"FLOOR(({v} - {lo}) / (({hi} - {lo}) / {w})))) "
+            f"ELSE 0 END AS BIGINT)"
+        )
+
+    return f"""
+      SELECT {bucket('x', 'lox', 'hix')} AS a,
+             {bucket('y', 'loy', 'hiy')} AS b
+      FROM (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE)
+                 * (1.0 - CAST(l_discount AS DOUBLE)) AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+      ) CROSS JOIN (
+        SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lox,
+               MAX(CAST(l_extendedprice AS DOUBLE)) AS hix,
+               MIN(CAST(l_extendedprice AS DOUBLE)
+                   * (1.0 - CAST(l_discount AS DOUBLE))) AS loy,
+               MAX(CAST(l_extendedprice AS DOUBLE)
+                   * (1.0 - CAST(l_discount AS DOUBLE))) AS hiy
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+      )
+"""
+
+
+def _tau_oracle(src_sql: str = _RANK_SRC_BANDED) -> str:
     from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 
     n0x2 = "CAST(n AS HUGEINT) * (n - 1)"
@@ -1540,12 +1589,7 @@ def _tau_oracle() -> str:
         f" * CAST({n0x2} - t2x2 AS DOUBLE)"
     )
     return f"""
-    WITH src AS (
-      SELECT l_quantity AS a,
-             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 10000.0)
-                  AS BIGINT) AS b
-      FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    WITH src AS ({src_sql}
     ),
     cells AS (
       SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
@@ -1604,7 +1648,7 @@ def kendall_tau_quantity_price(
     return A.kendall_tau_b(binned, "qty", "price_band")
 
 
-def _spearman_oracle() -> str:
+def _spearman_oracle(src_sql: str = _RANK_SRC_BANDED) -> str:
     from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 
     num = "CAST(CAST(w AS HUGEINT) * sxy - sx * sy AS DOUBLE)"
@@ -1612,12 +1656,7 @@ def _spearman_oracle() -> str:
     vy = "CAST(CAST(w AS HUGEINT) * syy - sy * sy AS DOUBLE)"
     rho = f"({num}) / (sqrt({vx}) * sqrt({vy}))"
     return f"""
-    WITH src AS (
-      SELECT l_quantity AS a,
-             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 10000.0)
-                  AS BIGINT) AS b
-      FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    WITH src AS ({src_sql}
     ),
     cells AS (
       SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
@@ -1677,6 +1716,69 @@ def spearman_rho_quantity_price(
         .alias("price_band"),
     )
     return A.spearman_rho(binned, "qty", "price_band")
+
+
+_AUTOBIN_BINS = 32
+
+
+def _price_charge_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two RAW continuous measures (price, discounted charge) — the
+    exact input shape the bounded-domain gate exists to catch; the
+    on_excess='bin' queries below feed it straight to the operators."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+    )
+    price = F.col("l_extendedprice").cast("double")
+    return li.select(
+        price.alias("x"),
+        (price * (F.lit(1.0) - F.col("l_discount").cast("double")))
+        .alias("y"),
+    )
+
+
+@register(
+    "kendall_tau_autobinned_charge",
+    oracle=_tau_oracle(_rank_src_autobinned(_AUTOBIN_BINS)),
+    survey_ids=["M21", "A8"],
+    description="Kendall's tau-b with on_excess='bin' on two RAW "
+    "continuous measures (price vs discounted charge): the operator "
+    "itself equi-width discretizes both onto 32 buckets (one 1-row "
+    "broadcast min/max, the binned-KS device) before the cell frame "
+    "builds — exercising the enforced bounded-domain contract's "
+    "auto-bin escape hatch end-to-end against a DuckDB mirror",
+)
+def kendall_tau_autobinned_charge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return A.kendall_tau_b(
+        _price_charge_pair(spark, sf_dir),
+        "x",
+        "y",
+        max_domain=_AUTOBIN_BINS,
+        on_excess="bin",
+    )
+
+
+@register(
+    "spearman_rho_autobinned_charge",
+    oracle=_spearman_oracle(_rank_src_autobinned(_AUTOBIN_BINS)),
+    survey_ids=["M21", "A8"],
+    description="Binned Spearman rho via on_excess='bin' over the "
+    "same raw (price, discounted charge) pair: auto-discretization "
+    "inside the operator, then doubled-integer midranks over the now "
+    "32-bounded margins — the enforcement path, oracle-checked",
+)
+def spearman_rho_autobinned_charge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return A.spearman_rho(
+        _price_charge_pair(spark, sf_dir),
+        "x",
+        "y",
+        max_domain=_AUTOBIN_BINS,
+        on_excess="bin",
+    )
 
 
 def _psi_oracle(bins: int = 10, floor_ppm: int = 100) -> str:

@@ -627,6 +627,7 @@ def kaplan_meier(
     df: DataFrame,
     duration_col: str,
     event_col: str,
+    max_domain: int = 100_000,
 ) -> DataFrame:
     """Kaplan-Meier product-limit survival estimator.
 
@@ -640,7 +641,12 @@ def kaplan_meier(
     domain (days/weeks — thousands, not rows), plus a 1-row broadcast
     total; the running product then runs as ordered windows over that
     sketch-sized frame (single-partition by construction — the
-    deliberate unpartitioned-window case session.py documents).
+    deliberate unpartitioned-window case session.py documents). That
+    contract is ENFORCED: a plan-side :func:`_domain_gate` asserts the
+    distinct-duration count is <= ``max_domain`` before the windows
+    build, so sub-second timestamps passed as "durations" fail loudly
+    instead of silently funneling a row-count-sized frame through one
+    task. Coarsen durations to days/weeks (integer division) first.
 
     Determinism: at-risk counts are exact integers from a running
     integer sum; the product runs as ``exp(running sum of ln factors)``
@@ -654,6 +660,13 @@ def kaplan_meier(
         F.sum(ev).alias("n_event"),
         F.sum(F.lit(1) - ev).alias("n_censor"),
     )
+    card = per_t.agg(F.count(F.lit(1)).alias("_dd"))
+    ok = _domain_gate(
+        card,
+        F.col("_dd") <= max_domain,
+        _oversize_err("kaplan_meier", max_domain, F.col("_dd")),
+    )
+    per_t = per_t.crossJoin(F.broadcast(ok)).drop("_domain_ok")
     tot = df.agg(F.count(F.lit(1)).alias("__n"))
     before = (
         Window.orderBy(duration_col)
@@ -1537,10 +1550,86 @@ def ks_two_sample(
     )
 
 
+def _domain_gate(card: DataFrame, cond, err) -> DataFrame:
+    """1-row broadcast gate that ENFORCES a domain-size contract.
+
+    ``card`` is a 1-row cardinality frame (one cheap aggregate over a
+    frame the plan builds anyway), ``cond`` the boolean contract over
+    it, ``err`` the error-message Column. The returned 1-row frame
+    evaluates ``F.assert_true`` when it materializes — crossJoin
+    (broadcast) it into the plan BEFORE the stage whose cost the
+    contract bounds, so that stage can never start against an
+    oversized domain. This is the ``theil_sen_slope`` enforcement
+    device (temporal.py): assert_true inside a filter is not prunable
+    by the optimizer and materializes with the broadcast build side.
+    """
+    gate = F.assert_true(cond, err)
+    return card.filter(gate.isNull()).select(
+        F.lit(1).alias("_domain_ok")
+    )
+
+
+def _oversize_err(what: str, cap: int, *counts) -> "F.Column":
+    """Error Column for :func:`_domain_gate` carrying the measured
+    cardinalities, so the failure names the violated contract."""
+    parts = [F.lit(f"{what}: domain exceeds max_domain={cap} (got ")]
+    for i, c in enumerate(counts):
+        if i:
+            parts.append(F.lit(" x "))
+        parts.append(c.cast("string"))
+    parts.append(
+        F.lit(
+            "). Pre-bin continuous measures (or pass "
+            "on_excess='bin' where supported)."
+        )
+    )
+    return F.concat(*parts)
+
+
+def _equiwidth_pair_bin(
+    df: DataFrame, col_a: str, col_b: str, bins: int
+) -> DataFrame:
+    """Equi-width discretization of two numeric columns onto
+    ``[0, bins)`` bucket indexes — the ``ks_two_sample(bins=B)``
+    device applied per column. Each column's min/max ride ONE 1-row
+    broadcast; the bucket transform is monotone, so rank statistics
+    over the buckets are the standard binned variants. A degenerate
+    (constant) column collapses to bucket 0 — width=0 never divides
+    under ANSI.
+    """
+    rng = df.agg(
+        F.min(F.col(col_a).cast("double")).alias("_loa"),
+        F.max(F.col(col_a).cast("double")).alias("_hia"),
+        F.min(F.col(col_b).cast("double")).alias("_lob"),
+        F.max(F.col(col_b).cast("double")).alias("_hib"),
+    )
+
+    def bucket(c: str, lo: str, hi: str):
+        width = (F.col(hi) - F.col(lo)) / F.lit(bins)
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col(c).cast("double") - F.col(lo)) / width
+                ),
+            ),
+        ).cast("bigint")
+        return F.when(width > 0, b).otherwise(
+            F.when(F.col(c).isNotNull(), F.lit(0))
+        )
+
+    return df.crossJoin(F.broadcast(rng)).select(
+        bucket(col_a, "_loa", "_hia").alias(col_a),
+        bucket(col_b, "_lob", "_hib").alias(col_b),
+    )
+
+
 def mutual_information(
     df: DataFrame,
     col_a: str,
     col_b: str,
+    max_domain: int = 10_000,
 ) -> DataFrame:
     """Mutual information I(A;B) between two categorical columns in
     nats, plus both entropies and the normalized MI
@@ -1557,6 +1646,14 @@ def mutual_information(
     association-free and bit-identical cross-engine; only the final
     1-row normalization divides.
 
+    The bounded-domain contract is ENFORCED, not just documented:
+    both marginal cardinalities are checked against ``max_domain`` by
+    a plan-side :func:`_domain_gate` (one countDistinct aggregate over
+    the cell frame, asserted before the marginal broadcasts build), so
+    a raw continuous column fails loudly instead of silently riding
+    row-count-sized broadcast marginals. Pre-bin continuous measures
+    (the ``ks_two_sample(bins=B)`` equi-width device).
+
     Returns 1 row: (n, mi6, h_a6, h_b6, nmi6); empty input -> 0 rows.
     NULLs in either column are excluded. NMI is NULL when either
     marginal entropy is 0 (a constant column carries no information).
@@ -1569,6 +1666,19 @@ def mutual_information(
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_nab"))
     )
+    card = cells.agg(
+        F.countDistinct("_a").alias("_da"),
+        F.countDistinct("_b").alias("_db"),
+    )
+    ok = _domain_gate(
+        card,
+        (F.col("_da") <= max_domain) & (F.col("_db") <= max_domain),
+        _oversize_err(
+            "mutual_information", max_domain,
+            F.col("_da"), F.col("_db"),
+        ),
+    )
+    cells = cells.crossJoin(F.broadcast(ok)).drop("_domain_ok")
     ma = cells.groupBy("_a").agg(F.sum("_nab").alias("_na"))
     mb = cells.groupBy("_b").agg(F.sum("_nab").alias("_nb"))
     tot = cells.agg(F.sum("_nab").alias("_n"))
@@ -1623,6 +1733,8 @@ def kendall_tau_b(
     df: DataFrame,
     col_a: str,
     col_b: str,
+    max_domain: int = 128,
+    on_excess: str = "error",
 ) -> DataFrame:
     """Kendall's tau-b rank correlation between two ORDINAL columns,
     computed exactly from the contingency cells with the standard tie
@@ -1634,8 +1746,21 @@ def kendall_tau_b(
     Mann-Whitney documents): the table collapses to |A|·|B| cells in
     ONE groupBy, and C/D come from the cell-frame self-join
     sum_{i<i'} n_ij · n_i'j' split by j-direction — |cells|² work,
-    bounded by the category domains, NEVER an O(rows²) pair join. Bin
-    continuous measures first. Pair counts are ~n²/2 and the
+    bounded by the category domains, NEVER an O(rows²) pair join. The
+    contract is ENFORCED by ``max_domain`` (default 128, bounding the
+    cell self-join at ~(128²)² evaluated pairs):
+
+    - ``on_excess="error"`` (default): a plan-side
+      :func:`_domain_gate` asserts both marginal cardinalities before
+      the cell self-join builds, so a raw continuous column fails
+      loudly with the measured domains instead of silently going
+      quadratic in |cells|.
+    - ``on_excess="bin"``: both columns are equi-width discretized
+      onto ``max_domain`` buckets first (:func:`_equiwidth_pair_bin`
+      — monotone, so this is the standard binned tau-b; requires
+      numeric/castable columns).
+
+    Pair counts are ~n²/2 and the
     denominator ~n⁴, far past bigint at scale, so every product
     accumulates in DECIMAL(38,0) (HUGEINT in the oracle) — exact to
     n ≲ 3·10⁹ observations, the same documented moment bound as
@@ -1649,12 +1774,31 @@ def kendall_tau_b(
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
+    if on_excess not in ("error", "bin"):
+        raise ValueError(f"unknown on_excess policy: {on_excess!r}")
+    if on_excess == "bin":
+        df = _equiwidth_pair_bin(df, col_a, col_b, max_domain)
     a, b = F.col(col_a), F.col(col_b)
     cells = (
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_nab"))
     )
+    if on_excess == "error":
+        card = cells.agg(
+            F.countDistinct("_a").alias("_da"),
+            F.countDistinct("_b").alias("_db"),
+        )
+        ok = _domain_gate(
+            card,
+            (F.col("_da") <= max_domain)
+            & (F.col("_db") <= max_domain),
+            _oversize_err(
+                "kendall_tau_b", max_domain,
+                F.col("_da"), F.col("_db"),
+            ),
+        )
+        cells = cells.crossJoin(F.broadcast(ok)).drop("_domain_ok")
     lo = cells.select(
         F.col("_a").alias("_a1"),
         F.col("_b").alias("_b1"),
@@ -1730,14 +1874,23 @@ def spearman_rho(
     df: DataFrame,
     col_a: str,
     col_b: str,
+    max_domain: int = 1024,
+    on_excess: str = "error",
 ) -> DataFrame:
     """Spearman rank correlation (tie-corrected, via midranks) between
     two ORDINAL columns — the rank-statistics companion to
     :func:`kendall_tau_b`: rho = Pearson correlation of the midrank
     transforms, computed EXACTLY from the contingency cells.
 
-    Same domain-bounded cell-frame contract as Kendall/Mann-Whitney
-    (bin continuous measures first): ONE groupBy(a, b) builds the cell
+    Same domain-bounded cell-frame contract as Kendall/Mann-Whitney,
+    and like :func:`kendall_tau_b` the contract is ENFORCED: the
+    default ``on_excess="error"`` gates both marginal cardinalities at
+    ``max_domain`` (default 1024 — the midrank windows are single-task
+    by design, and the cell frame is bounded at max_domain²) via a
+    plan-side :func:`_domain_gate` before the midrank windows build;
+    ``on_excess="bin"`` equi-width discretizes both (numeric) columns
+    onto ``max_domain`` buckets first — the standard binned variant.
+    ONE groupBy(a, b) builds the cell
     frame; each marginal's midranks come from an ordered window over
     the DOMAIN-BOUNDED marginal frame (the deliberate bounded-window
     case) in DOUBLED integer form (2·midrank = 2·cum_before + m + 1 —
@@ -1753,12 +1906,31 @@ def spearman_rho(
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
+    if on_excess not in ("error", "bin"):
+        raise ValueError(f"unknown on_excess policy: {on_excess!r}")
+    if on_excess == "bin":
+        df = _equiwidth_pair_bin(df, col_a, col_b, max_domain)
     a, b = F.col(col_a), F.col(col_b)
     cells = (
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_nab"))
     )
+    if on_excess == "error":
+        card = cells.agg(
+            F.countDistinct("_a").alias("_da"),
+            F.countDistinct("_b").alias("_db"),
+        )
+        ok = _domain_gate(
+            card,
+            (F.col("_da") <= max_domain)
+            & (F.col("_db") <= max_domain),
+            _oversize_err(
+                "spearman_rho", max_domain,
+                F.col("_da"), F.col("_db"),
+            ),
+        )
+        cells = cells.crossJoin(F.broadcast(ok)).drop("_domain_ok")
 
     def _midranks(key: str, out: str) -> DataFrame:
         marg = cells.groupBy(key).agg(F.sum("_nab").alias("_m"))
