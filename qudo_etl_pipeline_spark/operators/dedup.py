@@ -181,8 +181,38 @@ def lsh_bands(
     return signatures.select(F.col(id_col), F.expr(stack))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing any LSH bucket."""
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH bucket.
+
+    Hot-bucket guard: within-bucket pairing is |bucket|² and a web
+    corpus reliably plants mega-buckets (boilerplate-identical
+    headers/footers hash whole swaths of the corpus into one
+    (band, bucket)), so buckets past ``max_bucket_size`` are EVICTED
+    before the self-join — the ``entity.candidate_pairs`` block-guard
+    device: one aggregation sizes the buckets, the pair join then does
+    at most ``max_bucket_size² / 2`` work per surviving bucket, never
+    all-pairs. Standard banding math keeps recall for genuinely
+    near-duplicate pairs: they agree on MANY band slices, so an
+    evicted pathological bucket's pairs are still produced by their
+    other, normally-sized buckets; what eviction drops is exactly the
+    pair whose ONLY agreement is the boilerplate slice — the false
+    positives verification would reject anyway. Pass ``None`` to
+    disable (exact small-corpus mode).
+    """
+    if max_bucket_size is not None:
+        sized = bands.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bs")
+        )
+        bands = bands.join(
+            sized.filter(F.col("_bs") <= max_bucket_size).select(
+                "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
     left = bands.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )

@@ -73,6 +73,36 @@ def test_lsh_candidates_contain_exact_dups(spark, docs):
     assert (0, 1) in pairs  # identical docs always collide
 
 
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    # planted mega-bucket: 40 docs all hashing to (band 0, bucket 99)
+    # — the boilerplate-header pathology; plus two true near-dup docs
+    # that ALSO share a normal bucket in band 1 (banding recall path)
+    rows = [(i, 0, 99) for i in range(40)]
+    rows += [(0, 1, 7), (1, 1, 7)]  # the pair's other, healthy band
+    rows += [(38, 1, 8), (39, 1, 9)]  # singletons elsewhere
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band long, bucket long"
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(
+            bands, max_bucket_size=10
+        ).collect()
+    }
+    # the 40-doc bucket (780 pairs) is evicted wholesale...
+    assert capped == {(0, 1)}
+    # ...but the true pair survives via its band-1 bucket
+    # uncapped mode still produces the full quadratic set
+    full = D.lsh_candidate_pairs(bands, max_bucket_size=None)
+    assert full.count() == 40 * 39 // 2
+    # default cap is invisible for healthy bucket sizes
+    dflt = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(bands).collect()
+    }
+    assert dflt == {(r["id_a"], r["id_b"]) for r in full.collect()}
+
+
 def test_verified_pairs_and_groups(spark, docs):
     sigs = D.minhash_signatures(docs, n_hashes=4)
     cand = D.lsh_candidate_pairs(D.lsh_bands(sigs))
