@@ -31,10 +31,104 @@ distributed re-expression with identical arithmetic.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranged_prefix_sums"]
+__all__ = [
+    "ranged_prefix_sums",
+    "prefix_cache_scope",
+    "clear_prefix_caches",
+]
+
+# ranged-frame cache registry: semanticHash -> cached frames. ONE
+# cache entry per distinct logical plan per session — a repeated plan
+# (bench re-runs, a catalog query built twice) reuses the existing
+# entry instead of issuing a second .cache() (which Spark answers
+# with an "Asked to cache already cached data" warning and a duplicate
+# CacheManager lookup). Entries live until clear_prefix_caches() /
+# scope exit / session end; stale entries from stopped sessions are
+# replaced on the next acquire for the same plan.
+_LOCK = threading.Lock()
+_REGISTRY: dict[int, list[DataFrame]] = {}
+_SCOPES: list[list[DataFrame]] = []
+
+
+def _acquire_ranged(ranged: DataFrame) -> DataFrame:
+    """Cache ``ranged`` exactly once per (session, logical plan)."""
+    with _LOCK:
+        key = ranged.semanticHash()
+        bucket = _REGISTRY.setdefault(key, [])
+        for cand in bucket:
+            if cand.sparkSession is ranged.sparkSession and cand.sameSemantics(
+                ranged
+            ):
+                return cand
+        cached = ranged.cache()
+        bucket.append(cached)
+        if _SCOPES:
+            _SCOPES[-1].append(cached)
+        return cached
+
+
+def _forget(frame: DataFrame) -> None:
+    """Unpersist ``frame`` and drop it from the registry (id match)."""
+    try:
+        frame.unpersist()
+    except Exception:  # session already stopped — nothing to release
+        pass
+    for key in list(_REGISTRY):
+        kept = [f for f in _REGISTRY[key] if f is not frame]
+        if kept:
+            _REGISTRY[key] = kept
+        else:
+            _REGISTRY.pop(key)
+
+
+def clear_prefix_caches() -> int:
+    """Release EVERY live ranged-frame cache acquired by
+    :func:`ranged_prefix_sums` — the batch-boundary call for
+    long-lived drivers (surgical, unlike ``spark.catalog.clearCache()``
+    which also evicts unrelated user caches). Returns the number of
+    entries released.
+    """
+    with _LOCK:
+        n = 0
+        for frames in _REGISTRY.values():
+            for fr in frames:
+                try:
+                    fr.unpersist()
+                except Exception:
+                    pass
+                n += 1
+        _REGISTRY.clear()
+        return n
+
+
+@contextmanager
+def prefix_cache_scope():
+    """Scope whose exit releases every ranged-frame cache FIRST
+    acquired inside it. Wrap code that fully materializes its outputs
+    (a selfcheck/bench query, one batch of a long-lived driver)::
+
+        with prefix_cache_scope():
+            result = my_rank_statistic(df).collect()
+
+    Caches that were already live when the scope opened (acquired by
+    an enclosing scope or unscoped code) are left untouched, so nested
+    scopes compose: each releases only what it introduced.
+    """
+    acquired: list[DataFrame] = []
+    _SCOPES.append(acquired)
+    try:
+        yield
+    finally:
+        _SCOPES.pop()
+        with _LOCK:
+            for fr in acquired:
+                _forget(fr)
 
 
 def ranged_prefix_sums(
@@ -70,18 +164,20 @@ def ranged_prefix_sums(
     boundaries are SAMPLED per execution — without one materialized
     partitioning, the local-cum and totals branches could disagree on
     partition ids and silently mis-offset. The entry lives in the
-    session's CacheManager until ``unpersist``/session end (it is NOT
-    reclaimed merely by dropping the returned plan); short-lived
-    sessions (tests, selfcheck, bench, jobs) shed it at exit, and a
-    long-lived session running many DISTINCT rank-statistic plans
-    should ``spark.catalog.clearCache()`` between batches or
-    ``unpersist`` via its own handle on the input.
+    session's CacheManager until released (it is NOT reclaimed merely
+    by dropping the returned plan). Acquisition goes through a
+    semantic-dedup registry, so a repeated plan reuses its existing
+    entry (no duplicate cache calls); release is SCOPED:
+    short-lived sessions (tests, selfcheck, bench, jobs) shed entries
+    at exit, a long-lived driver wraps each fully-materialized batch
+    in :func:`prefix_cache_scope` or calls :func:`clear_prefix_caches`
+    at batch boundaries.
     """
     groups = list(group_cols or [])
     order = [F.asc(c) for c in groups] + [F.asc(c) for c in order_cols]
     # cache before _pid: see "Cache lifecycle" above — correctness, not
     # speed; both branches must observe ONE physical partitioning
-    part = df.repartitionByRange(*order).cache()
+    part = _acquire_ranged(df.repartitionByRange(*order))
     part = part.withColumn("_pid", F.spark_partition_id())
     bound = 0 if inclusive else -1
     inner = (

@@ -99,3 +99,63 @@ def test_device_plan_has_no_unpartitioned_data_window(spark):
         partitioned_by_pid = "windowspecdefinition(_pid#" in line
         totals_frame = "_pt_" in line
         assert partitioned_by_pid or totals_frame, line
+
+
+def test_cache_registry_dedup_and_clear(spark):
+    from qudo_etl_pipeline_spark.operators import prefix as P
+
+    P.clear_prefix_caches()
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(50)], "k bigint, x bigint"
+    )
+    out1 = ranged_prefix_sums(df, ["k"], {"cum": "x"})
+    out2 = ranged_prefix_sums(df, ["k"], {"cum": "x"})
+    # ONE registry entry for the identical plan -- no duplicate cache
+    assert sum(len(v) for v in P._REGISTRY.values()) == 1
+    assert {r["k"]: r["cum"] for r in out1.collect()} == {
+        r["k"]: r["cum"] for r in out2.collect()
+    }
+    frame = next(iter(P._REGISTRY.values()))[0]
+    assert frame.storageLevel.useMemory
+    assert P.clear_prefix_caches() == 1
+    assert not P._REGISTRY
+    assert not frame.storageLevel.useMemory
+
+
+def test_prefix_cache_scope_releases_only_its_own(spark):
+    from qudo_etl_pipeline_spark.operators import prefix as P
+
+    P.clear_prefix_caches()
+    outer_df = spark.createDataFrame(
+        [(i, 1) for i in range(40)], "k bigint, x bigint"
+    )
+    ranged_prefix_sums(outer_df, ["k"], {"cum": "x"}).collect()
+    assert sum(len(v) for v in P._REGISTRY.values()) == 1
+    with P.prefix_cache_scope():
+        inner_df = spark.createDataFrame(
+            [(i, 2) for i in range(40)], "k bigint, y bigint"
+        )
+        ranged_prefix_sums(inner_df, ["k"], {"cum": "y"}).collect()
+        # outer cache reused inside the scope must NOT be captured
+        ranged_prefix_sums(outer_df, ["k"], {"cum": "x"}).collect()
+        assert sum(len(v) for v in P._REGISTRY.values()) == 2
+    # scope exit released ONLY the inner acquisition
+    assert sum(len(v) for v in P._REGISTRY.values()) == 1
+    remaining = next(iter(P._REGISTRY.values()))[0]
+    assert remaining.storageLevel.useMemory
+    P.clear_prefix_caches()
+
+
+def test_nested_scopes_compose(spark):
+    from qudo_etl_pipeline_spark.operators import prefix as P
+
+    P.clear_prefix_caches()
+    df_a = spark.createDataFrame([(i, 1) for i in range(10)], "k bigint, x bigint")
+    df_b = spark.createDataFrame([(i, 3) for i in range(10)], "k bigint, z bigint")
+    with P.prefix_cache_scope():
+        ranged_prefix_sums(df_a, ["k"], {"cum": "x"}).collect()
+        with P.prefix_cache_scope():
+            ranged_prefix_sums(df_b, ["k"], {"cum": "z"}).collect()
+            assert sum(len(v) for v in P._REGISTRY.values()) == 2
+        assert sum(len(v) for v in P._REGISTRY.values()) == 1
+    assert not P._REGISTRY

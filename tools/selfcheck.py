@@ -154,7 +154,15 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = spec.spark(spark, sf_dir).toPandas()
+            # each query's ranged-frame caches are released once its
+            # result is fully materialized — the 213-query sweep never
+            # accumulates CacheManager entries
+            from qudo_etl_pipeline_spark.operators.prefix import (
+                prefix_cache_scope,
+            )
+
+            with prefix_cache_scope():
+                sdf = spec.spark(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
