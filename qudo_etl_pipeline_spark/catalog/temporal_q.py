@@ -828,6 +828,21 @@ def _seasonal_oracle(period: int = 24, step: int = 3600) -> str:
 
     half = period // 2
     rem = "CAST(v AS DOUBLE) - trend - seas"
+    # mirror the operator's classical centered MA OPERATION FOR
+    # OPERATION: even period -> 2xMA with half-weighted endpoints over
+    # a symmetric period+1 window; odd -> plain mean over period rows
+    if period % 2 == 0:
+        trend_expr = (
+            f"CASE WHEN COUNT(*) OVER win = {period + 1} THEN "
+            f"CAST(2 * SUM(v) OVER win - FIRST_VALUE(v) OVER win "
+            f"- LAST_VALUE(v) OVER win AS DOUBLE) "
+            f"/ {float(2 * period)!r} END"
+        )
+    else:
+        trend_expr = (
+            f"CASE WHEN COUNT(*) OVER win = {period} THEN "
+            f"CAST(SUM(v) OVER win AS DOUBLE) / {float(period)!r} END"
+        )
     return f"""
     WITH series AS (
       SELECT event_type AS k, date_trunc('hour', ts) AS t,
@@ -836,14 +851,12 @@ def _seasonal_oracle(period: int = 24, step: int = 3600) -> str:
     ),
     w AS (
       SELECT k, t, v,
-             CASE WHEN COUNT(*) OVER win = {period + 1}
-                  THEN CAST(SUM(v) OVER win AS DOUBLE)
-                       / CAST(COUNT(*) OVER win AS DOUBLE) END AS trend,
+             {trend_expr} AS trend,
              CAST(epoch(t) AS BIGINT) / {step} % {period} AS pos
       FROM series
       WINDOW win AS (PARTITION BY k ORDER BY t
                      ROWS BETWEEN {half} PRECEDING
-                     AND {period - half} FOLLOWING)
+                     AND {half} FOLLOWING)
     ),
     raw_idx AS (
       SELECT k, pos,
@@ -875,8 +888,9 @@ def _seasonal_oracle(period: int = 24, step: int = 3600) -> str:
     oracle=_seasonal_oracle(),
     survey_ids=["W1", "A8", "A4"],
     description="Classical additive seasonal decomposition of hourly "
-    "event counts per type (period 24): centered-MA trend with exact "
-    "DECIMAL window sums, time-derived position indices centered per "
+    "event counts per type (period 24): centered 2xMA trend (period+1 "
+    "symmetric window, half-weighted endpoints) with exact DECIMAL "
+    "window sums, time-derived position indices centered per "
     "key via keyed aggregates + broadcast joins, remainder only where "
     "both components exist — the anomaly-triage decomposition",
 )

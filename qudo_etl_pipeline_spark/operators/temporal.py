@@ -943,10 +943,15 @@ def seasonal_decompose(
     windows shift consistently across engines either way because both
     order by the same bucket). Shape per key:
 
-    - trend: centered moving average over ``period + 1`` rows (NULL at
-      the edges where the window is short — the classical convention);
-      the mean is an EXACT DECIMAL sum divided by the window count in
-      one fixed IEEE expression, so no engine-order drift;
+    - trend: the CLASSICAL centered moving average. Odd period: a
+      symmetric ``period``-row window, plain mean. Even period: the
+      2xMA — a ``period + 1``-row symmetric window whose two endpoint
+      rows carry HALF weight ((2*sum - first - last) / (2*period)), so
+      each seasonal position contributes exactly weight 1 and no
+      seasonality leaks into the trend. NULL at the edges where the
+      window is short (the classical convention). The numerator is an
+      EXACT DECIMAL expression divided once in IEEE, so no
+      engine-order drift;
     - seasonal: the per-(key, position) mean of the detrended series,
       position = (bucket_epoch / step) % period (time-derived, robust
       to gaps), CENTERED by subtracting the per-key mean of the
@@ -969,13 +974,27 @@ def seasonal_decompose(
     w = (
         Window.partitionBy("_k")
         .orderBy("_t")
-        .rowsBetween(-half, period - half)
+        .rowsBetween(-half, half)
     )
     win_n = F.count(F.lit(1)).over(w)
-    trend = F.when(
-        win_n == period + 1,
-        F.sum("_v").over(w).cast("double") / win_n.cast("double"),
-    )
+    if period % 2 == 0:
+        # classical 2xMA: endpoint rows at +-half are the SAME seasonal
+        # position, so each carries half weight — exact in DECIMAL,
+        # one final IEEE division
+        num = (
+            F.lit(2) * F.sum("_v").over(w)
+            - F.first("_v").over(w)
+            - F.last("_v").over(w)
+        )
+        trend = F.when(
+            win_n == period + 1,
+            num.cast("double") / F.lit(float(2 * period)),
+        )
+    else:
+        trend = F.when(
+            win_n == period,
+            F.sum("_v").over(w).cast("double") / F.lit(float(period)),
+        )
     pos = (
         (F.unix_timestamp(F.col("_t")) / F.lit(step_seconds)).cast(
             "bigint"

@@ -682,20 +682,46 @@ def test_seasonal_decompose_recovers_planted_components(spark):
         for r in seasonal_decompose(df, "k", "t", "v", period, step).collect()
     }
     assert len(out) == 40
-    # edges: first half and last period-half rows have no full window
-    assert out[0]["trend6"] is None and out[39]["trend6"] is None
+    # edges: half rows on each side have no full symmetric window
+    for i in (0, 1, 38, 39):
+        assert out[i]["trend6"] is None
+    # classical 2xMA: endpoints at +-half are the SAME seasonal
+    # position at half weight each, so every position carries weight 1
+    # and the balanced season cancels EXACTLY -> trend is the pure line
     for i in range(2, 38):
-        r = out[i]
-        # centered MA over period+1 rows of (linear + balanced season):
-        # the seasonal part contributes season[i%4] +- the duplicated
-        # end position / (period+1); with our pattern the duplicate is
-        # position i%4 itself -> trend = line + season[i%4]/5... compute
-        win = [100.0 + 2.0 * j + season[j % period] for j in range(i - 2, i + 3)]
-        assert abs(r["trend6"] - round(sum(win) / 5, 6)) < 1e-9, i
-    # remainders on the interior must be small and centered near zero
-    rems = [out[i]["remainder6"] for i in range(2, 38)]
-    assert all(r is not None for r in rems)
-    assert abs(sum(rems) / len(rems)) < 1.0
+        assert out[i]["trend6"] == round(100.0 + 2.0 * i, 6), i
+    # the detrended series is exactly the planted pattern, so the
+    # seasonal indices recover it and the remainder vanishes
+    for i in range(2, 38):
+        assert out[i]["seasonal6"] == round(season[i % period], 6), i
+        assert abs(out[i]["remainder6"]) < 1e-6, i
     # seasonal indices repeat with the period
     for i in range(2, 34):
         assert out[i]["seasonal6"] == out[i + 4]["seasonal6"]
+
+
+def test_seasonal_decompose_odd_period_symmetric_window(spark):
+    """Odd period: a symmetric period-row window (no phase shift) —
+    trend on a line + balanced period-3 season is exactly the line."""
+    import datetime as dt
+
+    from qudo_etl_pipeline_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    period, step = 3, 3600
+    season = [6.0, -2.0, -4.0]
+    rows = []
+    for i in range(30):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+        rows.append(("k", t, 50.0 + 1.5 * i + season[i % period]))
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    out = {
+        r["t"].hour + 24 * (r["t"].day - 1): r
+        for r in seasonal_decompose(df, "k", "t", "v", period, step).collect()
+    }
+    assert out[0]["trend6"] is None and out[29]["trend6"] is None
+    for i in range(1, 29):
+        assert out[i]["trend6"] == round(50.0 + 1.5 * i, 6), i
+        assert out[i]["seasonal6"] == round(season[i % period], 6), i
+        assert abs(out[i]["remainder6"]) < 1e-6, i
