@@ -291,6 +291,8 @@ _DIFF_R = """
       UNION ALL SELECT 'unchanged', unchanged FROM agg
       UNION ALL SELECT 'dup_keys:left', dupl FROM agg
       UNION ALL SELECT 'dup_keys:right', dupr FROM agg
+      UNION ALL SELECT 'null_keys:left', CAST(0 AS BIGINT) FROM agg
+      UNION ALL SELECT 'null_keys:right', CAST(0 AS BIGINT) FROM agg
       UNION ALL SELECT 'changed:o_totalprice', ch_price FROM agg
       UNION ALL SELECT 'changed:o_orderstatus', ch_status FROM agg
     ) ORDER BY metric

@@ -1058,6 +1058,10 @@ def weighted_quantile(
     q_num * totw`` — no float thresholds. Group totals come from the
     cum column's per-group maximum (exact under non-negative weights),
     a map-side-combinable aggregate over the device's cached frame.
+    The non-negativity contract is ENFORCED by a plan-side
+    :func:`_domain_gate` on the global minimum weight — a negative
+    weight would silently make the max-based total wrong, so the plan
+    fails loudly instead.
 
     Determinism under ties: rows sharing a value may cum in any order
     (including split across range partitions), but a value group
@@ -1075,6 +1079,17 @@ def weighted_quantile(
     src = df.filter(v.isNotNull() & F.col(weight_col).isNotNull()).select(
         *group_cols, v.alias("__v"), wt.alias("__w")
     )
+    ok = _domain_gate(
+        src.agg(F.min("__w").alias("_minw")),
+        # empty input -> NULL min -> pass (0-row output downstream)
+        F.coalesce(F.col("_minw") >= 0, F.lit(True)),
+        F.concat(
+            F.lit("weighted_quantile: negative weight found (min="),
+            F.col("_minw").cast("string"),
+            F.lit("). Weights must be non-negative."),
+        ),
+    )
+    src = src.crossJoin(F.broadcast(ok)).drop("_domain_ok")
     cum = ranged_prefix_sums(
         src, ["__v"], {"__cumw": "__w"}, group_cols=list(group_cols)
     )

@@ -30,6 +30,7 @@ gate, a metrics store, or an alerting join consumes.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -218,10 +219,16 @@ def table_diff(
     REPRESENTATIVES and the duplication itself is the finding to
     chase). The join is then a unique-key full-outer (AQE-coalescible,
     skew-splittable — the only shuffle on the wide data) feeding a
-    single aggregate: output is O(6 + #columns) rows regardless of
+    single aggregate: output is O(8 + #columns) rows regardless of
     input size. Column comparison is null-safe (NULL == NULL is
-    "unchanged", NULL vs value is a change); keys must be non-null on
-    both sides.
+    "unchanged", NULL vs value is a change). Keys are ALSO null-safe:
+    the join matches on eqNullSafe, so a composite key with a NULL
+    component pairs deterministically instead of double-counting as
+    one removed + one added, and presence is detected from each
+    side's count column (never from key nullness); keys containing
+    any NULL component are additionally surfaced as
+    ``null_keys:left`` / ``null_keys:right`` — like duplicates, a
+    nonzero value is itself a data-quality finding.
 
     Output (long format): metric in {added, removed, changed,
     unchanged, dup_keys:left, dup_keys:right, changed:<col>...}, n —
@@ -252,11 +259,24 @@ def table_diff(
     rf = _keyed(right, "r")
     cond = None
     for k in keys:
-        e = F.col(f"_lk_{k}") == F.col(f"_rk_{k}")
+        # eqNullSafe: NULL key components pair instead of producing a
+        # phantom removed+added pair
+        e = F.col(f"_lk_{k}").eqNullSafe(F.col(f"_rk_{k}"))
         cond = e if cond is None else cond & e
     j = lf.join(rf, cond, "full_outer")
-    in_l = F.col(f"_lk_{keys[0]}").isNotNull()
-    in_r = F.col(f"_rk_{keys[0]}").isNotNull()
+    # presence from the per-side counts (>=1 whenever the side has the
+    # key), NOT from key nullness -- a legitimately-NULL key component
+    # must not read as "absent"
+    in_l = F.col("_ln").isNotNull()
+    in_r = F.col("_rn").isNotNull()
+    null_key_l = in_l & functools.reduce(
+        lambda a, b: a | b,
+        [F.col(f"_lk_{k}").isNull() for k in keys],
+    )
+    null_key_r = in_r & functools.reduce(
+        lambda a, b: a | b,
+        [F.col(f"_rk_{k}").isNull() for k in keys],
+    )
     col_changed = {
         c: in_l
         & in_r
@@ -277,6 +297,8 @@ def table_diff(
         cnt(in_l & in_r & ~any_changed).alias("unchanged"),
         cnt(in_l & (F.col("_ln") > 1)).alias("dup_keys:left"),
         cnt(in_r & (F.col("_rn") > 1)).alias("dup_keys:right"),
+        cnt(null_key_l).alias("null_keys:left"),
+        cnt(null_key_r).alias("null_keys:right"),
         *[
             cnt(e).alias(f"changed:{c}")
             for c, e in col_changed.items()
@@ -289,6 +311,8 @@ def table_diff(
         "unchanged",
         "dup_keys:left",
         "dup_keys:right",
+        "null_keys:left",
+        "null_keys:right",
     ] + [f"changed:{c}" for c in compare_cols]
     return _stack_metrics(agg, metrics)
 

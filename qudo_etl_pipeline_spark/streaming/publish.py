@@ -45,6 +45,8 @@ from __future__ import annotations
 
 import json
 import os
+import random
+import time
 import uuid
 
 __all__ = [
@@ -309,12 +311,18 @@ class ObjectStoreConditionalPutPublisher(Publisher):
     """
 
     MAX_ATTEMPTS = 16
+    #: first retry delay; doubles per attempt, capped at BACKOFF_CAP.
+    #: Full jitter (0.5x-1x) decorrelates a writer herd hammering a
+    #: degraded store. backoff_base=0 disables sleeping (tests).
+    BACKOFF_BASE = 0.05
+    BACKOFF_CAP = 2.0
 
     def __init__(
         self,
         table_path: str,
         store: ObjectStore | None = None,
         writer_id: str | None = None,
+        backoff_base: float | None = None,
     ):
         self.table_path = table_path
         self.store = (
@@ -323,14 +331,26 @@ class ObjectStoreConditionalPutPublisher(Publisher):
             else LocalObjectStore(os.path.join(table_path, "_commits"))
         )
         self.writer_id = writer_id or uuid.uuid4().hex
+        self.backoff_base = (
+            self.BACKOFF_BASE if backoff_base is None else backoff_base
+        )
+        # seeded per writer: reproducible traces, decorrelated herd
+        self._rng = random.Random(self.writer_id)
+
+    def _backoff(self, attempt: int) -> None:
+        if self.backoff_base <= 0:
+            return
+        delay = min(self.BACKOFF_CAP, self.backoff_base * (2**attempt))
+        time.sleep(delay * (0.5 + self._rng.random() / 2))
 
     def _get_with_retry(self, key: str) -> bytes | None:
         last: Exception | None = None
-        for _ in range(self.MAX_ATTEMPTS):
+        for attempt in range(self.MAX_ATTEMPTS):
             try:
                 return self.store.get(key)
             except TransientStoreError as exc:  # pragma: no cover
                 last = exc
+                self._backoff(attempt)
         raise last  # pragma: no cover
 
     def _list_with_retry(self) -> list[str]:
@@ -338,11 +358,12 @@ class ObjectStoreConditionalPutPublisher(Publisher):
         # documented contract raises TransientStoreError on 5xx, and a
         # crash here would bypass the commit loop's own retry machinery
         last: Exception | None = None
-        for _ in range(self.MAX_ATTEMPTS):
+        for attempt in range(self.MAX_ATTEMPTS):
             try:
                 return self.store.list_keys()
             except TransientStoreError as exc:
                 last = exc
+                self._backoff(attempt)
         raise last
 
     def read(self) -> dict | None:
@@ -358,7 +379,9 @@ class ObjectStoreConditionalPutPublisher(Publisher):
         payload = json.dumps(
             {**manifest, "_writer": self.writer_id}
         ).encode()
-        for _ in range(self.MAX_ATTEMPTS):
+        transient = 0
+        contended = 0
+        for attempt in range(self.MAX_ATTEMPTS):
             keys = self._list_with_retry()
             seq = int(keys[-1].split(".")[0]) + 1 if keys else 0
             key = f"{seq:020d}.json"
@@ -369,6 +392,8 @@ class ObjectStoreConditionalPutPublisher(Publisher):
                 if readback is None:
                     # the PUT never landed: same sequence is still free
                     # (or will collide next attempt, which is fine)
+                    transient += 1
+                    self._backoff(attempt)
                     continue
                 created = (
                     json.loads(readback).get("_writer") == self.writer_id
@@ -377,6 +402,7 @@ class ObjectStoreConditionalPutPublisher(Publisher):
                 return True
             # lost the race: if the winner (same query incarnation)
             # already covers this batch, the publish goal is met
+            contended += 1
             live = self.read()
             if (
                 live is not None
@@ -385,9 +411,19 @@ class ObjectStoreConditionalPutPublisher(Publisher):
                 and live["batch_id"] >= manifest["batch_id"]
             ):
                 return False
+            self._backoff(attempt)
+        # name the actual failure mode: exhausting on fail-before
+        # faults is a store availability problem, not writer contention
+        if contended == 0:
+            raise RuntimeError(
+                f"manifest commit: transient store errors exhausted "
+                f"{self.MAX_ATTEMPTS} attempts at "
+                f"{self.table_path}/_commits (no CAS contention seen)"
+            )
         raise RuntimeError(
-            f"manifest commit contended {self.MAX_ATTEMPTS} times at "
-            f"{self.table_path}/_commits"
+            f"manifest commit contended after {self.MAX_ATTEMPTS} "
+            f"attempts at {self.table_path}/_commits "
+            f"({contended} race losses, {transient} transient outcomes)"
         )
 
 

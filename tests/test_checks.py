@@ -155,6 +155,8 @@ def test_table_diff_statuses_and_nullsafe_compare(spark):
         "unchanged": 2,
         "dup_keys:left": 0,
         "dup_keys:right": 0,
+        "null_keys:left": 0,
+        "null_keys:right": 0,
         "changed:s": 0,
         "changed:v": 1,
     }
@@ -170,7 +172,8 @@ def test_table_diff_statuses_and_nullsafe_compare(spark):
     out3 = {r["metric"]: r["n"] for r in table_diff(e, e, ["k"]).collect()}
     assert out3 == {"added": 0, "removed": 0, "changed": 0,
                     "unchanged": 0, "dup_keys:left": 0,
-                    "dup_keys:right": 0, "changed:v": 0}
+                    "dup_keys:right": 0, "null_keys:left": 0,
+                    "null_keys:right": 0, "changed:v": 0}
 
 
 def test_table_diff_duplicate_keys_stay_key_level(spark):
@@ -197,6 +200,30 @@ def test_table_diff_duplicate_keys_stay_key_level(spark):
     assert out["added"] + out["removed"] + out["changed"] + out["unchanged"] == 4
     assert out["dup_keys:left"] == 0
     assert out["dup_keys:right"] == 2   # keys 1 and 2 duplicated
+
+
+def test_table_diff_composite_key_null_components(spark):
+    """A composite key whose secondary component is NULL must pair
+    null-safely (one 'unchanged'/'changed' verdict), never double-count
+    as removed+added, and must surface in the null_keys metrics."""
+    from qudo_etl_pipeline_spark.operators.checks import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "x", 10.0), (2, None, 20.0), (3, "z", 30.0)],
+        "k1 bigint, k2 string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 10.0), (2, None, 25.0), (3, "z", 30.0)],
+        "k1 bigint, k2 string, v double",
+    )
+    out = {
+        r["metric"]: r["n"]
+        for r in table_diff(left, right, ["k1", "k2"]).collect()
+    }
+    assert out["added"] == 0 and out["removed"] == 0
+    assert out["changed"] == 1          # the (2, NULL) key, paired
+    assert out["unchanged"] == 2
+    assert out["null_keys:left"] == 1 and out["null_keys:right"] == 1
 
 
 def test_join_profile_fanout_orphans_and_nulls(spark):

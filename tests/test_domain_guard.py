@@ -125,3 +125,22 @@ def test_gate_passes_on_empty_input(spark):
     assert kendall_tau_b(empty, "x", "y").count() == 0
     assert spearman_rho(empty, "x", "y").count() == 0
     assert mutual_information(empty, "x", "y").count() == 0
+
+
+def test_weighted_quantile_rejects_negative_weights(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        weighted_quantile,
+    )
+
+    df = spark.range(100).select(
+        F.lit("g").alias("g"),
+        F.col("id").cast("double").alias("v"),
+        F.when(F.col("id") == 50, F.lit(-1.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_quantile(df, ["g"], "v", "w").collect()
+    # non-negative weights (incl. zeros) still pass
+    ok = df.withColumn("w", F.abs(F.col("w")) - F.lit(1.0))
+    assert weighted_quantile(ok, ["g"], "v", "w").count() == 1

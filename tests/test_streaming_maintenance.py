@@ -605,3 +605,51 @@ def test_object_store_publisher_survives_transient_list_failures(tmp_path):
         table, store=FlakyListStore(root, fail_times=2), writer_id="R"
     )
     assert r.read()["version"] == "v0"
+
+
+def test_publisher_exhaustion_names_the_failure_mode(tmp_path):
+    """Exhausting attempts on fail-before faults must report a store
+    availability problem, not phantom CAS contention; backoff must be
+    skippable for tests via backoff_base=0."""
+    import os
+
+    import pytest
+
+    from qudo_etl_pipeline_spark.streaming.publish import (
+        LocalObjectStore,
+        ObjectStoreConditionalPutPublisher,
+    )
+
+    table = str(tmp_path / "t")
+    root = os.path.join(table, "_commits")
+    dead = LocalObjectStore(root, fail_before=lambda key: True)
+    p = ObjectStoreConditionalPutPublisher(
+        table, store=dead, writer_id="W", backoff_base=0
+    )
+    with pytest.raises(RuntimeError, match="transient store errors"):
+        p.commit({"query_id": "q", "gen": 0, "batch_id": 0})
+
+
+def test_publisher_backoff_schedule_is_capped_with_jitter():
+    from qudo_etl_pipeline_spark.streaming.publish import (
+        ObjectStoreConditionalPutPublisher,
+    )
+
+    p = ObjectStoreConditionalPutPublisher(
+        "/tmp/unused-table", writer_id="W", backoff_base=0.05
+    )
+    slept = []
+    import qudo_etl_pipeline_spark.streaming.publish as pub
+
+    orig = pub.time.sleep
+    pub.time.sleep = slept.append
+    try:
+        for attempt in range(12):
+            p._backoff(attempt)
+    finally:
+        pub.time.sleep = orig
+    # exponential up to the cap, full jitter in [0.5x, 1x]
+    for attempt, d in enumerate(slept):
+        ceiling = min(p.BACKOFF_CAP, 0.05 * 2**attempt)
+        assert ceiling * 0.5 <= d <= ceiling
+    assert max(slept) <= p.BACKOFF_CAP
