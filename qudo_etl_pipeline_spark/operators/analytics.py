@@ -776,20 +776,35 @@ def two_proportion_ztest(
     se = F.sqrt(
         pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
     )
-    # degenerate pooled rate (0 or 1) -> no variance -> no test
+    # degenerate pooled rate (0 or 1) -> no variance -> no test.
+    # Stage _z/_d as COLUMNS: ref_round references its argument ~8x
+    # (the Dekker split), so inlining the z tree into z6 AND the
+    # significance test blew the generated projection past Janino's
+    # 64 KB method limit (silent interpreted fallback). Staged, the
+    # non-cheap _z is shared, Catalyst keeps the projections apart
+    # (CollapseProject does not duplicate non-cheap expressions), and
+    # every method compiles.
     z = F.when(se > 0, (p1 - p2) / se)
-    return row.select(
-        F.when(ok, F.col("a.g")).alias("group_a"),
-        F.when(ok, F.col("a.n")).alias("n_a"),
-        F.when(ok, F.col("a.k")).alias("conv_a"),
-        F.when(ok, F.col("b.g")).alias("group_b"),
-        F.when(ok, F.col("b.n")).alias("n_b"),
-        F.when(ok, F.col("b.k")).alias("conv_b"),
-        F.when(ok, ref_round(p1 - p2, 6)).alias("rate_diff6"),
-        F.when(ok, ref_round(z, 6)).alias("z6"),
+    mid = row.select(
+        "a",
+        "b",
+        ok.alias("_ok"),
+        (p1 - p2).alias("_d"),
+        z.alias("_z"),
+    )
+    ok2 = F.col("_ok")
+    return mid.select(
+        F.when(ok2, F.col("a.g")).alias("group_a"),
+        F.when(ok2, F.col("a.n")).alias("n_a"),
+        F.when(ok2, F.col("a.k")).alias("conv_a"),
+        F.when(ok2, F.col("b.g")).alias("group_b"),
+        F.when(ok2, F.col("b.n")).alias("n_b"),
+        F.when(ok2, F.col("b.k")).alias("conv_b"),
+        F.when(ok2, ref_round(F.col("_d"), 6)).alias("rate_diff6"),
+        F.when(ok2, ref_round(F.col("_z"), 6)).alias("z6"),
         F.when(
-            ok,
-            F.when(F.abs(z) > F.lit(z_crit), F.lit(1))
+            ok2,
+            F.when(F.abs(F.col("_z")) > F.lit(z_crit), F.lit(1))
             .otherwise(F.lit(0))
             .cast("bigint"),
         ).alias("is_significant"),

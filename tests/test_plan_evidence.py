@@ -298,3 +298,28 @@ def test_rank_statistics_have_no_single_task_data_window(spark):
         .toString()
     )
     assert "windowspecdefinition" not in hill
+
+
+def test_ztest_projection_compiles_within_codegen_limits(spark):
+    """Regression for the 64 KB Janino fallback: two_proportion_ztest's
+    final projection used to re-inline the z expression tree through
+    every ref_round argument reference and silently fall back to the
+    interpreted path. With codegen fallback DISABLED, any method past
+    the limit raises instead — so plain success here pins compiled
+    whole-stage codegen for the whole plan."""
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        two_proportion_ztest,
+    )
+
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df = spark.range(1000).select(
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("g"),
+            (F.col("id") % 7 == 0).cast("int").alias("s"),
+        )
+        row = two_proportion_ztest(df, "g", "s").collect()[0]
+        assert row["n_a"] == 500 and row["n_b"] == 500
+        assert row["z6"] is not None
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
