@@ -362,7 +362,17 @@ def table_diff_orders_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS max_left_rows_per_key,
         CAST(COALESCE(MAX(CASE WHEN lkey IS NOT NULL
                  AND rkey IS NOT NULL THEN rn END), 0)
-             AS BIGINT) AS max_right_rows_per_key
+             AS BIGINT) AS max_right_rows_per_key,
+        CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL THEN ln END), 0)
+             AS BIGINT) AS rows_left,
+        CAST(COALESCE(SUM(CASE WHEN rkey IS NOT NULL THEN rn END), 0)
+             AS BIGINT) AS rows_right,
+        CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL
+                 AND rkey IS NOT NULL THEN ln END), 0)
+             AS BIGINT) AS rows_left_matched,
+        CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL
+                 AND rkey IS NOT NULL THEN rn END), 0)
+             AS BIGINT) AS rows_right_matched
       FROM j
     )
     SELECT * FROM (
@@ -378,6 +388,10 @@ def table_diff_orders_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg
       UNION ALL SELECT 'null_keys_left', 0 FROM agg
       UNION ALL SELECT 'null_keys_right', 0 FROM agg
+      UNION ALL SELECT 'rows_left', rows_left FROM agg
+      UNION ALL SELECT 'rows_right', rows_right FROM agg
+      UNION ALL SELECT 'rows_left_matched', rows_left_matched FROM agg
+      UNION ALL SELECT 'rows_right_matched', rows_right_matched FROM agg
     ) ORDER BY metric
     """,
     survey_ids=["J1", "A4", "A7"],
@@ -397,3 +411,177 @@ def join_profile_orders_lineitem(
     return join_profile(orders, li, "o_orderkey", "l_orderkey").orderBy(
         "metric"
     )
+
+
+def _strategy_oracle() -> str:
+    """Mirror choose_join_strategy's integer decision per scenario:
+    broadcast when min(rows) <= budget; salted when the bigger side's
+    hottest matched key >= skew_factor * its average (max*keys >=
+    factor*rows, exact integers); shuffle otherwise."""
+    return """
+    WITH
+    a_sides AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS rl,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 1000 = 0) AS rr
+    ),
+    a_dec AS (
+      SELECT 'dim_lookup' AS scenario,
+             CASE WHEN LEAST(rl, rr) <= 10000 THEN 'broadcast'
+                  ELSE 'other' END AS strategy,
+             CASE WHEN rr <= rl THEN 'right' ELSE 'left' END
+               AS build_side,
+             CAST(NULL AS BIGINT) AS n_salts
+      FROM a_sides
+    ),
+    b_keys AS (
+      SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+                  ELSE l_orderkey END AS k,
+             CAST(COUNT(*) AS BIGINT) AS ln
+      FROM lineitem GROUP BY 1
+    ),
+    b_stats AS (
+      SELECT CAST(SUM(ln) AS BIGINT) AS rl,
+             CAST(COUNT(*) AS BIGINT) AS rr,
+             CAST(COUNT(*) AS BIGINT) AS km,
+             CAST(MAX(ln) AS BIGINT) AS mx,
+             CAST(SUM(ln) AS BIGINT) AS rm
+      FROM b_keys
+    ),
+    b_dec AS (
+      SELECT 'planted_hot_key' AS scenario,
+             CASE WHEN LEAST(rl, rr) <= 50 THEN 'broadcast'
+                  WHEN mx * km >= 8 * rm THEN 'salted'
+                  ELSE 'shuffle' END AS strategy,
+             CASE WHEN LEAST(rl, rr) <= 50 THEN
+                    CASE WHEN rr <= rl THEN 'right' ELSE 'left' END
+                  WHEN mx * km >= 8 * rm THEN
+                    CASE WHEN rl >= rr THEN 'left' ELSE 'right' END
+             END AS build_side,
+             CASE WHEN LEAST(rl, rr) > 50 AND mx * km >= 8 * rm
+                  THEN LEAST(32, (mx * km + rm - 1) // rm)
+             END AS n_salts
+      FROM b_stats
+    ),
+    c_lk AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ln
+      FROM lineitem GROUP BY 1
+    ),
+    c_rk AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS rn
+      FROM orders GROUP BY 1
+    ),
+    c_j AS (
+      SELECT c_lk.k AS lkey, c_rk.k AS rkey, ln, rn
+      FROM c_lk FULL OUTER JOIN c_rk ON c_lk.k = c_rk.k
+    ),
+    c_stats AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL THEN ln END), 0)
+             AS BIGINT) AS rl,
+        CAST(COALESCE(SUM(CASE WHEN rkey IS NOT NULL THEN rn END), 0)
+             AS BIGINT) AS rr,
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS km,
+        CAST(COALESCE(MAX(CASE WHEN lkey IS NOT NULL
+                 AND rkey IS NOT NULL THEN ln END), 0) AS BIGINT)
+          AS mxl,
+        CAST(COALESCE(MAX(CASE WHEN lkey IS NOT NULL
+                 AND rkey IS NOT NULL THEN rn END), 0) AS BIGINT)
+          AS mxr,
+        CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL
+                 AND rkey IS NOT NULL THEN ln END), 0) AS BIGINT)
+          AS rml,
+        CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL
+                 AND rkey IS NOT NULL THEN rn END), 0) AS BIGINT)
+          AS rmr
+      FROM c_j
+    ),
+    c_dec AS (
+      SELECT 'balanced_fact_fact' AS scenario,
+             CASE WHEN LEAST(rl, rr) <= 50 THEN 'broadcast'
+                  WHEN (CASE WHEN rl >= rr THEN mxl ELSE mxr END) * km
+                       >= 8 * (CASE WHEN rl >= rr THEN rml ELSE rmr END)
+                  THEN 'salted'
+                  ELSE 'shuffle' END AS strategy,
+             CAST(NULL AS VARCHAR) AS build_side,
+             CAST(NULL AS BIGINT) AS n_salts
+      FROM c_stats
+    )
+    SELECT * FROM (
+      SELECT * FROM a_dec
+      UNION ALL SELECT * FROM b_dec
+      UNION ALL SELECT * FROM c_dec
+    ) ORDER BY scenario
+    """
+
+
+@register(
+    "join_strategy_decision_planted",
+    oracle=_strategy_oracle(),
+    survey_ids=["J1", "J5", "A4"],
+    description="profile->strategy decisions for three planted join "
+    "shapes (tiny dimension -> broadcast; 90%-of-rows hot key -> "
+    "salted with the hot/avg salt count; balanced fact-fact -> plain "
+    "shuffle): each decision is pure integer arithmetic over the "
+    "exact join_profile counts, so the DuckDB oracle replays the same "
+    "choice from the same data - the skew story AQE cannot cover "
+    "(one mega-KEY inside one partition), decided before the join runs",
+)
+def join_strategy_decision_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.checks import join_profile
+    from qudo_etl_pipeline_spark.plans.skew import choose_join_strategy
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def prof(left, right, lk, rk):
+        return {
+            r["metric"]: r["n"]
+            for r in join_profile(left, right, lk, rk).collect()
+        }
+
+    hot = li.select(
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k")
+    )
+    cases = [
+        (
+            "dim_lookup",
+            choose_join_strategy(
+                prof(
+                    li,
+                    orders.filter(F.col("o_orderkey") % 1000 == 0),
+                    "l_orderkey",
+                    "o_orderkey",
+                ),
+                broadcast_rows=10_000,
+            ),
+        ),
+        (
+            "planted_hot_key",
+            choose_join_strategy(
+                prof(hot, hot.select("k").distinct(), "k", "k"),
+                broadcast_rows=50,
+            ),
+        ),
+        (
+            "balanced_fact_fact",
+            choose_join_strategy(
+                prof(li, orders, "l_orderkey", "o_orderkey"),
+                broadcast_rows=50,
+            ),
+        ),
+    ]
+    rows = [
+        (name, d["strategy"], d["build_side"], d["n_salts"])
+        for name, d in cases
+    ]
+    return spark.createDataFrame(
+        rows,
+        "scenario string, strategy string, build_side string, "
+        "n_salts bigint",
+    ).orderBy("scenario")

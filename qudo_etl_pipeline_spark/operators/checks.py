@@ -384,6 +384,12 @@ def join_profile(
         zsum(F.when(in_r & F.col("_rk").isNull(), F.col("_rn"))).alias(
             "null_keys_right"
         ),
+        # side totals + matched-row mass: what a join planner needs to
+        # pick broadcast (side size) vs salted (max/avg per-key ratio)
+        zsum(F.when(in_l, F.col("_ln"))).alias("rows_left"),
+        zsum(F.when(in_r, F.col("_rn"))).alias("rows_right"),
+        zsum(F.when(matched, F.col("_ln"))).alias("rows_left_matched"),
+        zsum(F.when(matched, F.col("_rn"))).alias("rows_right_matched"),
     )
     metrics = [
         "keys_left",
@@ -396,5 +402,9 @@ def join_profile(
         "max_right_rows_per_key",
         "null_keys_left",
         "null_keys_right",
+        "rows_left",
+        "rows_right",
+        "rows_left_matched",
+        "rows_right_matched",
     ]
     return _stack_metrics(agg, metrics)

@@ -118,3 +118,114 @@ def salted_aggregate(
         *[_MERGE[fn](out).alias(out) for out, (_, fn) in aggs.items()]
     )
     return phase2
+
+
+def choose_join_strategy(
+    profile: dict[str, int],
+    broadcast_rows: int = 1_000_000,
+    skew_factor: int = 8,
+    max_salts: int = 32,
+) -> dict:
+    """Pick a physical join strategy from a :func:`~qudo_etl_pipeline_
+    spark.operators.checks.join_profile` measurement — the
+    profile->plan decision a pipeline makes once per big recurring
+    join instead of rediscovering skew in production:
+
+    - **broadcast** when either side's total rows fit the broadcast
+      budget (the smaller side is the build side; ties go right, the
+      conventional dimension position);
+    - **salted** when the bigger side's hottest matched key holds at
+      least ``skew_factor`` times its average matched-key rows (the
+      max*keys >= factor*rows integer test — AQE splits by partition,
+      not by key, so a single mega-key still serializes without
+      salting); ``n_salts`` is the hot/average ratio, capped;
+    - **shuffle** otherwise: a plain key-partitioned join is already
+      the right plan for balanced large-large joins.
+
+    Every comparison is integer arithmetic on the profile's exact
+    counts — the same decision in any engine, oracle-checkable in SQL.
+    """
+    rl, rr = profile["rows_left"], profile["rows_right"]
+    if min(rl, rr) <= broadcast_rows:
+        side = "right" if rr <= rl else "left"
+        return {
+            "strategy": "broadcast",
+            "build_side": side,
+            "n_salts": None,
+        }
+    km = profile["keys_matched"]
+    big_side = "left" if rl >= rr else "right"
+    mx = profile[f"max_{big_side}_rows_per_key"]
+    rm = profile[f"rows_{big_side}_matched"]
+    if km > 0 and rm > 0 and mx * km >= skew_factor * rm:
+        ratio = (mx * km + rm - 1) // rm  # ceil(max / avg), exact
+        return {
+            "strategy": "salted",
+            "build_side": big_side,
+            "n_salts": min(max_salts, ratio),
+        }
+    return {"strategy": "shuffle", "build_side": None, "n_salts": None}
+
+
+def profiled_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    broadcast_rows: int = 1_000_000,
+    skew_factor: int = 8,
+    max_salts: int = 32,
+) -> tuple[DataFrame, dict]:
+    """Measure-then-join: run :func:`join_profile` (two keyed
+    aggregates + one key-frame join — O(keys), never the fan-out),
+    collect its O(14)-row summary, pick a strategy with
+    :func:`choose_join_strategy`, and return the joined frame built
+    that way plus the decision dict (with the profile under
+    ``"profile"`` for the run log).
+
+    Result-identical to ``left.join(right, on, how)`` in every branch
+    (broadcast and salting are physical hints only). The profile costs
+    one extra pass over both key columns — worth it exactly for the
+    big recurring joins this is for; don't wrap trivially-broadcastable
+    dimension joins.
+    """
+    from qudo_etl_pipeline_spark.operators.checks import join_profile
+
+    prof = {
+        r["metric"]: r["n"]
+        for r in join_profile(left, right, on, on).collect()
+    }
+    decision = choose_join_strategy(
+        prof,
+        broadcast_rows=broadcast_rows,
+        skew_factor=skew_factor,
+        max_salts=max_salts,
+    )
+    if decision["strategy"] == "broadcast":
+        if decision["build_side"] == "right":
+            joined = left.join(F.broadcast(right), on, how)
+        else:
+            joined = F.broadcast(left).join(right, on, how)
+    elif decision["strategy"] == "salted":
+        big_is_left = decision["build_side"] == "left"
+        if big_is_left:
+            joined = salted_join(
+                left, right, [on], n_salts=decision["n_salts"], how=how
+            )
+        else:
+            # salted_join salts the BIG side; mirror then restore the
+            # column order the plain join would produce
+            if how != "inner":
+                joined = left.join(right, on, how)
+            else:
+                mirrored = salted_join(
+                    right, left, [on], n_salts=decision["n_salts"]
+                )
+                joined = mirrored.select(
+                    on,
+                    *[c for c in left.columns if c != on],
+                    *[c for c in right.columns if c != on],
+                )
+    else:
+        joined = left.join(right, on, how)
+    return joined, {**decision, "profile": prof}

@@ -252,6 +252,10 @@ def test_join_profile_fanout_orphans_and_nulls(spark):
         "max_right_rows_per_key": 3,
         "null_keys_left": 2,       # rows an inner join silently drops
         "null_keys_right": 1,
+        "rows_left": 6,            # side totals incl. null-key rows
+        "rows_right": 6,
+        "rows_left_matched": 3,    # rows on matched keys (1, 2)
+        "rows_right_matched": 4,
     }
     # prediction check: the actual inner join yields exactly that many
     actual = left.filter("k IS NOT NULL").join(
@@ -263,4 +267,4 @@ def test_join_profile_fanout_orphans_and_nulls(spark):
     out2 = {
         r["metric"]: r["n"] for r in join_profile(e, e, "k", "k").collect()
     }
-    assert set(out2.values()) == {0} and len(out2) == 10
+    assert set(out2.values()) == {0} and len(out2) == 14

@@ -115,3 +115,82 @@ def test_contingency_auto_salting_engages_only_on_skew(spark):
     uni_plan = t_uni.cells._jdf.queryExecution().analyzed().toString()
     assert "_salt" not in uni_plan  # probe must NOT fire on uniform data
     t_uni.unpersist()
+
+
+def test_choose_join_strategy_decisions():
+    from qudo_etl_pipeline_spark.plans.skew import choose_join_strategy
+
+    base = {
+        "keys_matched": 100,
+        "max_left_rows_per_key": 5,
+        "max_right_rows_per_key": 1,
+        "rows_left_matched": 500,
+        "rows_right_matched": 100,
+    }
+    # small side fits the budget -> broadcast the smaller (tie -> right)
+    d = choose_join_strategy(
+        {**base, "rows_left": 500, "rows_right": 100},
+        broadcast_rows=100,
+    )
+    assert d == {
+        "strategy": "broadcast", "build_side": "right", "n_salts": None
+    }
+    # hot key: max 9000 vs avg 100 over 100 keys -> salted, capped salts
+    d = choose_join_strategy(
+        {
+            **base,
+            "rows_left": 10_000,
+            "rows_right": 101,
+            "max_left_rows_per_key": 9_000,
+            "rows_left_matched": 10_000,
+        },
+        broadcast_rows=50,
+        max_salts=32,
+    )
+    assert d["strategy"] == "salted"
+    assert d["build_side"] == "left"
+    assert d["n_salts"] == 32
+    # balanced large-large -> shuffle
+    d = choose_join_strategy(
+        {**base, "rows_left": 500, "rows_right": 100},
+        broadcast_rows=10,
+    )
+    assert d == {"strategy": "shuffle", "build_side": None, "n_salts": None}
+
+
+def test_profiled_join_is_result_identical_on_planted_skew(spark):
+    from qudo_etl_pipeline_spark.plans.skew import profiled_join
+
+    # 90% of big-side rows on key 0; right side one row per key
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = big.select("k").distinct().withColumn(
+        "tag", F.concat(F.lit("t"), F.col("k"))
+    )
+    plain = big.join(dim, "k")
+    joined, decision = profiled_join(
+        big, dim, "k", broadcast_rows=50, skew_factor=8
+    )
+    assert decision["strategy"] == "salted"
+    assert decision["build_side"] == "left"
+    assert decision["n_salts"] > 1
+    assert decision["profile"]["rows_left"] == 2000
+    assert sorted(joined.columns) == sorted(plain.columns)
+    assert (
+        joined.orderBy("k", "payload").collect()
+        == plain.orderBy("k", "payload").collect()
+    )
+    # broadcast branch: generous budget -> broadcast the dim, same rows
+    joined2, d2 = profiled_join(big, dim, "k", broadcast_rows=10_000)
+    assert d2["strategy"] == "broadcast" and d2["build_side"] == "right"
+    assert joined2.count() == plain.count()
+    # shuffle branch on balanced sides
+    left = spark.range(500).select((F.col("id") % 250).alias("k"))
+    right = spark.range(500).select((F.col("id") % 250).alias("k"))
+    joined3, d3 = profiled_join(left, right, "k", broadcast_rows=10)
+    assert d3["strategy"] == "shuffle"
+    assert joined3.count() == left.join(right, "k").count()
