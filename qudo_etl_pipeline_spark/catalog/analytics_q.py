@@ -1928,3 +1928,131 @@ def gains_curve_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.gains_curve(
         scored, "score", "resp", 10, tiebreak=["c_custkey"]
     ).orderBy("bucket")
+
+
+def _cuped_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    n = "CAST(gn AS DOUBLE)"
+    cov = f"CAST(pyx AS DOUBLE) - (CAST(py AS DOUBLE) * CAST(px AS DOUBLE) / {n})"
+    varx = f"CAST(pxx AS DOUBLE) - (CAST(px AS DOUBLE) * CAST(px AS DOUBLE) / {n})"
+    vary = f"CAST(pyy AS DOUBLE) - (CAST(py AS DOUBLE) * CAST(py AS DOUBLE) / {n})"
+    theta = f"CASE WHEN {varx} > 0 THEN ({cov}) / ({varx}) END"
+    rho2 = (
+        f"CASE WHEN {varx} > 0 AND {vary} > 0 "
+        f"THEN (({cov}) * ({cov})) / (({varx}) * ({vary})) END"
+    )
+    mean_x = f"CAST(px AS DOUBLE) / {n}"
+    gm_y = "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+    gm_x = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+    adj = f"{gm_y} - ({theta}) * ({gm_x} - ({mean_x}))"
+    return f"""
+    WITH src AS (
+      SELECT l_returnflag AS g,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             CAST(l_quantity AS DOUBLE) AS x
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,12))) AS sx
+      FROM src GROUP BY g
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+             SUM(CAST(y AS DECIMAL(38,12))) AS py,
+             SUM(CAST(x AS DECIMAL(38,12))) AS px,
+             SUM(CAST(y * x AS DECIMAL(38,12))) AS pyx,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS pxx,
+             SUM(CAST(y * y AS DECIMAL(38,12))) AS pyy
+      FROM src
+    )
+    SELECT g AS l_returnflag, n,
+           {ref_round_sql(gm_y, 6)} AS mean_metric6,
+           {ref_round_sql(adj, 6)} AS mean_adj6,
+           {ref_round_sql(theta, 6)} AS theta6,
+           {ref_round_sql(rho2, 6)} AS var_reduction6
+    FROM per_g CROSS JOIN pooled
+    """
+
+
+@register(
+    "cuped_price_by_returnflag",
+    oracle=_cuped_oracle(),
+    survey_ids=["A8", "A5", "M2"],
+    description="CUPED variance-reduced group means (Deng et al. "
+    "WSDM'13): price adjusted by the quantity covariate, pooled "
+    "theta=cov/var from ONE aggregate pass with every cross-term "
+    "quantized to DECIMAL(38,12) before summation (association-free, "
+    "engine-identical) - the A/B sensitivity booster, with rho^2 "
+    "reporting the variance fraction removed",
+)
+def cuped_price_by_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return A.cuped_adjust(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+def _bh_oracle(alpha: float = 0.25) -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    padj = "LEAST(1.0, tq)"
+    return f"""
+    WITH tests AS (
+      SELECT o_orderpriority || '|' || o_orderstatus AS test_id,
+             (COUNT(*) % 997) / 997.0 AS p
+      FROM orders
+      GROUP BY o_orderpriority, o_orderstatus
+    ),
+    ranked AS (
+      SELECT test_id, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, test_id) AS BIGINT)
+               AS rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM tests
+    ),
+    stepped AS (
+      SELECT test_id, p, rank,
+             MIN(CAST(m AS DOUBLE) * p / CAST(rank AS DOUBLE))
+               OVER (ORDER BY rank DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS tq
+      FROM ranked
+    )
+    SELECT test_id, p, rank,
+           {ref_round_sql(padj, 6)} AS p_adj6,
+           CAST(CASE WHEN {ref_round_sql(padj, 6)} <= {alpha!r}
+                THEN 1 ELSE 0 END AS BIGINT) AS rejected
+    FROM stepped ORDER BY rank
+    """
+
+
+@register(
+    "bh_fdr_planted",
+    oracle=_bh_oracle(),
+    survey_ids=["M24", "W1"],
+    description="Benjamini-Hochberg FDR adjustment over the 15-test "
+    "priority x status family (planted deterministic p-values): "
+    "rank + reverse running-min windows on the ENFORCED test-count-"
+    "bounded frame (the _domain_gate device), ties broken by test id "
+    "for cross-engine determinism - the FDR companion to the post-hoc "
+    "layer's Bonferroni",
+)
+def bh_fdr_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tests = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        ((F.count(F.lit(1)) % 997).cast("double") / F.lit(997.0)).alias(
+            "p"
+        )
+    ).select(
+        F.concat_ws(
+            "|", F.col("o_orderpriority"), F.col("o_orderstatus")
+        ).alias("test_id"),
+        "p",
+    )
+    return A.bh_fdr(tests, "test_id", "p", alpha=0.25)

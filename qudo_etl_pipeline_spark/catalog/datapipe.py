@@ -2680,3 +2680,63 @@ def source_js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.source_js_divergence(
         load_table_spread(spark, sf_dir, "documents")
     )
+
+
+def _split_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("('split:7:' || md5(text))")
+    u = f"({h} % 1000000)"
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, md5(text) AS grp, {u} AS u
+      FROM documents WHERE text IS NOT NULL
+    ),
+    assigned AS (
+      SELECT doc_id, grp,
+             CASE WHEN u < 800000 THEN 'train'
+                  WHEN u < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM docs
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
+    FROM assigned GROUP BY split ORDER BY split
+    """
+
+
+@register(
+    "split_by_group_documents",
+    oracle=_split_oracle(),
+    survey_ids=["R5", "P7"],
+    description="Leakage-safe train/val/test split of documents with "
+    "exact-duplicate groups pinned to one side: assignment is an "
+    "integer threshold test on a per-GROUP hash draw (no IEEE "
+    "fractions, no shuffle - a pure row function), so byte-identical "
+    "texts can never straddle the train/test boundary; the "
+    "contamination control row-level random splits lack",
+)
+def split_by_group_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.curation import split_by_group
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5(F.col("text")).alias("grp"))
+    )
+    out = split_by_group(
+        docs,
+        "grp",
+        {"train": 800_000, "val": 100_000, "test": 100_000},
+        seed=7,
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+        )
+        .orderBy("split")
+    )

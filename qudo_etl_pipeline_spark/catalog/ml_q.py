@@ -950,3 +950,116 @@ def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
+
+
+def _te_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64_sql
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    h = hash64_sql("('fold:0:' || CAST(o_orderkey AS VARCHAR))")
+    gmean = "CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)"
+    te = (
+        f"(CAST(os AS DOUBLE) + 20.0 * ({gmean}))"
+        f" / (CAST(onn AS DOUBLE) + 20.0)"
+    )
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey AS id, o_orderpriority AS c,
+             CAST(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
+                  AS BIGINT) AS t,
+             ({h} % 5) AS f
+      FROM orders
+    ),
+    cells AS (
+      SELECT c, f, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS s
+      FROM src GROUP BY c, f
+    ),
+    per_cat AS (
+      SELECT c, CAST(SUM(n) AS BIGINT) AS cn,
+             CAST(SUM(s) AS BIGINT) AS cs
+      FROM cells GROUP BY c
+    ),
+    gtot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn,
+             CAST(SUM(s) AS BIGINT) AS gs
+      FROM cells
+    ),
+    stats AS (
+      SELECT cells.c, cells.f,
+             (cn - n) AS onn, (cs - s) AS os, gn, gs
+      FROM cells JOIN per_cat ON cells.c = per_cat.c CROSS JOIN gtot
+    )
+    SELECT src.id AS o_orderkey, src.c AS o_orderpriority,
+           src.f AS fold, src.t AS converted,
+           {ref_round_sql(te, 6)} AS te6
+    FROM src JOIN stats ON src.c = stats.c AND src.f = stats.f
+    """
+
+
+@register(
+    "target_encoding_oof_orders",
+    oracle=_te_oracle(),
+    survey_ids=["M1", "J5", "A5"],
+    description="K-fold out-of-fold target encoding of order priority "
+    "against a planted conversion label: per-row encodings use ONLY "
+    "the other folds' statistics (total-minus-own-fold on the exact "
+    "integer cell frame, one groupBy) with additive smoothing toward "
+    "the global mean - the leakage-safe high-cardinality encoder; "
+    "fold = pure-row-function hash, no shuffle for assignment",
+)
+def target_encoding_oof_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") > 150000).cast("bigint").alias("converted"),
+    )
+    return FE.target_encode_oof(
+        orders,
+        "o_orderkey",
+        "o_orderpriority",
+        "converted",
+        n_folds=5,
+        smoothing=20,
+        seed=0,
+    )
+
+
+def _hashed_oracle(n: int = 64) -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64_sql
+
+    parts = []
+    for c in ("o_orderstatus", "o_orderpriority"):
+        h = hash64_sql(f"('feat:{c}:' || CAST({c} AS VARCHAR))")
+        parts.append(f"""
+      SELECT o_orderkey, '{c}' AS col_name,
+             ({h} % {n}) AS feature_index,
+             CAST(CASE WHEN ({h} % {2 * n}) < {n} THEN 1 ELSE -1 END
+                  AS BIGINT) AS sign
+      FROM orders WHERE {c} IS NOT NULL""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "hashed_features_orders",
+    oracle=_hashed_oracle(),
+    survey_ids=["M1", "P10"],
+    description="The hashing trick (Weinberger ICML'09) over two "
+    "categorical order columns onto a fixed 64-dim space: signed "
+    "index from the shared md5-prefix hash, sign bit via the exact "
+    "h mod 2n < n identity (pure BIGINT - no lossy double division), "
+    "map-only with no vocabulary state; long-form output a sparse "
+    "assembler consumes directly",
+)
+def hashed_features_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return FE.hashed_features(
+        orders,
+        "o_orderkey",
+        ["o_orderstatus", "o_orderpriority"],
+        n_features=64,
+    )

@@ -56,6 +56,8 @@ __all__ = [
     "spearman_rho",
     "psi_drift",
     "gains_curve",
+    "cuped_adjust",
+    "bh_fdr",
 ]
 
 
@@ -2154,3 +2156,142 @@ def gains_curve(
             ),
         ).alias("cum_lift6"),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for A/B metrics (Deng, Xu, Kohavi &
+    Walker, WSDM'13): adjust each unit's metric by its PRE-EXPERIMENT
+    covariate, Y' = Y - theta * (X - mean(X)) with
+    theta = cov(Y, X) / var(X) pooled across groups — the industry-
+    standard sensitivity boost (same expectation per group, variance
+    shrunk by the squared correlation).
+
+    ONE aggregate pass computes the pooled moments AND the per-group
+    sums (grouping-set-free: per-group aggregates + a 1-row broadcast
+    of the pooled moments). Determinism: every cross-term (y*x, x*x,
+    ...) is quantized to DECIMAL(38,12) before summation (the hill
+    device — sums become association-free and engine-identical); theta
+    and the means are fixed IEEE expressions over those exact sums.
+
+    Output: one row per group — (group, n, mean_metric6, mean_adj6,
+    theta6, var_reduction6), where var_reduction6 = rho² (the fraction
+    of metric variance CUPED removes). Groups with no variance in X
+    return NULL theta-dependent columns. NULL metric/covariate rows
+    are excluded.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    d = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    src = df.filter(y.isNotNull() & x.isNotNull()).select(
+        F.col(group_col).alias("_g"), y.alias("_y"), x.alias("_x")
+    )
+    per_g = src.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("_y"))).alias("_sy"),
+        F.sum(d(F.col("_x"))).alias("_sx"),
+    )
+    pooled = src.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d(F.col("_y"))).alias("_py"),
+        F.sum(d(F.col("_x"))).alias("_px"),
+        F.sum(d(F.col("_y") * F.col("_x"))).alias("_pyx"),
+        F.sum(d(F.col("_x") * F.col("_x"))).alias("_pxx"),
+        F.sum(d(F.col("_y") * F.col("_y"))).alias("_pyy"),
+    )
+    n = F.col("_n").cast("double")
+    cov = F.col("_pyx").cast("double") - (
+        F.col("_py").cast("double") * F.col("_px").cast("double") / n
+    )
+    varx = F.col("_pxx").cast("double") - (
+        F.col("_px").cast("double") * F.col("_px").cast("double") / n
+    )
+    vary = F.col("_pyy").cast("double") - (
+        F.col("_py").cast("double") * F.col("_py").cast("double") / n
+    )
+    theta = F.when(varx > 0, cov / varx)
+    rho2 = F.when(
+        (varx > 0) & (vary > 0), (cov * cov) / (varx * vary)
+    )
+    mean_x = F.col("_px").cast("double") / n
+    gm_y = F.col("_sy").cast("double") / F.col("n").cast("double")
+    gm_x = F.col("_sx").cast("double") / F.col("n").cast("double")
+    adj = gm_y - theta * (gm_x - mean_x)
+    return (
+        per_g.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("_g").alias(group_col),
+            "n",
+            ref_round(gm_y, 6).alias("mean_metric6"),
+            ref_round(adj, 6).alias("mean_adj6"),
+            ref_round(theta, 6).alias("theta6"),
+            ref_round(rho2, 6).alias("var_reduction6"),
+        )
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    max_tests: int = 100_000,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a family of test
+    p-values — the multiple-testing companion to the chi-squared
+    layer's Bonferroni: p_adj(i) = min_{j >= i} (m * p_(j) / j),
+    clamped to 1, reject where p_adj <= alpha. BH controls the FALSE
+    DISCOVERY RATE, the right guarantee when a pipeline runs hundreds
+    of per-variable tests and Bonferroni would throw away all power.
+
+    Deliberately a TEST-frame operator: the input is one row per test
+    (metric-count sized — the frames the post-hoc layer emits), never
+    per-observation rows; the contract is ENFORCED by a plan-side
+    :func:`_domain_gate` on the row count (``max_tests``) before the
+    ordered windows build. Ranks break p ties by ``key_col``, so the
+    running min and every output are deterministic cross-engine; the
+    rank window runs on the gated, bounded frame.
+
+    Output: (key, p, rank, p_adj6, rejected) sorted by rank.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    src = df.filter(F.col(p_col).isNotNull()).select(
+        F.col(key_col).alias("_k"), F.col(p_col).cast("double").alias("_p")
+    )
+    card = src.agg(F.count(F.lit(1)).alias("_m"))
+    ok = _domain_gate(
+        card,
+        F.col("_m") <= max_tests,
+        _oversize_err("bh_fdr", max_tests, F.col("_m")),
+    )
+    gated = src.crossJoin(F.broadcast(ok)).drop("_domain_ok")
+    ranked = gated.crossJoin(F.broadcast(card)).withColumn(
+        "_r", F.row_number().over(Window.orderBy("_p", "_k"))
+    )
+    stepped = ranked.withColumn(
+        "_q",
+        F.col("_m").cast("double")
+        * F.col("_p")
+        / F.col("_r").cast("double"),
+    )
+    tail_min = Window.orderBy(F.desc("_r")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p_adj = F.least(F.lit(1.0), F.min("_q").over(tail_min))
+    return stepped.select(
+        F.col("_k").alias(key_col),
+        F.col("_p").alias(p_col),
+        F.col("_r").alias("rank"),
+        ref_round(p_adj, 6).alias("p_adj6"),
+        F.when(ref_round(p_adj, 6) <= F.lit(alpha), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rejected"),
+    ).orderBy("rank")

@@ -519,3 +519,57 @@ def weighted_sample(
         .orderBy(F.desc("es_key9"), F.asc(id_col))
         .limit(k)
     )
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    fracs: dict[str, int],
+    seed: int = 0,
+    denominator: int = 1_000_000,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP
+    lands in the same split, so near-duplicates (a neardup_groups /
+    dedup_exact group id), documents of one source domain, or all
+    events of one user can never straddle the train/test boundary —
+    the split-level contamination control a training-data pipeline
+    needs ON TOP of decontamination (GPT-3 dedup'd train against test
+    precisely because row-level random splits leak).
+
+    ``fracs`` maps split name -> integer parts-per-``denominator``
+    (integers, not floats: the assignment is the EXACT integer test
+    ``u < cum_parts`` on a deterministic per-group hash draw — no IEEE
+    thresholds, identical in any engine; parts must sum to
+    ``denominator``). The draw is ``hash64(seed || group)`` mod
+    denominator: group-pure by construction, stable under reruns and
+    row-order changes, and a pure row function (no shuffle at all —
+    the assignment is map-side; only callers that JOIN groups pay one
+    shuffle upstream).
+
+    Output: input columns + ``split``.
+    """
+    if sum(fracs.values()) != denominator:
+        raise ValueError(
+            f"fracs must sum to denominator={denominator}, got "
+            f"{sum(fracs.values())}"
+        )
+    u = (
+        hash64(
+            F.concat(
+                F.lit(f"split:{seed}:"),
+                F.col(group_col).cast("string"),
+            )
+        )
+        % denominator
+    )
+    expr = None
+    cum = 0
+    for name, parts in fracs.items():
+        cum += parts
+        cond = u < F.lit(cum)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn("split", expr)

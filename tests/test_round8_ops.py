@@ -1,0 +1,160 @@
+"""Round-8 widening operators: CUPED, BH-FDR, leakage-safe group
+split, out-of-fold target encoding, feature hashing — planted /
+hand-computed / mirror checks."""
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from qudo_etl_pipeline_spark.ml.features import (
+    hashed_features,
+    target_encode_oof,
+)
+from qudo_etl_pipeline_spark.operators.analytics import bh_fdr, cuped_adjust
+from qudo_etl_pipeline_spark.operators.curation import split_by_group
+
+
+def ref_hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_cuped_affine_covariate_equalizes_group_means(spark):
+    # Y = 2X + 5 exactly -> pooled theta = 2, rho^2 = 1, and CUPED
+    # removes the whole between-group difference: both adjusted means
+    # equal the grand adjusted mean
+    rows = [("A", float(x), 2.0 * x + 5.0) for x in range(1, 11)]
+    rows += [("B", float(x), 2.0 * x + 5.0) for x in range(11, 21)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["g"]: r for r in cuped_adjust(df, "g", "y", "x").collect()
+    }
+    assert out["A"]["theta6"] == 2.0
+    assert out["A"]["var_reduction6"] == 1.0
+    assert out["A"]["mean_metric6"] == 16.0
+    assert out["B"]["mean_metric6"] == 36.0
+    assert out["A"]["mean_adj6"] == out["B"]["mean_adj6"] == 26.0
+
+
+def test_cuped_constant_covariate_nulls_theta(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0, 10.0), ("A", 1.0, 20.0), ("B", 1.0, 30.0)],
+        "g string, x double, y double",
+    )
+    for r in cuped_adjust(df, "g", "y", "x").collect():
+        assert r["theta6"] is None and r["mean_adj6"] is None
+        assert r["mean_metric6"] is not None
+
+
+def test_bh_fdr_hand_computed(spark):
+    # classic worked example: q_i = m*p/i = .05 x4 then .5;
+    # the reverse running min leaves them; alpha .05 rejects the first 4
+    rows = [("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.04),
+            ("t5", 0.5)]
+    df = spark.createDataFrame(rows, "test_id string, p double")
+    out = bh_fdr(df, "test_id", "p", alpha=0.05).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert [r["p_adj6"] for r in out] == [0.05, 0.05, 0.05, 0.05, 0.5]
+    assert [r["rejected"] for r in out] == [1, 1, 1, 1, 0]
+    # monotone: p_adj never decreases with rank
+    adj = [r["p_adj6"] for r in out]
+    assert adj == sorted(adj)
+
+
+def test_bh_fdr_gate_enforces_test_frame_contract(spark):
+    big = spark.range(500).select(
+        F.col("id").cast("string").alias("test_id"),
+        (F.col("id").cast("double") / 500.0).alias("p"),
+    )
+    with pytest.raises(Exception, match="bh_fdr.*max_domain"):
+        bh_fdr(big, "test_id", "p", max_tests=100).collect()
+
+
+def test_split_by_group_never_straddles_and_is_proportional(spark):
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5_000).cast("string").alias("grp"),
+    )
+    out = split_by_group(
+        docs, "grp", {"train": 800_000, "val": 100_000, "test": 100_000}
+    )
+    per_group = out.groupBy("grp").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_group.filter(F.col("k") != 1).count() == 0
+    shares = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.76 <= shares["train"] / 20_000 <= 0.84
+    assert set(shares) == {"train", "val", "test"}
+    # deterministic under reruns
+    a = sorted(out.collect())
+    b = sorted(
+        split_by_group(
+            docs, "grp",
+            {"train": 800_000, "val": 100_000, "test": 100_000},
+        ).collect()
+    )
+    assert a == b
+
+
+def test_split_by_group_rejects_bad_fracs(spark):
+    docs = spark.range(2).select(F.col("id").alias("g"))
+    with pytest.raises(ValueError, match="sum to denominator"):
+        split_by_group(docs, "g", {"train": 1, "test": 1})
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 3).cast("string").alias("cat"),
+        (F.col("id") % 7 == 0).cast("bigint").alias("y"),
+    )
+    rows = target_encode_oof(
+        df, "rid", "cat", "y", n_folds=4, smoothing=10, seed=1
+    ).collect()
+    # recompute from the emitted fold assignment: mirror arithmetic
+    from collections import defaultdict
+
+    cell_n, cell_s = defaultdict(int), defaultdict(int)
+    for r in rows:
+        cell_n[(r["cat"], r["fold"])] += 1
+        cell_s[(r["cat"], r["fold"])] += r["y"]
+    cat_n, cat_s = defaultdict(int), defaultdict(int)
+    for (c, f), n in cell_n.items():
+        cat_n[c] += n
+        cat_s[c] += cell_s[(c, f)]
+    gn = sum(cat_n.values())
+    gs = sum(cat_s.values())
+    gmean = gs / gn
+    for r in rows:
+        on = cat_n[r["cat"]] - cell_n[(r["cat"], r["fold"])]
+        os_ = cat_s[r["cat"]] - cell_s[(r["cat"], r["fold"])]
+        expected = round((os_ + 10.0 * gmean) / (on + 10.0), 6)
+        assert r["te6"] == pytest.approx(expected, abs=2e-6)
+    # fold assignment matches the documented hash
+    for r in rows[:20]:
+        assert r["fold"] == ref_hash64(f"fold:1:{r['rid']}") % 4
+
+
+def test_hashed_features_matches_python_mirror(spark):
+    df = spark.createDataFrame(
+        [(1, "F", "1-URGENT"), (2, "O", None), (3, "F", "5-LOW")],
+        "id bigint, s string, p string",
+    )
+    rows = hashed_features(df, "id", ["s", "p"], n_features=64).collect()
+    # NULL cells emit nothing
+    assert len(rows) == 5
+    for r in rows:
+        val = {"s": {1: "F", 2: "O", 3: "F"},
+               "p": {1: "1-URGENT", 3: "5-LOW"}}[r["col_name"]][r["id"]]
+        h = ref_hash64(f"feat:{r['col_name']}:{val}")
+        assert r["feature_index"] == h % 64
+        assert r["sign"] == (1 if h % 128 < 64 else -1)
+    # same value under different columns hashes independently
+    df2 = spark.createDataFrame([(1, "x", "x")], "id bigint, a string, b string")
+    out2 = {r["col_name"]: r for r in hashed_features(df2, "id", ["a", "b"], 64).collect()}
+    assert ref_hash64("feat:a:x") % 64 == out2["a"]["feature_index"]
+    assert ref_hash64("feat:b:x") % 64 == out2["b"]["feature_index"]
