@@ -1021,3 +1021,321 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+def _rev6_sql(expr: str) -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    return ref_round_sql(expr, 6)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_rev6_sql(
+        "CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * CAST(l_discount AS DECIMAL(8,6))), 0) AS DOUBLE)"
+    )} AS revenue6,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    survey_ids=["P6", "A8"],
+    description="TPC-H Q6 shape (forecast revenue change): pure "
+    "scan-side predicate work - every filter (date range, discount "
+    "band, quantity cap) pushes to the parquet scan, ONE map-side-"
+    "combined DECIMAL aggregate, zero joins and zero wide shuffles; "
+    "the canonical 'is pushdown actually happening' probe",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.coalesce(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * F.col("l_discount").cast("decimal(8,6)")
+        ),
+        F.lit(0),
+    ).cast("double")
+    return li.agg(
+        ref_round(rev, 6).alias("revenue6"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    oracle=f"""
+    WITH flows AS (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l.l_discount AS DECIMAL(8,6)) AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           {_rev6_sql("CAST(SUM(volume) AS DOUBLE)")} AS revenue6,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM flows
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    survey_ids=["J1", "J5", "A5"],
+    description="TPC-H Q7 shape (bilateral shipping volume): the "
+    "lineitem spine is the ONLY large scan - orders/customer join on "
+    "the spine, both nation legs ride broadcasts, and the two-nation "
+    "disjunction prunes early; per (direction, year) DECIMAL volume",
+)
+def q7_nation_volume_shipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .filter(
+            (
+                (F.col("supp_nation") == n1)
+                & (F.col("cust_nation") == n2)
+            )
+            | (
+                (F.col("supp_nation") == n2)
+                & (F.col("cust_nation") == n1)
+            )
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            vol.alias("_v"),
+        )
+    )
+    return (
+        flows.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            ref_round(F.sum("_v").cast("double"), 6).alias("revenue6"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_item_reporting",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             {_rev6_sql(
+                 "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))"
+                 " * CAST(1 - l.l_discount AS DECIMAL(8,6)))"
+                 " AS DOUBLE)"
+             )} AS revenue6
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT c_custkey, c_name, n_name, revenue6
+    FROM rev ORDER BY revenue6 DESC, c_custkey LIMIT 20
+    """,
+    survey_ids=["J1", "W2", "A5"],
+    description="TPC-H Q10 shape (returned-item revenue, top 20 "
+    "customers): date + returnflag predicates push to the scans, the "
+    "customer rollup is ONE shuffle on the join spine, nation rides a "
+    "broadcast, and the top-k is a deterministic (revenue, custkey) "
+    "global sort of the AGGREGATED frame - never the raw fan-out",
+)
+def q10_returned_item_reporting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(ref_round(rev, 6).alias("revenue6"))
+        .orderBy(F.desc("revenue6"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {_rev6_sql(
+        "CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * CAST(1 - l_discount AS DECIMAL(8,6))), 0) AS DOUBLE)"
+    )} AS revenue6,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey_ids=["J1", "P6", "A8"],
+    description="TPC-H Q19 shape (OR-of-ANDs predicate revenue): the "
+    "classic disjunctive-pushdown test - brand/size conjuncts prune "
+    "the part side before the join, quantity bands stay as residuals, "
+    "one DECIMAL aggregate over the surviving pairs",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    rev = F.coalesce(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+        ),
+        F.lit(0),
+    ).cast("double")
+    return j.filter(cond).agg(
+        ref_round(rev, 6).alias("revenue6"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    eligible AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c CROSS JOIN avg_bal
+      WHERE c.c_acctbal > ab
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    )
+    SELECT n.n_name AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS totacctbal
+    FROM eligible e JOIN nation n ON e.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    survey_ids=["J3", "A5", "A8"],
+    description="TPC-H Q22 shape (global sales opportunity): scalar "
+    "subquery (positive-balance average) as a 1-row broadcast, "
+    "customers without RECENT orders as a LEFT ANTI join on the "
+    "date-pruned order spine "
+    "(never NOT IN's null trap), nation rollup of the survivors - "
+    "the anti-join + scalar-subquery shape in one query",
+)
+def q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    eligible = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    )
+    return (
+        eligible.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
