@@ -2056,3 +2056,150 @@ def bh_fdr_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
     )
     return A.bh_fdr(tests, "test_id", "p", alpha=0.25)
+
+
+def _auc_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    auc = (
+        "CAST(r2p - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)"
+        " / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))"
+    )
+    return f"""
+    WITH src AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS s,
+             CAST(CASE WHEN (o_totalprice > 150000)
+                       <> (o_orderkey % 11 = 0)
+                  THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ),
+    per_v AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS cp,
+             CAST(SUM(1 - y) AS BIGINT) AS cn,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM src GROUP BY s
+    ),
+    cum AS (
+      SELECT cp, cn, ct,
+             COALESCE(SUM(ct) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+      FROM per_v
+    ),
+    agg AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(cn) AS BIGINT) AS nn,
+             SUM(CAST(cp AS HUGEINT) * (2 * cb + ct + 1)) AS r2p
+      FROM cum
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CASE WHEN np > 0 AND nn > 0
+                THEN {ref_round_sql(auc, 6)} END AS auc6
+    FROM agg WHERE np IS NOT NULL
+    """
+
+
+@register(
+    "roc_auc_planted",
+    oracle=_auc_oracle(),
+    survey_ids=["A8", "W1", "M33"],
+    description="Exact ROC-AUC of order total against a planted "
+    "noisy label (price threshold XOR a hash slice): the normalized "
+    "Mann-Whitney U with midrank tie handling - distinct-score frame "
+    "through the range-partitioned prefix device, doubled rank mass "
+    "in DECIMAL(38,0), one final IEEE division; no threshold sweep, "
+    "no sampling, never a global orderBy window",
+)
+def roc_auc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.col("o_totalprice").cast("double").alias("score"),
+        (
+            (F.col("o_totalprice") > 150000)
+            != (F.col("o_orderkey") % 11 == 0)
+        )
+        .cast("bigint")
+        .alias("label"),
+    )
+    return A.roc_auc(scored, "score", "label")
+
+
+def _calibration_oracle(bins: int = 10) -> str:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64_sql
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    h = hash64_sql("('cal:' || CAST(o_orderkey AS VARCHAR))")
+    mean_s = "CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)"
+    frac_p = "CAST(np AS DOUBLE) / CAST(n AS DOUBLE)"
+    return f"""
+    WITH src AS (
+      SELECT (o_orderkey % 1000) / 1000.0 AS s,
+             CAST(CASE WHEN ({h} % 1000) < (o_orderkey % 1000)
+                  THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM orders
+    ),
+    per_b AS (
+      SELECT CAST(GREATEST(0, LEAST({bins - 1},
+                   FLOOR(s * {float(bins)!r}))) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(s AS DECIMAL(38,12))) AS ss,
+             CAST(SUM(y) AS BIGINT) AS np
+      FROM src GROUP BY 1
+    ),
+    binned AS (
+      SELECT bucket, n,
+             {ref_round_sql(mean_s, 6)} AS mean_score6,
+             {ref_round_sql(frac_p, 6)} AS frac_pos6,
+             {ref_round_sql(f"({frac_p}) - ({mean_s})", 6)} AS gap6
+      FROM per_b
+    ),
+    ece_t AS (
+      SELECT {ref_round_sql(
+          "CAST(SUM(CAST(CAST(n AS DOUBLE)"
+          " * ABS(frac_pos6 - mean_score6) AS DECIMAL(38,12)))"
+          " AS DOUBLE) / CAST(SUM(n) AS DOUBLE)", 6)} AS ece6
+      FROM binned
+    )
+    SELECT bucket, n, mean_score6, frac_pos6, gap6, ece6
+    FROM binned CROSS JOIN ece_t ORDER BY bucket
+    """
+
+
+@register(
+    "calibration_curve_planted",
+    oracle=_calibration_oracle(),
+    survey_ids=["A4", "A8", "M33"],
+    description="Reliability diagram + ECE for a planted calibrated "
+    "score (P(label)=score by a hash draw): 10 equi-width bins in ONE "
+    "groupBy (bins rows out at any SF), DECIMAL-quantized score sums, "
+    "ECE as a broadcast total over the bins frame - the 'is 0.8 "
+    "really 80%?' model monitor; planted construction makes every "
+    "gap6 small and the curve near-diagonal",
+)
+def calibration_curve_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.hashing import hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        (
+            (F.col("o_orderkey") % 1000).cast("double") / F.lit(1000.0)
+        ).alias("score"),
+        (
+            (
+                hash64(
+                    F.concat(
+                        F.lit("cal:"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                )
+                % 1000
+            )
+            < (F.col("o_orderkey") % 1000)
+        )
+        .cast("bigint")
+        .alias("label"),
+    )
+    return A.calibration_curve(scored, "score", "label", bins=10)

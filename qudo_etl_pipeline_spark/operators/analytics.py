@@ -58,6 +58,8 @@ __all__ = [
     "gains_curve",
     "cuped_adjust",
     "bh_fdr",
+    "roc_auc",
+    "calibration_curve",
 ]
 
 
@@ -2295,3 +2297,136 @@ def bh_fdr(
         .cast("bigint")
         .alias("rejected"),
     ).orderBy("rank")
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC of a score against a binary label via the rank
+    statistic AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with
+    midranks for tied scores — identical to the trapezoidal ROC
+    integral, no threshold sweep, no sampling.
+
+    The :func:`mann_whitney_u` machinery verbatim (AUC IS the
+    normalized U statistic): ONE groupBy(score) collapses to the
+    distinct-score frame, the rank mass accumulates through the
+    range-partitioned prefix device (never a global ``Window.orderBy``
+    — a continuous score's distinct count approaches the row count),
+    and the doubling trick keeps everything integral: 2·R_pos is a
+    DECIMAL(38,0)-exact sum, so the numerator is exact in any engine
+    and only the final division is IEEE.
+
+    Returns 1 row: (n_pos, n_neg, auc6); AUC NULL when either class
+    is empty. NULL scores/labels excluded.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        ranged_prefix_sums,
+    )
+
+    y = F.col(label_col).cast("bigint")
+    per_v = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("_s"))
+        .agg(
+            F.sum(y).alias("_cp"),
+            F.sum(F.lit(1) - y).alias("_cn"),
+        )
+        .withColumn("_ct", F.col("_cp") + F.col("_cn"))
+    )
+    cum = ranged_prefix_sums(
+        per_v, ["_s"], {"_cb": "_ct"}, inclusive=False
+    )
+    dec = "decimal(38,0)"
+    r2p = (
+        F.col("_cp").cast(dec)
+        * (F.lit(2) * F.col("_cb") + F.col("_ct") + F.lit(1)).cast(dec)
+    )
+    agg = cum.agg(
+        F.sum("_cp").alias("n_pos"),
+        F.sum("_cn").alias("n_neg"),
+        F.sum(r2p).alias("_r2p"),
+    ).filter(F.col("n_pos").isNotNull())
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    num = F.col("_r2p") - np_.cast(dec) * (np_ + 1).cast(dec)
+    auc = num.cast("double") / (
+        F.lit(2.0) * np_.cast("double") * nn.cast("double")
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when((np_ > 0) & (nn > 0), ref_round(auc, 6)).alias("auc6"),
+    )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a
+    probabilistic score in [0, 1]: equi-width bins over [0, 1], per
+    bin the observed positive rate vs the mean predicted score, and
+    ECE = sum_b (n_b / N) * |frac_pos_b - mean_score_b| — the standard
+    "is 0.8 really 80%?" model-monitoring readout.
+
+    ONE groupBy(bucket) (bins rows out regardless of input size);
+    mean scores accumulate as DECIMAL(38,12)-quantized sums
+    (association-free), positive counts are exact integers, and the
+    ECE total rides a broadcast of the bins-sized frame with each term
+    quantized before the sum — every number engine-identical. Scores
+    outside [0, 1] clamp into the edge bins.
+
+    Output: one row per NON-EMPTY bin — (bucket, n, mean_score6,
+    frac_pos6, gap6, ece6) with ece6 repeated (it is a property of
+    the whole curve).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(F.lit(bins - 1), F.floor(s * F.lit(float(bins)))),
+    ).cast("bigint")
+    per_b = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(bucket.alias("bucket"), s.alias("_s"), y.alias("_y"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_s").cast("decimal(38,12)")).alias("_ss"),
+            F.sum("_y").alias("_np"),
+        )
+    )
+    mean_s = F.col("_ss").cast("double") / F.col("n").cast("double")
+    frac_p = F.col("_np").cast("double") / F.col("n").cast("double")
+    gap = frac_p - mean_s
+    tot = per_b.agg(F.sum("n").alias("_nt"))
+    term = (
+        F.col("n").cast("double")
+        * F.abs(F.col("frac_pos6") - F.col("mean_score6"))
+    ).cast("decimal(38,12)")
+    binned = per_b.select(
+        "bucket",
+        "n",
+        ref_round(mean_s, 6).alias("mean_score6"),
+        ref_round(frac_p, 6).alias("frac_pos6"),
+        ref_round(gap, 6).alias("gap6"),
+    )
+    ece = (
+        binned.agg(F.sum(term).alias("_et"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ref_round(
+                F.col("_et").cast("double") / F.col("_nt").cast("double"),
+                6,
+            ).alias("ece6")
+        )
+    )
+    return binned.crossJoin(F.broadcast(ece)).orderBy("bucket")

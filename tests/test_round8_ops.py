@@ -158,3 +158,53 @@ def test_hashed_features_matches_python_mirror(spark):
     out2 = {r["col_name"]: r for r in hashed_features(df2, "id", ["a", "b"], 64).collect()}
     assert ref_hash64("feat:a:x") % 64 == out2["a"]["feature_index"]
     assert ref_hash64("feat:b:x") % 64 == out2["b"]["feature_index"]
+
+
+def test_roc_auc_known_values(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import roc_auc
+
+    # perfect separation -> 1; inverted -> 0; constant score -> 0.5
+    rows = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y bigint")
+    assert roc_auc(df, "s", "y").collect()[0]["auc6"] == 1.0
+    inv = df.select((F.lit(10.0) - F.col("s")).alias("s"), "y")
+    assert roc_auc(inv, "s", "y").collect()[0]["auc6"] == 0.0
+    const = df.select(F.lit(1.0).alias("s"), "y")
+    assert roc_auc(const, "s", "y").collect()[0]["auc6"] == 0.5
+    # hand-computed with ties: scores [1,1,2,3], labels [0,1,0,1]
+    # pairs (pos,neg): (1v1: tie .5), (1v2: 0), (3v1: 1), (3v2: 1)
+    # AUC = (0.5 + 0 + 1 + 1) / 4 = 0.625
+    t = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (2.0, 0), (3.0, 1)], "s double, y bigint"
+    )
+    r = roc_auc(t, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc6"]) == (2, 2, 0.625)
+    # single-class input -> NULL auc
+    pos = df.filter(F.col("y") == 1)
+    assert roc_auc(pos, "s", "y").collect()[0]["auc6"] is None
+
+
+def test_calibration_curve_planted_exact(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        calibration_curve,
+    )
+
+    # score 0.05 with 1/10 positives, score 0.85 with 9/10 positives:
+    # two bins, exact means/rates/gaps and hand-computed ECE
+    rows = [(0.05, 1 if i == 0 else 0) for i in range(10)]
+    rows += [(0.85, 0 if i == 0 else 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y bigint")
+    out = {r["bucket"]: r for r in calibration_curve(df, "s", "y").collect()}
+    assert set(out) == {0, 8}
+    assert out[0]["mean_score6"] == 0.05 and out[0]["frac_pos6"] == 0.1
+    assert out[8]["mean_score6"] == 0.85 and out[8]["frac_pos6"] == 0.9
+    assert out[0]["gap6"] == pytest.approx(0.05, abs=1e-9)
+    assert out[8]["gap6"] == pytest.approx(0.05, abs=1e-9)
+    # ECE = (10/20)*0.05 + (10/20)*0.05 = 0.05, same on every row
+    assert out[0]["ece6"] == out[8]["ece6"] == 0.05
+    # out-of-range scores clamp into edge bins
+    edge = spark.createDataFrame(
+        [(-0.2, 0), (1.3, 1)], "s double, y bigint"
+    )
+    got = {r["bucket"] for r in calibration_curve(edge, "s", "y").collect()}
+    assert got == {0, 9}
