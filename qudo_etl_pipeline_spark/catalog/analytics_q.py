@@ -2203,3 +2203,82 @@ def calibration_curve_planted(
         .alias("label"),
     )
     return A.calibration_curve(scored, "score", "label", bins=10)
+
+
+def _did_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    def mean(ti: int, pi: int) -> str:
+        return f"CAST(s_{ti}{pi} AS DOUBLE) / CAST(n_{ti}{pi} AS DOUBLE)"
+
+    dt = f"({mean(1, 1)}) - ({mean(1, 0)})"
+    dc = f"({mean(0, 1)}) - ({mean(0, 0)})"
+    did = f"({dt}) - ({dc})"
+    picks = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            cond = f"t = {ti} AND p = {pi}"
+            picks.append(f"MAX(CASE WHEN {cond} THEN n END) AS n_{ti}{pi}")
+            picks.append(f"MAX(CASE WHEN {cond} THEN s END) AS s_{ti}{pi}")
+    ok = " AND ".join(
+        f"n_{ti}{pi} IS NOT NULL" for ti in (0, 1) for pi in (0, 1)
+    )
+    sel = []
+    for ti, name in ((0, "c"), (1, "t")):
+        for pi in (0, 1):
+            sel.append(
+                f"CAST(COALESCE(n_{ti}{pi}, 0) AS BIGINT) AS n_{name}{pi}"
+            )
+            sel.append(
+                f"CASE WHEN {ok} THEN {ref_round_sql(mean(ti, pi), 6)} END"
+                f" AS mean_{name}{pi}_6"
+            )
+    return f"""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 2 AS INT) AS t,
+             CAST(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS INT) AS p,
+             CAST(o_totalprice AS DOUBLE)
+               + CASE WHEN o_orderkey % 2 = 1
+                       AND o_orderdate >= TIMESTAMP '1998-01-01'
+                      THEN 5000.0 ELSE 0.0 END AS y
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    cells AS (
+      SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(y AS DECIMAL(38,12))) AS s
+      FROM src GROUP BY t, p
+    ),
+    one AS (SELECT {", ".join(picks)} FROM cells)
+    SELECT {", ".join(sel)},
+           CASE WHEN {ok} THEN {ref_round_sql(dt, 6)} END
+             AS delta_treated6,
+           CASE WHEN {ok} THEN {ref_round_sql(dc, 6)} END
+             AS delta_control6,
+           CASE WHEN {ok} THEN {ref_round_sql(did, 6)} END AS did6
+    FROM one
+    """
+
+
+@register(
+    "diff_in_diff_planted",
+    oracle=_did_oracle(),
+    survey_ids=["A8", "A5"],
+    description="Difference-in-differences with a planted +5000 "
+    "treated-post effect (odd orderkeys after 1998): ONE groupBy to "
+    "the 2x2 cell frame (DECIMAL-quantized sums), conditional min/max "
+    "collapse to a single row, all-four-cells-present guard nulls the "
+    "estimates rather than answering a different question; did6 "
+    "recovers the planted effect against independent-noise deltas",
+)
+def diff_in_diff_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    treated = (F.col("o_orderkey") % 2).cast("int")
+    post = (F.col("o_orderdate") >= "1998-01-01").cast("int")
+    y = F.col("o_totalprice").cast("double") + F.when(
+        (treated == 1) & (post == 1), F.lit(5000.0)
+    ).otherwise(F.lit(0.0))
+    src = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        treated.alias("t"), post.alias("p"), y.alias("y")
+    )
+    return A.diff_in_diff(src, "t", "p", "y")

@@ -585,3 +585,53 @@ def join_strategy_decision_planted(
         "scenario string, strategy string, build_side string, "
         "n_salts bigint",
     ).orderBy("scenario")
+
+
+@register(
+    "golden_record_customers",
+    oracle="""
+    WITH newest AS (
+      SELECT o_custkey, o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderstatus DESC) AS rn
+      FROM orders
+    ),
+    freq AS (
+      SELECT o_custkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+      FROM orders GROUP BY o_custkey, o_orderpriority
+    ),
+    mx AS (
+      SELECT o_custkey, MAX(o_totalprice) AS o_totalprice
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT mx.o_custkey AS o_custkey, mx.o_totalprice,
+           n.o_orderstatus, f.o_orderpriority
+    FROM mx
+    JOIN newest n ON mx.o_custkey = n.o_custkey AND n.rn = 1
+    JOIN freq f ON mx.o_custkey = f.o_custkey AND f.rn = 1
+    ORDER BY o_custkey
+    """,
+    survey_ids=["A6", "A10", "J3"],
+    description="Survivorship golden record per customer from their "
+    "order history: max price, status from the NEWEST order "
+    "(struct-ordered aggregate - no window), modal priority via the "
+    "contingency layer's min-over-struct argmax with all mode "
+    "attributes melted through ONE extra shuffle; deterministic "
+    "tie-breaks on every rule",
+)
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.entity import golden_record
+
+    orders = load_table(spark, sf_dir, "orders")
+    return golden_record(
+        orders,
+        "o_custkey",
+        {
+            "o_totalprice": "max",
+            "o_orderstatus": "newest",
+            "o_orderpriority": "most_frequent",
+        },
+        recency_col="o_orderdate",
+    ).orderBy("o_custkey")

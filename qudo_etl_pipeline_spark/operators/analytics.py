@@ -60,6 +60,7 @@ __all__ = [
     "bh_fdr",
     "roc_auc",
     "calibration_curve",
+    "diff_in_diff",
 ]
 
 
@@ -2430,3 +2431,94 @@ def calibration_curve(
         )
     )
     return binned.crossJoin(F.broadcast(ece)).orderBy("bucket")
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimate for a natural experiment:
+    DID = (ȳ_treated,post - ȳ_treated,pre) - (ȳ_control,post -
+    ȳ_control,pre) — the causal-effect workhorse when assignment
+    wasn't randomized but a control group shares the pre-trend.
+
+    ``treated_col`` and ``post_col`` are 0/1 indicators; exactly four
+    cells must be non-empty or every estimate comes back NULL (the
+    two_proportion_ztest missing-cell discipline: never answer a
+    different question than asked). ONE groupBy collapses the table to
+    the 2x2 cell frame (DECIMAL-quantized metric sums, exact counts),
+    collapsed to one row via conditional min/max — no second pass.
+
+    Returns 1 row: per-cell n/mean6 (n_c0, mean_c0_6 = control-pre,
+    ... t1 = treated-post), pre/post deltas, and did6.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    t = F.col(treated_col).cast("int")
+    p = F.col(post_col).cast("int")
+    y = F.col(metric_col).cast("double")
+    cells = (
+        df.filter(t.isNotNull() & p.isNotNull() & y.isNotNull())
+        .groupBy(t.alias("_t"), p.alias("_p"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(y.cast("decimal(38,12)")).alias("_s"),
+        )
+    )
+    one = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("_t") == ti) & (F.col("_p") == pi),
+                    F.col("_n"),
+                )
+            ).alias(f"n_{ti}{pi}")
+            for ti in (0, 1)
+            for pi in (0, 1)
+        ],
+        *[
+            F.max(
+                F.when(
+                    (F.col("_t") == ti) & (F.col("_p") == pi),
+                    F.col("_s"),
+                )
+            ).alias(f"s_{ti}{pi}")
+            for ti in (0, 1)
+            for pi in (0, 1)
+        ],
+    )
+    means = {
+        f"{ti}{pi}": F.col(f"s_{ti}{pi}").cast("double")
+        / F.col(f"n_{ti}{pi}").cast("double")
+        for ti in (0, 1)
+        for pi in (0, 1)
+    }
+    ok = None
+    for ti in (0, 1):
+        for pi in (0, 1):
+            c = F.col(f"n_{ti}{pi}").isNotNull()
+            ok = c if ok is None else ok & c
+    delta_t = means["11"] - means["10"]
+    delta_c = means["01"] - means["00"]
+    did = delta_t - delta_c
+    sel = []
+    for ti, name in ((0, "c"), (1, "t")):
+        for pi in (0, 1):
+            sel.append(
+                F.coalesce(F.col(f"n_{ti}{pi}"), F.lit(0)).alias(
+                    f"n_{name}{pi}"
+                )
+            )
+            sel.append(
+                F.when(ok, ref_round(means[f"{ti}{pi}"], 6)).alias(
+                    f"mean_{name}{pi}_6"
+                )
+            )
+    return one.select(
+        *sel,
+        F.when(ok, ref_round(delta_t, 6)).alias("delta_treated6"),
+        F.when(ok, ref_round(delta_c, 6)).alias("delta_control6"),
+        F.when(ok, ref_round(did, 6)).alias("did6"),
+    )

@@ -159,3 +159,111 @@ def resolve_entities(
             F.coalesce(F.col("group_id"), F.col("id")).alias("entity_id"),
         )
     )
+
+
+def golden_record(
+    records: DataFrame,
+    group_col: str,
+    rules: dict[str, str],
+    recency_col: str | None = None,
+) -> DataFrame:
+    """Survivorship: collapse each matched-entity group to ONE golden
+    record, per-attribute, by declared rule — the step after
+    :func:`resolve_entities` turns match clusters into a master table.
+
+    ``rules`` maps attribute -> rule:
+
+    - ``"max"`` / ``"min"``: numeric/lex extremes (SQL MAX/MIN).
+    - ``"longest"``: longest string, ties to the lexicographically
+      LARGEST (one max-over-struct, no window).
+    - ``"newest"``: value on the row with the greatest
+      ``recency_col`` (ties again to the largest value) — requires
+      ``recency_col``.
+    - ``"most_frequent"``: modal value, ties to the SMALLEST value
+      with non-null preferred — the contingency layer's
+      min-over-struct argmax, melted so ALL mode attributes share ONE
+      extra shuffle regardless of how many there are.
+
+    Every rule is a deterministic struct-ordered aggregate: no windows,
+    no tie nondeterminism, one groupBy for the scalar rules plus one
+    melted groupBy for the mode rules. NULLs lose to any value under
+    longest/newest (struct nulls-first ordering is sidestepped by an
+    explicit non-null flag).
+
+    Output: one row per group, columns = group + the ruled attributes.
+    """
+    scalar_aggs = []
+    mode_cols = []
+    for col, rule in rules.items():
+        c = F.col(col)
+        if rule == "max":
+            scalar_aggs.append(F.max(c).alias(col))
+        elif rule == "min":
+            scalar_aggs.append(F.min(c).alias(col))
+        elif rule == "longest":
+            scalar_aggs.append(
+                F.max(
+                    F.struct(
+                        c.isNotNull().cast("int").alias("nn"),
+                        F.coalesce(F.length(c), F.lit(-1)).alias("l"),
+                        c.alias("v"),
+                    )
+                )["v"].alias(col)
+            )
+        elif rule == "newest":
+            if recency_col is None:
+                raise ValueError(
+                    f"rule 'newest' for {col!r} needs recency_col"
+                )
+            scalar_aggs.append(
+                F.max(
+                    F.struct(
+                        c.isNotNull().cast("int").alias("nn"),
+                        F.col(recency_col).alias("r"),
+                        c.alias("v"),
+                    )
+                )["v"].alias(col)
+            )
+        elif rule == "most_frequent":
+            mode_cols.append(col)
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r}")
+
+    base = records.groupBy(F.col(group_col).alias(group_col))
+    out = base.agg(*scalar_aggs) if scalar_aggs else (
+        records.select(group_col).distinct()
+    )
+    if mode_cols:
+        long = None
+        for col in mode_cols:
+            part = records.select(
+                F.col(group_col).alias("_g"),
+                F.lit(col).alias("_a"),
+                F.col(col).cast("string").alias("_v"),
+            )
+            long = part if long is None else long.unionByName(part)
+        counts = long.groupBy("_g", "_a", "_v").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        pick = counts.groupBy("_g", "_a").agg(
+            F.min(
+                F.struct(
+                    (-F.col("_n")).alias("neg_n"),
+                    F.col("_v").isNull().cast("int").alias("null_last"),
+                    F.col("_v").alias("v"),
+                )
+            ).alias("_m")
+        )
+        modes = (
+            pick.groupBy("_g")
+            .pivot("_a", mode_cols)
+            .agg(F.first("_m.v"))
+        )
+        for col in mode_cols:
+            modes = modes.withColumnRenamed(col, f"_mode_{col}")
+        out = out.join(
+            modes, out[group_col] == modes["_g"], "left"
+        ).drop("_g")
+        for col in mode_cols:
+            out = out.withColumnRenamed(f"_mode_{col}", col)
+    return out.select(group_col, *rules.keys())

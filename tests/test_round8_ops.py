@@ -208,3 +208,76 @@ def test_calibration_curve_planted_exact(spark):
     )
     got = {r["bucket"] for r in calibration_curve(edge, "s", "y").collect()}
     assert got == {0, 9}
+
+
+def test_golden_record_rules_and_tiebreaks(spark):
+    from qudo_etl_pipeline_spark.operators.entity import golden_record
+
+    rows = [
+        # grp, name, price, status, day
+        (1, "alice", 10.0, "open", 1),
+        (1, "alexandra", 30.0, "closed", 3),
+        (1, "bob", 20.0, "open", 2),
+        (2, "zed", 5.0, None, 9),
+        (2, "zz", 5.0, "hold", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "g bigint, name string, price double, status string, day bigint"
+    )
+    out = {
+        r["g"]: r
+        for r in golden_record(
+            df,
+            "g",
+            {
+                "price": "max",
+                "name": "longest",
+                "status": "newest",
+                "day": "min",
+            },
+            recency_col="day",
+        ).collect()
+    }
+    assert out[1]["price"] == 30.0
+    assert out[1]["name"] == "alexandra"
+    assert out[1]["status"] == "closed"  # day 3 wins
+    assert out[1]["day"] == 1
+    # NULL loses to any value under newest, even at higher recency
+    assert out[2]["status"] == "hold"
+    # mode with deterministic tie-break: counts tie -> smallest value
+    m = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, "a"), (1, "b"), (1, "c")],
+        "g bigint, v string",
+    )
+    got = golden_record(m, "g", {"v": "most_frequent"}).collect()[0]
+    assert got["v"] == "a"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="needs recency_col"):
+        golden_record(df, "g", {"status": "newest"})
+    with _pt.raises(ValueError, match="unknown survivorship"):
+        golden_record(df, "g", {"status": "avg"})
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import diff_in_diff
+
+    # parallel trends by construction: control 10 -> 12, treated
+    # 20 -> 22 + effect 7
+    rows = []
+    for i in range(100):
+        rows.append((0, 0, 10.0 + (i % 5)))
+        rows.append((0, 1, 12.0 + (i % 5)))
+        rows.append((1, 0, 20.0 + (i % 5)))
+        rows.append((1, 1, 29.0 + (i % 5)))
+    df = spark.createDataFrame(rows, "t int, p int, y double")
+    r = diff_in_diff(df, "t", "p", "y").collect()[0]
+    assert r["delta_control6"] == 2.0
+    assert r["delta_treated6"] == 9.0
+    assert r["did6"] == 7.0
+    assert r["n_c0"] == r["n_t1"] == 100
+    # a missing cell nulls every estimate
+    partial = df.filter(~((F.col("t") == 1) & (F.col("p") == 1)))
+    r2 = diff_in_diff(partial, "t", "p", "y").collect()[0]
+    assert r2["did6"] is None and r2["mean_c0_6"] is None
+    assert r2["n_t1"] == 0
