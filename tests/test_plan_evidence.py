@@ -323,3 +323,55 @@ def test_ztest_projection_compiles_within_codegen_limits(spark):
         assert row["z6"] is not None
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_round8_query_plan_shapes(spark):
+    """Plan pins for the round-8 shapes: dimension broadcasts, scan-
+    side pushdown, and no EvalPython anywhere."""
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    specs = registry()
+    d = "/root/testdata/sf0.001"
+
+    # Q6: every predicate reaches the lineitem scan; no join at all
+    plan = specs["q6_forecast_revenue"].spark(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+
+    # Q7: both nation legs ride broadcasts; lineitem is the spine
+    plan = specs["q7_nation_volume_shipping"].spark(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan
+
+    # Q10: nation broadcast + returnflag pushed to the lineitem scan
+    plan = specs["q10_returned_item_reporting"].spark(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+    # Q22: anti join present, scalar subquery broadcast, no cartesian
+    plan = specs["q22_global_sales_opportunity"].spark(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+    # AUC: the device plan has no unpartitioned row-scaled window
+    # (prefix-device property) and no Python crossing
+    plan = specs["roc_auc_planted"].spark(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_profiled_join_broadcast_branch_plan(spark):
+    """profiled_join's broadcast decision must materialize as a real
+    BroadcastHashJoin in the executed plan."""
+    from qudo_etl_pipeline_spark.plans.skew import profiled_join
+
+    big = spark.range(5000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("d").alias("tag")
+    )
+    joined, decision = profiled_join(big, dim, "k", broadcast_rows=1000)
+    assert decision["strategy"] == "broadcast"
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
