@@ -40,6 +40,17 @@ else
   exit 1
 fi
 
+echo "== codegen health (r7 verdict task 4) =="
+# the full selfcheck log must contain ZERO whole-stage-codegen
+# compile failures: a 'Code grows beyond 64 KB' fallback is silent
+# interpreted execution — correctness holds but CPU cost at scale
+if grep -c "ERROR CodeGenerator" /tmp/ritual_selfcheck.log; then
+  echo "ritual ABORTED: codegen fallback detected (see log)"
+  exit 1
+else
+  echo "0 codegen fallbacks across the full catalog"
+fi
+
 echo "== bench (sf0.1) =="
 if python bench.py > /tmp/ritual_bench_raw.log 2>/dev/null; then
   tail -1 /tmp/ritual_bench_raw.log | tee /tmp/ritual_bench.json
