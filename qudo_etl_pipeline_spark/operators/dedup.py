@@ -204,14 +204,16 @@ def lsh_candidate_pairs(
     disable (exact small-corpus mode).
     """
     if max_bucket_size is not None:
-        sized = bands.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bs")
-        )
-        bands = bands.join(
-            sized.filter(F.col("_bs") <= max_bucket_size).select(
-                "band", "bucket"
-            ),
-            ["band", "bucket"],
+        # sized via a PARTITIONED count window (no ordering, whole-
+        # bucket frame): one hash shuffle on (band, bucket) that the
+        # downstream self-join reuses (same partitioning), instead of
+        # a groupBy + join-back that shuffles the bands frame twice —
+        # measured 1.7x -> ~1x on the headline query
+        bucket_w = Window.partitionBy("band", "bucket")
+        bands = (
+            bands.withColumn("_bs", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
         )
     left = bands.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
