@@ -2282,3 +2282,133 @@ def diff_in_diff_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         treated.alias("t"), post.alias("p"), y.alias("y")
     )
     return A.diff_in_diff(src, "t", "p", "y")
+
+
+def _srm_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        CHI2_CRIT_95_DF1,
+    )
+
+    tot = "(CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE))"
+    wa = "(1.0 / 2.0)"
+    ea = f"({tot} * {wa})"
+    eb = f"({tot} - {ea})"
+    chi2 = (
+        f"(CAST(a.n AS DOUBLE) - {ea}) * (CAST(a.n AS DOUBLE) - {ea})"
+        f" / {ea}"
+        f" + (CAST(b.n AS DOUBLE) - {eb}) * (CAST(b.n AS DOUBLE) - {eb})"
+        f" / {eb}"
+    )
+    return f"""
+    WITH units AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 100 < 52 THEN 'A' ELSE 'B' END
+               AS variant
+      FROM events
+    ),
+    g AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n
+          FROM units GROUP BY variant),
+    a AS (SELECT * FROM g ORDER BY variant ASC LIMIT 1),
+    b AS (SELECT * FROM g ORDER BY variant DESC LIMIT 1)
+    SELECT a.variant AS group_a, a.n AS n_a,
+           b.variant AS group_b, b.n AS n_b,
+           {ref_round_sql(wa, 6)} AS expected_a_share6,
+           {ref_round_sql(chi2, 6)} AS chi2_6,
+           CAST(CASE WHEN {chi2} > {CHI2_CRIT_95_DF1!r}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_mismatch
+    FROM a CROSS JOIN b
+    """
+
+
+@register(
+    "ab_srm_planted",
+    oracle=_srm_oracle(),
+    survey_ids=["A12", "A8"],
+    description="Sample-ratio-mismatch gate on a PLANTED 52/48 "
+    "assignment against an intended 50/50 split: chi-squared goodness "
+    "of fit on the two unit counts (df=1), significance against the "
+    "exact critical value (the threshold trick, no CDF crossing) - "
+    "the assignment-health check every A/B readout runs FIRST",
+)
+def ab_srm_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    units = ev.select("user_id").distinct().select(
+        F.when(F.col("user_id") % 100 < 52, "A")
+        .otherwise("B")
+        .alias("variant")
+    )
+    return A.ab_srm_check(units, "variant", 1, 1)
+
+
+def _mde_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        Z_BETA_80,
+        Z_CRIT_95,
+    )
+
+    zsum = Z_CRIT_95 + Z_BETA_80
+    pp = "(CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))"
+    mde = (
+        f"({zsum!r} * sqrt({pp} * (1.0 - {pp})"
+        f" * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))))"
+    )
+    good = f"{pp} > 0 AND {pp} < 1"
+    return f"""
+    WITH conv AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT variant, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS k
+      FROM conv GROUP BY variant
+    ),
+    a AS (SELECT * FROM g ORDER BY variant ASC LIMIT 1),
+    b AS (SELECT * FROM g ORDER BY variant DESC LIMIT 1)
+    SELECT a.variant AS group_a, a.n AS n_a,
+           b.variant AS group_b, b.n AS n_b,
+           {ref_round_sql(pp, 6)} AS pooled_rate6,
+           CASE WHEN {good} THEN {ref_round_sql(mde, 6)} END
+             AS mde_abs6,
+           CASE WHEN {good} THEN {ref_round_sql(f"({mde} / {pp})", 6)}
+             END AS mde_rel6
+    FROM a CROSS JOIN b
+    """
+
+
+@register(
+    "ab_power_mde_events",
+    oracle=_mde_oracle(),
+    survey_ids=["A8", "A12"],
+    description="Minimum detectable effect of the running purchase-"
+    "conversion experiment at its CURRENT sample sizes (alpha=.05 "
+    "two-sided, power=.80): pooled-variance two-proportion "
+    "approximation, z quantiles as exact double constants, same "
+    "two-integer-aggregate shape and two-label guard as the z-test - "
+    "the 'is this test big enough' readout",
+)
+def ab_power_mde_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    conv = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    return A.ab_power_mde(conv, "variant", "converted")

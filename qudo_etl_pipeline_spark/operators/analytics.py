@@ -61,6 +61,8 @@ __all__ = [
     "roc_auc",
     "calibration_curve",
     "diff_in_diff",
+    "ab_srm_check",
+    "ab_power_mde",
 ]
 
 
@@ -2521,4 +2523,135 @@ def diff_in_diff(
         F.when(ok, ref_round(delta_t, 6)).alias("delta_treated6"),
         F.when(ok, ref_round(delta_c, 6)).alias("delta_control6"),
         F.when(ok, ref_round(did, 6)).alias("did6"),
+    )
+
+
+#: chi-squared critical value at alpha = 0.05, df = 1 — stated as the
+#: exact double both engines compare against (Python:
+#: ``statistics.NormalDist().inv_cdf(0.975) ** 2``).
+CHI2_CRIT_95_DF1 = 3.841458820694126
+
+
+def ab_srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected_a: int = 1,
+    expected_b: int = 1,
+    chi2_crit: float = CHI2_CRIT_95_DF1,
+) -> DataFrame:
+    """Sample-Ratio-Mismatch check for a two-group experiment — the
+    assignment-health gate every A/B readout should pass FIRST: a
+    significant deviation of observed group sizes from the intended
+    ``expected_a : expected_b`` split means the randomization (or
+    logging) is broken and the metric comparison is invalid.
+
+    Chi-squared goodness of fit on the two counts with df = 1:
+    chi2 = sum (n_g - E_g)² / E_g with E_g = N * w_g. Exactly two
+    group labels are enforced the two_proportion_ztest way (all-NULL
+    row otherwise); group A is the lexicographically first label.
+    Expected weights are INTEGER ratio parts, so E_g and the statistic
+    are fixed IEEE expressions over exact counts; significance
+    compares against the exact df=1 critical value (the established
+    threshold trick — no p-value CDF crossing).
+
+    Returns 1 row: (group_a, n_a, group_b, n_b, expected_a_share6,
+    chi2_6, is_mismatch).
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    g = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    row = g.agg(
+        F.min(F.struct(F.col(group_col).alias("g"), F.col("n"))).alias(
+            "a"
+        ),
+        F.max(F.struct(F.col(group_col).alias("g"), F.col("n"))).alias(
+            "b"
+        ),
+        F.count(F.lit(1)).alias("_ng"),
+    )
+    ok = F.col("_ng") == 2
+    na = F.col("a.n").cast("double")
+    nb = F.col("b.n").cast("double")
+    tot = na + nb
+    wa = F.lit(float(expected_a)) / F.lit(float(expected_a + expected_b))
+    ea = tot * wa
+    eb = tot - ea
+    chi2 = (na - ea) * (na - ea) / ea + (nb - eb) * (nb - eb) / eb
+    return row.select(
+        F.when(ok, F.col("a.g")).alias("group_a"),
+        F.when(ok, F.col("a.n")).alias("n_a"),
+        F.when(ok, F.col("b.g")).alias("group_b"),
+        F.when(ok, F.col("b.n")).alias("n_b"),
+        F.when(ok, ref_round(wa, 6)).alias("expected_a_share6"),
+        F.when(ok, ref_round(chi2, 6)).alias("chi2_6"),
+        F.when(
+            ok,
+            F.when(chi2 > F.lit(chi2_crit), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        ).alias("is_mismatch"),
+    )
+
+
+#: z quantiles as exact doubles: two-sided alpha=0.05 and power=0.80
+#: (Python: NormalDist().inv_cdf(0.975), NormalDist().inv_cdf(0.8)).
+Z_BETA_80 = 0.8416212335729143
+
+
+def ab_power_mde(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z_alpha: float = Z_CRIT_95,
+    z_beta: float = Z_BETA_80,
+) -> DataFrame:
+    """Minimum Detectable Effect of a running two-group conversion
+    experiment at its CURRENT sample sizes — the "is this test even
+    big enough" readout: MDE_abs = (z_alpha/2 + z_beta) *
+    sqrt(p(1-p) * (1/n_a + 1/n_b)) with p the pooled rate, plus the
+    relative MDE. The standard two-proportion power approximation
+    under the pooled-variance null.
+
+    Same two-integer-aggregate shape as :func:`two_proportion_ztest`
+    (whose exactly-two-labels guard it reuses): every output derives
+    from exact counts through one fixed IEEE expression; z quantiles
+    enter as exact double constants, never a CDF crossing.
+
+    Returns 1 row: (group_a, n_a, group_b, n_b, pooled_rate6,
+    mde_abs6, mde_rel6). Degenerate pooled rate (0 or 1) -> NULL MDEs.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("bigint")).alias("k"),
+    )
+    row = g.agg(
+        F.min(
+            F.struct(F.col(group_col).alias("g"), F.col("n"), F.col("k"))
+        ).alias("a"),
+        F.max(
+            F.struct(F.col(group_col).alias("g"), F.col("n"), F.col("k"))
+        ).alias("b"),
+        F.count(F.lit(1)).alias("_ng"),
+    )
+    ok = F.col("_ng") == 2
+    n1 = F.col("a.n").cast("double")
+    n2 = F.col("b.n").cast("double")
+    pp = (F.col("a.k") + F.col("b.k")).cast("double") / (
+        F.col("a.n") + F.col("b.n")
+    ).cast("double")
+    mde = (
+        F.lit(z_alpha + z_beta)
+        * F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+    )
+    good = (pp > 0) & (pp < 1)
+    return row.select(
+        F.when(ok, F.col("a.g")).alias("group_a"),
+        F.when(ok, F.col("a.n")).alias("n_a"),
+        F.when(ok, F.col("b.g")).alias("group_b"),
+        F.when(ok, F.col("b.n")).alias("n_b"),
+        F.when(ok, ref_round(pp, 6)).alias("pooled_rate6"),
+        F.when(ok & good, ref_round(mde, 6)).alias("mde_abs6"),
+        F.when(ok & good, ref_round(mde / pp, 6)).alias("mde_rel6"),
     )

@@ -281,3 +281,50 @@ def test_diff_in_diff_recovers_planted_effect(spark):
     r2 = diff_in_diff(partial, "t", "p", "y").collect()[0]
     assert r2["did6"] is None and r2["mean_c0_6"] is None
     assert r2["n_t1"] == 0
+
+
+def test_ab_srm_check_detects_planted_mismatch(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import ab_srm_check
+
+    # 600 vs 400 under an intended 50/50: chi2 = 2*(100^2/500) = 40
+    df = spark.createDataFrame(
+        [("A",)] * 600 + [("B",)] * 400, "g string"
+    )
+    r = ab_srm_check(df, "g").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (600, 400)
+    assert r["chi2_6"] == 40.0
+    assert r["is_mismatch"] == 1
+    # intended 3:2 split matches exactly -> chi2 0, healthy
+    r2 = ab_srm_check(df, "g", 3, 2).collect()[0]
+    assert r2["chi2_6"] == 0.0 and r2["is_mismatch"] == 0
+    assert r2["expected_a_share6"] == 0.6
+    # three labels -> all NULL (the guard)
+    bad = df.union(spark.createDataFrame([("C",)], "g string"))
+    r3 = ab_srm_check(bad, "g").collect()[0]
+    assert r3["chi2_6"] is None and r3["is_mismatch"] is None
+
+
+def test_ab_power_mde_hand_value(spark):
+    import math
+
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        Z_BETA_80,
+        Z_CRIT_95,
+        ab_power_mde,
+    )
+
+    # n=1000 per arm, pooled rate 0.10
+    rows = [("A", 1 if i < 100 else 0) for i in range(1000)]
+    rows += [("B", 1 if i < 100 else 0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, y int")
+    r = ab_power_mde(df, "g", "y").collect()[0]
+    expected = (Z_CRIT_95 + Z_BETA_80) * math.sqrt(
+        0.1 * 0.9 * (1 / 1000 + 1 / 1000)
+    )
+    assert r["pooled_rate6"] == 0.1
+    assert r["mde_abs6"] == pytest.approx(expected, abs=1e-6)
+    assert r["mde_rel6"] == pytest.approx(expected / 0.1, abs=1e-5)
+    # degenerate rate (all failures) -> NULL MDEs, counts intact
+    zero = df.withColumn("y", F.lit(0))
+    r2 = ab_power_mde(zero, "g", "y").collect()[0]
+    assert r2["mde_abs6"] is None and r2["n_a"] == 1000
