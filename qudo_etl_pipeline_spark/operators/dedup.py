@@ -204,17 +204,31 @@ def lsh_candidate_pairs(
     disable (exact small-corpus mode).
     """
     if max_bucket_size is not None:
-        # sized via a PARTITIONED count window (no ordering, whole-
-        # bucket frame): one hash shuffle on (band, bucket) that the
-        # downstream self-join reuses (same partitioning), instead of
-        # a groupBy + join-back that shuffles the bands frame twice —
-        # measured 1.7x -> ~1x on the headline query
-        bucket_w = Window.partitionBy("band", "bucket")
-        bands = (
-            bands.withColumn("_bs", F.count(F.lit(1)).over(bucket_w))
-            .filter(F.col("_bs") <= max_bucket_size)
-            .drop("_bs")
+        # anti-join against the OVER-cap buckets, not an equi-join
+        # against the many healthy ones: the hot frame is empty/tiny on
+        # a healthy corpus (at most rows/cap entries ever), so Catalyst
+        # auto-broadcasts the anti join and the guard costs one
+        # map-side-combined aggregation pass. A count WINDOW here would
+        # funnel each mega-bucket's rows through ONE task — the exact
+        # pathology the guard exists for — and an equi-join against the
+        # kept buckets re-shuffles the whole bands frame (measured 1.7x
+        # on the headline query). No forced broadcast: in the
+        # everything-is-boilerplate worst case AQE falls back to a
+        # shuffle anti-join instead of OOMing the driver.
+        # one explicit repartition that BOTH consumers reuse
+        # (ReuseExchange): the hot-bucket count and the downstream
+        # self-join read the same shuffled signatures instead of
+        # re-deriving the md5-heavy band frame per subtree. The count
+        # is a streaming hash aggregate per partition (a mega bucket
+        # is counted, never buffered).
+        bands = bands.repartition("band", "bucket")
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") > max_bucket_size)
+            .select("band", "bucket")
         )
+        bands = bands.join(hot, ["band", "bucket"], "left_anti")
     left = bands.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
