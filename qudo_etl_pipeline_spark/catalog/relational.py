@@ -1339,3 +1339,119 @@ def q22_global_sales_opportunity(
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(8,6))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(r) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           {_rev6_sql("CAST(r AS DOUBLE)")} AS revenue6
+    FROM rev JOIN mx ON rev.r = mx.m
+    JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    survey_ids=["J1", "A10", "A5"],
+    description="TPC-H Q15 shape (top supplier by quarterly revenue): "
+    "the argmax-against-a-scalar-subquery pattern - per-supplier "
+    "DECIMAL revenue in one shuffle, the max as a 1-row broadcast, "
+    "the equality filter EXACT because both sides stay DECIMAL until "
+    "after selection (double equality on aggregates is the classic "
+    "cross-engine trap this sidesteps)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+        ).alias("_r")
+    )
+    mx = rev.agg(F.max("_r").alias("_m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_r") == F.col("_m"))
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            ref_round(F.col("_r").cast("double"), 6).alias("revenue6"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH avgq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_rev6_sql(
+        "CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 0)"
+        " AS DOUBLE) / 7.0"
+    )} AS avg_yearly6,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN avgq a ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS DOUBLE) < 0.2 * a.aq
+    """,
+    survey_ids=["J1", "A8", "A5"],
+    description="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated-aggregate-subquery pattern as a per-part average join "
+    "back onto the spine - one keyed aggregate (exact DECIMAL mean, "
+    "one IEEE division), brand filter pruning the part side, "
+    "threshold residual on the rejoin; never a per-row subquery",
+)
+def q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    avgq = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("_aq")
+    )
+    j = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(avgq, li["l_partkey"] == F.col("_pk"))
+        .filter(
+            F.col("l_quantity").cast("double")
+            < F.lit(0.2) * F.col("_aq")
+        )
+    )
+    total = F.coalesce(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), F.lit(0)
+    ).cast("double")
+    return j.agg(
+        ref_round(total / F.lit(7.0), 6).alias("avg_yearly6"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
