@@ -246,3 +246,122 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+_DRIFT_BINS = 32
+
+
+def _psi_stream_oracle() -> str:
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
+
+    w = f"{float(_DRIFT_BINS)!r}"
+    bucket = (
+        f"CAST(CASE WHEN (hi - lo) / {w} > 0 THEN "
+        f"GREATEST(0, LEAST({_DRIFT_BINS - 1}, "
+        f"FLOOR((v - lo) / ((hi - lo) / {w})))) ELSE 0 END AS BIGINT)"
+    )
+    floor = "(CAST(100 AS DOUBLE) / 1000000.0)"
+    pa = f"GREATEST(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE), {floor})"
+    pb = f"GREATEST(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE), {floor})"
+    return f"""
+    WITH ref_raw AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+    ),
+    cur_raw AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+    ),
+    rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ref_raw),
+    refb AS (
+      SELECT {bucket} AS b, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM ref_raw CROSS JOIN rng GROUP BY 1
+    ),
+    curb AS (
+      SELECT {bucket} AS b, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM cur_raw CROSS JOIN rng GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(refb.b, curb.b) AS b,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM refb FULL OUTER JOIN curb ON refb.b = curb.b
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_bins_used
+      FROM j
+    ),
+    terms AS (
+      SELECT n_a, n_b, n_bins_used,
+             CAST(({pa} - {pb}) * ln({pa} / {pb}) AS DECIMAL(38,12))
+               AS term
+      FROM j CROSS JOIN tot
+    )
+    SELECT n_a, n_b, n_bins_used,
+           {ref_round_sql("CAST(SUM(term) AS DOUBLE)", 6)} AS psi6
+    FROM terms
+    WHERE n_a > 0 AND n_b > 0
+    GROUP BY n_a, n_b, n_bins_used
+    """
+
+
+@register(
+    "streaming_psi_drift",
+    oracle=_psi_stream_oracle(),
+    survey_ids=["A4", "A8"],
+    description="Streaming feature-drift monitor: the CURRENT-side "
+    "histogram is a REAL Structured Streaming aggregate (file source "
+    "-> clamped equi-width bucket counts in complete mode, drained "
+    "with availableNow) over post-split events, binned on the "
+    "REFERENCE period's min/max (the fixed-training-bins convention); "
+    "psi_from_binned then composes it with the batch reference "
+    "histogram through the exact psi_drift arithmetic - the "
+    "batch/streaming unification applied to model monitoring",
+)
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        psi_from_binned,
+    )
+
+    ref = (
+        load_events(spark, sf_dir)
+        .filter(
+            (F.col("ts") < _DRIFT_SPLIT) & F.col("value").isNotNull()
+        )
+        .select(F.col("value").cast("double").alias("v"))
+    )
+    lo, hi = ref.agg(F.min("v"), F.max("v")).collect()[0]
+    width = (hi - lo) / float(_DRIFT_BINS)
+
+    def bucket(col):
+        if width > 0:
+            return F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(_DRIFT_BINS - 1),
+                    F.floor((col - F.lit(lo)) / F.lit(width)),
+                ),
+            ).cast("bigint")
+        return F.lit(0).cast("bigint")
+
+    ref_counts = ref.groupBy(bucket(F.col("v")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stream = _events_stream(spark, sf_dir).filter(
+        (F.col("ts") >= _DRIFT_SPLIT) & F.col("value").isNotNull()
+    )
+    cur = stream.groupBy(
+        bucket(F.col("value").cast("double")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = f"psidrift_{uuid.uuid4().hex[:8]}"
+    q = (
+        cur.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return psi_from_binned(ref_counts, spark.table(name))

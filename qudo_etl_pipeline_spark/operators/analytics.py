@@ -55,6 +55,7 @@ __all__ = [
     "kendall_tau_b",
     "spearman_rho",
     "psi_drift",
+    "psi_from_binned",
     "gains_curve",
     "cuped_adjust",
     "bh_fdr",
@@ -2654,4 +2655,66 @@ def ab_power_mde(
         F.when(ok, ref_round(pp, 6)).alias("pooled_rate6"),
         F.when(ok & good, ref_round(mde, 6)).alias("mde_abs6"),
         F.when(ok & good, ref_round(mde / pp, 6)).alias("mde_rel6"),
+    )
+
+
+def psi_from_binned(
+    counts_ref: DataFrame,
+    counts_cur: DataFrame,
+    bucket_col: str = "bucket",
+    count_col: str = "n",
+    floor_ppm: int = 100,
+) -> DataFrame:
+    """PSI from two ALREADY-binned count frames over the same bucket
+    scheme — the composition point for drift monitoring pipelines
+    whose current-side histogram arrives from somewhere the raw-frame
+    :func:`psi_drift` can't reach (a Structured Streaming aggregate, a
+    metrics store, another engine's rollup). Identical arithmetic:
+    same ppm floor applied to BOTH shares, same DECIMAL(38,12)-
+    quantized terms, so ``psi_from_binned(bin(a), bin(b)) ==
+    psi_drift(a, b)`` when the bucket schemes agree.
+
+    The join is bucket-frame-sized (bins rows); the whole operator is
+    O(bins). Returns 1 row: (n_a, n_b, n_bins_used, psi6); empty
+    either side -> 0 rows.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+
+    a = counts_ref.select(
+        F.col(bucket_col).alias("_b"), F.col(count_col).alias("_ca")
+    )
+    b = counts_cur.select(
+        F.col(bucket_col).alias("_b"), F.col(count_col).alias("_cb")
+    )
+    j = (
+        a.join(b, "_b", "full_outer")
+        .select(
+            F.coalesce(F.col("_ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("_cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )
+    jt = j.crossJoin(F.broadcast(tot))
+    floor = F.lit(floor_ppm).cast("double") / F.lit(1_000_000.0)
+    pa = F.greatest(
+        F.col("ca").cast("double") / F.col("n_a").cast("double"), floor
+    )
+    pb = F.greatest(
+        F.col("cb").cast("double") / F.col("n_b").cast("double"), floor
+    )
+    term = ((pa - pb) * F.log(pa / pb)).cast("decimal(38,12)")
+    agg = jt.groupBy("n_a", "n_b", "n_bins_used").agg(
+        F.sum(term).alias("_psi")
+    )
+    return agg.filter(
+        F.col("n_a").isNotNull() & (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    ).select(
+        "n_a",
+        "n_b",
+        "n_bins_used",
+        ref_round(F.col("_psi").cast("double"), 6).alias("psi6"),
     )

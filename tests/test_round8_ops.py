@@ -328,3 +328,40 @@ def test_ab_power_mde_hand_value(spark):
     zero = df.withColumn("y", F.lit(0))
     r2 = ab_power_mde(zero, "g", "y").collect()[0]
     assert r2["mde_abs6"] is None and r2["n_a"] == 1000
+
+
+def test_psi_from_binned_equals_psi_drift_on_shared_buckets(spark):
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        psi_drift,
+        psi_from_binned,
+    )
+
+    a = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    b = spark.range(2000).select(
+        ((F.col("id") % 100) * 1.3 + 5.0).alias("v")
+    )
+    direct = psi_drift(a, b, "v", bins=10).collect()[0]
+    # rebuild the SAME pooled-range buckets psi_drift uses, then bin
+    # each side and compose through psi_from_binned
+    u = a.unionByName(b)
+    lo, hi = u.agg(F.min("v"), F.max("v")).collect()[0]
+    width = (hi - lo) / 10.0
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(F.lit(9), F.floor((F.col("v") - F.lit(lo)) / F.lit(width))),
+    ).cast("bigint")
+    ca = a.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    cb = b.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    composed = psi_from_binned(ca, cb).collect()[0]
+    assert composed["psi6"] == direct["psi6"]
+    assert (composed["n_a"], composed["n_b"]) == (
+        direct["n_a"], direct["n_b"],
+    )
+    # identical samples -> zero drift through the binned path too
+    same = psi_from_binned(ca, ca).collect()[0]
+    assert same["psi6"] == 0.0
+    # empty side -> 0 rows
+    empty = ca.filter(F.lit(False))
+    assert psi_from_binned(ca, empty).count() == 0
