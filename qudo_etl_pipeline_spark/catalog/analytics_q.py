@@ -2021,13 +2021,18 @@ def _bh_oracle(alpha: float = 0.25) -> str:
              MIN(CAST(m AS DOUBLE) * p / CAST(rank AS DOUBLE))
                OVER (ORDER BY rank DESC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS tq
+               AS tq,
+             MAX(CASE WHEN CAST(m AS DOUBLE) * p
+                           <= {alpha!r} * CAST(rank AS DOUBLE)
+                 THEN 1 ELSE 0 END)
+               OVER (ORDER BY rank DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hit
       FROM ranked
     )
     SELECT test_id, p, rank,
            {ref_round_sql(padj, 6)} AS p_adj6,
-           CAST(CASE WHEN {ref_round_sql(padj, 6)} <= {alpha!r}
-                THEN 1 ELSE 0 END AS BIGINT) AS rejected
+           CAST(hit AS BIGINT) AS rejected
     FROM stepped ORDER BY rank
     """
 

@@ -1653,8 +1653,15 @@ def _equiwidth_pair_bin(
                 ),
             ),
         ).cast("bigint")
-        return F.when(width > 0, b).otherwise(
-            F.when(F.col(c).isNotNull(), F.lit(0))
+        # NULL-preserving: greatest/least SKIP nulls, so without the
+        # leading isNull branch a NULL value would collapse to
+        # greatest(0, least(bins-1, NULL)) = bins-1 and survive the
+        # callers' post-bin isNotNull exclusion as a phantom top-bucket
+        # observation.
+        return (
+            F.when(F.col(c).isNull(), F.lit(None).cast("bigint"))
+            .when(width > 0, b)
+            .otherwise(F.lit(0).cast("bigint"))
         )
 
     return df.crossJoin(F.broadcast(rng)).select(
@@ -2291,15 +2298,23 @@ def bh_fdr(
         Window.unboundedPreceding, 0
     )
     p_adj = F.least(F.lit(1.0), F.min("_q").over(tail_min))
+    # `rejected` is EXACT step-up BH, decided multiplication-only:
+    # reject ranks 1..k where k = max{r : m·p(r) <= alpha·r}. This is
+    # algebraically `p_adj <= alpha` but never divides, so there is no
+    # division-rounding at the boundary (deciding on the ROUNDED p_adj6
+    # mis-rejected true p_adj in (alpha, alpha + 5e-7]); p_adj6 stays
+    # the 6-dp display value.
+    hit = F.when(
+        F.col("_m").cast("double") * F.col("_p")
+        <= F.lit(float(alpha)) * F.col("_r").cast("double"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     return stepped.select(
         F.col("_k").alias(key_col),
         F.col("_p").alias(p_col),
         F.col("_r").alias("rank"),
         ref_round(p_adj, 6).alias("p_adj6"),
-        F.when(ref_round(p_adj, 6) <= F.lit(alpha), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("rejected"),
+        F.max(hit).over(tail_min).cast("bigint").alias("rejected"),
     ).orderBy("rank")
 
 

@@ -182,7 +182,13 @@ def golden_record(
     - ``"most_frequent"``: modal value, ties to the SMALLEST value
       with non-null preferred — the contingency layer's
       min-over-struct argmax, melted so ALL mode attributes share ONE
-      extra shuffle regardless of how many there are.
+      extra shuffle regardless of how many there are. The melt carries
+      values as strings (the shared long-format type), but the tie
+      order stays NUMERIC for numeric source columns (a parallel
+      double sort key rides the struct — ``2`` beats ``10``, never
+      lexicographic ``'10' < '2'``) and the surviving value is cast
+      BACK to the source column's dtype after the pivot, so the
+      output schema matches the input schema attribute-for-attribute.
 
     Every rule is a deterministic struct-ordered aggregate: no windows,
     no tie nondeterminism, one groupBy for the scalar rules plus one
@@ -234,15 +240,31 @@ def golden_record(
         records.select(group_col).distinct()
     )
     if mode_cols:
+        dtypes = dict(records.dtypes)
+        numeric_prefixes = (
+            "tinyint", "smallint", "int", "bigint",
+            "float", "double", "decimal",
+        )
         long = None
         for col in mode_cols:
+            # _vord keeps ties NUMERIC for numeric attributes: the
+            # melt's shared string type would otherwise sort '10'
+            # before '2'. Non-numeric attributes get a constant 0.0
+            # so ordering falls through to the string value.
+            if dtypes[col].startswith(numeric_prefixes):
+                vord = F.coalesce(
+                    F.col(col).cast("double"), F.lit(0.0)
+                )
+            else:
+                vord = F.lit(0.0)
             part = records.select(
                 F.col(group_col).alias("_g"),
                 F.lit(col).alias("_a"),
                 F.col(col).cast("string").alias("_v"),
+                vord.alias("_vord"),
             )
             long = part if long is None else long.unionByName(part)
-        counts = long.groupBy("_g", "_a", "_v").agg(
+        counts = long.groupBy("_g", "_a", "_v", "_vord").agg(
             F.count(F.lit(1)).alias("_n")
         )
         pick = counts.groupBy("_g", "_a").agg(
@@ -250,6 +272,7 @@ def golden_record(
                 F.struct(
                     (-F.col("_n")).alias("neg_n"),
                     F.col("_v").isNull().cast("int").alias("null_last"),
+                    F.col("_vord").alias("vord"),
                     F.col("_v").alias("v"),
                 )
             ).alias("_m")
@@ -265,5 +288,9 @@ def golden_record(
             modes, out[group_col] == modes["_g"], "left"
         ).drop("_g")
         for col in mode_cols:
-            out = out.withColumnRenamed(f"_mode_{col}", col)
+            # survivor rides the melt as a string — restore the
+            # source dtype so the golden record schema matches input
+            out = out.withColumn(
+                col, F.col(f"_mode_{col}").cast(dtypes[col])
+            ).drop(f"_mode_{col}")
     return out.select(group_col, *rules.keys())

@@ -53,12 +53,43 @@ __all__ = [
 # replaced on the next acquire for the same plan.
 _LOCK = threading.Lock()
 _REGISTRY: dict[int, list[DataFrame]] = {}
-_SCOPES: list[list[DataFrame]] = []
+# Scope stack is THREAD-LOCAL: concurrent threads each attribute their
+# acquisitions to their OWN innermost scope — a shared stack would let
+# thread A's scope exit unpersist a cache thread B is mid-query on.
+_TLS = threading.local()
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_TLS, "stack", None)
+    if stack is None:
+        stack = _TLS.stack = []
+    return stack
+
+
+def _session_alive(frame: DataFrame) -> bool:
+    try:
+        return frame.sparkSession.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
+def _evict_dead_sessions_locked() -> None:
+    """Drop registry entries whose session has stopped (holding the
+    lock) — otherwise a stale frame keeps a strong ref to the dead
+    session's plan until a same-hash acquire happens to replace it.
+    """
+    for key in list(_REGISTRY):
+        kept = [f for f in _REGISTRY[key] if _session_alive(f)]
+        if kept:
+            _REGISTRY[key] = kept
+        else:
+            _REGISTRY.pop(key)
 
 
 def _acquire_ranged(ranged: DataFrame) -> DataFrame:
     """Cache ``ranged`` exactly once per (session, logical plan)."""
     with _LOCK:
+        _evict_dead_sessions_locked()
         key = ranged.semanticHash()
         bucket = _REGISTRY.setdefault(key, [])
         for cand in bucket:
@@ -68,8 +99,9 @@ def _acquire_ranged(ranged: DataFrame) -> DataFrame:
                 return cand
         cached = ranged.cache()
         bucket.append(cached)
-        if _SCOPES:
-            _SCOPES[-1].append(cached)
+        stack = _scope_stack()
+        if stack:
+            stack[-1].append(cached)
         return cached
 
 
@@ -100,7 +132,7 @@ def clear_prefix_caches() -> int:
             for fr in frames:
                 try:
                     fr.unpersist()
-                except Exception:
+                except Exception:  # stopped session — ref still freed
                     pass
                 n += 1
         _REGISTRY.clear()
@@ -118,14 +150,17 @@ def prefix_cache_scope():
 
     Caches that were already live when the scope opened (acquired by
     an enclosing scope or unscoped code) are left untouched, so nested
-    scopes compose: each releases only what it introduced.
+    scopes compose: each releases only what it introduced. Scopes are
+    per-thread: a scope only ever captures (and releases) acquisitions
+    made on the thread that opened it.
     """
     acquired: list[DataFrame] = []
-    _SCOPES.append(acquired)
+    stack = _scope_stack()
+    stack.append(acquired)
     try:
         yield
     finally:
-        _SCOPES.pop()
+        stack.pop()
         with _LOCK:
             for fr in acquired:
                 _forget(fr)

@@ -70,6 +70,33 @@ def test_bin_mode_rejects_unknown_policy(spark):
         spearman_rho(df, "x", "y", on_excess="subsample")
 
 
+def test_bin_mode_excludes_null_rows(spark):
+    # Regression: greatest/least skip NULLs, so an un-guarded bucket
+    # expression mapped NULL values to bucket bins-1 and they survived
+    # the post-bin isNotNull exclusion as phantom top-bucket rows
+    # (tau_b 1.0 -> 0.795 on this exact fixture). The NULL-preserving
+    # bucket must make binned-with-NULLs == binned-on-NULL-free-subset.
+    clean = _continuous_pair(spark, n=20)
+    # NULL-x rows carry y values INSIDE the clean y range, so the
+    # broadcast min/max (computed pre-filter) is identical for both
+    # frames and any difference is attributable to the NULL handling.
+    with_nulls = clean.unionByName(
+        spark.range(10).select(
+            F.lit(None).cast("double").alias("x"),
+            (F.col("id").cast("double") * 3.0 + 2.0).alias("y"),
+        )
+    )
+    for fn in (kendall_tau_b, spearman_rho):
+        got = fn(
+            with_nulls, "x", "y", max_domain=10, on_excess="bin"
+        ).collect()[0]
+        want = fn(
+            clean, "x", "y", max_domain=10, on_excess="bin"
+        ).collect()[0]
+        assert got["n"] == want["n"] == 20
+        assert got == want
+
+
 def test_bin_mode_degenerate_constant_column(spark):
     # constant x -> width 0 -> single bucket, rho/tau NULL (denominator 0)
     df = spark.range(100).select(

@@ -159,3 +159,35 @@ def test_nested_scopes_compose(spark):
             assert sum(len(v) for v in P._REGISTRY.values()) == 2
         assert sum(len(v) for v in P._REGISTRY.values()) == 1
     assert not P._REGISTRY
+
+
+def test_scope_stack_is_thread_local(spark):
+    # A scope opened on the main thread must NOT capture acquisitions
+    # made by a worker thread (and vice versa) — a shared stack let one
+    # thread's scope exit unpersist caches another thread still used.
+    import threading
+
+    from qudo_etl_pipeline_spark.operators import prefix as P
+
+    P.clear_prefix_caches()
+    worker_df = spark.createDataFrame(
+        [(i, 5) for i in range(30)], "k bigint, w bigint"
+    )
+    errors: list[Exception] = []
+
+    def worker():
+        try:
+            ranged_prefix_sums(worker_df, ["k"], {"cum": "w"}).collect()
+        except Exception as exc:  # surfaced on the main thread below
+            errors.append(exc)
+
+    with P.prefix_cache_scope():
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+    assert not errors
+    # the worker's unscoped acquisition survived the main scope's exit
+    assert sum(len(v) for v in P._REGISTRY.values()) == 1
+    frame = next(iter(P._REGISTRY.values()))[0]
+    assert frame.storageLevel.useMemory
+    assert P.clear_prefix_caches() == 1

@@ -79,11 +79,18 @@ def test_bh_fdr_matches_reference_and_order_invariant(spark, rows, perm):
     for i in range(m - 1, -1, -1):
         run = min(run, q[i])
         adj[i] = min(1.0, run)
+    # exact step-up BH: reject ranks 1..k, k = max{r : m*p_r <= alpha*r}
+    # (multiplication-only — the rounded-p_adj6 comparison mis-rejected
+    # true adjusted p in (alpha, alpha + 5e-7])
+    kmax = max(
+        (i + 1 for i, (_, p) in enumerate(ordered) if m * p <= 0.1 * (i + 1)),
+        default=0,
+    )
     assert [r["test_id"] for r in out] == [k for k, _ in ordered]
-    for r, (k, p), a in zip(out, ordered, adj):
+    for i, (r, (k, p), a) in enumerate(zip(out, ordered, adj)):
         assert r["p"] == p
         assert r["p_adj6"] == round(a, 6)
-        assert r["rejected"] == (1 if round(a, 6) <= 0.1 else 0)
+        assert r["rejected"] == (1 if i + 1 <= kmax else 0)
     # monotone in rank
     vals = [r["p_adj6"] for r in out]
     assert vals == sorted(vals)
@@ -108,6 +115,33 @@ def test_golden_record_mode_matches_python(spark, rows):
         r["g"]: r["v"]
         for r in golden_record(df, "g", {"v": "most_frequent"}).collect()
     }
+    for g in {g for g, _ in rows}:
+        counts = Counter(v for gg, v in rows if gg == g)
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[g] == best, (g, counts)
+
+
+@st.composite
+def numeric_mode_rows(draw):
+    n = draw(st.integers(1, 30))
+    return [
+        (draw(st.integers(0, 2)), draw(st.sampled_from([2, 3, 10, 100])))
+        for _ in range(n)
+    ]
+
+
+@settings(**_SETTINGS)
+@given(rows=numeric_mode_rows())
+def test_golden_record_numeric_mode_matches_python(spark, rows):
+    # ties among NUMERIC values break on numeric order (2 < 10), never
+    # the melt's lexicographic string order ('10' < '2'); the survivor
+    # keeps the source dtype.
+    from collections import Counter
+
+    df = spark.createDataFrame(rows, "g bigint, v bigint")
+    out = golden_record(df, "g", {"v": "most_frequent"})
+    assert dict(out.dtypes)["v"] == "bigint"
+    got = {r["g"]: r["v"] for r in out.collect()}
     for g in {g for g, _ in rows}:
         counts = Counter(v for gg, v in rows if gg == g)
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]

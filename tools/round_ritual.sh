@@ -44,12 +44,24 @@ echo "== codegen health (r7 verdict task 4) =="
 # the full selfcheck log must contain ZERO whole-stage-codegen
 # compile failures: a 'Code grows beyond 64 KB' fallback is silent
 # interpreted execution — correctness holds but CPU cost at scale
-if grep -c "ERROR CodeGenerator" /tmp/ritual_selfcheck.log; then
-  echo "ritual ABORTED: codegen fallback detected (see log)"
-  exit 1
-else
-  echo "0 codegen fallbacks across the full catalog"
-fi
+# grep -q exit codes: 0 = match (abort), 1 = clean, 2 = log missing /
+# unreadable (abort too — a vanished log must not read as a pass).
+# `|| rc=$?` keeps set -e from short-circuiting the non-zero paths.
+rc=0
+grep -q "ERROR CodeGenerator" /tmp/ritual_selfcheck.log || rc=$?
+case $rc in
+  0)
+    echo "ritual ABORTED: codegen fallback detected (see log)"
+    exit 1
+    ;;
+  1)
+    echo "0 codegen fallbacks across the full catalog"
+    ;;
+  *)
+    echo "ritual ABORTED: selfcheck log missing or unreadable"
+    exit 1
+    ;;
+esac
 
 echo "== bench (sf0.1) =="
 if python bench.py > /tmp/ritual_bench_raw.log 2>/dev/null; then
