@@ -204,31 +204,34 @@ def lsh_candidate_pairs(
     disable (exact small-corpus mode).
     """
     if max_bucket_size is not None:
-        # anti-join against the OVER-cap buckets, not an equi-join
-        # against the many healthy ones: the hot frame is empty/tiny on
-        # a healthy corpus (at most rows/cap entries ever), so Catalyst
-        # auto-broadcasts the anti join and the guard costs one
-        # map-side-combined aggregation pass. A count WINDOW here would
-        # funnel each mega-bucket's rows through ONE task — the exact
-        # pathology the guard exists for — and an equi-join against the
-        # kept buckets re-shuffles the whole bands frame (measured 1.7x
-        # on the headline query). No forced broadcast: in the
+        # Materialize the bands frame ONCE (localCheckpoint: 3 int
+        # columns, MEMORY_AND_DISK on the executors) — the guard needs
+        # it three times (sizing pass + both self-join children) and
+        # left lazy each reference re-derives the md5-heavy
+        # shingle->minhash chain: ReuseExchange never fired on the
+        # aliased subtrees (a repartition-based sharing attempt
+        # measured 2.4x the unguarded join at sf0.1; an eager sizing
+        # pass without the shared materialization still 2.0x). With
+        # the checkpoint even the UNGUARDED join's duplicated
+        # derivation collapses to one. The sizing count is a
+        # map-side-combined streaming aggregate — a mega bucket is
+        # counted, never buffered (a count WINDOW would funnel its
+        # rows through ONE task, the exact pathology the guard exists
+        # for). On a healthy corpus the hot set is EMPTY (at most
+        # rows/cap entries ever) and the eager take(1) short-circuits
+        # the anti-join entirely, so the join plan is bit-identical to
+        # unguarded mode. No forced broadcast on the anti-join: in the
         # everything-is-boilerplate worst case AQE falls back to a
         # shuffle anti-join instead of OOMing the driver.
-        # one explicit repartition that BOTH consumers reuse
-        # (ReuseExchange): the hot-bucket count and the downstream
-        # self-join read the same shuffled signatures instead of
-        # re-deriving the md5-heavy band frame per subtree. The count
-        # is a streaming hash aggregate per partition (a mega bucket
-        # is counted, never buffered).
-        bands = bands.repartition("band", "bucket")
+        bands = bands.localCheckpoint(eager=True)
         hot = (
             bands.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bs"))
             .filter(F.col("_bs") > max_bucket_size)
             .select("band", "bucket")
         )
-        bands = bands.join(hot, ["band", "bucket"], "left_anti")
+        if len(hot.take(1)) > 0:
+            bands = bands.join(hot, ["band", "bucket"], "left_anti")
     left = bands.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
