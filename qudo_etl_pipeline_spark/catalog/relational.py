@@ -1432,13 +1432,28 @@ def q17_small_quantity_revenue(
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#23"
     )
-    avgq = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast(
-                "double"
-            )
-            / F.count(F.lit(1))
-        ).alias("_aq")
+    # Semi-join pushdown (r8 verdict task 2): the per-part average is
+    # only ever consumed for partkeys that survive the brand filter
+    # (~1/25 selectivity), so aggregate ONLY those lineitem rows — the
+    # spine join restricts to the same partkeys, so the result is
+    # identical while the aggregate's shuffle input shrinks ~25x. At
+    # these SFs AQE turns the semi join into a broadcast; no forced
+    # broadcast (a 100 TB part table's filtered set may not fit).
+    avgq = (
+        li.join(
+            part.select("p_partkey"),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("_pk"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("_aq")
+        )
     )
     j = (
         li.join(part, li["l_partkey"] == part["p_partkey"])

@@ -375,3 +375,34 @@ def test_profiled_join_broadcast_branch_plan(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round9_q17_semi_join_pushdown(spark):
+    """Q17's per-part average must aggregate ONLY brand-filtered
+    partkeys (r8 verdict task 2): a LeftSemi join sits below the
+    aggregate, the brand predicate reaches the part scan, and the
+    aggregate's input is the semi-joined lineitem, not the full table.
+    Q15's aggregate input is date-pruned at the scan — pinned too."""
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    specs = registry()
+    d = "/root/testdata/sf0.001"
+
+    plan = specs["q17_small_quantity_revenue"].spark(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    # the semi join must appear BELOW a partkey aggregate: the
+    # aggregate over _pk is the only avg-building HashAggregate, and
+    # its subtree must contain the LeftSemi (string containment on the
+    # indented tree: LeftSemi appears after the partial _aq aggregate)
+    assert plan.index("LeftSemi") > plan.index("HashAggregate")
+
+    # Q15: the quarter filter reaches the lineitem scan below the
+    # revenue aggregate (already pre-filtered; pin so it stays)
+    plan = specs["q15_top_supplier"].spark(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    assert "CartesianProduct" not in plan
+
+    # Q22: the anti-join spine is date-pruned at the orders scan
+    plan = specs["q22_global_sales_opportunity"].spark(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
