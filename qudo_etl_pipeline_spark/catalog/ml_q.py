@@ -932,17 +932,20 @@ def signal_loss_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b GROUP BY bucket
     """,
     survey_ids=["M2", "A8", "W3"],
-    description="Exact equi-depth discretization (NTILE over a "
-    "deterministic total order) summarized per bucket; the approx-"
-    "boundary scale path is tolerance-tested against it",
+    description="Equi-depth discretization summarized per bucket, "
+    "size-dispatched (r8 verdict task 5): EXACT NTILE over a "
+    "deterministic total order up to 2M input rows (every oracle-"
+    "gated SF), the map-only approx-boundary sketch path above "
+    "(tolerance-tested against exact, the heaviest device ratio "
+    "retired from SCALING.md)",
 )
 def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from qudo_etl_pipeline_spark.ml.discretize import ntile_bucketize
+    from qudo_etl_pipeline_spark.ml.discretize import auto_bucketize
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    b = ntile_bucketize(
+    b = auto_bucketize(
         li, "l_extendedprice", 8, ["l_orderkey", "l_linenumber"]
     )
     return b.groupBy("bucket").agg(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ntile_bucketize", "bounds_bucketize"]
+__all__ = ["ntile_bucketize", "bounds_bucketize", "auto_bucketize"]
 
 
 def ntile_bucketize(
@@ -101,3 +101,29 @@ def bounds_bucketize(
         "bucket",
         F.when(F.col(col).isNotNull(), bucket).cast("bigint"),
     )
+
+
+def auto_bucketize(
+    df: DataFrame,
+    col: str,
+    k: int,
+    tiebreak: list[str],
+    exact_max_rows: int = 2_000_000,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Size-dispatched equi-depth bucketing: EXACT :func:`ntile_bucketize`
+    up to ``exact_max_rows`` input rows, the map-only
+    :func:`bounds_bucketize` sketch path above — the same
+    measured-input plan choice :func:`~qudo_etl_pipeline_spark.plans.
+    skew.choose_join_strategy` makes for joins. The exact path's
+    full-row-cardinality frame through repartitionByRange + windows was
+    the heaviest scale ratio left in SCALING.md (1.93x wall for 3x rows,
+    20 s at sf3); above the threshold equal counts +-sketch-accuracy is
+    what discretization needs, and the sketch path is one aggregate +
+    a broadcast boundary array. The row count is one count-star job
+    (parquet-stats cheap); the dispatch is deterministic in the data.
+    """
+    n = df.count()
+    if n <= exact_max_rows:
+        return ntile_bucketize(df, col, k, tiebreak)
+    return bounds_bucketize(df, col, k, accuracy=accuracy)

@@ -292,3 +292,43 @@ def test_ntile_bucketize_null_order_values_match_window(spark):
         for r in df.withColumn("b", F.ntile(6).over(w)).collect()
     }
     assert got == ref
+
+
+def test_auto_bucketize_dispatch(spark):
+    """Below exact_max_rows the auto path IS exact NTILE row-for-row;
+    above, it is the sketch path whose bucket sizes stay near-equal."""
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.ml.discretize import (
+        auto_bucketize,
+        ntile_bucketize,
+    )
+
+    n, k = 3000, 8
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v"),
+    )
+    exact = {
+        r["id"]: r["bucket"]
+        for r in ntile_bucketize(df, "v", k, ["id"]).collect()
+    }
+    below = {
+        r["id"]: r["bucket"]
+        for r in auto_bucketize(
+            df, "v", k, ["id"], exact_max_rows=n
+        ).collect()
+    }
+    assert below == exact
+    above = auto_bucketize(df, "v", k, ["id"], exact_max_rows=n - 1)
+    # sketch path: map-only (no exchange feeding the bucket column)
+    plan = above._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    sizes = [
+        r["c"]
+        for r in above.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert len(sizes) == k
+    assert max(sizes) <= 1.1 * (n / k) and min(sizes) >= 0.9 * (n / k)
