@@ -1407,7 +1407,7 @@ _PACK_GREEDY_CTE = f"""
            seq_idx, seq_fill
     FROM s
     """,
-    survey_ids=["W1", "M37"],
+    survey_ids=["W1"],
     description="First-fit greedy sequence packing (no document straddles "
     "a sequence): per-shard Arrow-batched sequential scan, mirrored by a "
     "recursive-CTE oracle",

@@ -1,8 +1,12 @@
 """Coverage regression pin: every SURVEY §2 operator id keeps at least
 one catalog query claiming it (survey_ids in @register), except the
-documented tests-only IO tier (S3-S8: CSV/JSON/parquet sinks, existence
-probes, work-queue writes — no query surface; verified in
-test_popmodes_io.py / test_pipeline.py).
+documented tests-only tier: the IO surface S3-S8 (CSV/JSON/parquet
+sinks, existence probes, work-queue writes — no query surface;
+verified in test_popmodes_io.py / test_pipeline.py) and M37
+(get_all_metrics / run_all_segmentations orchestration — a
+composition, not a query; verified end-to-end in
+test_get_all_metrics_composition / test_pipeline.py and timed as a
+whole in SCALING.md).
 
 If an id disappears from this audit, a refactor silently dropped the
 driver-gate verification for that operator.
@@ -12,7 +16,7 @@ from __future__ import annotations
 
 from qudo_etl_pipeline_spark.catalog import registry
 
-TESTS_ONLY = {"S3", "S4", "S5", "S6", "S7", "S8"}
+TESTS_ONLY = {"S3", "S4", "S5", "S6", "S7", "S8", "M37"}
 
 ALL_IDS = (
     [f"S{i}" for i in range(1, 9)]
