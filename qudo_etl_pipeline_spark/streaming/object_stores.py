@@ -31,7 +31,50 @@ from qudo_etl_pipeline_spark.streaming.publish import (
     TransientStoreError,
 )
 
-__all__ = ["S3ConditionalObjectStore", "GCSConditionalObjectStore"]
+__all__ = [
+    "S3ConditionalObjectStore",
+    "GCSConditionalObjectStore",
+    "gcs_exceptions",
+]
+
+
+class _VendoredGcsExceptions:
+    """Minimal stand-in for ``google.api_core.exceptions`` so the GCS
+    adapter's classification contract is testable (duck-typed bucket
+    doubles) in environments without the SDK — the same role botocore's
+    Stubber plays for the S3 adapter. Only the classes the adapter
+    catches exist; with the real SDK installed this is never used.
+    """
+
+    class GoogleAPICallError(Exception):
+        pass
+
+    class NotFound(GoogleAPICallError):
+        pass
+
+    class PreconditionFailed(GoogleAPICallError):
+        pass
+
+    class TooManyRequests(GoogleAPICallError):
+        pass
+
+    class ServerError(GoogleAPICallError):
+        pass
+
+    class RetryError(Exception):
+        pass
+
+
+def gcs_exceptions():
+    """``google.api_core.exceptions`` when installed, else the vendored
+    stand-in — the single exception-namespace source for the adapter
+    AND any test double, so both always raise/catch the same classes."""
+    try:
+        from google.api_core import exceptions as gex  # noqa: PLC0415
+
+        return gex
+    except ImportError:
+        return _VendoredGcsExceptions
 
 # S3 error codes whose outcome is unknown or retryable: the request
 # may have mutated the store (or will succeed on retry), so the
@@ -187,9 +230,7 @@ class GCSConditionalObjectStore(ObjectStore):
         self.prefix = prefix.rstrip("/") + "/" if prefix else ""
 
     def _exceptions(self):
-        from google.api_core import exceptions as gex  # noqa: PLC0415
-
-        return gex
+        return gcs_exceptions()
 
     def get(self, key: str) -> bytes | None:
         gex = self._exceptions()

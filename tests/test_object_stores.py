@@ -18,6 +18,7 @@ from botocore.stub import ANY, Stubber  # noqa: E402
 
 from qudo_etl_pipeline_spark.streaming.object_stores import (  # noqa: E402
     S3ConditionalObjectStore,
+    gcs_exceptions,
 )
 from qudo_etl_pipeline_spark.streaming.publish import (  # noqa: E402
     ObjectStoreConditionalPutPublisher,
@@ -232,14 +233,14 @@ class _FakeGcsBlob:
         self.store, self.name = store, name
 
     def download_as_bytes(self):
-        from google.api_core import exceptions as gex
+        gex = gcs_exceptions()
 
         if self.name not in self.store:
             raise gex.NotFound("404")
         return self.store[self.name]
 
     def upload_from_string(self, data, if_generation_match=None):
-        from google.api_core import exceptions as gex
+        gex = gcs_exceptions()
 
         assert if_generation_match == 0
         if self.name in self.store:
@@ -268,7 +269,9 @@ class _FakeGcsBucket:
 
 
 def test_gcs_adapter_contract_with_duck_typed_bucket():
-    pytest.importorskip("google.api_core")
+    # runs in ANY environment: gcs_exceptions() vendors the exception
+    # namespace when google.api_core is absent (r8 verdict task 6), so
+    # the adapter and the bucket double always share one set of classes
     from qudo_etl_pipeline_spark.streaming.object_stores import (
         GCSConditionalObjectStore,
     )
@@ -281,3 +284,24 @@ def test_gcs_adapter_contract_with_duck_typed_bucket():
     assert store.list_keys() == [K0]
     store.delete(K0)
     assert store.list_keys() == []
+
+
+def test_gcs_adapter_transient_classification():
+    from qudo_etl_pipeline_spark.streaming.object_stores import (
+        GCSConditionalObjectStore,
+    )
+
+    class _RateLimitedBucket(_FakeGcsBucket):
+        def blob(self, name):
+            raise gcs_exceptions().TooManyRequests("429")
+
+        def list_blobs(self, prefix=""):
+            raise gcs_exceptions().ServerError("503")
+
+    store = GCSConditionalObjectStore(_RateLimitedBucket(), PREFIX)
+    with pytest.raises(TransientStoreError):
+        store.get(K0)
+    with pytest.raises(TransientStoreError):
+        store.put_if_absent(K0, b"x")
+    with pytest.raises(TransientStoreError):
+        store.list_keys()
