@@ -146,3 +146,53 @@ def test_golden_record_numeric_mode_matches_python(spark, rows):
         counts = Counter(v for gg, v in rows if gg == g)
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert got[g] == best, (g, counts)
+
+
+@st.composite
+def weighted_rows(draw):
+    n = draw(st.integers(1, 40))
+    # small value domain -> heavy ties (the r9 distinct-value collapse
+    # must be invisible); integer-quantized weights avoid float-sum
+    # ambiguity in the python mirror
+    return [
+        (
+            draw(st.integers(0, 1)),
+            float(draw(st.integers(0, 5))),
+            draw(st.integers(0, 4)) / 2.0,
+        )
+        for _ in range(n)
+    ]
+
+
+@settings(**_SETTINGS)
+@given(rows=weighted_rows())
+def test_weighted_median_matches_python_mirror(spark, rows):
+    from collections import defaultdict
+
+    from qudo_etl_pipeline_spark.operators.analytics import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame(rows, "g bigint, v double, w double")
+    got = {
+        r["g"]: r
+        for r in weighted_quantile(df, ["g"], "v", "w").collect()
+    }
+    per_g = defaultdict(lambda: defaultdict(float))
+    n_g = defaultdict(int)
+    for g, v, w in rows:
+        per_g[g][v] += w
+        n_g[g] += 1
+    for g, by_v in per_g.items():
+        tot = sum(by_v.values())
+        cum = 0.0
+        want = None
+        for v in sorted(by_v):
+            cum += by_v[v]
+            # the integer-exact crossing test: 2*cum >= tot
+            if 2 * cum >= tot:
+                want = v
+                break
+        assert got[g]["wq_value"] == want, (g, dict(by_v))
+        assert got[g]["total_weight"] == tot
+        assert got[g]["n"] == n_g[g]
