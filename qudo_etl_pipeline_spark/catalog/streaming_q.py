@@ -365,3 +365,82 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return psi_from_binned(ref_counts, spark.table(name))
+
+
+def _lsh_dedup_oracle() -> str:
+    # mirrors of dedup.minhash_signatures / lsh_bands live in
+    # catalog.datapipe; a single availableNow drain processes each
+    # (band, bucket) group in ascending doc_id order, so the streaming
+    # first-arrival verdicts equal this batch min-per-bucket SQL
+    from qudo_etl_pipeline_spark.catalog.datapipe import (
+        _dh_raw,
+        _mh_base_cte,
+        _mh_sig,
+    )
+
+    return f"""
+    WITH base AS ({_mh_base_cte()}),
+    sig AS (
+      SELECT doc_id,
+             {_mh_sig(0)} AS mh0, {_mh_sig(1)} AS mh1,
+             {_mh_sig(2)} AS mh2, {_mh_sig(3)} AS mh3
+      FROM base
+    ), bands AS (
+      SELECT doc_id, 0::BIGINT AS band,
+             {_dh_raw("mh0::VARCHAR || '_' || mh1::VARCHAR")} AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1::BIGINT AS band,
+             {_dh_raw("mh2::VARCHAR || '_' || mh3::VARCHAR")} AS bucket FROM sig
+    ), verd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY band, bucket)
+                  THEN 1 ELSE 0 END AS dup
+      FROM bands
+    )
+    SELECT doc_id, CAST(MAX(dup) AS BIGINT) AS is_dup
+    FROM verd GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "streaming_lsh_dedup",
+    oracle=_lsh_dedup_oracle(),
+    survey_ids=["P7"],
+    description="Streaming NEAR-dup gating: a REAL stateful streaming "
+    "query (documents file source -> stateless minhash+banding -> "
+    "applyInPandasWithState keyed by (band, bucket), first-arrival-"
+    "wins, 8 bytes of state per distinct bucket regardless of bucket "
+    "population) drained with availableNow; the per-doc OR-reduce over "
+    "band verdicts then matches the batch min-per-bucket SQL exactly - "
+    "the continuous-ingestion twin of lsh_candidate_pairs",
+)
+def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators import dedup as D
+    from qudo_etl_pipeline_spark.streaming.sessions import (
+        lsh_band_verdicts_stream,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    sigs = D.minhash_signatures(docs, n_hashes=4)
+    bands = D.lsh_bands(sigs, n_hashes=4, band_size=2)
+    name = f"lshdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        lsh_band_verdicts_stream(bands)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.max("dup_in_bucket").cast("bigint").alias("is_dup"))
+        .orderBy("doc_id")
+    )

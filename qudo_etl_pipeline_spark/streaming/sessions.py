@@ -165,3 +165,76 @@ def attribution_join(
         ),
         "value",
     )
+
+
+_LSH_STATE_SCHEMA = T.StructType([T.StructField("min_id", T.LongType())])
+_LSH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dup_in_bucket", T.LongType()),
+    ]
+)
+
+
+def lsh_band_verdicts_stream(
+    bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming NEAR-dup gating: first-arrival-wins verdicts per LSH
+    (band, bucket), across micro-batches — the continuous-ingestion
+    twin of :func:`~qudo_etl_pipeline_spark.operators.dedup.
+    lsh_candidate_pairs`'s batch candidate generation. Feed it
+    ``lsh_bands(minhash_signatures(docs_stream))`` (both stateless,
+    so they run unchanged on a streaming frame); a document is a
+    near-dup CANDIDATE iff any of its bucket rows comes back with
+    ``dup_in_bucket = 1`` (OR-reduce per doc downstream, e.g. in the
+    drained batch table).
+
+    State is ONE long per distinct (band, bucket) — the earliest doc id
+    ever seen — NOT a membership list: a boilerplate mega-bucket costs
+    8 bytes of state no matter how many millions of rows hash into it,
+    so the state store scales with the bucket space, never the corpus.
+    Within a batch the group's rows are processed in ascending id order
+    (ids ARE the backfill arrival order), which makes a single
+    availableNow drain equal to the batch SQL
+    ``id > MIN(id) OVER (PARTITION BY band, bucket)`` verdict exactly;
+    across batches first-ARRIVAL wins (streaming dedup semantics — a
+    late-arriving smaller id does not retract earlier verdicts).
+    """
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        for pdf in batches:
+            ids.extend(int(i) for i in pdf[id_col])
+        ids.sort()
+        (prior,) = state.get if state.exists else (None,)
+        survivor = prior
+        dup = []
+        for i in ids:
+            # exactly ONE survivor per bucket: the first arrival takes
+            # it; every later arrival — even a smaller id — is flagged
+            if survivor is None:
+                survivor = i
+                dup.append(0)
+            else:
+                dup.append(1)
+        state.update((int(survivor),))
+        yield pd.DataFrame(
+            {
+                "band": [int(key[0])] * len(ids),
+                "bucket": [int(key[1])] * len(ids),
+                "doc_id": ids,
+                "dup_in_bucket": dup,
+            }
+        )
+
+    return bands.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=_LSH_OUT_SCHEMA,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

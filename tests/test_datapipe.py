@@ -1650,3 +1650,54 @@ def test_js_divergence_bounds_and_mirror(spark):
     cov = sum(pc[tok] for tok in sc)
     js += 0.5 * math.log(2) * (1 - cov / t)
     assert abs(out["s3"] - round(js, 6)) < 2e-6
+
+
+def test_lsh_band_verdicts_stream_state_across_batches(spark, tmp_path):
+    """First-arrival-wins must hold ACROSS micro-batches: a second
+    file's doc landing in a bucket occupied during batch 1 is flagged
+    via GroupState, not same-batch comparison; and exactly one survivor
+    exists per bucket even when the later arrival has a smaller id."""
+    import os
+    import pandas as pd
+
+    src = str(tmp_path / "bands_in")
+    os.makedirs(src, exist_ok=True)
+    # batch 1: bucket (0, 7) taken by doc 10; bucket (0, 8) by doc 11
+    pd.DataFrame(
+        {"band": [0, 0], "bucket": [7, 8], "doc_id": [10, 11]}
+    ).to_parquet(src + "/b0.parquet")
+    # batch 2: doc 3 (smaller id, later arrival) hits taken bucket 7;
+    # doc 12 opens bucket 9
+    pd.DataFrame(
+        {"band": [0, 0], "bucket": [7, 9], "doc_id": [3, 12]}
+    ).to_parquet(src + "/b1.parquet")
+
+    from qudo_etl_pipeline_spark.streaming.sessions import (
+        lsh_band_verdicts_stream,
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        lsh_band_verdicts_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_verdicts_xbatch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["band"], r["bucket"], r["doc_id"]): r["dup_in_bucket"]
+        for r in spark.sql("SELECT * FROM lsh_verdicts_xbatch").collect()
+    }
+    assert rows == {
+        (0, 7, 10): 0,  # batch-1 opener survives
+        (0, 8, 11): 0,
+        (0, 7, 3): 1,   # later arrival, smaller id: still flagged
+        (0, 9, 12): 0,
+    }
