@@ -406,3 +406,70 @@ def test_round9_q17_semi_join_pushdown(spark):
     # Q22: the anti-join spine is date-pruned at the orders scan
     plan = specs["q22_global_sales_opportunity"].spark(spark, d)._jdf.queryExecution().executedPlan().toString()
     assert "IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_round9_tpch_completion_plan_shapes(spark):
+    """Plan pins for the eight round-9 TPC-H-completion shapes
+    (Q2/Q8/Q9/Q11/Q12/Q16/Q20/Q21): dimension filters reach the
+    parquet scans, dimension chains broadcast, exclusion/semi joins
+    materialize as the right join type, and nothing crosses into
+    Python or a cartesian product."""
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    specs = registry()
+    d = "/root/testdata/sf0.001"
+
+    def plan_of(name: str) -> str:
+        return (
+            specs[name]
+            .spark(spark, d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # Q2: size filter pushed to the part scan; region chain broadcast;
+    # the min-cost join-back is an equi join, never a cartesian
+    plan = plan_of("q2_min_cost_supplier")
+    assert "EqualTo(p_size,15)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # Q8: both nation roles + region + part ride broadcasts (the only
+    # shuffles are the fact spine and the year rollup)
+    plan = plan_of("q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "EvalPython" not in plan
+
+    # Q9: the mid-selectivity LIKE reaches the part scan as a
+    # Contains pushdown
+    plan = plan_of("q9_product_type_profit")
+    assert "StringContains(p_name,widget)" in plan
+
+    # Q11: the grand-total scalar subquery is a 1-row broadcast
+    # nested-loop, NOT a cartesian product
+    plan = plan_of("q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # Q12: the ship-year range prunes the lineitem scan
+    plan = plan_of("q12_late_shipment_modes")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+    # Q16: the negative-balance exclusion is a real anti join
+    plan = plan_of("q16_supplier_part_variety")
+    assert "LeftAnti" in plan
+
+    # Q20: 'red%' prefix pushes as StartsWith; the supplier lift is a
+    # semi join (no duplicate suppliers ever materialize)
+    plan = plan_of("q20_promotion_suppliers")
+    assert "StringStartsWith(p_name,red)" in plan
+    assert "LeftSemi" in plan
+
+    # Q21: the order-status filter reaches the orders scan; the whole
+    # exists/not-exists rewrite stays JVM-side, no cartesian
+    plan = plan_of("q21_waiting_suppliers")
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
