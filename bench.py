@@ -131,6 +131,25 @@ EXTENDED = [
     "q14_promo_revenue_share",
     "psi_drift_priority_prices",
     "gains_curve_planted",
+    # round-9: ALL TPC-H shapes not already in a series, so the full
+    # 22-shape family is perf-tracked round-over-round (q1 is headline;
+    # q3/q4/q5/q14/q18 were already extended)
+    "q6_forecast_revenue",
+    "q7_nation_volume_shipping",
+    "q10_returned_item_reporting",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_modes",
+    "q16_supplier_part_variety",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
