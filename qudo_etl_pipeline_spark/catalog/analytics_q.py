@@ -721,6 +721,10 @@ def _ab_oracle() -> str:
         f"(1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))"
     )
     z = f"(CASE WHEN {se} > 0 THEN ({p1} - {p2}) / {se} END)"
+    # mirror two_proportion_ztest's exactly-two-labels guard (all-NULL
+    # row otherwise) so a degenerate single-variant input can never
+    # make the a/b order-by-limit device silently duplicate group A
+    ok = "(SELECT COUNT(*) FROM g) = 2"
     return f"""
     WITH conv AS (
       SELECT user_id,
@@ -737,12 +741,17 @@ def _ab_oracle() -> str:
     ),
     a AS (SELECT * FROM g ORDER BY variant ASC LIMIT 1),
     b AS (SELECT * FROM g ORDER BY variant DESC LIMIT 1)
-    SELECT a.variant AS group_a, a.n AS n_a, a.k AS conv_a,
-           b.variant AS group_b, b.n AS n_b, b.k AS conv_b,
-           {ref_round_sql(f"({p1} - {p2})", 6)} AS rate_diff6,
-           {ref_round_sql(z, 6)} AS z6,
-           CAST(CASE WHEN ABS({z}) > {Z_CRIT_95!r}
-                     THEN 1 ELSE 0 END AS BIGINT) AS is_significant
+    SELECT CASE WHEN {ok} THEN a.variant END AS group_a,
+           CASE WHEN {ok} THEN a.n END AS n_a,
+           CASE WHEN {ok} THEN a.k END AS conv_a,
+           CASE WHEN {ok} THEN b.variant END AS group_b,
+           CASE WHEN {ok} THEN b.n END AS n_b,
+           CASE WHEN {ok} THEN b.k END AS conv_b,
+           CASE WHEN {ok} THEN {ref_round_sql(f"({p1} - {p2})", 6)} END
+             AS rate_diff6,
+           CASE WHEN {ok} THEN {ref_round_sql(z, 6)} END AS z6,
+           CASE WHEN {ok} THEN CAST(CASE WHEN ABS({z}) > {Z_CRIT_95!r}
+                     THEN 1 ELSE 0 END AS BIGINT) END AS is_significant
     FROM a CROSS JOIN b
     """
 
@@ -2305,6 +2314,11 @@ def _srm_oracle() -> str:
         f" + (CAST(b.n AS DOUBLE) - {eb}) * (CAST(b.n AS DOUBLE) - {eb})"
         f" / {eb}"
     )
+    # the two-label guard is mirrored: ab_srm_check emits an all-NULL
+    # row unless EXACTLY two group labels exist (at sf0.001 every
+    # user_id is < 52, so only variant A exists and the a/b
+    # order-by-limit device would silently duplicate group A)
+    ok = "(SELECT COUNT(*) FROM g) = 2"
     return f"""
     WITH units AS (
       SELECT DISTINCT user_id,
@@ -2316,12 +2330,15 @@ def _srm_oracle() -> str:
           FROM units GROUP BY variant),
     a AS (SELECT * FROM g ORDER BY variant ASC LIMIT 1),
     b AS (SELECT * FROM g ORDER BY variant DESC LIMIT 1)
-    SELECT a.variant AS group_a, a.n AS n_a,
-           b.variant AS group_b, b.n AS n_b,
-           {ref_round_sql(wa, 6)} AS expected_a_share6,
-           {ref_round_sql(chi2, 6)} AS chi2_6,
-           CAST(CASE WHEN {chi2} > {CHI2_CRIT_95_DF1!r}
-                THEN 1 ELSE 0 END AS BIGINT) AS is_mismatch
+    SELECT CASE WHEN {ok} THEN a.variant END AS group_a,
+           CASE WHEN {ok} THEN a.n END AS n_a,
+           CASE WHEN {ok} THEN b.variant END AS group_b,
+           CASE WHEN {ok} THEN b.n END AS n_b,
+           CASE WHEN {ok} THEN {ref_round_sql(wa, 6)} END
+             AS expected_a_share6,
+           CASE WHEN {ok} THEN {ref_round_sql(chi2, 6)} END AS chi2_6,
+           CASE WHEN {ok} THEN CAST(CASE WHEN {chi2} > {CHI2_CRIT_95_DF1!r}
+                THEN 1 ELSE 0 END AS BIGINT) END AS is_mismatch
     FROM a CROSS JOIN b
     """
 
@@ -2360,6 +2377,8 @@ def _mde_oracle() -> str:
         f" * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))))"
     )
     good = f"{pp} > 0 AND {pp} < 1"
+    # same exactly-two-labels mirror as _ab_oracle/_srm_oracle
+    ok = "(SELECT COUNT(*) FROM g) = 2"
     return f"""
     WITH conv AS (
       SELECT user_id,
@@ -2376,12 +2395,16 @@ def _mde_oracle() -> str:
     ),
     a AS (SELECT * FROM g ORDER BY variant ASC LIMIT 1),
     b AS (SELECT * FROM g ORDER BY variant DESC LIMIT 1)
-    SELECT a.variant AS group_a, a.n AS n_a,
-           b.variant AS group_b, b.n AS n_b,
-           {ref_round_sql(pp, 6)} AS pooled_rate6,
-           CASE WHEN {good} THEN {ref_round_sql(mde, 6)} END
+    SELECT CASE WHEN {ok} THEN a.variant END AS group_a,
+           CASE WHEN {ok} THEN a.n END AS n_a,
+           CASE WHEN {ok} THEN b.variant END AS group_b,
+           CASE WHEN {ok} THEN b.n END AS n_b,
+           CASE WHEN {ok} THEN {ref_round_sql(pp, 6)} END
+             AS pooled_rate6,
+           CASE WHEN {ok} AND {good} THEN {ref_round_sql(mde, 6)} END
              AS mde_abs6,
-           CASE WHEN {good} THEN {ref_round_sql(f"({mde} / {pp})", 6)}
+           CASE WHEN {ok} AND {good}
+                THEN {ref_round_sql(f"({mde} / {pp})", 6)}
              END AS mde_rel6
     FROM a CROSS JOIN b
     """
