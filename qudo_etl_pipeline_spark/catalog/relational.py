@@ -1518,8 +1518,9 @@ def q17_small_quantity_revenue(
     "schema has no partsupp",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 analogue (reference parity: the reference's min-cost-
-    vendor selection is the same correlated-min shape). The per-part
+    """TPC-H Q2 analogue (the correlated-min subquery shape; see the
+    section comment above for why TPC-H stands in for the reference's
+    relational surface). The per-part
     minimum is computed ONLY over region-eligible suppliers of
     size-15 parts — the part and region filters prune BOTH the
     aggregate's input and the join-back spine, so the correlated
