@@ -143,8 +143,13 @@ def main() -> int:
     spark = get_spark(app_name="selfcheck")
     con = duckdb.connect()
     for t in TABLES:
+        # driver-generated SFs are single files; gen_sf scale dirs are
+        # Spark-style directories of part files — glob those for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     specs = registry()
