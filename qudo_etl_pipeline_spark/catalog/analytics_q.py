@@ -141,9 +141,9 @@ def cdc_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6))
+           CAST(ROUND(SUM(CAST(CAST(value AS DECIMAL(18,6))
                          * CAST(value AS DECIMAL(18,6))
-                         AS DECIMAL(38,12))) AS DOUBLE) AS total_sq,
+                         AS DECIMAL(38,12))), 6) AS DOUBLE) AS total_sq,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
              AS mean
     FROM events GROUP BY 1, 2
@@ -1404,7 +1404,16 @@ def ks_test_totalprice_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _running_ecdf_oracle() -> str:
     from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 
-    share = "CAST(crev AS DOUBLE) / CAST(trev AS DOUBLE)"
+    # both running and grand totals are ROUNDED to scale 2 in the
+    # DECIMAL domain before the double cast (the q1_pricing_summary
+    # device): at scale 6 the cumulative revenue's unscaled value
+    # crosses 2^53 in the distribution's top tail at sf1 (~5.6k rows
+    # diverged by 1 ulp in the sweep that caught this); at scale 2 it
+    # is exact to 9e13. The share then divides the SAME two rounded
+    # doubles on both engines.
+    share = (
+        "CAST(ROUND(crev, 2) AS DOUBLE) / CAST(ROUND(trev, 2) AS DOUBLE)"
+    )
     return f"""
     WITH per_v AS (
       SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1420,7 +1429,7 @@ def _running_ecdf_oracle() -> str:
       WINDOW upto AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
                       AND CURRENT ROW)
     )
-    SELECT v, n, cum_n, CAST(crev AS DOUBLE) AS cum_rev,
+    SELECT v, n, cum_n, CAST(ROUND(crev, 2) AS DOUBLE) AS cum_rev,
            {ref_round_sql(share, 6)} AS share6
     FROM c CROSS JOIN tot
     """
@@ -1454,15 +1463,17 @@ def running_revenue_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_v, ["v"], {"cum_n": "n", "_crev": "_rev"}
     )
     tot = per_v.agg(F.sum("_rev").alias("_trev"))
+    # scale-2 decimal pre-round before the double casts — see
+    # _running_ecdf_oracle's comment (keeps the unscaled cumulative
+    # exact under 2^53 at any plausible SF)
+    crev2 = F.round(F.col("_crev"), 2).cast("double")
+    trev2 = F.round(F.col("_trev"), 2).cast("double")
     return cum.crossJoin(F.broadcast(tot)).select(
         "v",
         "n",
         "cum_n",
-        F.col("_crev").cast("double").alias("cum_rev"),
-        ref_round(
-            F.col("_crev").cast("double") / F.col("_trev").cast("double"),
-            6,
-        ).alias("share6"),
+        crev2.alias("cum_rev"),
+        ref_round(crev2 / trev2, 6).alias("share6"),
     )
 
 

@@ -10,6 +10,7 @@ its stateful-streaming twin lives in qudo_etl_pipeline_spark/streaming/.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,17 +18,34 @@ from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.catalog import load_events, register
 
+
+def _file_stream(
+    spark: SparkSession, sf_dir: str, name: str, schema
+) -> DataFrame:
+    """Streaming file source for ``{sf_dir}/{name}.parquet`` under BOTH
+    on-disk layouts: the driver-generated SFs are single parquet FILES
+    (the file source wants a directory, so list the parent with a
+    filename glob-filter), while gen_sf scale dirs are Spark-style
+    DIRECTORIES of part files (point the source at the directory
+    itself — a glob-filter for the logical name would match nothing
+    and silently stream 0 rows, which is how the sf1 sweep caught
+    this)."""
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming events source with ``ts`` normalized to plain TIMESTAMP
     (same three-encodings story as catalog.load_events)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # streaming file source wants a directory; glob-filter to the events file
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _file_stream(spark, sf_dir, "events", schema)
     ts_type = dict(stream.dtypes)["ts"]
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -421,11 +439,7 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _file_stream(spark, sf_dir, "documents", schema)
     sigs = D.minhash_signatures(docs, n_hashes=4)
     bands = D.lsh_bands(sigs, n_hashes=4, band_size=2)
     name = f"lshdedup_{uuid.uuid4().hex[:8]}"

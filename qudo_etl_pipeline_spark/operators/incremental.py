@@ -66,12 +66,23 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
 
 def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
     """Read-time projection: exact totals as doubles plus derived mean.
-    (Variance/stddev derive the same way: (sum_sq - sum_v²/n)/n.)"""
+    (Variance/stddev derive the same way: (sum_sq - sum_v²/n)/n.)
+
+    ``total_sq`` is ROUNDED to scale 6 in the DECIMAL domain before the
+    double cast (the q1_pricing_summary device): at scale 12 a group's
+    squared-sum exceeds 2^53 unscaled around 9e3 — a few hundred rows of
+    |value|~1e3 — and past that DuckDB's int128→double→/10^12 double
+    rounding can land 1 ulp off Spark's correctly-rounded BigDecimal
+    conversion (observed: ONE divergent group in the 18k-group sf1
+    sweep). At scale 6 the unscaled value stays exact to 9e9 —
+    far beyond any per-group squared total this engine rolls up.
+    ``sum_v`` keeps its direct cast: at scale 6 it is exact to the same
+    9e9 bound, which group-level value totals do not approach."""
     return state.select(
         *keys,
         "n",
         F.col("sum_v").cast("double").alias("total"),
-        F.col("sum_sq").cast("double").alias("total_sq"),
+        F.round(F.col("sum_sq"), 6).cast("double").alias("total_sq"),
         # divide as DOUBLE (not decimal): both engines then evaluate the
         # same IEEE division of identical operands — decimal division
         # would introduce engine-specific result scales
