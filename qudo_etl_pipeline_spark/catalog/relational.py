@@ -615,8 +615,8 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * CAST(1 - l.l_discount AS DECIMAL(8,6)))
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,6))), 4)
                 AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority AS priority
@@ -651,9 +651,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1998-06-01"
     )
-    revenue = F.sum(
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    # ROUND to scale 4 in the decimal domain before the double cast:
+    # the true volume has exactly <= 4 decimals (2dp price x 2dp
+    # discount), so the round is the IDENTITY on the value — but it
+    # shrinks the decimal's scale from 10 to 4, keeping the unscaled
+    # sum under 2^53 (where DuckDB's two-step int128->double conversion
+    # and Spark's correctly-rounded BigDecimal cast provably agree; a
+    # 1-ulp divergence was observed on q5 at sf3 without it)
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+        ),
+        4,
     ).cast("double")
     return (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
@@ -753,8 +763,8 @@ def cube_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * CAST(1 - l.l_discount AS DECIMAL(8,6)))
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,6))), 4)
                 AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -794,9 +804,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < "1997-01-01")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    # ROUND to scale 4 in the decimal domain before the double cast:
+    # the true volume has exactly <= 4 decimals (2dp price x 2dp
+    # discount), so the round is the IDENTITY on the value — but it
+    # shrinks the decimal's scale from 10 to 4, keeping the unscaled
+    # sum under 2^53 (where DuckDB's two-step int128->double conversion
+    # and Spark's correctly-rounded BigDecimal cast provably agree; a
+    # 1-ulp divergence was observed on q5 at sf3 without it)
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+        ),
+        4,
     ).cast("double")
     asian_nations = nation.join(
         F.broadcast(region),
@@ -1033,8 +1053,8 @@ def _rev6_sql(expr: str) -> str:
     "q6_forecast_revenue",
     oracle=f"""
     SELECT {_rev6_sql(
-        "CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-        " * CAST(l_discount AS DECIMAL(8,6))), 0) AS DOUBLE)"
+        "CAST(ROUND(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * CAST(l_discount AS DECIMAL(8,6))), 0), 4) AS DOUBLE)"
     )} AS revenue6,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
@@ -1060,12 +1080,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
-    rev = F.coalesce(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,4)")
-            * F.col("l_discount").cast("decimal(8,6)")
+    rev = F.round(
+        F.coalesce(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(8,6)")
+            ),
+            F.lit(0),
         ),
-        F.lit(0),
+        4,
     ).cast("double")
     return li.agg(
         ref_round(rev, 6).alias("revenue6"),
@@ -1093,7 +1116,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l.l_shipdate < TIMESTAMP '1998-01-01'
     )
     SELECT supp_nation, cust_nation, l_year,
-           {_rev6_sql("CAST(SUM(volume) AS DOUBLE)")} AS revenue6,
+           {_rev6_sql("CAST(ROUND(SUM(volume), 4) AS DOUBLE)")} AS revenue6,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM flows
     GROUP BY supp_nation, cust_nation, l_year
@@ -1154,7 +1177,9 @@ def q7_nation_volume_shipping(
     return (
         flows.groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            ref_round(F.sum("_v").cast("double"), 6).alias("revenue6"),
+            ref_round(
+                F.round(F.sum("_v"), 4).cast("double"), 6
+            ).alias("revenue6"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -1167,8 +1192,8 @@ def q7_nation_volume_shipping(
     WITH rev AS (
       SELECT c.c_custkey, c.c_name, n.n_name,
              {_rev6_sql(
-                 "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))"
-                 " * CAST(1 - l.l_discount AS DECIMAL(8,6)))"
+                 "CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))"
+                 " * CAST(1 - l.l_discount AS DECIMAL(8,6))), 4)"
                  " AS DOUBLE)"
              )} AS revenue6
       FROM customer c
@@ -1204,9 +1229,12 @@ def q10_returned_item_reporting(
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
-    rev = F.sum(
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    rev = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+        ),
+        4,
     ).cast("double")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -1226,8 +1254,8 @@ def q10_returned_item_reporting(
     "q19_discounted_revenue",
     oracle=f"""
     SELECT {_rev6_sql(
-        "CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-        " * CAST(1 - l_discount AS DECIMAL(8,6))), 0) AS DOUBLE)"
+        "CAST(ROUND(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * CAST(1 - l_discount AS DECIMAL(8,6))), 0), 4) AS DOUBLE)"
     )} AS revenue6,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -1258,12 +1286,15 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
         | ((b == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
     )
-    rev = F.coalesce(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,4)")
-            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    rev = F.round(
+        F.coalesce(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+            ),
+            F.lit(0),
         ),
-        F.lit(0),
+        4,
     ).cast("double")
     return j.filter(cond).agg(
         ref_round(rev, 6).alias("revenue6"),
@@ -1355,7 +1386,7 @@ def q22_global_sales_opportunity(
     ),
     mx AS (SELECT MAX(r) AS m FROM rev)
     SELECT s.s_suppkey, s.s_name,
-           {_rev6_sql("CAST(r AS DOUBLE)")} AS revenue6
+           {_rev6_sql("CAST(ROUND(r, 4) AS DOUBLE)")} AS revenue6
     FROM rev JOIN mx ON rev.r = mx.m
     JOIN supplier s ON rev.l_suppkey = s.s_suppkey
     ORDER BY s.s_suppkey
@@ -1390,7 +1421,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            ref_round(F.col("_r").cast("double"), 6).alias("revenue6"),
+            ref_round(
+                F.round(F.col("_r"), 4).cast("double"), 6
+            ).alias("revenue6"),
         )
         .orderBy("s_suppkey")
     )
