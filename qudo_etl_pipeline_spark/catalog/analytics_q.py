@@ -723,7 +723,11 @@ def _ab_oracle() -> str:
     z = f"(CASE WHEN {se} > 0 THEN ({p1} - {p2}) / {se} END)"
     # mirror two_proportion_ztest's exactly-two-labels guard (all-NULL
     # row otherwise) so a degenerate single-variant input can never
-    # make the a/b order-by-limit device silently duplicate group A
+    # make the a/b order-by-limit device silently duplicate group A.
+    # The guard row is emitted UNCONDITIONALLY via a 1-row spine with
+    # LEFT JOINs to a/b (r9 ADVICE item 3): a bare CROSS JOIN of two
+    # empty LIMIT-1 CTEs returns 0 rows on a fully empty event source,
+    # while the Spark global agg always yields one all-NULL row
     ok = "(SELECT COUNT(*) FROM g) = 2"
     return f"""
     WITH conv AS (
@@ -752,7 +756,9 @@ def _ab_oracle() -> str:
            CASE WHEN {ok} THEN {ref_round_sql(z, 6)} END AS z6,
            CASE WHEN {ok} THEN CAST(CASE WHEN ABS({z}) > {Z_CRIT_95!r}
                      THEN 1 ELSE 0 END AS BIGINT) END AS is_significant
-    FROM a CROSS JOIN b
+    FROM (SELECT 1 AS _one) _spine
+    LEFT JOIN a ON TRUE
+    LEFT JOIN b ON TRUE
     """
 
 
@@ -2350,7 +2356,9 @@ def _srm_oracle() -> str:
            CASE WHEN {ok} THEN {ref_round_sql(chi2, 6)} END AS chi2_6,
            CASE WHEN {ok} THEN CAST(CASE WHEN {chi2} > {CHI2_CRIT_95_DF1!r}
                 THEN 1 ELSE 0 END AS BIGINT) END AS is_mismatch
-    FROM a CROSS JOIN b
+    FROM (SELECT 1 AS _one) _spine
+    LEFT JOIN a ON TRUE
+    LEFT JOIN b ON TRUE
     """
 
 
@@ -2417,7 +2425,9 @@ def _mde_oracle() -> str:
            CASE WHEN {ok} AND {good}
                 THEN {ref_round_sql(f"({mde} / {pp})", 6)}
              END AS mde_rel6
-    FROM a CROSS JOIN b
+    FROM (SELECT 1 AS _one) _spine
+    LEFT JOIN a ON TRUE
+    LEFT JOIN b ON TRUE
     """
 
 

@@ -934,3 +934,84 @@ def kish_neff_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return kish_neff(li, "l_quantity", ["l_returnflag"])
+
+
+@register(
+    "pipeline_e2e_fixture",
+    oracle=None,
+    survey_ids=["M37"],
+    description="Whole-pipeline composition (clean -> scheme select -> "
+    "clustering families -> per-segment inference -> metrics) on the "
+    "deterministic 600-respondent fixture: one summary row per "
+    "(scheme, algorithm) family (rows-only: seeded MLlib fits inside "
+    "the composition) — the reference's production unit "
+    "(src/kraken/app/main.py:45-183) as a driver-visible surface",
+)
+def pipeline_e2e_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M37 promoted into the catalog (r9 verdict task 6): regressions
+    in the composition — cleaning, scheme selection, the clustering
+    fan-out, inference, metrics — now show up in the driver's
+    rows-only gate and the round hash manifest, not just SCALING.md.
+    No bucketed materialization (cache path) so the catalog query has
+    zero warehouse side effects; fixture scale keeps it under a
+    minute. ``sf_dir`` is unused: the respondent fixture is the
+    deterministic seed-42 survey frame (tests/fixtures.py), the
+    pipeline's own production input shape.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.pipeline import (
+        SegmentationConfig,
+        run_all_segmentations,
+    )
+    from tests.fixtures import make_responses
+
+    responses = spark.createDataFrame(make_responses(n=600))
+    cfg = SegmentationConfig(
+        survey_name="e2e_fixture",
+        schemes={
+            "behavioral": [
+                "weightgain_", "fin_uk_risk", "tech_", "psy_",
+                "fin_uk_goal",
+            ]
+        },
+        weight_col="weight",
+        rules_col="fin_uk_goal_fb_tgt",
+        algorithms=("kmeans", "kmodes", "rules_based"),
+        ks=[3],
+        seeds=[1, 42],
+        bucket_table=None,
+    )
+    results = run_all_segmentations(spark, responses, cfg)
+    rows = []
+    for scheme in sorted(results):
+        for algo in sorted(results[scheme]):
+            res = results[scheme][algo]
+            m = res["metrics"]
+            rows.append(
+                (
+                    scheme,
+                    algo,
+                    int(
+                        res["labels"]
+                        .select("prediction")
+                        .distinct()
+                        .count()
+                    ),
+                    int(res["deliver"].count()),
+                    int(res["mode_list"].count()),
+                    float(m.get("silhouette") or 0.0),
+                )
+            )
+    out = spark.createDataFrame(
+        rows,
+        "scheme: string, algorithm: string, n_clusters: bigint, "
+        "deliver_rows: bigint, mode_rows: bigint, silhouette: double",
+    )
+    return out.select(
+        "scheme",
+        "algorithm",
+        "n_clusters",
+        "deliver_rows",
+        "mode_rows",
+        ref_round(F.col("silhouette"), 6).alias("silhouette6"),
+    ).orderBy("scheme", "algorithm")

@@ -1540,15 +1540,22 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            {ref_round_sql('mx / 127.0', 6)} AS scale6,
-           list_transform(sc, x -> CAST({ref_round_sql('x', 0)} AS BIGINT)) AS q
+           '[' || array_to_string(
+             list_transform(sc, x -> CAST({ref_round_sql('x', 0)} AS BIGINT)),
+             ',') || ']' AS q_json
     FROM s
     """,
     survey_ids=["P10", "M2"],
     description="Symmetric per-vector int8 embedding quantization "
-    "(map-only; ref_round parity so both engines emit identical codes)",
+    "(map-only; ref_round parity so both engines emit identical codes; "
+    "codes serialized to canonical JSON — the driver's pandas hasher "
+    "cannot hash list cells, so no catalog output may be complex-typed)",
 )
 def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.embedding_quantize(load_table_spread(spark, sf_dir, "embeddings"))
+    out = SIM.embedding_quantize(load_table_spread(spark, sf_dir, "embeddings"))
+    # to_json(array<bigint>) -> "[1,-5,...]" byte-matches the oracle's
+    # '[' || array_to_string(...) || ']' concatenation
+    return out.select("vec_id", "scale6", F.to_json("q").alias("q_json"))
 
 
 def _semantic_dedup_oracle(

@@ -1569,8 +1569,49 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "EUROPE"
     )
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("cost")
+    # Semi-join pushdown (r9 verdict task 2, same transform as Q17):
+    # l_partkey and l_suppkey are BOTH grouping keys of the supply
+    # aggregate, and the post-agg joins restrict to exactly the
+    # size-15 partkeys (~1/50) and EUROPE suppkeys (~1/5) — both
+    # unique-keyed inner joins, so pre-filtering the aggregate's
+    # input leaves every surviving group's MIN untouched while the
+    # one fact-sized shuffle shrinks ~250x. AQE turns the semi joins
+    # into broadcasts at these SFs; no forced broadcast (a 100 TB
+    # part table's filtered set may not fit).
+    # fresh loads (new expr ids) for the semi side: the same tables
+    # join again above the aggregate, and reusing the frames would
+    # trip Spark's ambiguous-self-join analyzer
+    supp2 = load_table(spark, sf_dir, "supplier")
+    nation2 = load_table(spark, sf_dir, "nation")
+    region2 = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eur_suppkeys = (
+        supp2.join(
+            F.broadcast(
+                nation2.join(
+                    F.broadcast(region2),
+                    nation2["n_regionkey"] == region2["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            supp2["s_nationkey"] == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select(F.col("s_suppkey").alias("_esk"))
+    )
+    supply = (
+        li.join(
+            part.select("p_partkey"),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            eur_suppkeys,
+            li["l_suppkey"] == F.col("_esk"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
     )
     eligible = (
         supply.join(
@@ -1681,13 +1722,24 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice").cast("decimal(18,4)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(8,6)")
+    # Most-selective-first (r9 verdict task 3): the ECONOMY part
+    # filter is the tightest gate on the fact spine (~1/25), so
+    # semi-join lineitem to the filtered part keys BEFORE the
+    # orders/customer/supplier shuffle chain — AQE broadcasts the
+    # small side but will not reorder shuffle joins above it, so the
+    # ordering must be declared. p_partkey is unique, so the semi
+    # join equals the former tail inner join row-for-row.
     sale = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        li.join(
+            part.select("p_partkey"),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(cust_nations), cust["c_nationkey"] == F.col("_cnk"))
         .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(supp_nations), supp["s_nationkey"] == F.col("_snk"))
-        .join(part.select("p_partkey"), li["l_partkey"] == F.col("p_partkey"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             volume.alias("volume"),
@@ -1808,7 +1860,8 @@ def _q11_oracle() -> str:
     SELECT v.p_partkey,
            CAST(ROUND(v.v, 2) AS DOUBLE) AS value2
     FROM val v, tot
-    WHERE CAST(v.v AS DOUBLE) > 2.0 * CAST(tot.t AS DOUBLE) / tot.n
+    WHERE CAST(ROUND(v.v, 2) AS DOUBLE)
+          > 2.0 * CAST(ROUND(tot.t, 2) AS DOUBLE) / tot.n
     ORDER BY value2 DESC, v.p_partkey
     """
 
@@ -1854,11 +1907,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = val.agg(
         F.sum("_v").alias("_t"), F.count(F.lit(1)).alias("_n")
     )
+    # pre-round both sums in the DECIMAL domain (scale 2 — lossless
+    # on cent-valued prices) BEFORE the double casts, so the grand
+    # total's unscaled value stays under 2^53 at any SF and both
+    # engines convert identically (same device as q1/q3/q5; r9
+    # ADVICE item 1)
     return (
         val.crossJoin(F.broadcast(tot))
         .filter(
-            F.col("_v").cast("double")
-            > F.lit(2.0) * F.col("_t").cast("double") / F.col("_n")
+            F.round(F.col("_v"), 2).cast("double")
+            > F.lit(2.0) * F.round(F.col("_t"), 2).cast("double")
+            / F.col("_n")
         )
         .select(
             "p_partkey",
@@ -1925,15 +1984,20 @@ def q12_late_shipment_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH supply AS (
       SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
     ),
-    ok_supp AS (
-      SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0
+    bad_supp AS (
+      -- anti-join semantics, mirroring the Spark LEFT ANTI exactly:
+      -- a NULL s_acctbal supplier is NOT excluded on either engine
+      -- (r9 ADVICE item 2 — the former inner join on s_acctbal >= 0
+      -- dropped NULL-balance suppliers that the anti join keeps)
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
     )
     SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
            COUNT(DISTINCT sp.l_suppkey) AS supplier_cnt
     FROM supply sp
-    JOIN ok_supp s ON sp.l_suppkey = s.s_suppkey
+    LEFT JOIN bad_supp b ON sp.l_suppkey = b.s_suppkey
     JOIN part p ON sp.l_partkey = p.p_partkey
-    WHERE p.p_brand <> 'Brand#1'
+    WHERE b.s_suppkey IS NULL
+      AND p.p_brand <> 'Brand#1'
       AND p.p_size IN (5, 10, 15, 20, 25)
     GROUP BY p.p_brand, p.p_type, p.p_size
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size

@@ -473,3 +473,46 @@ def test_round9_tpch_completion_plan_shapes(spark):
     assert "EqualTo(o_orderstatus,F)" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round10_q2_q8_semi_join_pushdown(spark):
+    """Round-10 plan fixes (r9 verdict tasks 2-3).
+
+    Q2: the supply aggregate's input must be pruned by LeftSemi joins
+    BELOW the groupBy (size-15 partkeys and EUROPE suppkeys), so the
+    one fact-sized shuffle carries ~1/250 of lineitem — the code now
+    matches its own docstring claim. Q8: the ECONOMY part semi join
+    must sit BELOW the orders join (most-selective-first), so the
+    fact spine shrinks before the first shuffle join.
+    """
+    from qudo_etl_pipeline_spark.catalog import registry
+
+    specs = registry()
+    d = "/root/testdata/sf0.001"
+
+    def plan_of(name: str) -> str:
+        return (
+            specs[name]
+            .spark(spark, d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # Q2: two semi joins (part keys, EUROPE supp keys) feed the
+    # min-cost aggregate — in the top-down tree print they appear
+    # AFTER (deeper than) the aggregate that consumes them
+    plan = plan_of("q2_min_cost_supplier")
+    assert plan.count("LeftSemi") >= 2
+    agg_at = plan.index("min(l_extendedprice")
+    assert plan.index("LeftSemi") > agg_at
+    assert plan.index("LeftSemi", plan.index("LeftSemi") + 1) > agg_at
+    assert "EqualTo(p_size,15)" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan
+
+    # Q8: the part semi join is below (prints after) the orders join,
+    # and the ECONOMY predicate reaches the part scan
+    plan = plan_of("q8_market_share")
+    assert "LeftSemi" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert plan.index("LeftSemi") > plan.index("o_orderkey")

@@ -2,11 +2,10 @@
 one catalog query claiming it (survey_ids in @register), except the
 documented tests-only tier: the IO surface S3-S8 (CSV/JSON/parquet
 sinks, existence probes, work-queue writes — no query surface;
-verified in test_popmodes_io.py / test_pipeline.py) and M37
-(get_all_metrics / run_all_segmentations orchestration — a
-composition, not a query; verified end-to-end in
-test_get_all_metrics_composition / test_pipeline.py and timed as a
-whole in SCALING.md).
+verified in test_popmodes_io.py / test_pipeline.py). M37 left the
+tier in round 10: the whole-pipeline composition is now a rows-only
+catalog surface (`pipeline_e2e_fixture`) in addition to its pytest
+end-to-end coverage and the SCALING.md timed runs.
 
 If an id disappears from this audit, a refactor silently dropped the
 driver-gate verification for that operator.
@@ -16,7 +15,7 @@ from __future__ import annotations
 
 from qudo_etl_pipeline_spark.catalog import registry
 
-TESTS_ONLY = {"S3", "S4", "S5", "S6", "S7", "S8", "M37"}
+TESTS_ONLY = {"S3", "S4", "S5", "S6", "S7", "S8"}
 
 ALL_IDS = (
     [f"S{i}" for i in range(1, 9)]
@@ -45,3 +44,78 @@ def test_registry_is_well_formed():
         assert callable(spec.spark)
         if spec.oracle is not None:
             assert "SELECT" in spec.oracle.upper()
+
+
+def test_every_query_names_a_valid_survey_id():
+    """Registry hygiene (r9 verdict task 7a): every catalog query must
+    claim at least one VALID SURVEY §2 id — an id outside the §2
+    inventory would silently inflate the coverage audit above."""
+    valid = set(ALL_IDS)
+    problems = {}
+    for name, spec in registry().items():
+        if not spec.survey_ids:
+            problems[name] = "no survey_ids"
+        else:
+            bad = [s for s in spec.survey_ids if s not in valid]
+            if bad:
+                problems[name] = f"unknown ids {bad}"
+    assert not problems, f"survey-id hygiene violations: {problems}"
+
+
+def test_every_oracle_explains_in_duckdb():
+    """Registry hygiene (r9 verdict task 7b): every oracle must be
+    parseable/plannable by DuckDB (EXPLAIN dry-run over the real
+    sf0.001 views) — a broken oracle would otherwise silently
+    downgrade its query to a rows-only check at the driver gate."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"
+    )
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    broken = {}
+    for name, spec in sorted(registry().items()):
+        if spec.oracle is None:
+            continue
+        try:
+            con.sql("EXPLAIN " + spec.oracle)
+        except Exception as exc:  # noqa: BLE001
+            broken[name] = str(exc).splitlines()[0]
+    assert not broken, f"oracles DuckDB cannot plan: {broken}"
+
+
+def test_no_catalog_output_schema_is_complex_typed(spark):
+    """Registry hygiene (r9 verdict task 1b): no catalog query may
+    emit an Array/Map/Struct column — the driver hashes results via
+    pandas, which cannot hash list cells (the r9 `embedding_quantize`
+    gate error). Complex values must serialize to canonical JSON
+    strings at the catalog layer. Schema-only: builds every query's
+    plan at sf0.001 (ML-fit queries do execute their fits)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        prefix_cache_scope,
+    )
+
+    bad = {}
+    for name, spec in sorted(registry().items()):
+        with prefix_cache_scope():
+            schema = spec.spark(spark, "/root/testdata/sf0.001").schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex-typed catalog outputs (driver-unhashable): {bad}"

@@ -167,7 +167,31 @@ def main() -> int:
             )
 
             with prefix_cache_scope():
-                sdf = spec.spark(spark, sf_dir).toPandas()
+                frame = spec.spark(spark, sf_dir)
+                # driver-hashability pin (r10): the driver's pandas
+                # hasher cannot hash Array/Map/Struct cells, so no
+                # catalog output may be complex-typed
+                from pyspark.sql.types import (
+                    ArrayType,
+                    MapType,
+                    StructType,
+                )
+
+                complex_cols = [
+                    f.name
+                    for f in frame.schema.fields
+                    if isinstance(
+                        f.dataType, (ArrayType, MapType, StructType)
+                    )
+                ]
+                if complex_cols:
+                    failures.append(name)
+                    print(
+                        f"FAIL {name}: complex-typed output columns "
+                        f"{complex_cols} (driver-unhashable)"
+                    )
+                    continue
+                sdf = frame.toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
