@@ -75,6 +75,7 @@ EXTENDED = [
     "decontamination",
     "embedding_quantize",
     "semantic_dedup_verdicts",
+    "semantic_dedup_scaled",
     "ann_quantized_topk",
     "unigram_logprob_score",
     "source_kl_divergence",

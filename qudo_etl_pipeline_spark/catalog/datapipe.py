@@ -1559,16 +1559,24 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle(
-    n_cells: int = 4, dim: int = 64, threshold: float = 0.35
+    n_cells: int = 4,
+    dim: int = 64,
+    threshold: float = 0.35,
+    spread: bool = False,
 ) -> str:
-    """Mirror of similarity.semantic_dedup over demo_centroids: nearest
-    cell by round-9 cosine (ties -> low cid), within-cell pairs above
-    the threshold, keep-lowest-id verdicts."""
-    from qudo_etl_pipeline_spark.operators.similarity import demo_centroids
+    """Mirror of similarity.semantic_dedup over demo_centroids (or
+    spread_centroids when ``spread``): nearest cell by round-9 cosine
+    (ties -> low cid), within-cell pairs above the threshold,
+    keep-lowest-id verdicts."""
+    from qudo_etl_pipeline_spark.operators.similarity import (
+        demo_centroids,
+        spread_centroids,
+    )
 
+    gen = spread_centroids if spread else demo_centroids
     cents = ", ".join(
         f"({ci}, [{', '.join(str(x) for x in c)}]::DOUBLE[])"
-        for ci, c in enumerate(demo_centroids(n_cells, dim))
+        for ci, c in enumerate(gen(n_cells, dim))
     )
     cos = (
         "(FLOOR((list_dot_product({a}, {b}) / "
@@ -1614,6 +1622,31 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load_table_spread(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(vecs, demo_centroids(4, 64), threshold=0.35)
+
+
+@register(
+    "semantic_dedup_scaled",
+    oracle=_semantic_dedup_oracle(n_cells=64, spread=True),
+    survey_ids=["P7", "J3", "M4"],
+    description="SemDeDup at the production cell count (64 distinct "
+    "cells): same cluster-then-compare semantics as "
+    "semantic_dedup_verdicts, but with cells sized so the quadratic "
+    "within-cell pair stage stays bounded — the "
+    "n_cells-proportional-to-corpus rule SemDeDup itself prescribes "
+    "(the 4-cell entry measured 26x wall for 10x rows at sf1)",
+)
+def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped SemDeDup configuration. The 4-cell sibling
+    above is kept as the small-SF correctness surface AND as the
+    measured documentation of the quadratic pitfall (SCALING.md r10
+    note): within-cell pairs grow as (n/k)^2, so k must grow with n.
+    Uses spread_centroids — demo_centroids aliases every cell index
+    mod 7, so requesting 64 of them still yields only 7 effective
+    cells (measured: 20k sf1 vectors landed on exactly 7)."""
+    from qudo_etl_pipeline_spark.operators.similarity import spread_centroids
+
+    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(vecs, spread_centroids(64, 64), threshold=0.35)
 
 
 def _quantized_topk_oracle(rerank: int = 20, k: int = 5) -> str:

