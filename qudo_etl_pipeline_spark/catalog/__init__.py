@@ -135,3 +135,45 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+# the ten source tables every oracle runs against — the single list
+# tools/selfcheck.py and the registry-hygiene tests both bootstrap from
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def create_duckdb_views(con, sf_dir: str) -> None:
+    """Register the source tables as DuckDB views over ``sf_dir``.
+
+    Driver-generated SFs are single parquet files; gen_sf scale dirs
+    are Spark-style directories of part files — glob those.
+    """
+    import os
+
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+
+
+def complex_typed_cols(schema) -> list[str]:
+    """Column names the driver's pandas hasher cannot hash.
+
+    THE driver-hashability rule (one definition — tools/selfcheck.py
+    and tests/test_survey_coverage.py both enforce it from here): no
+    catalog query may emit Array/Map/Struct columns; complex values
+    must serialize to canonical JSON strings at the catalog layer.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]

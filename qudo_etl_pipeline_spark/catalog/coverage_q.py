@@ -955,7 +955,8 @@ def pipeline_e2e_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     No bucketed materialization (cache path) so the catalog query has
     zero warehouse side effects; fixture scale keeps it under a
     minute. ``sf_dir`` is unused: the respondent fixture is the
-    deterministic seed-42 survey frame (tests/fixtures.py), the
+    deterministic seed-42 survey frame (the package's fixtures
+    module), the
     pipeline's own production input shape.
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
@@ -963,7 +964,7 @@ def pipeline_e2e_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         SegmentationConfig,
         run_all_segmentations,
     )
-    from tests.fixtures import make_responses
+    from qudo_etl_pipeline_spark.fixtures import make_responses
 
     responses = spark.createDataFrame(make_responses(n=600))
     cfg = SegmentationConfig(

@@ -1613,12 +1613,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("cost"))
     )
+    # no join back to part: the semi join below the aggregate already
+    # restricts supply's partkeys to the size-15 set (p_partkey is
+    # unique and no part column is projected, so the former inner
+    # join was pure dead work — one scan + one join per execution)
     eligible = (
-        supply.join(
-            part.select("p_partkey"),
-            supply["l_partkey"] == F.col("p_partkey"),
-        )
-        .join(supp, supply["l_suppkey"] == supp["s_suppkey"])
+        supply.join(supp, supply["l_suppkey"] == supp["s_suppkey"])
         .join(
             F.broadcast(
                 nation.join(

@@ -305,12 +305,24 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Co
     # ONE Py4J call: building k x dim literals through F.lit costs
     # ~0.5 ms of driver round-trip per element (~2 s at 64x64); an SQL
     # array literal ships the whole matrix in one expr string and the
-    # JVM parser materializes it. repr(float) round-trips every double
-    # exactly, so the parsed values are bit-identical to F.lit's.
+    # JVM parser materializes it. repr(float) round-trips every finite
+    # double exactly, so the parsed values are bit-identical to
+    # F.lit's; non-finite components (ivf_train seeds centroids from
+    # raw data, where one bad row can carry NaN/Inf) emit as explicit
+    # double casts — repr would yield 'nanD', which the parser rejects.
+    import math
+
+    def _dlit(x: float) -> str:
+        if math.isfinite(x):
+            return f"{x!r}D"
+        if math.isnan(x):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+
     cents = F.expr(
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+            "array(" + ", ".join(_dlit(float(x)) for x in c) + ")"
             for c in centroids
         )
         + ")"
@@ -542,10 +554,14 @@ def semantic_dedup(
     ``cell`` — candidate pairs are bounded by cell size (pick k so
     n/k fits a partition; SemDeDup's own design argument), never all
     pairs. One shuffle for the join + one id-keyed aggregation.
-    The tagged frame is materialized ONCE (localCheckpoint): it feeds
-    both sides of the self-join and the final verdict join, so an
-    unmaterialized plan recomputes the nearest-centroid scan three
-    times (measured 41 s -> ~22 s at sf1, 64 cells). Per-vector norms
+    The tagged frame is persisted: it feeds both sides of the
+    self-join and the final verdict join, so an unmaterialized plan
+    recomputes the nearest-centroid scan three times (measured
+    41 s -> ~22 s at sf1, 64 cells). persist() rather than
+    localCheckpoint(): construction stays lazy (no job until the
+    caller acts — a schema inspection costs nothing) and the blocks
+    are recomputable lineage, not executor-local state that an
+    executor loss would take down on a real cluster. Per-vector norms
     are precomputed on the same pass — cosine's denominator
     sqrt(dot(a,a))*sqrt(dot(b,b)) is bit-identical whether the sqrts
     run per pair or per row, so the oracle hash is unchanged while
@@ -557,7 +573,7 @@ def semantic_dedup(
         F.col(id_col).alias("_id"),
         F.col("cell"),
         _as_double(F.col(vec_col)).alias("_e"),
-    ).withColumn("_n", norm(F.col("_e"))).localCheckpoint()
+    ).withColumn("_n", norm(F.col("_e"))).persist()
     a = tagged.select(
         F.col("_id").alias("_ida"),
         F.col("cell"),

@@ -174,11 +174,11 @@ def test_expensive_extended_query_plan_shapes(spark):
     assert p.count("SortMergeJoin") == 2, p.count("SortMergeJoin")
     assert p.count("BroadcastHashJoin") == 2
     assert "BroadcastNestedLoopJoin" not in p
-    # r10: the tagged (assign + norm) frame is materialized ONCE — all
-    # three consumers read the checkpoint, never a re-derived parquet
-    # scan (the 3x-recompute that made sf1 cost 41 s instead of ~22 s)
-    assert "Scan ExistingRDD" in p
-    assert "Scan parquet" not in p
+    # r10: the tagged (assign + norm) frame is persisted ONCE — all
+    # three consumers read the cache (InMemoryTableScan), never a
+    # re-derived assignment (the 3x-recompute that made sf1 cost 41 s
+    # instead of ~22 s). explain('formatted') prints each node twice.
+    assert p.count("InMemoryTableScan") >= 6, p.count("InMemoryTableScan")
 
     # dsir: single feature pass ends in a distributed top-k, never a
     # global sort; the only join is the broadcast of tiny LM weights

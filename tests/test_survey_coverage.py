@@ -71,18 +71,13 @@ def test_every_oracle_explains_in_duckdb():
 
     import duckdb
 
+    from qudo_etl_pipeline_spark.catalog import create_duckdb_views
+
     sf_dir = os.environ.get(
         "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"
     )
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    create_duckdb_views(con, sf_dir)
     broken = {}
     for name, spec in sorted(registry().items()):
         if spec.oracle is None:
@@ -100,22 +95,24 @@ def test_no_catalog_output_schema_is_complex_typed(spark):
     pandas, which cannot hash list cells (the r9 `embedding_quantize`
     gate error). Complex values must serialize to canonical JSON
     strings at the catalog layer. Schema-only: builds every query's
-    plan at sf0.001 (ML-fit queries do execute their fits)."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    plan at sf0.001 (ML-fit queries do execute their fits). The rule
+    itself is the shared catalog.complex_typed_cols helper — the same
+    definition tools/selfcheck.py enforces every round."""
+    import os
 
+    from qudo_etl_pipeline_spark.catalog import complex_typed_cols
     from qudo_etl_pipeline_spark.operators.prefix import (
         prefix_cache_scope,
     )
 
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"
+    )
     bad = {}
     for name, spec in sorted(registry().items()):
         with prefix_cache_scope():
-            schema = spec.spark(spark, "/root/testdata/sf0.001").schema
-        complex_cols = [
-            f.name
-            for f in schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType, StructType))
-        ]
+            schema = spec.spark(spark, sf_dir).schema
+        complex_cols = complex_typed_cols(schema)
         if complex_cols:
             bad[name] = complex_cols
     assert not bad, f"complex-typed catalog outputs (driver-unhashable): {bad}"

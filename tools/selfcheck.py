@@ -30,10 +30,13 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# canonical table list + view bootstrap + hashability rule live in the
+# package so the registry-hygiene tests enforce the SAME definitions
+from qudo_etl_pipeline_spark.catalog import (  # noqa: E402
+    TABLES,
+    complex_typed_cols,
+    create_duckdb_views,
+)
 
 
 def canon(df, float_round=None):
@@ -142,15 +145,7 @@ def main() -> int:
 
     spark = get_spark(app_name="selfcheck")
     con = duckdb.connect()
-    for t in TABLES:
-        # driver-generated SFs are single files; gen_sf scale dirs are
-        # Spark-style directories of part files — glob those for DuckDB
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-        )
+    create_duckdb_views(con, sf_dir)
 
     specs = registry()
     failures = []
@@ -171,19 +166,7 @@ def main() -> int:
                 # driver-hashability pin (r10): the driver's pandas
                 # hasher cannot hash Array/Map/Struct cells, so no
                 # catalog output may be complex-typed
-                from pyspark.sql.types import (
-                    ArrayType,
-                    MapType,
-                    StructType,
-                )
-
-                complex_cols = [
-                    f.name
-                    for f in frame.schema.fields
-                    if isinstance(
-                        f.dataType, (ArrayType, MapType, StructType)
-                    )
-                ]
+                complex_cols = complex_typed_cols(frame.schema)
                 if complex_cols:
                     failures.append(name)
                     print(
