@@ -29,24 +29,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     canonical driver record fastest; under uniform sampling the order
     is irrelevant:
 
-    1. needs-recheck: queries whose LATEST committed CORRECTNESS_r*.json
-       record is an error or a mismatch (e.g. the r9
-       ``embedding_quantize`` hasher error) — their canonical record is
-       red, so re-sampling them first turns it green the round after a
-       fix lands;
-    2. never-driver-checked: absent from every committed record
+    1. needs-recheck: queries whose LATEST CORRECTNESS_r*.json record
+       present in the working tree is an error or a mismatch (e.g. the
+       r9 ``embedding_quantize`` hasher error) — their canonical record
+       is red, so re-sampling them first turns it green the round after
+       a fix lands;
+    2. never-driver-checked: absent from every present record
        (DRIVER_GAP.md tail);
     3. green somewhere: verified at least once, nothing to repair.
+
+    Records are ordered by the NUMERIC round parsed from the filename
+    (r2 < r10 < r100), so later rounds always win regardless of
+    zero-padding.
     """
     import glob
     import json
     import os
+    import re
 
     from qudo_etl_pipeline_spark.catalog import registry
 
+    def round_num(path: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     latest: dict[str, dict] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=round_num
+    ):
         try:
             for name, rec in json.loads(open(path).read()).items():
                 latest[name] = rec  # later rounds overwrite earlier
