@@ -86,13 +86,17 @@ def load_table_spread(
     sf_dir: str,
     name: str,
     columns: list[str] | None = None,
+    predicate=None,
 ) -> DataFrame:
     """load_table + repartition to full parallelism IF the scan is narrow.
 
     ``columns`` prunes the projection BEFORE the repartition, so the
     spreading shuffle moves only the bytes the operator reads (an
     11-column fact table spread for a 1-column hash costs 10 columns of
-    wasted shuffle IO otherwise).
+    wasted shuffle IO otherwise). ``predicate`` (a Column) likewise
+    filters BEFORE the repartition — rows a query caps away must not
+    ride the spreading shuffle (and pushing the filter to the scan lets
+    parquet row-group stats skip them entirely).
 
     For CPU-bound per-row work (md5 shingling, tokenization) over a
     small/single-row-group file, the scan yields fewer real partitions
@@ -104,6 +108,8 @@ def load_table_spread(
     df = load_table(spark, sf_dir, name)
     if columns is not None:
         df = df.select(*columns)
+    if predicate is not None:
+        df = df.where(predicate)
     parallelism = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)

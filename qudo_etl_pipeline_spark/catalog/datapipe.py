@@ -1540,9 +1540,9 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            {ref_round_sql('mx / 127.0', 6)} AS scale6,
-           '[' || array_to_string(
-             list_transform(sc, x -> CAST({ref_round_sql('x', 0)} AS BIGINT)),
-             ',') || ']' AS q_json
+           to_json(
+             list_transform(sc, x -> CAST({ref_round_sql('x', 0)} AS BIGINT))
+           )::VARCHAR AS q_json
     FROM s
     """,
     survey_ids=["P10", "M2"],
@@ -1553,8 +1553,12 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SIM.embedding_quantize(load_table_spread(spark, sf_dir, "embeddings"))
-    # to_json(array<bigint>) -> "[1,-5,...]" byte-matches the oracle's
-    # '[' || array_to_string(...) || ']' concatenation
+    # to_json on BOTH engines: Spark to_json(array<bigint>) and DuckDB
+    # to_json(BIGINT[])::VARCHAR emit the identical "[1,-5,...]" bytes
+    # INCLUDING "null" for a NULL element — the previous
+    # array_to_string oracle silently skipped NULLs, so a NULL
+    # embedding component would have surfaced as a confusing hash
+    # mismatch instead of two identical (and visibly null) codes
     return out.select("vec_id", "scale6", F.to_json("q").alias("q_json"))
 
 
@@ -1563,11 +1567,13 @@ def _semantic_dedup_oracle(
     dim: int = 64,
     threshold: float = 0.35,
     spread: bool = False,
+    id_cap: int | None = None,
 ) -> str:
     """Mirror of similarity.semantic_dedup over demo_centroids (or
     spread_centroids when ``spread``): nearest cell by round-9 cosine
     (ties -> low cid), within-cell pairs above the threshold,
-    keep-lowest-id verdicts."""
+    keep-lowest-id verdicts. ``id_cap`` mirrors the Spark side's
+    exhibit-scale input cap (``vec_id < id_cap``)."""
     from qudo_etl_pipeline_spark.operators.similarity import (
         demo_centroids,
         spread_centroids,
@@ -1583,11 +1589,12 @@ def _semantic_dedup_oracle(
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
         " * 1000000000.0 + 0.5) / 1000000000.0)"
     )
+    cap_sql = f" WHERE vec_id < {id_cap}" if id_cap is not None else ""
     return f"""
     WITH cent AS (SELECT * FROM (VALUES {cents}) AS t(cid, cv)),
     v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings{cap_sql}
     ),
     vcell AS (
       SELECT vec_id, e, CAST(cid AS BIGINT) AS cell FROM (
@@ -1610,17 +1617,38 @@ def _semantic_dedup_oracle(
     """
 
 
+# The 4-cell exhibit's input cap: within-cell pairs grow as (n/k)^2,
+# so at a FIXED k=4 this query is quadratic in the corpus by
+# construction (SCALING.md r10 study: sf1 16 s -> sf3 147 s, 9.2x for
+# 3x rows) — kept deliberately as the measured documentation of the
+# SemDeDup k-must-grow-with-n rule, but pinned to its exhibit scale so
+# off-scale sweeps pay a constant instead of minutes. 2000 = the sf0.1
+# embeddings row count: sf0.01 (500 ids) and sf0.1 (2000 ids) outputs
+# are bit-identical to the uncapped query (vec_id is dense 0..n-1), so
+# committed oracle hashes and the bench series are unchanged; above
+# sf0.1 the exhibit stops growing. semantic_dedup_scaled (64 spread
+# cells, uncapped) is the configuration that scales.
+SEMANTIC_DEDUP_EXHIBIT_CAP = 2000
+
+
 @register(
     "semantic_dedup_verdicts",
-    oracle=_semantic_dedup_oracle(),
+    oracle=_semantic_dedup_oracle(id_cap=SEMANTIC_DEDUP_EXHIBIT_CAP),
     survey_ids=["P7", "J3", "M4"],
     description="SemDeDup-style semantic dedup: nearest-centroid cells, "
-    "within-cell cosine pairs, keep-lowest-id verdict per vector",
+    "within-cell cosine pairs, keep-lowest-id verdict per vector "
+    "(4-cell quadratic-pitfall exhibit, input-capped at vec_id<2000 — "
+    "see semantic_dedup_scaled for the configuration that scales)",
 )
 def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qudo_etl_pipeline_spark.operators.similarity import demo_centroids
 
-    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    vecs = load_table_spread(
+        spark,
+        sf_dir,
+        "embeddings",
+        predicate=F.col("vec_id") < SEMANTIC_DEDUP_EXHIBIT_CAP,
+    )
     return SIM.semantic_dedup(vecs, demo_centroids(4, 64), threshold=0.35)
 
 

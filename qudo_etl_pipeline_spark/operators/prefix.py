@@ -41,6 +41,7 @@ __all__ = [
     "ranged_prefix_sums",
     "prefix_cache_scope",
     "clear_prefix_caches",
+    "acquire_operator_cache",
 ]
 
 # ranged-frame cache registry: semanticHash -> cached frames. ONE
@@ -103,6 +104,21 @@ def _acquire_ranged(ranged: DataFrame) -> DataFrame:
         if stack:
             stack[-1].append(cached)
         return cached
+
+
+def acquire_operator_cache(frame: DataFrame) -> DataFrame:
+    """Cache ``frame`` once per (session, logical plan), under the SAME
+    lifecycle as the ranged-frame caches: released when the innermost
+    :func:`prefix_cache_scope` exits, and always covered by
+    :func:`clear_prefix_caches`. The entry point for any operator
+    (e.g. ``similarity.semantic_dedup``) whose returned plan depends on
+    a persisted intermediate that outlives the function call — a bare
+    ``.persist()`` there would leak one CacheManager entry per call for
+    the session's lifetime, while registry acquisition both bounds
+    entries (same plan -> same entry) and gives harnesses a release
+    hook they already hold.
+    """
+    return _acquire_ranged(frame)
 
 
 def _forget(frame: DataFrame) -> None:

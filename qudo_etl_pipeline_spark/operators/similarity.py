@@ -199,7 +199,21 @@ def demo_centroids(n_cells: int, dim: int) -> list[list[float]]:
     Production IVF gets centroids from the ml layer (kmeans_fit over a
     sample); this fixed formula exists so the DuckDB oracle can inline
     the identical literals and hash-compare the full IVF pipeline.
+
+    HARD-CAPPED at 7 cells: the ``% 7`` makes centroid ``c`` identical
+    to centroid ``c + 7`` (31 ≡ 3 mod 7), so any larger request
+    silently yields at most 7 distinct vectors — the aliasing that hid
+    the SemDeDup quadratic cliff until round 10 (20k sf1 vectors
+    "spread over 64 cells" had landed on exactly 7). The formula stays
+    as-is because committed oracles inline its literals; requests for
+    more cells must use :func:`spread_centroids` (distinct up to 997).
     """
+    if n_cells > 7:
+        raise ValueError(
+            f"demo_centroids aliases cells mod 7: {n_cells} requested "
+            "cells would yield only 7 distinct centroids. Use "
+            "spread_centroids for n_cells > 7."
+        )
     return [
         [((c * 31 + i * 17) % 7 - 3) / 10.0 for i in range(dim)]
         for c in range(n_cells)
@@ -554,26 +568,39 @@ def semantic_dedup(
     ``cell`` — candidate pairs are bounded by cell size (pick k so
     n/k fits a partition; SemDeDup's own design argument), never all
     pairs. One shuffle for the join + one id-keyed aggregation.
-    The tagged frame is persisted: it feeds both sides of the
+    The tagged frame is cached: it feeds both sides of the
     self-join and the final verdict join, so an unmaterialized plan
     recomputes the nearest-centroid scan three times (measured
-    41 s -> ~22 s at sf1, 64 cells). persist() rather than
+    41 s -> ~22 s at sf1, 64 cells). Caching rather than
     localCheckpoint(): construction stays lazy (no job until the
     caller acts — a schema inspection costs nothing) and the blocks
     are recomputable lineage, not executor-local state that an
-    executor loss would take down on a real cluster. Per-vector norms
+    executor loss would take down on a real cluster. The cache is
+    acquired through :func:`prefix.acquire_operator_cache`, NOT a bare
+    persist(): the returned DataFrame depends on the cached frame, so
+    per-call persist() would leak one CacheManager entry per input for
+    the session's lifetime — registry acquisition dedupes repeat plans
+    and releases at ``prefix_cache_scope`` exit /
+    ``clear_prefix_caches()``, the hooks every harness here already
+    wraps queries in. Per-vector norms
     are precomputed on the same pass — cosine's denominator
     sqrt(dot(a,a))*sqrt(dot(b,b)) is bit-identical whether the sqrts
     run per pair or per row, so the oracle hash is unchanged while
     per-pair work drops from three array aggregates to one.
     """
-    tagged = ivf_assign(
-        vectors, centroids, id_col=id_col, vec_col=vec_col
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.col("cell"),
-        _as_double(F.col(vec_col)).alias("_e"),
-    ).withColumn("_n", norm(F.col("_e"))).persist()
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
+    tagged = acquire_operator_cache(
+        ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col("cell"),
+            _as_double(F.col(vec_col)).alias("_e"),
+        )
+        .withColumn("_n", norm(F.col("_e")))
+    )
     a = tagged.select(
         F.col("_id").alias("_ida"),
         F.col("cell"),

@@ -1701,3 +1701,36 @@ def test_lsh_band_verdicts_stream_state_across_batches(spark, tmp_path):
         (0, 7, 3): 1,   # later arrival, smaller id: still flagged
         (0, 9, 12): 0,
     }
+
+
+def test_demo_centroids_guard_and_spread_distinctness():
+    """demo_centroids aliases cells mod 7 (c and c+7 are the same
+    vector), which once let a 64-cell SemDeDup request collapse onto 7
+    effective cells and hid a quadratic pair stage — requests past the
+    alias period must fail loudly and point at spread_centroids."""
+    with pytest.raises(ValueError, match="spread_centroids"):
+        SIM.demo_centroids(8, 16)
+    assert len(SIM.demo_centroids(7, 16)) == 7  # at the cap: allowed
+    spread = SIM.spread_centroids(64, 16)
+    assert len({tuple(c) for c in spread}) == 64
+
+
+def test_semantic_dedup_cache_is_scope_released(spark):
+    """semantic_dedup's tagged-frame cache goes through the operator
+    cache registry: repeat calls with the same input reuse ONE entry,
+    and prefix_cache_scope exit releases it (the old bare .persist()
+    leaked one CacheManager entry per call for the session lifetime)."""
+    from qudo_etl_pipeline_spark.operators import prefix as P
+
+    P.clear_prefix_caches()
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [float(i % 3), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with P.prefix_cache_scope():
+        SIM.semantic_dedup(df, cents, 0.5).collect()
+        SIM.semantic_dedup(df, cents, 0.5).collect()
+        assert sum(len(v) for v in P._REGISTRY.values()) == 1
+        frame = next(iter(P._REGISTRY.values()))[0]
+        assert frame.storageLevel.useMemory
+    assert not P._REGISTRY
+    assert not frame.storageLevel.useMemory
