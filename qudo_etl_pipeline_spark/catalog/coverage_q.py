@@ -953,10 +953,13 @@ def pipeline_e2e_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out, inference, metrics — now show up in the driver's
     rows-only gate and the round hash manifest, not just SCALING.md.
     No bucketed materialization (cache path) so the catalog query has
-    zero warehouse side effects; fixture scale keeps it under a
-    minute. ``sf_dir`` is unused: the respondent fixture is the
-    deterministic seed-42 survey frame (the package's fixtures
-    module), the
+    zero warehouse side effects. Cost is job-COUNT-bound, not
+    data-bound (600 rows, ~150 sub-second actions): measured ~60 s
+    solo at fixture scale with the concurrent per-family finalize
+    (r11; was 103 s with the sequential loop under session
+    contention) — session contention can push it past that.
+    ``sf_dir`` is unused: the respondent fixture is the deterministic
+    seed-42 survey frame (the package's fixtures module), the
     pipeline's own production input shape.
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
