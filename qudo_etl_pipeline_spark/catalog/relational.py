@@ -181,7 +181,7 @@ def regex_extract_firstword(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_scalar_ops",
     oracle="""
     SELECT lower(p_type) AS type_lc,
-           CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brand_num,
+           CAST(NULLIF(split_part(p_brand, '#', 2), '') AS BIGINT) AS brand_num,
            COUNT(*) AS n
     FROM part GROUP BY 1, 2
     """,
@@ -189,6 +189,11 @@ def regex_extract_firstword(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="String scalar ops: lower + split + cast",
 )
 def string_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL parity (r11 NULL-salt sweep): DuckDB split_part(NULL, ...)
+    # returns '' (not NULL), so the bare oracle CAST('') blows up on a
+    # NULL p_brand while Spark's split().getItem() yields NULL —
+    # NULLIF(..., '') restores identical NULL-in/NULL-out on both
+    # engines (a no-op on NULL-free data: every brand has a '#')
     p = load_table(spark, sf_dir, "part")
     return (
         p.select(
@@ -481,7 +486,8 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_nationkey, s_suppkey, rnk FROM (
       SELECT s_nationkey, s_suppkey,
              RANK() OVER (PARTITION BY s_nationkey
-                          ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+                          ORDER BY s_acctbal DESC NULLS LAST,
+                                   s_suppkey ASC NULLS LAST) AS rnk
       FROM supplier
     ) WHERE rnk <= 5
     """,
@@ -489,8 +495,15 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Rank-over-metric per partition (rank-sum building block)",
 )
 def rank_suppliers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL parity (r11 NULL-salt sweep): window ORDER BY null placement
+    # is pinned NULLS LAST on BOTH engines — Spark's bare asc() means
+    # NULLS FIRST while DuckDB's bare ASC means NULLS LAST, so a NULL
+    # tie-break key silently shifts which rows survive the rnk cutoff
+    # (no-op on NULL-free data)
     s = load_table(spark, sf_dir, "supplier")
-    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc_nulls_last("s_acctbal"), F.asc_nulls_last("s_suppkey")
+    )
     return (
         s.withColumn("rnk", F.rank().over(w))
         .filter(F.col("rnk") <= 5)
@@ -502,16 +515,19 @@ def rank_suppliers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_sorted_top100",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+    LIMIT 100
     """,
     survey_ids=["W3"],
     description="Global sort + limit (TopK physical op)",
 )
 def orders_sorted_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULLS LAST pinned on both engines: with enough NULL sort keys the
+    # LIMIT cutoff would otherwise keep different rows per engine
     o = load_table(spark, sf_dir, "orders")
-    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
-        "o_orderkey", "o_totalprice"
-    ).limit(100)
+    return o.orderBy(
+        F.desc_nulls_last("o_totalprice"), F.asc_nulls_last("o_orderkey")
+    ).select("o_orderkey", "o_totalprice").limit(100)
 
 
 @register(
@@ -570,12 +586,17 @@ def explode_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     survey_ids=["A4", "A5"],
     description="Tumbling 1-hour window aggregation over the event stream (batch form)",
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL parity (r11 NULL-salt sweep): a NULL timestamp has no
+    # 1-hour window — Spark's F.window() generates zero windows for it
+    # (the row vanishes), while DuckDB's time_bucket(NULL) would keep a
+    # NULL-bucket group. The oracle's WHERE ts IS NOT NULL mirrors the
+    # Spark operator semantics (no-op on NULL-free data).
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -859,7 +880,7 @@ def _rankfn_oracle() -> str:
            NTILE(4) OVER w AS quartile
     FROM supplier
     WINDOW w AS (PARTITION BY s_nationkey
-                 ORDER BY s_acctbal DESC, s_suppkey)
+                 ORDER BY s_acctbal DESC NULLS LAST, s_suppkey NULLS LAST)
     ORDER BY s_suppkey
     """
 
@@ -877,9 +898,11 @@ def rank_functions_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
     supp = load_table(spark, sf_dir, "supplier")
+    # NULLS LAST pinned on both engines (see rank_suppliers_by_balance)
+    # — NTILE especially depends on the TOTAL order, not just ties
     w = (
         Window.partitionBy("s_nationkey")
-        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .orderBy(F.desc_nulls_last("s_acctbal"), F.asc_nulls_last("s_suppkey"))
     )
     return supp.select(
         "s_suppkey",

@@ -135,6 +135,11 @@ def main() -> int:
             return 2
         hashes_out = argv[i + 1]
         del argv[i: i + 2]
+    module_suffix = None
+    if "--module" in argv:
+        i = argv.index("--module")
+        module_suffix = argv[i + 1]
+        del argv[i: i + 2]
     sys.argv = [sys.argv[0]] + argv
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -151,6 +156,13 @@ def main() -> int:
     failures = []
     for name, spec in sorted(specs.items()):
         if only and name not in only:
+            continue
+        # --module relational: restrict to one catalog family (the
+        # NULL-salt parity sweep runs families whose queries read the
+        # salted base tables, not planted fixtures)
+        if module_suffix and not spec.spark.__module__.endswith(
+            "." + module_suffix
+        ):
             continue
         t0 = time.time()
         try:
