@@ -262,6 +262,14 @@ def main() -> None:
     # isolated re-run measures 0.40-0.56 s). Interleaving puts a query's
     # passes minutes apart, so min-of-N sees at least one quiet window.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # SPARK_GRAFT_BENCH_EXTENDED=0 skips the extended series — for
+    # off-SF anchor runs (sf1/sf3) where only the 16-query headline is
+    # recorded and the 80-query extended sweep would multiply the cost
+    extended = (
+        EXTENDED
+        if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
+        else []
+    )
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
     ext: dict[str, float] = {}
@@ -296,7 +304,7 @@ def main() -> None:
         # inside the same session: pass-level interleave means a noisy
         # window spanning minutes degrades BOTH sides of the pair
         run_pass(specs, HEADLINE, timings, i)
-        run_pass(specs, EXTENDED, ext, i)
+        run_pass(specs, extended, ext, i)
         if ab_path:
             ref_specs = _load_specs(ab_path, roots)
             run_pass(ref_specs, ab_queries, ref_timings, i)
