@@ -168,6 +168,15 @@ def create_duckdb_views(con, sf_dir: str) -> None:
         )
 
 
+def none_last_key(v):
+    """Sort key for driver-side catalog glue over collected values: a
+    NULL segment/category label sorts AFTER every real value instead
+    of raising Python 3's None-vs-str TypeError (hit by the r11
+    NULL-salt sweep). Ordering of non-None values is unchanged, so
+    NULL-free outputs are byte-identical."""
+    return (v is None, "" if v is None else v)
+
+
 def complex_typed_cols(schema) -> list[str]:
     """Column names the driver's pandas hasher cannot hash.
 

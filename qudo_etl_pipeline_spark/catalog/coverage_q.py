@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.catalog import (
+    load_table,
+    none_last_key,
+    register,
+)
 from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 from qudo_etl_pipeline_spark.operators import cleaning as CL
 
@@ -372,7 +376,8 @@ def social_presence_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sp = social_presence(lab, "Facebook")
     return spark.createDataFrame(
-        sorted(sp.items()), "prediction: string, share: double"
+        sorted(sp.items(), key=lambda kv: none_last_key(kv[0])),
+        "prediction: string, share: double",
     )
 
 
@@ -431,14 +436,19 @@ def message_reach_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal"),
     )
     social = social_presence(lab, "Facebook")
+    # a NULL segment (possible when the prediction column derives from
+    # a nullable source) has no reach: message_reach keys labels by
+    # int(), so drop it from BOTH dicts before pairing them
+    social = {seg: v for seg, v in social.items() if seg is not None}
     sliced = lab.filter(F.col("c_acctbal") > 0)
     signal = {
         str(seg): chi_square_signal(sliced, lab, seg)
-        for seg in sorted(social)
+        for seg in sorted(social, key=none_last_key)
     }
     reach = message_reach(social, signal)
     return spark.createDataFrame(
-        sorted(reach.items()), "segment: string, reach: double"
+        sorted(reach.items(), key=lambda kv: none_last_key(kv[0])),
+        "segment: string, reach: double",
     )
 
 
@@ -480,7 +490,9 @@ def magnitude_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt_cols = [f"prio_{i}_tgt" for i in range(5)]  # 5 priority levels
     m = magnitude(deliver, labeled, tgt_cols)
     rows = [
-        (seg, val) for seg, val in sorted(m.items()) if seg != "all_clusters"
+        (seg, val)
+        for seg, val in sorted(m.items(), key=lambda kv: none_last_key(kv[0]))
+        if seg != "all_clusters"
     ]
     return spark.createDataFrame(rows, "seg: string, magnitude: double")
 

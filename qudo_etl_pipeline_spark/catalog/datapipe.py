@@ -492,9 +492,13 @@ _KIND_SQL = (
     oracle=f"""
     SELECT doc_id AS media_id,
            {_KIND_SQL} AS kind,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(strlen(text) % 251 AS BIGINT) AS mod_bucket
+           -- COALESCE 0: the kernel featurizes a NULL payload as the
+           -- zero vector with n_bytes = 0 (missing media is routine at
+           -- corpus scale), it does not NULL out the row
+           CAST(COALESCE(strlen(text), 0) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(strlen(text), 0) % 251 AS BIGINT) AS mod_bucket
     FROM documents
+    WHERE doc_id IS NOT NULL  -- extract_features drops id-less media
     """,
     survey_ids=["P6"],
     description="Multimodal feature extraction: Arrow mapInPandas kernel "

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.catalog import load_table, register
+from qudo_etl_pipeline_spark.catalog import load_table, none_last_key, register
 from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 from qudo_etl_pipeline_spark.ml import clustering as C
 from qudo_etl_pipeline_spark.ml import features as FE
@@ -792,7 +792,8 @@ def uniqueness_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     u = B.uniqueness(deliver)
     return spark.createDataFrame(
-        [(seg, round(val, 6)) for seg, val in sorted(u.items())],
+        [(seg, round(val, 6))
+         for seg, val in sorted(u.items(), key=lambda kv: none_last_key(kv[0]))],
         "seg: string, uniqueness: double",
     )
 
@@ -805,7 +806,11 @@ def uniqueness_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN l_quantity > 25 THEN 'R' ELSE 'A' END AS pred
       FROM lineitem
     ),
-    conf AS (SELECT label, pred, COUNT(*) AS n FROM scored GROUP BY label, pred),
+    -- NULL truth or NULL prediction is unscoreable (mirrors
+    -- signal.classification_metrics' confusion-matrix exclusion)
+    conf AS (SELECT label, pred, COUNT(*) AS n FROM scored
+             WHERE label IS NOT NULL AND pred IS NOT NULL
+             GROUP BY label, pred),
     tot AS (SELECT SUM(n) AS n FROM conf),
     per AS (
       SELECT l.label,
@@ -884,7 +889,8 @@ def communicability_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = B.communicability(deliver, pattern="7|13")
     return spark.createDataFrame(
-        [(seg, int(n)) for seg, n in sorted(c["data"].items())],
+        [(seg, int(n))
+         for seg, n in sorted(c["data"].items(), key=lambda kv: none_last_key(kv[0]))],
         "seg: string, communicability: bigint",
     )
 
@@ -909,7 +915,7 @@ def signal_loss_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (k, v["signal"], v["f1_score"], v["precision"], v["recall_score"],
          v["cohen_kappa_score"])
-        for k, v in sorted(out.items())
+        for k, v in sorted(out.items(), key=lambda kv: none_last_key(kv[0]))
     ]
     return spark.createDataFrame(
         rows,

@@ -414,6 +414,7 @@ def _lsh_dedup_oracle() -> str:
              CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY band, bucket)
                   THEN 1 ELSE 0 END AS dup
       FROM bands
+      WHERE doc_id IS NOT NULL AND bucket IS NOT NULL
     )
     SELECT doc_id, CAST(MAX(dup) AS BIGINT) AS is_dup
     FROM verd GROUP BY doc_id ORDER BY doc_id

@@ -311,7 +311,14 @@ def _kmodes_patterns(
 
     P = len(pat)
     w = np.array([r["_w"] for r in pat], dtype=np.int64)
-    mid = np.array([r["_mid"] for r in pat])
+    # None-safe tie-break mirroring the distributed path's Spark
+    # ``.orderBy(id.asc())`` (NULLS FIRST): a pattern whose every id is
+    # NULL has _mid = NULL and must sort before any real id, not raise
+    # Python's None-vs-int TypeError (hit by the r11 NULL-salt sweep)
+    mid = [
+        (r["_mid"] is not None, 0 if r["_mid"] is None else r["_mid"])
+        for r in pat
+    ]
     n = int(w.sum())
 
     # string forms + integer codes per categorical column (None is its

@@ -180,6 +180,12 @@ def davies_bouldin(
         stats_rows = _stats_or_none(df, features, pred)
     if stats_rows is None:
         return 999.0
+    # A NULL cluster label is "unassigned": it is no cluster, so it
+    # contributes neither a centroid (a NULL key would crash
+    # create_map) nor scatter rows. NULL-free inputs are unaffected.
+    if any(r["cluster"] is None for r in stats_rows):
+        stats_rows = [r for r in stats_rows if r["cluster"] is not None]
+        df = df.filter(F.col(pred).isNotNull())
     k = len(stats_rows)
     if k < 2:
         return 999.0
@@ -484,7 +490,11 @@ def cluster_quality(
     scan plus its own stats pass (the dominant cost when callers like
     optimal_k / kmeans_multi_seed evaluate many fits). Three actions
     total: stats, the silhouette pass, DB's scatter pass."""
-    df = df.cache()
+    # a NULL prediction is "unassigned" — it is a member of no cluster,
+    # so it contributes to no quality metric (same contract as
+    # davies_bouldin's NULL-centroid exclusion; None cluster keys would
+    # crash the sorted() below). NULL-free inputs are untouched.
+    df = df.filter(F.col(pred).isNotNull()).cache()
     try:
         stats = _stats_or_none(df, features, pred)
         sizes = (

@@ -58,6 +58,10 @@ def classification_metrics(
         for r in scored.groupBy(label_col, pred_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
+        # a pair with a NULL truth or NULL prediction is unscoreable —
+        # it belongs to no confusion-matrix cell (and None labels would
+        # crash the sorted() below); NULL-free inputs are unaffected
+        if r[label_col] is not None and r[pred_col] is not None
     }
     labels = sorted({k[0] for k in conf} | {k[1] for k in conf})
     n = sum(conf.values())
@@ -235,6 +239,13 @@ def signal_loss(
         *[F.col(c).cast("double").alias(c) for c in tgt_cols],
         F.col(target_col).cast("double").alias("label"),
     )
+    # complete cases only: a NULL feature crashes VectorAssembler
+    # (handleInvalid='error') and a NULL label crashes the RF fit and
+    # the per-segment sort — an incomplete row carries no signal to
+    # measure, so drop it up front (pushed to the scan; NULL-free
+    # inputs are untouched). Mirrors the reference's
+    # LabelEncoder-encoded inputs, which cannot hold NaN.
+    base = base.na.drop()
     sampled = _resample(base, "label", sampling, seed)
     assembler = VectorAssembler(inputCols=tgt_cols, outputCol="features")
     train, test = assembler.transform(sampled).randomSplit(
@@ -368,6 +379,9 @@ def model_consistency(
     """M18 (metrics.py:234-270): stratified 90/10 split, `refit(train)`
     returns a scorer mapping the test frame to new labels; ARI between
     refit predictions and original test labels."""
+    # stratification is undefined for an unlabeled row (and sampleBy
+    # refuses a None fraction key) — unassigned rows are excluded
+    df = df.filter(F.col(label_col).isNotNull())
     labels = [r[label_col] for r in df.select(label_col).distinct().collect()]
     fractions = {l: 1 - test_frac for l in labels}
     train = df.sampleBy(label_col, fractions, seed=seed)
@@ -388,6 +402,8 @@ def label_consistency(
 ) -> float:
     """M20 (metrics.py:273-308): refit on a stratified 90% sample; ARI
     between refit labels and the original labels on that sample."""
+    # unassigned rows excluded — see model_consistency
+    df = df.filter(F.col(label_col).isNotNull())
     labels = [r[label_col] for r in df.select(label_col).distinct().collect()]
     fractions = {l: train_frac for l in labels}
     train = df.sampleBy(label_col, fractions, seed=seed)

@@ -164,7 +164,14 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(kernel, FEATURE_SCHEMA)
+    # FEATURE_SCHEMA pins media_id non-nullable (features must join
+    # back to their media row), so an id-less payload is dropped HERE,
+    # explicitly — letting it reach the kernel puts a null into a
+    # non-nullable Arrow vector, which surfaces as an opaque
+    # "Value at index is null" executor crash (r11 NULL-salt sweep)
+    return df.filter(F.col("media_id").isNotNull()).mapInPandas(
+        kernel, FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -494,10 +494,15 @@ def ewma(
             present, F.element_at("_vals", n - F.lit(age)) * wt
         ).otherwise(F.lit(0.0))
         den = den + F.when(present, wt).otherwise(F.lit(0.0))
+    # try_divide: a row whose whole trailing frame is NULL values has
+    # den = 0 (collect_list skipped everything) — its EWMA is undefined
+    # and must be NULL, not an ANSI divide-by-zero crash (hit by the
+    # r11 NULL-salt sweep; on NULL-free data every row's own value is
+    # in its frame, so den > 0 and the plan is unchanged)
     return tmp.select(
         *df.columns,
         n.cast("bigint").alias("n_w"),
-        ref_round(num / den, 6).alias("ewma"),
+        ref_round(F.try_divide(num, den), 6).alias("ewma"),
     )
 
 

@@ -231,7 +231,16 @@ def lsh_band_verdicts_stream(
             }
         )
 
-    return bands.groupBy("band", "bucket").applyInPandasWithState(
+    # id-less or bucket-less rows can neither receive nor anchor a
+    # verdict — filter them BEFORE the stateful operator (pushed to the
+    # stream scan) instead of letting int(NaN) blow up the update
+    # kernel mid-batch (r11 NULL-salt sweep)
+    clean = bands.filter(
+        F.col(id_col).isNotNull()
+        & F.col("band").isNotNull()
+        & F.col("bucket").isNotNull()
+    )
+    return clean.groupBy("band", "bucket").applyInPandasWithState(
         update,
         outputStructType=_LSH_OUT_SCHEMA,
         stateStructType=_LSH_STATE_SCHEMA,

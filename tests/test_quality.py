@@ -250,3 +250,24 @@ def test_label_consistency_exact_value(spark, clustered):
         train["prediction"].to_numpy(), (train["row_id"] % 4).to_numpy()
     )
     assert lc == pytest.approx(expect, rel=1e-12)
+
+
+def test_cluster_quality_excludes_null_predictions(spark):
+    """NULL prediction = unassigned: contributes to no quality metric
+    and must not crash driver-side sorts (r11 NULL-salt sweep)."""
+    from qudo_etl_pipeline_spark.ml import quality as Q
+
+    rows = [
+        (0, [0.0, 0.0], 0), (1, [0.1, 0.0], 0),
+        (2, [5.0, 5.0], 1), (3, [5.1, 5.0], 1),
+        (4, [9.9, 9.9], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "row_id long, features array<double>, prediction int"
+    )
+    m = Q.cluster_quality(df)
+    assert m["n_clusters"] == 2
+    assert set(m["cluster_proportions"]) == {0, 1}
+    assert abs(sum(m["cluster_proportions"].values()) - 1.0) < 1e-12
+    base = Q.cluster_quality(df.filter("prediction IS NOT NULL"))
+    assert m["davies_bouldin"] == base["davies_bouldin"]

@@ -286,3 +286,41 @@ def test_smote_max_class_rows_guard(spark):
     b = _resample(small, "label", "smote", 7, max_class_rows=10**6) \
         .orderBy("f1", "f2").collect()
     assert a == b
+
+
+def test_classification_metrics_null_pairs_unscoreable(spark):
+    """A NULL truth or prediction belongs to no confusion cell —
+    metrics equal the NULL-free subset's (r11 NULL-salt sweep)."""
+    from qudo_etl_pipeline_spark.ml.signal import classification_metrics
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), (None, "a"), ("b", None)]
+    df = spark.createDataFrame(rows, "label string, pred string")
+    m = classification_metrics(df, "label", "pred")
+    clean = classification_metrics(
+        df.filter("label IS NOT NULL AND pred IS NOT NULL"), "label", "pred"
+    )
+    assert m == clean
+
+
+def test_consistency_checks_skip_null_labels(spark):
+    """model/label consistency stratify by label: NULL labels are
+    excluded instead of crashing sampleBy (r11 NULL-salt sweep)."""
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.ml.signal import (
+        label_consistency,
+        model_consistency,
+    )
+
+    rows = [(i, i % 2 if i % 7 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "row_id long, prediction int")
+
+    def refit(train):
+        def predict(frame):
+            return frame.withColumn(
+                "prediction", (F.col("row_id") % 2).cast("int")
+            )
+        return predict
+
+    assert model_consistency(df, refit) == 1.0
+    assert label_consistency(df, refit) == 1.0

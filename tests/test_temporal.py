@@ -725,3 +725,17 @@ def test_seasonal_decompose_odd_period_symmetric_window(spark):
         assert out[i]["trend6"] == round(50.0 + 1.5 * i, 6), i
         assert out[i]["seasonal6"] == round(season[i % period], 6), i
         assert abs(out[i]["remainder6"]) < 1e-6, i
+
+
+def test_ewma_all_null_frame_is_null_not_crash(spark):
+    """A row whose whole trailing frame is NULL values has den = 0:
+    its EWMA is NULL, not an ANSI divide-by-zero (r11 NULL-salt
+    sweep)."""
+    from qudo_etl_pipeline_spark.operators.temporal import ewma
+
+    rows = [(1, 1, None), (1, 2, None), (1, 3, 4.0)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    out = {r["t"]: r for r in ewma(df, "k", ["t"], "v", window=2).collect()}
+    assert out[1]["ewma"] is None and out[1]["n_w"] == 0
+    assert out[2]["ewma"] is None
+    assert out[3]["ewma"] == 4.0
