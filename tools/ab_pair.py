@@ -29,12 +29,14 @@ import bench  # noqa: E402  (reuse worktree + module-swap machinery)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ref = args[0]
-    queries = args[1:] or ["q1_pricing_summary", "topk_parts_per_brand"]
+    argv = list(sys.argv[1:])
     passes = 7
-    if "--passes" in sys.argv:
-        passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    if "--passes" in argv:
+        i = argv.index("--passes")
+        passes = int(argv[i + 1])
+        del argv[i : i + 2]
+    ref = argv[0]
+    queries = argv[1:] or ["q1_pricing_summary", "topk_parts_per_brand"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     wt = bench._add_worktree(ref)
