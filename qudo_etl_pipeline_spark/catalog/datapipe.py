@@ -153,25 +153,30 @@ def ngram_jaccard_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    votes = ",\n           ".join(
-        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(16)
+    # PER-ROW form (r11 NULL-salt parity): the old unnest -> GROUP BY
+    # doc_id shape silently DROPPED a NULL-text document (unnest of a
+    # NULL list emits zero rows) and MERGED all NULL-id documents into
+    # one vote group — while the Spark operator is a pure per-row
+    # column expression that keeps every row and yields a NULL
+    # fingerprint for NULL text. The per-row list arithmetic below is
+    # the exact mirror (identical votes on NULL-free data).
+    bit = (
+        "(CASE WHEN list_sum(list_transform(hs, h -> "
+        "CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN {w} ELSE 0 END)"
     )
-    packed = " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
-    )
+    packed = " + ".join(bit.format(i=i, w=1 << i) for i in range(16))
     return f"""
-    WITH th AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents
-    ), hashes AS (
-      SELECT doc_id, {_dh('tok', 0)} AS h FROM th
-    ), votes AS (
+    WITH t AS (
       SELECT doc_id,
-           {votes}
-      FROM hashes GROUP BY doc_id
+             list_transform(list_distinct(string_split(text, ' ')),
+                            tok -> {_dh('tok', 0)}) AS hs
+      FROM documents
     )
-    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+    SELECT doc_id,
+           CASE WHEN hs IS NULL THEN NULL
+                ELSE CAST({packed} AS BIGINT) END AS simhash
+    FROM t
     """
 
 
@@ -952,6 +957,7 @@ def decontamination_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(string_split(text, ' '),
                              t -> list_contains([{_STOP_EN}], t))) AS stop
       FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ), scored AS (
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
              ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
@@ -1320,6 +1326,7 @@ def _line_dedup_oracle(line_tokens: int = 10) -> str:
              s -> {{'line': s}})) AS u,
              unnest(generate_series(1, len({segs}))) AS i
       FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ), lines AS (
       SELECT doc_id, i - 1 AS pos, {_dh_raw("(u).line")} AS lh FROM segs
     ), marked AS (
@@ -1355,6 +1362,7 @@ _PACK_T_CTE = """
              ROW_NUMBER() OVER (PARTITION BY doc_id % 8
                                 ORDER BY doc_id) AS rn
       FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL
 """
 
 
@@ -1593,7 +1601,11 @@ def _semantic_dedup_oracle(
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
         " * 1000000000.0 + 0.5) / 1000000000.0)"
     )
-    cap_sql = f" WHERE vec_id < {id_cap}" if id_cap is not None else ""
+    # vec_id IS NOT NULL mirrors semantic_dedup's id-less-vector
+    # exclusion (and the exhibit cap composes with it)
+    cap_sql = " WHERE vec_id IS NOT NULL" + (
+        f" AND vec_id < {id_cap}" if id_cap is not None else ""
+    )
     return f"""
     WITH cent AS (SELECT * FROM (VALUES {cents}) AS t(cid, cv)),
     v AS (
@@ -1879,7 +1891,7 @@ def source_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT DISTINCT doc_id AS doc,
              UNNEST(string_split(lower(text), ' ')) AS tok
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     idx AS (
       SELECT tok, COUNT(*) AS df,
@@ -1916,7 +1928,8 @@ def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boolean_and_docs",
     oracle="""
     SELECT doc_id AS doc FROM documents
-    WHERE list_contains(string_split(lower(text), ' '), 'table')
+    WHERE doc_id IS NOT NULL
+      AND list_contains(string_split(lower(text), ' '), 'table')
       AND list_contains(string_split(lower(text), ' '), 'hash')
     """,
     survey_ids=["J3", "P6"],

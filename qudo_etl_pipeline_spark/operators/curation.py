@@ -231,6 +231,12 @@ def line_dedup_stats(
         f"as int)), i -> concat_ws(' ', slice({toks}, "
         f"i * {line_tokens} + 1, {line_tokens})))"
     )
+    # first-occurrence semantics need a real (id, offset): documents
+    # with no id or no text take no part in line dedup (r11 NULL-salt
+    # parity; NULL-free corpora unchanged)
+    docs = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.expr(segs)).alias("pos", "_line"),
@@ -318,6 +324,12 @@ def token_budget_sample(
 
     q = quality_exprs(text_col)
     order = [F.desc("quality_score"), F.asc(id_col)]
+    # a document without text has no tokens to budget and one without
+    # an id has no place in the strict selection order — excluded
+    # (r11 NULL-salt parity; NULL-free corpora unchanged)
+    docs = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
     scored = docs.select(
         F.col(id_col),
         q["n_tokens"].alias("n_tokens"),

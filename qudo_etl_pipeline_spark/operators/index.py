@@ -24,8 +24,10 @@ def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # no distinct() here: collect_set downstream deduplicates per
     # token anyway, and an explicit distinct would add a full shuffle
     # of the exploded token stream — the largest intermediate in the
-    # index build — for identical output
-    return docs.select(
+    # index build — for identical output. An id-less document cannot
+    # appear in a posting list, so it is dropped at the scan (NULL text
+    # already explodes to zero rows).
+    return docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).filter(F.col("tok") != "")

@@ -35,10 +35,14 @@ from pyspark.sql import functions as F
 def _sharded_tokens(
     docs: DataFrame, id_col: str, text_col: str, n_shards: int
 ) -> DataFrame:
-    # NULL text is droppped up front (its NULL n_tokens would NaN-crash
-    # the greedy pandas kernel and silently skew the boundary windows);
+    # NULL text is dropped up front (its NULL n_tokens would NaN-crash
+    # the greedy pandas kernel and silently skew the boundary windows),
+    # and so is a NULL id: packing position is defined by ascending id,
+    # which an id-less document does not have (r11 NULL-salt parity).
     # pmod, not %, so negative ids still land in [0, n_shards)
-    return docs.filter(F.col(text_col).isNotNull()).select(
+    return docs.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint").alias("shard"),
         F.size(F.split(F.col(text_col), " ")).cast("bigint").alias(

@@ -592,6 +592,11 @@ def semantic_dedup(
         acquire_operator_cache,
     )
 
+    # id-less vectors are excluded: keep-lowest-id semantics cannot
+    # reference them as dup_of, and NULL < NULL join predicates would
+    # silently mark every one a keeper anyway — drop them explicitly
+    # at the scan (r11 NULL-salt parity; NULL-free inputs unchanged)
+    vectors = vectors.filter(F.col(id_col).isNotNull())
     tagged = acquire_operator_cache(
         ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
         .select(
