@@ -928,10 +928,11 @@ def signal_loss_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equidepth_price_buckets",
     oracle="""
     WITH b AS (
+      -- price IS NOT NULL mirrors the bucketizer's NULL-value drop
       SELECT l_extendedprice AS v,
              NTILE(8) OVER (ORDER BY l_extendedprice,
                             l_orderkey, l_linenumber) AS bucket
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     )
     SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
            MIN(v) AS lo, MAX(v) AS hi

@@ -92,8 +92,10 @@ def _bloom_oracle(m_bits: int = 2048, k: int = 3) -> str:
     build = " UNION ALL ".join(
         f"SELECT {_h(ok, r, m_bits)} AS pos FROM orders" for r in range(k)
     )
+    # c_custkey IS NOT NULL mirrors bloom_lookup's NULL-probe drop
     probe = " UNION ALL ".join(
         f"SELECT c_custkey, {_h(ck, r, m_bits)} AS pos FROM customer"
+        " WHERE c_custkey IS NOT NULL"
         for r in range(k)
     )
     return f"""
@@ -393,7 +395,8 @@ _HH_KEY = (
       SELECT {_HH_KEY} AS hh_key FROM events
     ),
     tot AS (SELECT COUNT(*) AS n_total FROM keyed),
-    cnts AS (SELECT hh_key, COUNT(*) AS cnt FROM keyed GROUP BY 1)
+    cnts AS (SELECT hh_key, COUNT(*) AS cnt FROM keyed
+             WHERE hh_key IS NOT NULL GROUP BY 1)
     SELECT hh_key, cnt, n_total FROM cnts CROSS JOIN tot
     WHERE cnt * 100 >= 1 * n_total
     ORDER BY hh_key

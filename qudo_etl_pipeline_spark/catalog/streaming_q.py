@@ -58,7 +58,7 @@ _HOURLY_ORACLE = """
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -146,10 +146,14 @@ def streaming_hourly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_agg",
     oracle="""
     WITH ordered AS (
+      -- ts IS NOT NULL mirrors F.session_window, which generates no
+      -- session for a NULL timestamp; NULLS LAST pins the event_id
+      -- tie-break identically on both engines (r11 NULL-salt parity)
       SELECT user_id, ts,
-             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id NULLS LAST) AS prev_us,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN prev_us IS NULL
@@ -157,7 +161,8 @@ def streaming_hourly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), sess AS (
       SELECT user_id, ts, event_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id NULLS LAST
                                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -179,10 +184,13 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions",
     oracle="""
     WITH ordered AS (
+      -- an event without a timestamp is not sessionizable (and the
+      -- event_id tie-break is pinned NULLS LAST on both engines)
       SELECT user_id, ts,
-             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id NULLS LAST) AS prev_us,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN prev_us IS NULL
@@ -190,7 +198,8 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), sess AS (
       SELECT user_id, event_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id NULLS LAST
                                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -204,8 +213,13 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # an event without a timestamp is not sessionizable; the event_id
+    # tie-break is pinned NULLS LAST to match the oracle (Spark's bare
+    # asc() is NULLS FIRST) — r11 NULL-salt parity
+    e = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.asc_nulls_last("event_id")
+    )
     flagged = e.select(
         "user_id",
         "ts",

@@ -32,12 +32,20 @@ from qudo_etl_pipeline_spark.operators import temporal as T
       FROM events WHERE event_type = 'click'
       GROUP BY user_id, ts
     )
+    -- NULL-ts probes forced unmatched: DuckDB's ASOF sorts a NULL
+    -- probe timestamp LAST (matching the newest build row), but a
+    -- purchase without a timestamp has no "most recent prior" click —
+    -- the operator's (and pandas merge_asof's) contract
     SELECT purchase_id,
            probe.user_id AS user_id,
            COALESCE(click_id, -1) AS click_id,
            COALESCE(epoch_us(probe.ts) - epoch_us(click_ts), -1) AS gap_us
     FROM probe ASOF LEFT JOIN build
       ON probe.user_id = build.user_id AND probe.ts >= build.ts
+    WHERE probe.ts IS NOT NULL
+    UNION ALL
+    SELECT purchase_id, user_id, -1 AS click_id, -1 AS gap_us
+    FROM probe WHERE ts IS NULL
     """,
     survey_ids=["J1", "W1"],
     description="As-of join: each purchase to the most recent prior click "
@@ -79,12 +87,20 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'click'
       GROUP BY user_id, ts
     )
+    -- NULL-ts probes forced unmatched: DuckDB's ASOF sorts a NULL
+    -- probe timestamp LAST (matching the newest build row), but a
+    -- purchase without a timestamp has no "most recent prior" click —
+    -- the operator's (and pandas merge_asof's) contract
     SELECT purchase_id,
            probe.user_id AS user_id,
            COALESCE(click_id, -1) AS click_id,
            COALESCE(epoch_us(probe.ts) - epoch_us(click_ts), -1) AS gap_us
     FROM probe ASOF LEFT JOIN build
       ON probe.user_id = build.user_id AND probe.ts >= build.ts
+    WHERE probe.ts IS NOT NULL
+    UNION ALL
+    SELECT purchase_id, user_id, -1 AS click_id, -1 AS gap_us
+    FROM probe WHERE ts IS NULL
     """,
     survey_ids=["J1", "W1"],
     description="Hot-key-safe as-of join: same attribution query and "
@@ -126,9 +142,11 @@ def asof_attribution_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_join_error_context",
     oracle="""
     WITH iv AS (
+      -- id-less errors excluded: one window per REFERENCEABLE error
+      -- (a NULL group would merge them all; r11 NULL-salt parity)
       SELECT event_id AS error_id, ts AS w_start,
              ts + INTERVAL 10 MINUTE AS w_end
-      FROM events WHERE event_type = 'error'
+      FROM events WHERE event_type = 'error' AND event_id IS NOT NULL
     ),
     pt AS (
       SELECT ts AS v_ts, user_id AS v_user
@@ -147,7 +165,9 @@ def asof_attribution_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
-    intervals = ev.filter(F.col("event_type") == "error").select(
+    intervals = ev.filter(
+        (F.col("event_type") == "error") & F.col("event_id").isNotNull()
+    ).select(
         F.col("event_id").alias("error_id"),
         F.col("ts").alias("w_start"),
         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
@@ -224,7 +244,7 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
                       '%Y-%m-%d %H:%M:%S') AS hour_start,
              event_type, COUNT(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     scored AS (
       SELECT hour_start, event_type, n,
@@ -346,14 +366,22 @@ def _ewma_oracle(alpha: float = 0.5, window: int = 8) -> str:
             f" + (CASE WHEN len(l) - {age} >= 1"
             f" THEN {wt} ELSE 0.0 END)"
         )
+    # FILTER mirrors Spark collect_list's NULL-skip (the frame holds
+    # only non-null values); NULLS LAST mirrors the operator's pinned
+    # null ordering. ewma is NULL when the filtered frame is empty
+    # (0.0/0.0 -> try_divide NULL on the Spark side, NULL/0 here).
     return f"""
     SELECT event_id, user_id,
-           CAST(len(l) AS BIGINT) AS n_w,
-           {ref_round_sql(f'({num}) / ({den})', 6)} AS ewma
+           -- COALESCE: an all-filtered frame is NULL (not []) in
+           -- DuckDB, while Spark's collect_list gives an empty array
+           CAST(COALESCE(len(l), 0) AS BIGINT) AS n_w,
+           CASE WHEN COALESCE(len(l), 0) = 0 THEN NULL
+                ELSE {ref_round_sql(f'({num}) / ({den})', 6)} END AS ewma
     FROM (
       SELECT event_id, user_id,
-             list(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+             list(value) FILTER (WHERE value IS NOT NULL) OVER (
+               PARTITION BY user_id
+               ORDER BY ts NULLS LAST, event_id NULLS LAST
                ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
              ) AS l
       FROM events WHERE event_type = 'view'
@@ -572,7 +600,7 @@ def _cusum_oracle() -> str:
       SELECT event_type,
              time_bucket(INTERVAL '1 hour', ts) AS bucket,
              COUNT(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     stats AS (
       SELECT event_type,
@@ -847,7 +875,7 @@ def _seasonal_oracle(period: int = 24, step: int = 3600) -> str:
     WITH series AS (
       SELECT event_type AS k, date_trunc('hour', ts) AS t,
              CAST(CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS v
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     w AS (
       SELECT k, t, v,

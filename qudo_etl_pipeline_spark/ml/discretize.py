@@ -46,6 +46,9 @@ def ntile_bucketize(
         ranged_prefix_sums,
     )
 
+    # a NULL value has no position in a value-ordered discretization —
+    # excluded (r11 NULL-salt parity; NULL-free inputs unchanged)
+    df = df.filter(F.col(col).isNotNull())
     src = df.withColumn("_one", F.lit(1))
     ranked = ranged_prefix_sums(
         src, [col, *tiebreak], {"_rank": "_one"}
@@ -79,6 +82,8 @@ def bounds_bucketize(
     literal array). Values above the last inner boundary take bucket k;
     ties at a boundary go to the lower bucket (<= semantics, matching
     NTILE's placement of the boundary row)."""
+    # same contract as ntile_bucketize: NULL values have no bucket
+    df = df.filter(F.col(col).isNotNull())
     probs = [i / k for i in range(1, k)]
     bounds = df.agg(
         F.percentile_approx(col, probs, accuracy).alias("b")

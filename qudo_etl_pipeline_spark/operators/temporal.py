@@ -93,6 +93,18 @@ def asof_join(
     payload_cols = [c for c in build.columns if c not in (on, build_ts)]
     payload = F.struct(*[F.col(c) for c in payload_cols])
 
+    # NULL-key/NULL-ts build rows can never legitimately precede a
+    # probe row (DuckDB ASOF's `probe.ts >= build.ts` and the equi-key
+    # are both three-valued-false on NULL) — but Spark's window
+    # PARTITIONS BY the key, where NULL groups WITH NULL, so without
+    # this filter a NULL-key probe row would silently "match" a
+    # NULL-key build row. Probe rows with NULL key/ts need no filter:
+    # their partition (or null-first sort position) holds no build
+    # payload, so they come back unmatched — exactly the ASOF LEFT
+    # semantics (r11 NULL-salt parity; NULL-free inputs unchanged).
+    build = build.filter(
+        F.col(on).isNotNull() & F.col(build_ts).isNotNull()
+    )
     b = build.select(
         F.col(on).alias("__k"),
         F.col(build_ts).alias("__ts"),
@@ -322,6 +334,10 @@ def trailing_zscore(
 
     One keyed shuffle (all window frames share the partitioning).
     """
+    # a series point with a NULL NULL order key has no position in the
+    # ordered series — excluded (r11 NULL-salt parity; gap-free
+    # NULL-free series unchanged)
+    series = series.filter(F.col(order_col).isNotNull())
     w = (
         Window.partitionBy(key_col)
         .orderBy(order_col)
@@ -475,9 +491,13 @@ def ewma(
     if window < 1:
         raise ValueError(f"window {window} must be >= 1")
     beta = 1.0 - alpha
+    # NULLS LAST pinned: Spark's bare asc() is NULLS FIRST while SQL
+    # engines default NULLS LAST, so a NULL order key would silently
+    # shift every frame (r11 NULL-salt parity; total orders without
+    # NULLs are unchanged)
     w = (
         Window.partitionBy(key_col)
-        .orderBy(*order_cols)
+        .orderBy(*[F.asc_nulls_last(c) for c in order_cols])
         .rowsBetween(-(window - 1), 0)
     )
     # collect_list skips NULLs, so the frame list holds the last
@@ -709,6 +729,10 @@ def cusum_changepoints(
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
+    # a series point with a NULL order key has no position in the
+    # ordered series — excluded (r11 NULL-salt parity; gap-free
+    # NULL-free series unchanged)
+    series = series.filter(F.col(bucket_col).isNotNull())
     stats = series.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col(value_col).cast("decimal(27,6)")).alias("__s"),
@@ -969,6 +993,9 @@ def seasonal_decompose(
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
+    # a series point with a NULL bucket has no position in the ordered
+    # series — excluded (r11 NULL-salt parity)
+    series = series.filter(F.col(bucket_col).isNotNull())
     half = period // 2
     k = F.col(key_col)
     src = series.select(
