@@ -146,7 +146,7 @@ def cdc_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS DECIMAL(38,12))), 6) AS DOUBLE) AS total_sq,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
              AS mean
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     survey_ids=["A4", "A5", "A8"],
     description="Incremental rollup maintenance: hourly state built "
@@ -313,9 +313,11 @@ def _mad_oracle() -> str:
              {ref_round_sql('quantile_cont(o_totalprice, 0.5)', 6)} AS med6
       FROM orders GROUP BY 1
     ), dev AS (
+      -- IS NOT DISTINCT FROM mirrors the operator's eqNullSafe join:
+      -- NULL-key rows score against the NULL-key group's median/MAD
       SELECT o.o_orderkey, o.o_orderpriority AS g, o.o_totalprice AS v,
              m.med6
-      FROM orders o JOIN med m ON o.o_orderpriority = m.g
+      FROM orders o JOIN med m ON o.o_orderpriority IS NOT DISTINCT FROM m.g
     ), mad AS (
       SELECT g,
              {ref_round_sql('quantile_cont(ABS(v - med6), 0.5)', 6)} AS mad6
@@ -325,7 +327,7 @@ def _mad_oracle() -> str:
            CASE WHEN m.mad6 > 0 THEN {ref_round_sql(rz, 6)} END AS rz6,
            CAST(CASE WHEN m.mad6 > 0 AND ABS({rz}) > 3.5
                      THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
-    FROM dev d JOIN mad m ON d.g = m.g
+    FROM dev d JOIN mad m ON d.g IS NOT DISTINCT FROM m.g
     """
 
 
@@ -812,7 +814,10 @@ def _winsor_oracle() -> str:
              CASE WHEN l_extendedprice < lo6 THEN lo6
                   WHEN l_extendedprice > hi6 THEN hi6
                   ELSE l_extendedprice END AS w
-      FROM lineitem l JOIN b ON l.l_returnflag = b.g
+      -- IS NOT DISTINCT FROM mirrors the operator's null-safe
+      -- bounds join: the NULL-key group winsorizes against its own
+      -- quantiles instead of dropping (r11 NULL-salt parity)
+      FROM lineitem l JOIN b ON l.l_returnflag IS NOT DISTINCT FROM b.g
     )
     SELECT g AS l_returnflag, COUNT(*) AS n,
            CAST(SUM(CASE WHEN f = -1 THEN 1 ELSE 0 END) AS BIGINT)

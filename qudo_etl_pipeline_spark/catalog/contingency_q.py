@@ -38,8 +38,13 @@ _MELT_CTE = """
       UNION ALL
       SELECT id, cluster, 'q_balance' AS variable, q_balance AS value FROM wide
     ), cells AS (
+      -- NULL cluster/category excluded: contingency_tables mirrors
+      -- pandas.crosstab, which silently drops NaN rows (the
+      -- reference's own behavior) — r11 NULL-salt parity
       SELECT variable, cluster, value, COUNT(*) AS observed
-      FROM long GROUP BY variable, cluster, value
+      FROM long
+      WHERE cluster IS NOT NULL AND value IS NOT NULL
+      GROUP BY variable, cluster, value
     ), grid AS (
       SELECT vv.variable, vv.value, vc.cluster
       FROM (SELECT DISTINCT variable, value FROM cells) vv

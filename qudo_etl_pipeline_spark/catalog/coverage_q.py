@@ -130,11 +130,13 @@ def join_manual_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "positional_join",
     oracle="""
     WITH a AS (
-      SELECT s_name, ROW_NUMBER() OVER (ORDER BY s_suppkey) AS rn
+      -- NULLS FIRST mirrors the prefix device's Spark asc() ordering
+      SELECT s_name, ROW_NUMBER() OVER (ORDER BY s_suppkey NULLS FIRST) AS rn
       FROM supplier
     ),
     b AS (
-      SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn
+      -- NULLS FIRST mirrors Spark's bare window asc() on this side
+      SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_nationkey NULLS FIRST) AS rn
       FROM nation
     )
     SELECT a.rn, a.s_name, b.n_name

@@ -1132,9 +1132,18 @@ def weighted_quantile(
     crossed = F.lit(q_den) * F.col("__cumw") >= F.lit(q_num) * F.col(
         "__totw"
     )
-    flagged = cum.join(F.broadcast(gtot), list(group_cols)).filter(
-        crossed
-    )
+    # null-safe totals join (same contract as robust_zscore/winsorize):
+    # the NULL-key group is a group — a plain key join would silently
+    # drop it from the output (r11 NULL-salt parity)
+    ren = gtot
+    for i, c in enumerate(group_cols):
+        ren = ren.withColumnRenamed(c, f"_g{i}")
+    cond = F.lit(True)
+    for i, c in enumerate(group_cols):
+        cond = cond & cum[c].eqNullSafe(F.col(f"_g{i}"))
+    flagged = cum.join(F.broadcast(ren), cond).drop(
+        *[f"_g{i}" for i in range(len(group_cols))]
+    ).filter(crossed)
     return flagged.groupBy(*group_cols).agg(
         F.min("__v").alias("wq_value"),
         F.first("__totw").cast("double").alias("total_weight"),

@@ -266,7 +266,18 @@ def ranged_prefix_sums(
             for out in sum_cols
         ],
     )
-    joined = local.join(F.broadcast(offsets), ["_pid", *groups])
+    # null-safe offsets join: a NULL group key is a group — the plain
+    # key-list join silently dropped its rows from every consumer of
+    # the device (r11 NULL-salt parity; NULL-free inputs unchanged)
+    ren = offsets
+    for i, g in enumerate(groups):
+        ren = ren.withColumnRenamed(g, f"_gk{i}")
+    cond = local["_pid"] == ren["_pid"]
+    for i, g in enumerate(groups):
+        cond = cond & local[g].eqNullSafe(F.col(f"_gk{i}"))
+    joined = local.join(F.broadcast(ren), cond).drop(ren["_pid"]).drop(
+        *[f"_gk{i}" for i in range(len(groups))]
+    )
     return joined.select(
         *df.columns,
         *[
