@@ -255,31 +255,38 @@ _DIFF_R = """
       FROM r GROUP BY o_orderkey
     ),
     j AS (
+      -- IS NOT DISTINCT FROM mirrors table_diff's eqNullSafe pairing
+      -- (a NULL key pairs instead of reading as removed+added);
+      -- presence is detected from the per-side COUNTs, never key
+      -- nullness (r11 NULL-salt parity; NULL-free data identical)
       SELECT lk.o_orderkey AS lkey, rk.o_orderkey AS rkey,
              ln, rn, lp, rp, ls, rs
-      FROM lk FULL OUTER JOIN rk ON lk.o_orderkey = rk.o_orderkey
+      FROM lk FULL OUTER JOIN rk
+        ON lk.o_orderkey IS NOT DISTINCT FROM rk.o_orderkey
     ),
     agg AS (
       SELECT
-        CAST(SUM(CASE WHEN lkey IS NULL AND rkey IS NOT NULL
+        CAST(SUM(CASE WHEN ln IS NULL AND rn IS NOT NULL
                  THEN 1 ELSE 0 END) AS BIGINT) AS added,
-        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NULL
+        CAST(SUM(CASE WHEN ln IS NOT NULL AND rn IS NULL
                  THEN 1 ELSE 0 END) AS BIGINT) AS removed,
-        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
+        CAST(SUM(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
                  AND (lp IS DISTINCT FROM rp OR ls IS DISTINCT FROM rs)
                  THEN 1 ELSE 0 END) AS BIGINT) AS changed,
-        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
+        CAST(SUM(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
                  AND lp IS NOT DISTINCT FROM rp
                  AND ls IS NOT DISTINCT FROM rs
                  THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
-        CAST(SUM(CASE WHEN lkey IS NOT NULL AND ln > 1
-                 THEN 1 ELSE 0 END) AS BIGINT) AS dupl,
-        CAST(SUM(CASE WHEN rkey IS NOT NULL AND rn > 1
-                 THEN 1 ELSE 0 END) AS BIGINT) AS dupr,
-        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
+        CAST(SUM(CASE WHEN ln > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dupl,
+        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dupr,
+        CAST(SUM(CASE WHEN ln IS NOT NULL AND lkey IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS nulll,
+        CAST(SUM(CASE WHEN rn IS NOT NULL AND rkey IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS nullr,
+        CAST(SUM(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
                  AND lp IS DISTINCT FROM rp
                  THEN 1 ELSE 0 END) AS BIGINT) AS ch_price,
-        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
+        CAST(SUM(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
                  AND ls IS DISTINCT FROM rs
                  THEN 1 ELSE 0 END) AS BIGINT) AS ch_status
       FROM j
@@ -291,8 +298,8 @@ _DIFF_R = """
       UNION ALL SELECT 'unchanged', unchanged FROM agg
       UNION ALL SELECT 'dup_keys:left', dupl FROM agg
       UNION ALL SELECT 'dup_keys:right', dupr FROM agg
-      UNION ALL SELECT 'null_keys:left', CAST(0 AS BIGINT) FROM agg
-      UNION ALL SELECT 'null_keys:right', CAST(0 AS BIGINT) FROM agg
+      UNION ALL SELECT 'null_keys:left', nulll FROM agg
+      UNION ALL SELECT 'null_keys:right', nullr FROM agg
       UNION ALL SELECT 'changed:o_totalprice', ch_price FROM agg
       UNION ALL SELECT 'changed:o_orderstatus', ch_status FROM agg
     ) ORDER BY metric
@@ -343,16 +350,20 @@ def table_diff_orders_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lk FULL OUTER JOIN rk ON lk.k = rk.k
     ),
     agg AS (
+      -- mirror of join_profile's sentinel-group routing: a side's
+      -- NULL-key group is PRESENT (ln/rn non-null) but has no key —
+      -- it feeds null_keys_* and rows_*, never the key counts
+      -- (r11 NULL-salt parity; NULL-free data identical)
       SELECT
-        CAST(SUM(CASE WHEN lkey IS NOT NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS keys_left,
-        CAST(SUM(CASE WHEN rkey IS NOT NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS keys_right,
+        CAST(SUM(CASE WHEN ln IS NOT NULL AND lkey IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS keys_left,
+        CAST(SUM(CASE WHEN rn IS NOT NULL AND rkey IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS keys_right,
         CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NOT NULL
                  THEN 1 ELSE 0 END) AS BIGINT) AS keys_matched,
-        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rkey IS NULL
+        CAST(SUM(CASE WHEN lkey IS NOT NULL AND rn IS NULL
                  THEN 1 ELSE 0 END) AS BIGINT) AS keys_left_only,
-        CAST(SUM(CASE WHEN rkey IS NOT NULL AND lkey IS NULL
+        CAST(SUM(CASE WHEN rkey IS NOT NULL AND ln IS NULL
                  THEN 1 ELSE 0 END) AS BIGINT) AS keys_right_only,
         CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL
                  AND rkey IS NOT NULL THEN ln * rn END), 0)
@@ -363,10 +374,12 @@ def table_diff_orders_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(COALESCE(MAX(CASE WHEN lkey IS NOT NULL
                  AND rkey IS NOT NULL THEN rn END), 0)
              AS BIGINT) AS max_right_rows_per_key,
-        CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL THEN ln END), 0)
-             AS BIGINT) AS rows_left,
-        CAST(COALESCE(SUM(CASE WHEN rkey IS NOT NULL THEN rn END), 0)
-             AS BIGINT) AS rows_right,
+        CAST(COALESCE(SUM(CASE WHEN ln IS NOT NULL AND lkey IS NULL
+                 THEN ln END), 0) AS BIGINT) AS null_keys_left,
+        CAST(COALESCE(SUM(CASE WHEN rn IS NOT NULL AND rkey IS NULL
+                 THEN rn END), 0) AS BIGINT) AS null_keys_right,
+        CAST(COALESCE(SUM(ln), 0) AS BIGINT) AS rows_left,
+        CAST(COALESCE(SUM(rn), 0) AS BIGINT) AS rows_right,
         CAST(COALESCE(SUM(CASE WHEN lkey IS NOT NULL
                  AND rkey IS NOT NULL THEN ln END), 0)
              AS BIGINT) AS rows_left_matched,
@@ -386,8 +399,8 @@ def table_diff_orders_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg
       UNION ALL SELECT 'max_right_rows_per_key', max_right_rows_per_key
         FROM agg
-      UNION ALL SELECT 'null_keys_left', 0 FROM agg
-      UNION ALL SELECT 'null_keys_right', 0 FROM agg
+      UNION ALL SELECT 'null_keys_left', null_keys_left FROM agg
+      UNION ALL SELECT 'null_keys_right', null_keys_right FROM agg
       UNION ALL SELECT 'rows_left', rows_left FROM agg
       UNION ALL SELECT 'rows_right', rows_right FROM agg
       UNION ALL SELECT 'rows_left_matched', rows_left_matched FROM agg
@@ -591,9 +604,15 @@ def join_strategy_decision_planted(
     "golden_record_customers",
     oracle="""
     WITH newest AS (
+      -- mirror of the operator's newest-rule struct
+      -- (non_null_flag, recency, value) max: any NON-NULL value beats
+      -- every NULL value regardless of recency, then newest wins with
+      -- NULL recency smallest (DESC NULLS LAST)
       SELECT o_custkey, o_orderstatus,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
-               ORDER BY o_orderdate DESC, o_orderstatus DESC) AS rn
+               ORDER BY (o_orderstatus IS NOT NULL) DESC,
+                        o_orderdate DESC NULLS LAST,
+                        o_orderstatus DESC NULLS LAST) AS rn
       FROM orders
     ),
     freq AS (
@@ -606,11 +625,15 @@ def join_strategy_decision_planted(
       SELECT o_custkey, MAX(o_totalprice) AS o_totalprice
       FROM orders GROUP BY o_custkey
     )
+    -- IS NOT DISTINCT FROM mirrors the operator's groupBy, which
+    -- keeps the NULL-custkey group as its own golden record
     SELECT mx.o_custkey AS o_custkey, mx.o_totalprice,
            n.o_orderstatus, f.o_orderpriority
     FROM mx
-    JOIN newest n ON mx.o_custkey = n.o_custkey AND n.rn = 1
-    JOIN freq f ON mx.o_custkey = f.o_custkey AND f.rn = 1
+    JOIN newest n ON mx.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                  AND n.rn = 1
+    JOIN freq f ON mx.o_custkey IS NOT DISTINCT FROM f.o_custkey
+                  AND f.rn = 1
     ORDER BY o_custkey
     """,
     survey_ids=["A6", "A10", "J3"],

@@ -35,8 +35,11 @@ from qudo_etl_pipeline_spark.operators import cleaning as CL
       FROM customer
     ),
     cleaned AS (
+      -- fill_na_policy sentinels EVERY string column (r11 NULL-salt
+      -- parity: a NULL segment becomes its own 'not selected' segment)
       SELECT alchemer_id,
-             "FIN_UK_SEG_FB" AS fin_uk_seg_fb_tgt,   -- P4: lowercase + _tgt
+             COALESCE("FIN_UK_SEG_FB", 'not selected')
+               AS fin_uk_seg_fb_tgt,               -- P4: lowercase + _tgt
              COALESCE(psy_ww_brand_gg, 'not selected') AS psy_ww_brand_gg_tgt,
              weight_scaled
       FROM survey
@@ -329,12 +332,17 @@ def population_modes_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rules_based_codes",
     oracle="""
     WITH codes AS (
+      -- NULL answers have no code (label-encode contract); the
+      -- null-safe join keeps their rows as a NULL-prediction group
       SELECT o_orderpriority,
-             CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS prediction
+             CASE WHEN o_orderpriority IS NULL THEN NULL
+                  ELSE CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority)
+                            - 1 AS INT) END AS prediction
       FROM (SELECT DISTINCT o_orderpriority FROM orders)
     )
     SELECT c.prediction, COUNT(*) AS n
-    FROM orders o JOIN codes c ON o.o_orderpriority = c.o_orderpriority
+    FROM orders o JOIN codes c
+      ON o.o_orderpriority IS NOT DISTINCT FROM c.o_orderpriority
     GROUP BY c.prediction
     """,
     survey_ids=["M9"],
@@ -471,7 +479,9 @@ def message_reach_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.seg,
            {ref_round_sql('COALESCE(s.n_sig, 0) / 5.0 * p.share', 3)} AS magnitude
-    FROM pct p LEFT JOIN sig s ON p.seg = s.seg
+    -- IS NOT DISTINCT FROM: the NULL segment's significant-variable
+    -- count must join back to its share (r11 NULL-salt parity)
+    FROM pct p LEFT JOIN sig s ON p.seg IS NOT DISTINCT FROM s.seg
     """,
     survey_ids=["M31"],
     description="Magnitude: cluster share x significant-tgt-variable ratio",
@@ -517,7 +527,8 @@ def magnitude_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM deliver WHERE chi2 <= 0.05 GROUP BY seg, string_split(q_code, '_')[1]
     )
     SELECT s.seg, s.prefix, {ref_round_sql('CAST(s.n_sig AS DOUBLE) / o.n_all', 6)} AS proportion
-    FROM sig s JOIN overall o ON s.prefix = o.prefix
+    -- null-safe: a NULL question prefix (NULL q_code) is a prefix group
+    FROM sig s JOIN overall o ON s.prefix IS NOT DISTINCT FROM o.prefix
     """,
     survey_ids=["M36", "P8"],
     description="Significant-variable spread: per-question-prefix share of "
@@ -592,6 +603,9 @@ def hierarchical_segmentation_rows(spark: SparkSession, sf_dir: str) -> DataFram
                      WHEN label % 3 = 0 THEN vec_id % 2
                      ELSE 2 + vec_id % 2 END AS INT) AS prediction
     FROM embeddings
+    -- the operator explicitly excludes the NULL pivot group from the
+    -- group loop (clustering.py hierarchical_segmentation)
+    WHERE label IS NOT NULL
     """,
     survey_ids=["M10"],
     description="Hierarchical segmentation shell (group split, label "

@@ -311,8 +311,13 @@ def rank_sum_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "label_encode_codes",
     oracle="""
+    -- NULL has no code (sklearn LabelEncoder fits post-fillna values;
+    -- build_code_maps excludes None) — DuckDB ranks NULL last, so the
+    -- non-null codes are unchanged by the CASE
     SELECT p_brand AS value,
-           CAST(DENSE_RANK() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS code
+           CASE WHEN p_brand IS NULL THEN NULL
+                ELSE CAST(DENSE_RANK() OVER (ORDER BY p_brand) - 1
+                          AS BIGINT) END AS code
     FROM (SELECT DISTINCT p_brand FROM part)
     """,
     survey_ids=["M1"],

@@ -284,8 +284,10 @@ def golden_record(
         )
         for col in mode_cols:
             modes = modes.withColumnRenamed(col, f"_mode_{col}")
+        # eqNullSafe: the NULL-key group's modes must join back to its
+        # golden record, not silently fall out (r11 NULL-salt parity)
         out = out.join(
-            modes, out[group_col] == modes["_g"], "left"
+            modes, out[group_col].eqNullSafe(modes["_g"]), "left"
         ).drop("_g")
         for col in mode_cols:
             # survivor rides the melt as a string — restore the
