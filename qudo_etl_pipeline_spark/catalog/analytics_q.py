@@ -23,8 +23,10 @@ _FUNNEL_STAGES = ["signup", "click", "purchase"]
     "funnel_signup_click_purchase",
     oracle="""
     WITH ev AS (
+      -- a journey needs a user and a time (r11 NULL-salt parity)
       SELECT user_id, ts, event_type FROM events
       WHERE event_type IN ('signup', 'click', 'purchase')
+        AND user_id IS NOT NULL AND ts IS NOT NULL
     ),
     s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
            WHERE event_type = 'signup' GROUP BY 1),
@@ -47,7 +49,10 @@ _FUNNEL_STAGES = ["signup", "click", "purchase"]
     "over the sorted event array), vs the stage-join SQL formulation",
 )
 def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    counts = A.funnel_counts(load_events(spark, sf_dir), _FUNNEL_STAGES)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    counts = A.funnel_counts(ev, _FUNNEL_STAGES)
     return counts.filter(F.col("n_users") > 0)
 
 
@@ -91,8 +96,11 @@ def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_orderkey % 13 = 0
     ),
     ranked AS (
+      -- NULLS LAST pins the change-ts order to Spark's desc()
+      -- semantics (a NULL change time never wins latest-wins)
       SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY k ORDER BY ts DESC, src DESC) AS rn
+        PARTITION BY k ORDER BY ts DESC NULLS LAST, src DESC,
+                                op ASC NULLS LAST) AS rn
       FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg)
     )
     SELECT k AS o_orderkey, status AS o_orderstatus,
@@ -176,15 +184,19 @@ def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_order_history",
     oracle="""
     WITH log AS (
-      SELECT o_orderkey AS k, o_orderstatus AS status,
-             o_orderdate AS ts, 'U' AS op
-      FROM orders
-      UNION ALL
-      SELECT o_orderkey, 'X', o_orderdate + INTERVAL 1 DAY, 'U'
-      FROM orders WHERE o_orderkey % 7 = 0
-      UNION ALL
-      SELECT o_orderkey, NULL, o_orderdate + INTERVAL 2 DAY, 'D'
-      FROM orders WHERE o_orderkey % 13 = 0
+      -- a change without a timestamp cannot open a validity interval
+      -- (r11 NULL-salt parity; mirrored in the Spark-side log filter)
+      SELECT * FROM (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               o_orderdate AS ts, 'U' AS op
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', o_orderdate + INTERVAL 1 DAY, 'U'
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, o_orderdate + INTERVAL 2 DAY, 'D'
+        FROM orders WHERE o_orderkey % 13 = 0
+      ) WHERE ts IS NOT NULL
     ),
     v AS (
       SELECT *, LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS nts FROM log
@@ -222,7 +234,11 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).alias("ts"),
         F.lit("D").alias("op"),
     )
-    log = base.unionByName(upserts).unionByName(deletes)
+    log = (
+        base.unionByName(upserts)
+        .unionByName(deletes)
+        .filter(F.col("ts").isNotNull())
+    )
     hist = A.scd2_history(log, keys=["o_orderkey"], ts_col="ts")
     return hist.select(
         "o_orderkey",
@@ -431,6 +447,7 @@ _SEQ_PATTERN = "V[VC]*P"  # view -> purchase with no error/signup between
                WHEN 'error' THEN 'E' END AS s
       FROM events
       WHERE event_type IN ('signup','view','click','purchase','error')
+        AND user_id IS NOT NULL AND ts IS NOT NULL
     ),
     seqs AS (
       SELECT user_id,
@@ -454,7 +471,9 @@ _SEQ_PATTERN = "V[VC]*P"  # view -> purchase with no error/signup between
 def sequence_match_view_purchase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     out = A.sequence_match(ev, _SEQ_SYMBOLS, _SEQ_PATTERN)
     return out.orderBy("user_id")
 
@@ -466,10 +485,10 @@ def _markov_oracle() -> str:
     return f"""
     WITH steps AS (
       SELECT LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
              ) AS prev_type,
              event_type AS next_type
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     counts AS (
       SELECT prev_type, next_type, COUNT(*) AS n
@@ -494,7 +513,9 @@ def _markov_oracle() -> str:
     "aggregate, row-normalized probabilities",
 )
 def event_transitions_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return A.event_transitions(ev).orderBy("prev_type", "next_type")
 
 
@@ -1215,15 +1236,20 @@ def _ltv_oracle() -> str:
     from qudo_etl_pipeline_spark.functions.rounding import ref_round_sql
 
     return f"""
-    WITH cohort AS (
+    WITH evd AS (
+      -- undated events take no part in cohort analytics (r11
+      -- NULL-salt parity; mirrored in the Spark-side filter)
+      SELECT * FROM events WHERE ts IS NOT NULL
+    ),
+    cohort AS (
       SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS c
-      FROM events GROUP BY user_id
+      FROM evd GROUP BY user_id
     ),
     rev AS (
       SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
              CAST(CAST(e.ts AS DATE) - c AS BIGINT) AS day_offset,
              SUM(CAST(e.value AS DECIMAL(18,6))) AS _rev
-      FROM events e JOIN cohort ON e.user_id = cohort.u
+      FROM evd e JOIN cohort ON e.user_id = cohort.u
       WHERE e.event_type = 'purchase'
       GROUP BY 1, 2
     ),
@@ -1254,7 +1280,7 @@ def _ltv_oracle() -> str:
     "(cohort, offset) frame — events are never windowed",
 )
 def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
     return A.cohort_ltv(ev, ["purchase"])
 
 
@@ -1892,10 +1918,14 @@ def _gains_oracle(k: int = 10) -> str:
     base = "CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)"
     return f"""
     WITH scored AS (
+      -- a NULL score has no decile and a NULL id no deterministic
+      -- tie-break position — unscoreable rows excluded (mirrored in
+      -- the Spark-side filter; r11 NULL-salt parity)
       SELECT -CAST(c_acctbal AS DOUBLE) AS negscore,
              CAST({label} AS BIGINT) AS y,
              c_custkey
       FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
     ),
     b AS (
       SELECT y, NTILE({k}) OVER (ORDER BY negscore, c_custkey) AS bucket
@@ -1945,7 +1975,9 @@ def _gains_oracle(k: int = 10) -> str:
     "lift from integer cumulative sums over the 10-row bucket frame",
 )
 def gains_curve_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_custkey").isNotNull()
+    )
     label = F.when(
         (F.col("c_custkey") * F.lit(2654435761)) % 997
         < F.lit(200) + F.floor(F.col("c_acctbal").cast("double") / 20.0),
@@ -2035,7 +2067,9 @@ def _bh_oracle(alpha: float = 0.25) -> str:
     padj = "LEAST(1.0, tq)"
     return f"""
     WITH tests AS (
-      SELECT o_orderpriority || '|' || o_orderstatus AS test_id,
+      -- concat_ws mirrors Spark's NULL-skipping test-id join (the ||
+      -- operator would NULL out any test with a NULL family member)
+      SELECT concat_ws('|', o_orderpriority, o_orderstatus) AS test_id,
              (COUNT(*) % 997) / 997.0 AS p
       FROM orders
       GROUP BY o_orderpriority, o_orderstatus
@@ -2103,12 +2137,14 @@ def _auc_oracle() -> str:
     )
     return f"""
     WITH src AS (
+      -- both label inputs non-null: a NULL orderkey makes the planted
+      -- XOR label UNKNOWN, and an unlabeled row is unscoreable
       SELECT CAST(o_totalprice AS DOUBLE) AS s,
              CAST(CASE WHEN (o_totalprice > 150000)
                        <> (o_orderkey % 11 = 0)
                   THEN 1 ELSE 0 END AS BIGINT) AS y
       FROM orders
-      WHERE o_totalprice IS NOT NULL
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
     ),
     per_v AS (
       SELECT s, CAST(SUM(y) AS BIGINT) AS cp,
@@ -2148,7 +2184,9 @@ def _auc_oracle() -> str:
     "no sampling, never a global orderBy window",
 )
 def roc_auc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    )
     scored = orders.select(
         F.col("o_totalprice").cast("double").alias("score"),
         (
@@ -2173,7 +2211,7 @@ def _calibration_oracle(bins: int = 10) -> str:
       SELECT (o_orderkey % 1000) / 1000.0 AS s,
              CAST(CASE WHEN ({h} % 1000) < (o_orderkey % 1000)
                   THEN 1 ELSE 0 END AS BIGINT) AS y
-      FROM orders
+      FROM orders WHERE o_orderkey IS NOT NULL
     ),
     per_b AS (
       SELECT CAST(GREATEST(0, LEAST({bins - 1},
@@ -2218,7 +2256,9 @@ def calibration_curve_planted(
 ) -> DataFrame:
     from qudo_etl_pipeline_spark.functions.hashing import hash64
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull()
+    )
     scored = orders.select(
         (
             (F.col("o_orderkey") % 1000).cast("double") / F.lit(1000.0)
@@ -2271,9 +2311,11 @@ def _did_oracle() -> str:
             )
     return f"""
     WITH src AS (
+      -- CAST(bool), not CASE-ELSE-0: an undated order's period is
+      -- UNKNOWN (NULL p falls outside all four cells), mirroring the
+      -- Spark side's bool cast (r11 NULL-salt parity)
       SELECT CAST(o_orderkey % 2 AS INT) AS t,
-             CAST(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
-                  THEN 1 ELSE 0 END AS INT) AS p,
+             CAST(o_orderdate >= TIMESTAMP '1998-01-01' AS INT) AS p,
              CAST(o_totalprice AS DOUBLE)
                + CASE WHEN o_orderkey % 2 = 1
                        AND o_orderdate >= TIMESTAMP '1998-01-01'

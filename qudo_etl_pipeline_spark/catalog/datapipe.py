@@ -382,8 +382,10 @@ def _ivf_learned_oracle(
     )
     ctes = [
         f"""v AS (
+      -- id-less vectors excluded: the rank-order init and the ANN
+      -- result rows are keyed by vec_id (r11 NULL-salt parity)
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings WHERE vec_id IS NOT NULL
     )""",
         f"""cent0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS cv
@@ -456,7 +458,11 @@ def _ivf_learned_oracle(
     "iterations as CTEs)",
 )
 def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    # id-less vectors excluded: the trainer's rank-order init and the
+    # neighbor rows are keyed by vec_id (r11 NULL-salt parity)
+    vecs = load_table_spread(
+        spark, sf_dir, "embeddings", predicate=F.col("vec_id").isNotNull()
+    )
     centroids = SIM.ivf_train(vecs, k=4, iters=2)
     queries = vecs.filter(F.col("vec_id") < 10)
     return SIM.ivf_topk(vecs, queries, centroids, nprobe=2, k=5)

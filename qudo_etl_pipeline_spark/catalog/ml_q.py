@@ -249,11 +249,18 @@ def ari_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Cochran's Q + I^2 over planted binary treatment columns",
 )
 def cochrans_q_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # when/otherwise(0), not bool.cast(int): Cochran's Q needs COMPLETE
+    # binary blocks, so an unknown (NULL) answer is a 0/No on BOTH
+    # engines — a bare cast would carry NULL into the block sums and
+    # silently diverge from the oracle's CASE ... ELSE 0
+    def b(cond):
+        return F.when(cond, 1).otherwise(0)
+
     li = load_table(spark, sf_dir, "lineitem").select(
-        (F.col("l_returnflag") == "R").cast("int").alias("b0"),
-        (F.col("l_linestatus") == "F").cast("int").alias("b1"),
-        (F.col("l_discount") > 0.05).cast("int").alias("b2"),
-        (F.col("l_quantity") > 25).cast("int").alias("b3"),
+        b(F.col("l_returnflag") == "R").alias("b0"),
+        b(F.col("l_linestatus") == "F").alias("b1"),
+        b(F.col("l_discount") > 0.05).alias("b2"),
+        b(F.col("l_quantity") > 25).alias("b3"),
     )
     q, dof = Q.cochrans_q(li, ["b0", "b1", "b2", "b3"])
     i2 = Q.i2_score(q, dof)
@@ -497,7 +504,8 @@ def gmm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     m0 AS (
       SELECT cluster, a0 AS mode_a0 FROM (
         SELECT cluster, a0, ROW_NUMBER() OVER (
-          PARTITION BY cluster ORDER BY COUNT(*) DESC, a0 ASC) AS rn
+          PARTITION BY cluster
+          ORDER BY COUNT(*) DESC, a0 ASC NULLS FIRST) AS rn
         FROM assigned GROUP BY cluster, a0
       ) WHERE rn = 1
     ),
@@ -546,18 +554,23 @@ def kmodes_step_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ),
     assigned AS (
+      -- argmin with lowest-index DEFAULT: the operator's
+      -- when(d1 < d0, 1).otherwise(0) sends a NULL distance (NULL f1)
+      -- to cluster 0, so the comparison is written d1 < d0 -> 1
+      -- (NULL -> ELSE 0), not d0 <= d1 -> 0 (NULL -> ELSE 1)
       SELECT id, a0, f1,
-             CASE WHEN ((f1 - 0.0) * (f1 - 0.0)
-                        + 0.5 * (CASE WHEN a0 = 'BUILDING' THEN 0 ELSE 1 END))
-                       <= ((f1 - 5.0) * (f1 - 5.0)
-                           + 0.5 * (CASE WHEN a0 = 'MACHINERY' THEN 0 ELSE 1 END))
-                  THEN 0 ELSE 1 END AS cluster
+             CASE WHEN ((f1 - 5.0) * (f1 - 5.0)
+                        + 0.5 * (CASE WHEN a0 = 'MACHINERY' THEN 0 ELSE 1 END))
+                       < ((f1 - 0.0) * (f1 - 0.0)
+                          + 0.5 * (CASE WHEN a0 = 'BUILDING' THEN 0 ELSE 1 END))
+                  THEN 1 ELSE 0 END AS cluster
       FROM pts
     ),
     m0 AS (
       SELECT cluster, a0 AS mode_a0 FROM (
         SELECT cluster, a0, ROW_NUMBER() OVER (
-          PARTITION BY cluster ORDER BY COUNT(*) DESC, a0 ASC) AS rn
+          PARTITION BY cluster
+          ORDER BY COUNT(*) DESC, a0 ASC NULLS FIRST) AS rn
         FROM assigned GROUP BY cluster, a0
       ) WHERE rn = 1
     )
@@ -979,11 +992,14 @@ def _te_oracle() -> str:
     )
     return f"""
     WITH src AS (
+      -- CAST(bool), not CASE-ELSE-0: a NULL price is an UNKNOWN label
+      -- and the encoder drops unlabeled rows (they can neither
+      -- contribute statistics nor be scored) — r11 NULL-salt parity
       SELECT o_orderkey AS id, o_orderpriority AS c,
-             CAST(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
-                  AS BIGINT) AS t,
+             CAST(o_totalprice > 150000 AS BIGINT) AS t,
              ({h} % 5) AS f
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     ),
     cells AS (
       SELECT c, f, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1005,10 +1021,15 @@ def _te_oracle() -> str:
              (cn - n) AS onn, (cs - s) AS os, gn, gs
       FROM cells JOIN per_cat ON cells.c = per_cat.c CROSS JOIN gtot
     )
+    -- LEFT JOIN + global-mean fallback mirrors the encoder: a NULL
+    -- category/fold never equi-matches its stats cell (the join is
+    -- null-UNSAFE on both engines by design), so those rows encode to
+    -- the smoothed-empty value = global mean
     SELECT src.id AS o_orderkey, src.c AS o_orderpriority,
            src.f AS fold, src.t AS converted,
-           {ref_round_sql(te, 6)} AS te6
-    FROM src JOIN stats ON src.c = stats.c AND src.f = stats.f
+           COALESCE({ref_round_sql(te, 6)},
+                    (SELECT {ref_round_sql(gmean, 6)} FROM gtot)) AS te6
+    FROM src LEFT JOIN stats ON src.c = stats.c AND src.f = stats.f
     """
 
 

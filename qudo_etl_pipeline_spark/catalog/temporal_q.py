@@ -428,11 +428,15 @@ def _attribution_oracle(window_sec: int, half_life_sec: int | None) -> str:
     credit6 = ref_round_sql("CAST(c AS DOUBLE)", 6)
     return f"""
     WITH ev AS (
+      -- a journey needs a user and a time; the eid tie-break is
+      -- pinned NULLS FIRST to mirror the operator's bare asc()
+      -- (r11 NULL-salt parity)
       SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
              event_type AS ty,
              (event_type = 'purchase') AS is_conv
       FROM events
       WHERE event_type IN ('purchase', 'view', 'click')
+        AND user_id IS NOT NULL AND ts IS NOT NULL
     ),
     nxt AS (
       SELECT *,
@@ -440,7 +444,8 @@ def _attribution_oracle(window_sec: int, half_life_sec: int | None) -> str:
                CASE WHEN is_conv THEN struct_pack(t := t, eid := eid) END
                IGNORE NULLS
              ) OVER (
-               PARTITION BY u ORDER BY t, is_conv, eid
+               PARTITION BY u
+               ORDER BY t, is_conv, eid NULLS FIRST
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
              ) AS conv
       FROM ev
@@ -458,7 +463,12 @@ def _attribution_oracle(window_sec: int, half_life_sec: int | None) -> str:
     agg AS (
       SELECT ty AS touch_type,
              CAST(COUNT(*) AS BIGINT) AS n_touches,
-             CAST(COUNT(DISTINCT (u, ceid)) AS BIGINT) AS n_conversions,
+             -- FILTER mirrors Spark countDistinct, which skips tuples
+             -- with a NULL member (an id-less conversion still earns
+             -- credit but cannot be counted as a distinct conversion)
+             CAST(COUNT(DISTINCT (u, ceid))
+                  FILTER (WHERE ceid IS NOT NULL) AS BIGINT)
+               AS n_conversions,
              SUM(CAST({credit7} AS DECIMAL(28,7))) AS c
       FROM norm GROUP BY ty
     )
@@ -476,7 +486,9 @@ def _attribution_oracle(window_sec: int, half_life_sec: int | None) -> str:
     "conversion; ONE keyed window shuffle, DECIMAL-exact credit sums",
 )
 def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return T.attribution_credit(
         ev, "purchase", ["view", "click"], window_sec=86400
     ).orderBy("touch_type")
@@ -491,7 +503,9 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift), normalized per conversion",
 )
 def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return T.attribution_credit(
         ev,
         "purchase",

@@ -185,15 +185,21 @@ def cdc_compact(
 
     ``changes`` must carry the snapshot's columns plus ``op_col``
     (delete rows may leave non-key payload columns NULL). Ties on
-    ``ts_col`` resolve in favor of the change batch. Returns the
-    compacted table in the snapshot's schema.
+    ``ts_col`` resolve in favor of the change batch; within the change
+    batch, an equal-timestamp upsert/delete pair resolves to the
+    DELETE (op ASC — the conservative read of an ambiguous log, and a
+    deterministic one: without it the winner was partition-order
+    luck, surfaced by the r11 NULL-salt sweep where NULL change times
+    tie). Returns the compacted table in the snapshot's schema.
     """
     snap = snapshot.withColumn(op_col, F.lit("U")).withColumn(
         "__src", F.lit(0)
     )
     chg = changes.withColumn("__src", F.lit(1))
     w = Window.partitionBy(*keys).orderBy(
-        F.col(ts_col).desc(), F.col("__src").desc()
+        F.col(ts_col).desc(),
+        F.col("__src").desc(),
+        F.asc_nulls_last(op_col),
     )
     return (
         snap.unionByName(chg)
