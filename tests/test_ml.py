@@ -271,10 +271,12 @@ def test_bounds_bucketize_tracks_exact_ntile(spark):
     assert max(sizes) <= 1.1 * (n / k) and min(sizes) >= 0.9 * (n / k)
 
 
-def test_ntile_bucketize_null_order_values_match_window(spark):
-    """NULLs in the bucketize column sort FIRST under ascending order
-    (Spark default) — the closed-form device must agree with F.ntile
-    row for row."""
+def test_ntile_bucketize_null_values_have_no_bucket(spark):
+    """r11 NULL contract: a NULL value has no position in a
+    value-ordered discretization — NULL rows are EXCLUDED (previously
+    they silently took the first buckets via Spark's nulls-first
+    sort, which no SQL oracle reproduces); the non-null rows match
+    F.ntile over the non-null subset row for row."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -286,12 +288,14 @@ def test_ntile_bucketize_null_order_values_match_window(spark):
         r["id"]: r["bucket"]
         for r in ntile_bucketize(df, "v", 6, ["id"]).collect()
     }
+    nn = df.filter(F.col("v").isNotNull())
     w = Window.orderBy(F.col("v"), F.col("id"))
     ref = {
         r["id"]: r["b"]
-        for r in df.withColumn("b", F.ntile(6).over(w)).collect()
+        for r in nn.withColumn("b", F.ntile(6).over(w)).collect()
     }
     assert got == ref
+    assert set(got) == {i for i in range(40) if i % 5 != 0}
 
 
 def test_auto_bucketize_dispatch(spark):
