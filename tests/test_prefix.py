@@ -191,3 +191,26 @@ def test_scope_stack_is_thread_local(spark):
     frame = next(iter(P._REGISTRY.values()))[0]
     assert frame.storageLevel.useMemory
     assert P.clear_prefix_caches() == 1
+
+
+def test_device_offsets_join_is_broadcast_hash(spark):
+    """The null-safe (eqNullSafe) offsets join must stay a
+    BroadcastHashJoin — EqualNullSafe is a valid hash-join key, and a
+    silent decay to BroadcastNestedLoop would turn the device's O(P)
+    offsets lookup into O(P^2) per partition at scale."""
+    from pyspark.sql import functions as F
+
+    from qudo_etl_pipeline_spark.operators import prefix as P
+
+    df = spark.createDataFrame(
+        [(i % 3 if i % 7 else None, float(i)) for i in range(60)],
+        "g int, v double",
+    ).withColumn("_one", F.lit(1))
+    with P.prefix_cache_scope():
+        out = ranged_prefix_sums(df, ["v"], {"rn": "_one"}, group_cols=["g"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # NULL group rows survive the join (the r11 fix)
+        null_rows = out.filter(F.col("g").isNull()).count()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert null_rows == len([i for i in range(60) if i % 7 == 0])
