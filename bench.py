@@ -350,8 +350,20 @@ def main() -> None:
     detail["queries_extended"] = ext
     if ref_timings:
         detail["queries_prev_head"] = ref_timings
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # Detail destination: BENCH_DETAIL.json is the committed per-round
+    # sf0.1 record (headline + extended). A headline-only run (extended
+    # skipped — the off-SF anchor mode) must NOT clobber it with
+    # queries_extended={} / value_extended=0, so it writes to
+    # BENCH_DETAIL_HEADLINE.json instead; $SPARK_GRAFT_BENCH_DETAIL
+    # overrides either destination explicitly (scale-anchor flows).
+    default_name = (
+        "BENCH_DETAIL.json" if extended else "BENCH_DETAIL_HEADLINE.json"
+    )
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), default_name
+        ),
     )
     try:
         with open(detail_path, "w") as f:

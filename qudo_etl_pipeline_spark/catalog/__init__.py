@@ -67,6 +67,7 @@ def registry() -> dict[str, QuerySpec]:
         entity_q,
         ml_q,
         relational,
+        salted_q,
         sketches_q,
         streaming_q,
         temporal_q,

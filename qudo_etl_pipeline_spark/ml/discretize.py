@@ -41,6 +41,10 @@ def ntile_bucketize(
     total, bit-identical to the window form for any total order
     (full-row duplicates may swap ranks across engines, but swapping
     identical rows is a no-op on every downstream aggregate).
+
+    Row-count contract: output rows = NON-NULL input rows of ``col``.
+    NULL-value rows are dropped, not given a NULL bucket — a caller
+    joining buckets back by id must expect partial coverage.
     """
     from qudo_etl_pipeline_spark.operators.prefix import (
         ranged_prefix_sums,
@@ -81,7 +85,11 @@ def bounds_bucketize(
     sketch aggregate + a map-only assignment (boundaries broadcast as a
     literal array). Values above the last inner boundary take bucket k;
     ties at a boundary go to the lower bucket (<= semantics, matching
-    NTILE's placement of the boundary row)."""
+    NTILE's placement of the boundary row).
+
+    Row-count contract: output rows = NON-NULL input rows of ``col``
+    (same as :func:`ntile_bucketize` — join-back callers must expect
+    partial coverage)."""
     # same contract as ntile_bucketize: NULL values have no bucket
     df = df.filter(F.col(col).isNotNull())
     probs = [i / k for i in range(1, k)]

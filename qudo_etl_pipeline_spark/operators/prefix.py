@@ -98,7 +98,14 @@ def _acquire_ranged(ranged: DataFrame) -> DataFrame:
                 ranged
             ):
                 return cand
-        cached = ranged.cache()
+        # storageLevel check: the plan may already sit in Spark's
+        # CacheManager (cached outside the registry, or re-acquired
+        # after an eviction race) — calling .cache() again would only
+        # log "Asked to cache already cached data" per call
+        if ranged.storageLevel.useMemory or ranged.storageLevel.useDisk:
+            cached = ranged
+        else:
+            cached = ranged.cache()
         bucket.append(cached)
         stack = _scope_stack()
         if stack:
@@ -269,14 +276,18 @@ def ranged_prefix_sums(
     # null-safe offsets join: a NULL group key is a group — the plain
     # key-list join silently dropped its rows from every consumer of
     # the device (r11 NULL-salt parity; NULL-free inputs unchanged)
-    ren = offsets
+    # rename EVERY join column on the offsets side (_pid included):
+    # same-name column refs from a self-derived frame make Spark log
+    # "Constructing trivially true equals predicate" per run — resolved
+    # correctly, but the WARN floods bench/selfcheck stderr
+    ren = offsets.withColumnRenamed("_pid", "_opid")
     for i, g in enumerate(groups):
         ren = ren.withColumnRenamed(g, f"_gk{i}")
-    cond = local["_pid"] == ren["_pid"]
+    cond = local["_pid"] == F.col("_opid")
     for i, g in enumerate(groups):
         cond = cond & local[g].eqNullSafe(F.col(f"_gk{i}"))
-    joined = local.join(F.broadcast(ren), cond).drop(ren["_pid"]).drop(
-        *[f"_gk{i}" for i in range(len(groups))]
+    joined = local.join(F.broadcast(ren), cond).drop(
+        "_opid", *[f"_gk{i}" for i in range(len(groups))]
     )
     return joined.select(
         *df.columns,

@@ -74,8 +74,32 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _require_pinned_threads(spark)
     _quiet_sketch_window_warnings(spark)
     return spark
+
+
+def _require_pinned_threads(spark: SparkSession) -> None:
+    """Fail fast if PySpark pinned-thread mode is off. The pipeline's
+    concurrent per-family fit/finalize threads rely on
+    ``sc.setJobGroup`` being THREAD-LOCAL, which holds only under
+    pinned-thread mode (PYSPARK_PIN_THREAD, default on since Spark
+    3.2); with pinning disabled, concurrent job groups overwrite each
+    other and a timeout's ``cancelJobGroup`` could cancel the wrong
+    family's jobs. Pinned mode uses a py4j ClientServer gateway, so the
+    gateway type is the authoritative runtime signal."""
+    try:
+        from py4j.clientserver import ClientServer
+
+        pinned = isinstance(spark.sparkContext._gateway, ClientServer)
+    except Exception:  # pragma: no cover - gateway internals moved
+        return
+    if not pinned:
+        raise RuntimeError(
+            "PySpark pinned-thread mode is disabled (PYSPARK_PIN_THREAD); "
+            "the engine's concurrent per-family job groups require it — "
+            "unset PYSPARK_PIN_THREAD or set it to 'true'"
+        )
 
 
 def _quiet_sketch_window_warnings(spark: SparkSession) -> None:

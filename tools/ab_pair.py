@@ -44,39 +44,58 @@ def main() -> int:
         return 1
     roots = [REPO, wt]
 
-    from qudo_etl_pipeline_spark.session import get_spark
+    spark = None
+    try:
+        # validate names on BOTH sides before any measurement: a query
+        # present only at HEAD would otherwise KeyError mid-loop and
+        # leak the worktree + session (the try/finally below is the
+        # backstop; the validation gives a readable error)
+        for side in (REPO, wt):
+            specs = bench._load_specs(side, roots)
+            missing = [q for q in queries if q not in specs]
+            if missing:
+                sys.stderr.write(
+                    f"queries absent from {side}: {missing}\n"
+                )
+                return 1
 
-    spark = get_spark(app_name="ab_pair")
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # warm session
+        from qudo_etl_pipeline_spark.session import get_spark
 
-    def run(specs, out, i):
-        for q in queries:
-            t0 = time.time()
-            specs[q].spark(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.time() - t0
-            out[q] = min(out.get(q, dt), dt)
+        spark = get_spark(app_name="ab_pair")
+        spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # warm
 
-    head: dict[str, float] = {}
-    refs: dict[str, float] = {}
-    for i in range(passes):
-        specs = bench._load_specs(REPO, roots)
-        run(specs, head, i)
-        specs = bench._load_specs(wt, roots)
-        run(specs, refs, i)
-    result = {
-        q: {
-            "head": round(head[q], 3),
-            "ref": round(refs[q], 3),
-            "ratio": round(head[q] / refs[q], 3),
+        def run(specs, out, i):
+            for q in queries:
+                t0 = time.time()
+                specs[q].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                out[q] = min(out.get(q, dt), dt)
+
+        head: dict[str, float] = {}
+        refs: dict[str, float] = {}
+        for i in range(passes):
+            specs = bench._load_specs(REPO, roots)
+            run(specs, head, i)
+            specs = bench._load_specs(wt, roots)
+            run(specs, refs, i)
+        result = {
+            q: {
+                "head": round(head[q], 3),
+                "ref": round(refs[q], 3),
+                "ratio": round(head[q] / refs[q], 3),
+            }
+            for q in queries
         }
-        for q in queries
-    }
-    print(json.dumps({"ref": ref, "passes": passes, "queries": result}))
-    spark.stop()
-    bench._remove_worktree(wt)
-    return 0
+        print(
+            json.dumps({"ref": ref, "passes": passes, "queries": result})
+        )
+        return 0
+    finally:
+        if spark is not None:
+            spark.stop()
+        bench._remove_worktree(wt)
 
 
 if __name__ == "__main__":
