@@ -71,7 +71,28 @@ else
   exit 1
 fi
 
+echo "== paired-ratio outliers (tight interleave, r11 verdict item 1) =="
+# any query whose closing paired ratio leaves [0.9, 1.1] is re-measured
+# with 9 back-to-back A/B segments in one session — the full-bench
+# pairing's minutes-apart passes produced two rounds of phantom 1.1-1.3
+# ratios that the tight interleave dissolved; run it automatically so
+# the closing record settles the question the same day
+if python tools/ab_outliers.py > /tmp/ritual_abpair.json 2>/tmp/ritual_abpair.log; then
+  cat /tmp/ritual_abpair.json
+else
+  tail -5 /tmp/ritual_abpair.log
+  echo "ritual ABORTED: outlier tight-interleave failed"
+  exit 1
+fi
+
 python tools/write_selfcheck_md.py "$ROUND" 0.01:/tmp/ritual_selfcheck.log
+
+echo "== driver-gap regeneration =="
+# DRIVER_GAP.md must never outlive a new CORRECTNESS_r*.json in the
+# tree (the r11 residual: it still listed 31 drained queries because it
+# was generated before the round's record landed)
+python tools/selfcheck.py --driver-gap > /dev/null
+head -3 DRIVER_GAP.md | tail -1
 
 PREV=$(printf 'HASHES_r%02d.json' $((ROUND - 1)))
 if [ -f "$PREV" ]; then
