@@ -97,10 +97,15 @@ def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       -- NULLS LAST pins the change-ts order to Spark's desc()
-      -- semantics (a NULL change time never wins latest-wins)
+      -- semantics (a NULL change time never wins latest-wins); the
+      -- payload columns complete the order into a TOTAL one — the
+      -- salted NULL-key group ties date-grained timestamps at sf0.1
+      -- (r12; mirrors cdc_compact's payload tie-break)
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY k ORDER BY ts DESC NULLS LAST, src DESC,
-                                op ASC NULLS LAST) AS rn
+                                op ASC NULLS LAST,
+                                status ASC NULLS LAST,
+                                total ASC NULLS LAST) AS rn
       FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg)
     )
     SELECT k AS o_orderkey, status AS o_orderstatus,
@@ -199,7 +204,12 @@ def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE ts IS NOT NULL
     ),
     v AS (
-      SELECT *, LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS nts FROM log
+      -- payload tie-break mirrors scd2_history: same-ts versions of a
+      -- key (the salted NULL-key group at scale) pair intervals
+      -- deterministically (r12)
+      SELECT *, LEAD(ts) OVER (PARTITION BY k
+        ORDER BY ts, status ASC NULLS LAST, op ASC NULLS LAST) AS nts
+      FROM log
     )
     SELECT k AS o_orderkey, status AS o_orderstatus,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
@@ -920,8 +930,12 @@ def _qn_oracle() -> str:
       {arms}
     ),
     r AS (
+      -- NULLS FIRST mirrors the Spark prefix device's bare asc() on
+      -- both rank keys: a NULL id is a valid row (salted fixtures) and
+      -- must occupy the same rank slot on both engines (r12)
       SELECT id, c, v,
-             ROW_NUMBER() OVER (PARTITION BY c ORDER BY v, id) AS rank
+             ROW_NUMBER() OVER (PARTITION BY c
+               ORDER BY v NULLS FIRST, id NULLS FIRST) AS rank
       FROM m
     ),
     mn AS (

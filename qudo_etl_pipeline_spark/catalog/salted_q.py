@@ -79,7 +79,8 @@ _RANK_SALT = _salt_sql("o_totalprice", "o_orderkey", "salt:o_totalprice")
     )
     SELECT o_orderpriority, o_orderkey, price_s,
            CAST(RANK() OVER (PARTITION BY o_orderpriority
-                ORDER BY price_s DESC NULLS LAST, o_orderkey) AS BIGINT)
+                ORDER BY price_s DESC NULLS LAST,
+                         o_orderkey ASC NULLS LAST) AS BIGINT)
              AS rnk
     FROM s
     QUALIFY o_orderkey % 97 = 0
@@ -97,8 +98,11 @@ def salted_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_s"
         ),
     )
+    # the tie-break key itself is pinned NULLS LAST too: on a fixture
+    # where o_orderkey carries NULLs (the double-salted sweep), a bare
+    # asc() would diverge from the oracle's SQL default (r12 sweep)
     w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc_nulls_last("price_s"), F.asc("o_orderkey")
+        F.desc_nulls_last("price_s"), F.asc_nulls_last("o_orderkey")
     )
     return o.withColumn("rnk", F.rank().over(w).cast("bigint")).filter(
         F.col("o_orderkey") % 97 == 0

@@ -190,16 +190,29 @@ def cdc_compact(
     DELETE (op ASC — the conservative read of an ambiguous log, and a
     deterministic one: without it the winner was partition-order
     luck, surfaced by the r11 NULL-salt sweep where NULL change times
-    tie). Returns the compacted table in the snapshot's schema.
+    tie). Remaining payload columns (snapshot order, ASC NULLS LAST)
+    complete the order into a TOTAL one: with non-unique keys — above
+    all the NULL-key group, which at scale holds thousands of rows
+    sharing date-grained timestamps — (ts, src, op) alone leaves the
+    winner tie-order luck again (caught by the r12 salted sf0.1 sweep;
+    unique-key/unique-ts inputs are unaffected). Oracles must mirror
+    the full ORDER BY. Returns the compacted table in the snapshot's
+    schema.
     """
     snap = snapshot.withColumn(op_col, F.lit("U")).withColumn(
         "__src", F.lit(0)
     )
     chg = changes.withColumn("__src", F.lit(1))
+    payload_tiebreak = [
+        F.asc_nulls_last(c)
+        for c in snapshot.columns
+        if c not in keys and c != ts_col and c != op_col
+    ]
     w = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).desc(),
         F.col("__src").desc(),
         F.asc_nulls_last(op_col),
+        *payload_tiebreak,
     )
     return (
         snap.unionByName(chg)
@@ -230,8 +243,21 @@ def scd2_history(
     ONE shuffle on the key (a single ``lead`` window); at scale this is
     the history-table build over a CDC log, and bucketing the log by key
     makes re-builds exchange-free.
+
+    Same-timestamp changes of one key are an inherently ambiguous
+    history; the version order is made TOTAL by the remaining log
+    columns (log column order, ASC NULLS LAST) so the interval pairing
+    is deterministic in the data, not in partition order — binding for
+    non-unique keys (the salted NULL-key group ties date-grained
+    timestamps at scale; r12 sweep), a no-op when (key, ts) is unique.
+    Oracles must mirror the full ORDER BY.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    tiebreak = [
+        F.asc_nulls_last(c)
+        for c in changes.columns
+        if c not in keys and c != ts_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), *tiebreak)
     nxt = F.lead(F.col(ts_col)).over(w)
     payload = [c for c in changes.columns if c not in (op_col, ts_col)]
     return (
@@ -1010,7 +1036,9 @@ def quantile_normalize(
     forced onto the SAME distribution — each value is replaced by the
     mean of the values sharing its within-column rank (the standard
     cross-sample calibration transform; ties break by id for a
-    deterministic rank).
+    deterministic rank — NULL ids rank FIRST among ties, the prefix
+    device's bare asc() placement, so oracles must pin ``NULLS FIRST``
+    on both rank keys; caught by the r12 salted sf0.1 sweep).
 
     Columns must be non-null and equally sized (one value per id). The
     within-column rank is the RANGE-PARTITIONED two-pass prefix count
