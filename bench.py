@@ -76,6 +76,10 @@ EXTENDED = [
     "embedding_quantize",
     "semantic_dedup_verdicts",
     "semantic_dedup_scaled",
+    # r12: k-proportional-to-n configuration (absent from the sf1/sf3
+    # extended records taken earlier this round; scale shape measured
+    # solo min-of-5 in SCALING.md instead)
+    "semantic_dedup_autok",
     "ann_quantized_topk",
     "unigram_logprob_score",
     "source_kl_divergence",

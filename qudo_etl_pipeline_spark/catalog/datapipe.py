@@ -1686,17 +1686,103 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the 4-cell entry measured 26x wall for 10x rows at sf1)",
 )
 def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB-shaped SemDeDup configuration. The 4-cell sibling
-    above is kept as the small-SF correctness surface AND as the
-    measured documentation of the quadratic pitfall (SCALING.md r10
-    note): within-cell pairs grow as (n/k)^2, so k must grow with n.
-    Uses spread_centroids — demo_centroids aliases every cell index
-    mod 7, so requesting 64 of them still yields only 7 effective
-    cells (measured: 20k sf1 vectors landed on exactly 7)."""
+    """SemDeDup with MORE cells than the 4-cell exhibit, but still a
+    FIXED 64 at every SF — fine at the gate scale, super-linear beyond
+    it (r12 solo min-of-5: 2.34 s at sf1 -> 9.90 s at sf3, 4.2x for 3x
+    rows — per-cell population grows with n, so the within-cell pair
+    stage grows as (n/64)^2 by construction). Kept as the measured
+    mid-point of the k-must-grow-with-n rule; the configuration that
+    actually scales is :func:`semantic_dedup_autok` below. Uses
+    spread_centroids — demo_centroids aliases every cell index mod 7,
+    so requesting 64 of them still yields only 7 effective cells
+    (measured: 20k sf1 vectors landed on exactly 7)."""
     from qudo_etl_pipeline_spark.operators.similarity import spread_centroids
 
     vecs = load_table_spread(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(vecs, spread_centroids(64, 64), threshold=0.35)
+
+
+def _semantic_dedup_autok_oracle(
+    dim: int = 64,
+    threshold: float = 0.35,
+    per_cell: int = 250,
+) -> str:
+    """Mirror of :func:`semantic_dedup_autok`: the cell count is a
+    FUNCTION OF THE DATA (k = clamp(ceil(n/per_cell), 64, 997)), so
+    the oracle derives both k and the spread_centroids vectors in SQL
+    (the generator's closed form — verified bit-identical to the
+    Python list for every cid) instead of inlining literals."""
+    cos = (
+        "(FLOOR((list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        " * 1000000000.0 + 0.5) / 1000000000.0)"
+    )
+    return f"""
+    WITH nk AS (
+      SELECT LEAST(997, GREATEST(64,
+               CAST(CEIL(COUNT(*) / {per_cell}.0) AS BIGINT))) AS k
+      FROM embeddings WHERE vec_id IS NOT NULL
+    ),
+    cent AS (
+      SELECT cid, list_transform(generate_series(0, {dim - 1}),
+               i -> (((cid * 131 + i * 173) % 997) - 498) / 500.0) AS cv
+      FROM (SELECT UNNEST(generate_series(0,
+              (SELECT k FROM nk) - 1)) AS cid)
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id IS NOT NULL
+    ),
+    vcell AS (
+      SELECT vec_id, e, CAST(cid AS BIGINT) AS cell FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {cos.format(a='v.e', b='c.cv')} DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+      FROM vcell a JOIN vcell b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos.format(a='a.e', b='b.e')} >= {threshold}
+      GROUP BY b.vec_id
+    )
+    SELECT v.vec_id, v.cell, d.dup_of,
+           CAST(d.dup_of IS NULL AS INT) AS keep
+    FROM vcell v LEFT JOIN dup d USING (vec_id)
+    """
+
+
+@register(
+    "semantic_dedup_autok",
+    oracle=_semantic_dedup_autok_oracle(),
+    survey_ids=["P7", "J3", "M4"],
+    description="SemDeDup with the cell count PROPORTIONAL to the "
+    "corpus (k = clamp(ceil(n/250), 64, 997)) — the paper's own "
+    "scaling rule as a runnable, oracle-checked configuration: "
+    "per-cell population stays ~constant, so the within-cell pair "
+    "stage is LINEAR in n (the fixed-k siblings document the "
+    "quadratic failure mode this rule prevents)",
+)
+def semantic_dedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The configuration that holds at 100 TB: one cheap count job
+    sizes the cell grid to the corpus (~250 vectors per cell), so the
+    within-cell quadratic term is (per_cell)^2 * k = O(n) instead of
+    (n/k)^2 * k = O(n^2/k). The count and the clamp are mirrored in
+    the oracle, and the centroid generator's closed form is computed
+    IN SQL — the same derivation on both engines, no literal tables.
+    spread_centroids keeps all k <= 997 cells pairwise distinct
+    (similarity.py:223); the 997 clamp matches its documented domain.
+    """
+    import math
+
+    from qudo_etl_pipeline_spark.operators.similarity import spread_centroids
+
+    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    n = vecs.where(F.col("vec_id").isNotNull()).count()
+    k = min(997, max(64, math.ceil(n / 250)))
+    return SIM.semantic_dedup(vecs, spread_centroids(k, 64), threshold=0.35)
 
 
 def _quantized_topk_oracle(rerank: int = 20, k: int = 5) -> str:
