@@ -92,6 +92,16 @@ class ContingencyTables:
             ).cache()
         return self._derived["dense"]
 
+    def var_frame(self) -> DataFrame:
+        """One row per variable with the complete crosstab as arrays plus
+        every per-variable statistic (:func:`_var_frame`), cached: it is
+        the shared input of chi2_by_variable, post_hoc_cells,
+        deliver_stats and cramers_v. One row per variable — tiny at any
+        scale."""
+        if "varframe" not in self._derived:
+            self._derived["varframe"] = _var_frame(self).cache()
+        return self._derived["varframe"]
+
     @property
     def n_rows(self) -> int:
         if self._n_rows is None:
@@ -350,27 +360,260 @@ def _chi2_finalize(
     )
 
 
+def _var_frame(tables: ContingencyTables) -> DataFrame:
+    """One row per variable: the complete crosstab as ARRAYS plus every
+    per-variable statistic (dense grid with expected counts, chi-squared,
+    p-value).
+
+    This is the tiny-table half of the inference engine as an array
+    program. After the one big cell shuffle (:func:`contingency_tables`),
+    a single ``groupBy(variable)`` collects each variable's cells —
+    cardinality |values| x |clusters|, schema-bound and row-count
+    independent, exactly the per-variable slice the old window/join
+    pipeline operated on — and the dense grid, row/col totals, expected
+    frequencies and the scipy-semantics test all become
+    higher-order-function expressions inside narrow projections. The old
+    shape re-exchanged the (tiny) cell table ~15 times because every
+    window/groupBy/join key switch (variable -> (variable,value) ->
+    (variable,cluster) -> ...) forced a new hash layout; this shape has
+    exactly ONE downstream exchange (the per-variable collect) and the
+    rest is map-side, so deliver-stats latency is scan-bound instead of
+    stage-scheduling-bound. The 100 TB story is unchanged: per-group
+    state is the same schema-bound cell set the dense grid always held.
+
+    Semantics are :func:`_observed` / :func:`_dense_grid` /
+    :func:`_chi2_finalize` verbatim (reference chisquared_tester.py:
+    229-256, 331-379). Fold orders over the sorted arrays are
+    deterministic, where the old per-partition sums were engine-order
+    (a strict improvement; counts are integers, so the sums are exact
+    either way). The array expressions are emitted as SQL text — same
+    reason as chi2_sf_col: one parser round-trip instead of hundreds of
+    py4j calls, which is most of this plan's build latency.
+    """
+    cluster_col = tables.cluster_col
+    E = F.expr
+
+    cl = tables.cells.groupBy("variable").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("value"),
+                    F.col(cluster_col).alias("cluster"),
+                    F.col("observed"),
+                    F.col("w_observed"),
+                )
+            )
+        ).alias("_cl")
+    )
+
+    # _observed verbatim: NULL clusters and "Not shown" on either axis
+    # never enter a crosstab (chisquared_tester.py:229-236); variables
+    # with no valid cell have no crosstab at all (the old dense grid
+    # simply had no rows for them)
+    vf = cl.select(
+        "variable",
+        "_cl",
+        E(
+            "filter(_cl, x -> x.cluster IS NOT NULL"
+            f" AND x.value <> '{NOT_SHOWN}'"
+            f" AND CAST(x.cluster AS STRING) <> '{NOT_SHOWN}')"
+        ).alias("_obs"),
+    ).filter(F.size("_obs") > 0)
+
+    vf = vf.select(
+        "*",
+        E(
+            "array_sort(array_distinct(transform(_obs, x -> x.value)))"
+        ).alias("_vals"),
+        E(
+            "array_sort(array_distinct(transform(_obs, x -> x.cluster)))"
+        ).alias("_cls"),
+        E(
+            "aggregate(_obs, CAST(0 AS BIGINT), (a, x) -> a + x.observed)"
+        ).alias("_n"),
+    )
+
+    # observed-cell lookup and the row/col totals as little maps — the
+    # array spelling of _dense_grid's left join and the totals windows
+    vf = vf.select(
+        "*",
+        E(
+            "map_from_entries(transform(_obs, x -> named_struct("
+            "'key', named_struct('v', x.value, 'c', x.cluster),"
+            " 'val', named_struct('o', x.observed, 'w', x.w_observed))))"
+        ).alias("_cm"),
+        E(
+            "map_from_entries(transform(_vals, v -> named_struct("
+            "'key', v, 'val', aggregate(filter(_obs, x -> x.value = v),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x.observed))))"
+        ).alias("_rt"),
+        E(
+            "map_from_entries(transform(_cls, c -> named_struct("
+            "'key', c, 'val', aggregate(filter(_obs, x -> x.cluster = c),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x.observed))))"
+        ).alias("_ct"),
+    )
+
+    # dense (value x cluster) grid, zero-filled, value-major order (so
+    # downstream per-cluster filters are already value-ascending — the
+    # order _ordered_list used to impose with a sort). expected goes
+    # through DOUBLE before the multiply: identical below 2^53 (counts),
+    # and immune to the bigint-product overflow a 1e11-row variable
+    # would hit under ANSI mode.
+    vf = vf.select(
+        "variable",
+        "_cl",
+        "_vals",
+        "_cls",
+        "_n",
+        E(
+            "flatten(transform(_vals, v -> transform(_cls, c ->"
+            " named_struct('value', v, 'cluster', c,"
+            " 'observed', coalesce("
+            "element_at(_cm, named_struct('v', v, 'c', c)).o,"
+            " CAST(0 AS BIGINT)),"
+            " 'w_observed', coalesce("
+            "element_at(_cm, named_struct('v', v, 'c', c)).w, 0.0D),"
+            " 'row_tot', element_at(_rt, v),"
+            " 'col_tot', element_at(_ct, c)))))"
+        ).alias("_d0"),
+    )
+    vf = vf.select(
+        "variable",
+        "_cl",
+        "_vals",
+        "_cls",
+        "_n",
+        E(
+            "transform(_d0, x -> named_struct("
+            "'value', x.value, 'cluster', x.cluster,"
+            " 'observed', x.observed, 'w_observed', x.w_observed,"
+            " 'row_tot', x.row_tot, 'col_tot', x.col_tot,"
+            " 'expected', CAST(x.row_tot AS DOUBLE) * x.col_tot / _n))"
+        ).alias("_dense"),
+    )
+
+    # _chi2_parts/_chi2_finalize verbatim over the array: Yates requested
+    # iff any dense cell <= 5, applied iff dof == 1, clamped at |O-E|;
+    # degenerate tables (dof <= 0) give p = 1.0
+    vf = vf.select(
+        "*",
+        E(
+            "aggregate(_dense, 0.0D, (a, x) ->"
+            " a + pow(x.observed - x.expected, 2) / x.expected)"
+        ).alias("_stat_plain"),
+        E(
+            "aggregate(_dense, 0.0D, (a, x) -> a + pow(greatest("
+            "abs(x.observed - x.expected) - 0.5D, 0.0D), 2) / x.expected)"
+        ).alias("_stat_yates"),
+        E("array_min(transform(_dense, x -> x.observed))").alias(
+            "_min_obs"
+        ),
+        F.size("_vals").cast("bigint").alias("n_values"),
+        F.size("_cls").cast("bigint").alias("n_clusters"),
+    )
+    dof = (F.col("n_values") - 1) * (F.col("n_clusters") - 1)
+    yates = F.col("_min_obs") <= 5
+    stat = F.when(yates & (dof == 1), F.col("_stat_yates")).otherwise(
+        F.col("_stat_plain")
+    )
+    vf = vf.select(
+        "*",
+        dof.alias("dof"),
+        yates.alias("yates"),
+        F.when(dof > 0, stat).alias("chi2_stat"),
+    )
+    return vf.select(
+        "*",
+        F.when(F.col("dof") > 0, chi2_sf_col("chi2_stat", "dof"))
+        .otherwise(F.lit(1.0))
+        .alias("p_value"),
+    )
+
+
+def _dense_sig_sql(alpha: float) -> str:
+    """SQL text of the significance-labelled dense-cell array.
+
+    ``transform(_dense, ...)`` adding ``adj_residual`` (ref_round to 3,
+    chisquared_tester.py:475) and ``post_hoc`` in {'pos','neg','neu'}
+    (cell |z| >= 1.96 AND Bonferroni chi2_sf(z^2,1) <= alpha/m,
+    chisquared_tester.py:544-552). Emitted as ONE SQL string because the
+    Bonferroni fallback (tables wider than the precomputed z-threshold
+    range, i.e. ``_z_thr`` NULL) embeds the chi-squared survival-function
+    fold with the lambda variable in scope — the exact per-cell test the
+    old row-level shape ran, now inside the array program. References
+    the outer columns ``_n``, ``_z_thr``, ``_m``.
+    """
+    from qudo_etl_pipeline_spark.functions.rounding import (
+        ref_round_spark_sql,
+    )
+    from qudo_etl_pipeline_spark.functions.stats import chi2_sf_sql
+
+    rr = ref_round_spark_sql(
+        "try_divide(x.observed - x.expected,"
+        " sqrt(x.expected * (1 - x.row_tot / _n) * (1 - x.col_tot / _n)))",
+        3,
+    )
+    base = (
+        "'value', x.value, 'cluster', x.cluster, 'observed', x.observed,"
+        " 'w_observed', x.w_observed, 'expected', x.expected"
+    )
+    da = f"transform(_dense, x -> named_struct({base}, 'adj_residual', {rr}))"
+    sf = chi2_sf_sql("x.adj_residual * x.adj_residual", "1")
+    sig = (
+        "(abs(x.adj_residual) >= 1.96D) AND (CASE WHEN _z_thr IS NOT NULL"
+        f" THEN abs(x.adj_residual) >= _z_thr"
+        f" ELSE {sf} <= {alpha!r}D / _m END)"
+    )
+    return (
+        f"transform({da}, x -> named_struct({base},"
+        " 'adj_residual', x.adj_residual,"
+        f" 'post_hoc', CASE WHEN {sig} THEN CASE WHEN"
+        " x.observed > x.expected THEN 'pos' ELSE 'neg' END"
+        " ELSE 'neu' END))"
+    )
+
+
+def _with_z_thresholds(vf: DataFrame, alpha: float) -> DataFrame:
+    """Join the per-variable Bonferroni |z| threshold onto the variable
+    frame: ``_m = n_values * n_clusters`` cell tests share one
+    ``alpha/m`` threshold, looked up from the once-per-process bisected
+    table (same floats as the scalar z_threshold the DuckDB oracle
+    uses; no driver collect, plan construction stays job-free). Tables
+    wider than the precomputed range get ``_z_thr`` NULL and fall back
+    to the in-plan survival function inside :func:`_dense_sig_sql`.
+    """
+    spark = vf.sparkSession
+    # memoized per (session, alpha): createDataFrame costs ~100 ms of
+    # driver time per call, and the table is immutable
+    cache = getattr(spark, "_qudo_zthr_frames", None)
+    if cache is None:
+        cache = {}
+        spark._qudo_zthr_frames = cache
+    thr_df = cache.get(alpha)
+    if thr_df is None:
+        tbl = z_threshold_table(alpha)
+        thr_df = spark.createDataFrame(
+            sorted(tbl.items()), "_m: bigint, _z_thr: double"
+        )
+        cache[alpha] = thr_df
+    return vf.select(
+        "*",
+        (F.col("n_values") * F.col("n_clusters")).cast("bigint").alias("_m"),
+    ).join(F.broadcast(thr_df), "_m", "left")
+
+
 def chi2_by_variable(
     tables: ContingencyTables, dense: DataFrame | None = None
 ) -> DataFrame:
     """Per-variable chi-squared test over all crosstabs at once.
 
     Returns: variable, chi2_stat, dof, p_value, yates, n_values, n_clusters.
-    Statistical semantics live in :func:`_chi2_finalize`.
+    Statistical semantics live in :func:`_var_frame` (the array spelling
+    of :func:`_chi2_finalize`); ``dense`` is accepted for backwards
+    compatibility and ignored.
     """
-    cluster_col = tables.cluster_col
-    if dense is None:
-        dense = tables.dense_with_expected()
-
-    plain, corrected = _chi2_parts()
-    per_var = dense.groupBy("variable").agg(
-        F.sum(plain).alias("stat_plain"),
-        F.sum(corrected).alias("stat_yates"),
-        F.min("observed").alias("min_observed"),
-        F.countDistinct("value").alias("n_values"),
-        F.countDistinct(cluster_col).alias("n_clusters"),
-    )
-    return _chi2_finalize(per_var, "stat_plain", "stat_yates", "min_observed").select(
+    return tables.var_frame().select(
         "variable", "chi2_stat", "dof", "yates", "n_values", "n_clusters", "p_value"
     )
 
@@ -384,83 +627,31 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     ``post_hoc`` in {'pos','neg','neu'}.
     """
     cluster_col = tables.cluster_col
-    # Per-variable test stats come from the groupBy shape over the SAME
-    # dense frame, broadcast-joined back onto the cells. The test columns
-    # (chi2 stat, dof, p) are constant per variable, so evaluating them
-    # on the |variables|-row aggregate — not per cell inside a window
-    # chain — keeps the chi2_sf fold expressions off the per-cell path
-    # and the generated code small. No shuffle: the per-variable frame is
-    # broadcast, and the dense side derives from the cached
-    # variable-partitioned cell table, so re-densifying under the agg
-    # branch re-reads the cache rather than re-scanning the input. The
-    # inner join doubles as the p <= alpha significance filter. The dense
-    # frame comes cached off the tables object so the grid+windows
-    # subtree executes ONCE for both branches (and for any standalone
-    # chi2_by_variable call on the same tables).
-    dense = tables.dense_with_expected()
-    per_var = chi2_by_variable(tables, dense).filter(F.col("p_value") <= alpha)
-    dense = dense.join(
-        F.broadcast(
-            per_var.select(
-                "variable", "n_values", "n_clusters", "p_value", "chi2_stat"
-            )
-        ),
+    # The p <= alpha filter drops whole variables before any per-cell
+    # work; the significance-labelled dense array (_dense_sig_sql) then
+    # explodes straight to the per-cell rows. adj_residual uses
+    # try_divide (a constant variable has row_tot == n -> zero divisor;
+    # the NULL keeps ANSI mode from throwing) and ref_round to 3
+    # (reference rounds z with Python round before squaring,
+    # chisquared_tester.py:473).
+    vf = _with_z_thresholds(
+        tables.var_frame().filter(F.col("p_value") <= alpha), alpha
+    )
+    vf = vf.select(
         "variable",
+        "p_value",
+        "chi2_stat",
+        F.explode(F.expr(_dense_sig_sql(alpha))).alias("_x"),
     )
-
-    # try_divide, not /: the p-value filter above only drops whole
-    # variables, so rows with a zero divisor (e.g. a constant variable,
-    # row_tot == n) can still be evaluated before being filtered. The NULL
-    # keeps ANSI mode from throwing on rows that never reach the output.
-    # ref_round: Python-round parity (reference rounds z to 3 with Python
-    # round before squaring, chisquared_tester.py:473)
-    adj_res = ref_round_expr(
-        "try_divide(observed - expected,"
-        " sqrt(expected * (1 - row_tot / n) * (1 - col_tot / n)))",
-        3,
-    )
-
-    # Cell-level dof=1 Bonferroni test, WITHOUT a per-cell survival
-    # function: chi2_sf(z^2, 1) <= alpha/m is monotone in |z|, and
-    # m = n_values * n_clusters is constant per variable — so the |z|
-    # threshold rides the SAME broadcast join as the per-variable test
-    # columns, looked up from a once-per-process bisected table (same
-    # floats as the scalar z_threshold the DuckDB oracle uses; no
-    # driver collect, plan construction stays job-free). Tables wider
-    # than the precomputed range fall back to the in-plan JVM survival
-    # function — rare rows only, correctness for any m.
-    spark = dense.sparkSession
-    tbl = z_threshold_table(alpha)
-    thr_df = spark.createDataFrame(
-        sorted(tbl.items()), "_m: bigint, _z_thr: double"
-    )
-    # adj_residual and _m land in the same fused projection
-    dense = dense.select(
-        "*",
-        adj_res.alias("adj_residual"),
-        (F.col("n_values") * F.col("n_clusters")).cast("bigint").alias("_m"),
-    ).join(F.broadcast(thr_df), "_m", "left")
-    fallback_p = chi2_sf_col("adj_residual * adj_residual", "1")
-    bonferroni_ok = F.when(
-        F.col("_z_thr").isNotNull(),
-        F.abs(F.col("adj_residual")) >= F.col("_z_thr"),
-    ).otherwise(fallback_p <= F.lit(alpha) / F.col("_m"))
-    # _m/_z_thr stay on `dense` until the final projection drops them
-    significant = (F.abs(F.col("adj_residual")) >= 1.96) & bonferroni_ok
-    post_hoc = (
-        F.when(significant & (F.col("observed") > F.col("expected")), F.lit("pos"))
-        .when(significant, F.lit("neg"))
-        .otherwise(F.lit("neu"))
-    )
-    return dense.select(
+    return vf.select(
         "variable",
-        cluster_col,
-        "value",
-        "observed",
-        "w_observed",
-        "expected",
-        "adj_residual",
-        post_hoc.alias("post_hoc"),
+        F.col("_x.cluster").alias(cluster_col),
+        F.col("_x.value").alias("value"),
+        F.col("_x.observed").alias("observed"),
+        F.col("_x.w_observed").alias("w_observed"),
+        F.col("_x.expected").alias("expected"),
+        F.col("_x.adj_residual").alias("adj_residual"),
+        F.col("_x.post_hoc").alias("post_hoc"),
         "p_value",
         "chi2_stat",
     )
@@ -494,148 +685,153 @@ def deliver_stats(
     of the weighted count (the documented intent: "the category with the
     highest weighted sum").
     """
-    cluster_col = tables.cluster_col
-    cells = tables.cells
-    post = post_hoc_cells(tables, alpha=alpha)
-
-    # ONE aggregation of the cell table computes, per (variable, cluster):
-    # the answer denominators (sentinel values INCLUDED — pandas
-    # value_counts(normalize=True) semantics, chisquared_tester.py:1527-1536)
-    # and both population modes ("Not shown" excluded, ties broken by
-    # ascending value like pandas .mode(), chisquared_tester.py:914-918).
-    # The mode argmax rides the same aggregate as a min-over-struct —
-    # (-count, value) orders by descending count then ascending value —
-    # replacing the old two-window + three-join shape. Response rate
-    # (chisquared_tester.py:1503) is a per-variable window over the
-    # grouped frame, so it still sums EVERY cluster's cells, including
-    # ones later dropped by the significance join.
-    mode_struct = F.when(
-        F.col("value") != NOT_SHOWN,
-        F.struct(
-            (-F.col("observed")).alias("neg_n"),
-            F.col("value").alias("v"),
-            F.col("observed").alias("n"),
-        ),
+    # Everything happens on the per-variable array frame: per-(variable,
+    # cluster) answer denominators (sentinel values INCLUDED — pandas
+    # value_counts(normalize=True) semantics, chisquared_tester.py:
+    # 1527-1536), both population modes ("Not shown" excluded, ties
+    # broken by ascending value like pandas .mode(),
+    # chisquared_tester.py:914-918 — min over (-count, value) structs),
+    # response rate (chisquared_tester.py:1503 — sums EVERY cluster's
+    # cells including NULL-cluster rows), and the significant "more"
+    # categories (post_hoc == 'pos', 'not selected' stripped,
+    # chisquared_tester.py:1653 + helper_functions.py:24-30; arrays
+    # ordered by category value — the dense array is built value-major,
+    # so the filtered slices are already in that order). One explode per
+    # cluster replaces the old post-hoc join + groupBy + windows; the
+    # only exchanges left are the cell shuffle, the per-variable
+    # collect, and the final ORDER BY.
+    vf = _with_z_thresholds(
+        tables.var_frame().filter(F.col("p_value") <= alpha), alpha
     )
-    wmode_struct = F.when(
-        F.col("value") != NOT_SHOWN,
-        F.struct(
-            (-F.col("w_observed")).alias("neg_n"),
-            F.col("value").alias("v"),
-            F.col("w_observed").alias("n"),
-        ),
-    )
-    grp = cells.groupBy("variable", cluster_col).agg(
-        F.sum("observed").alias("answered_n"),
-        F.sum("w_observed").alias("answered_w"),
-        F.min(mode_struct).alias("_mode"),
-        F.min(wmode_struct).alias("_wmode"),
-    )
-    # response_rate divides by the TOTAL input row count. That count is a
-    # one-row aggregate of cluster_sizes, broadcast into the plan as a
-    # scalar — not collected: keeping it lazy removes the only driver-side
-    # job from the deliver-stats plan-build path (tables.n_rows stays for
-    # callers that need the Python int).
-    total_rows = tables.cluster_sizes.agg(
-        F.sum("cluster_n").cast("double").alias("_total_rows")
-    )
-    grp = grp.select(
+    vf = vf.select(
         "variable",
-        cluster_col,
-        "answered_n",
-        "answered_w",
-        F.col("_mode.v").alias("pop_mode"),
-        F.col("_mode.n").alias("mode_count"),
-        F.col("_wmode.v").alias("weighted_pop_mode"),
-        F.col("_wmode.n").alias("wmode_count"),
-        F.sum("answered_n").over(Window.partitionBy("variable")).alias("_answered_tot"),
-    ).crossJoin(F.broadcast(total_rows)).select(
+        "_cl",
+        "_cls",
+        "p_value",
+        "chi2_stat",
+        F.expr(_dense_sig_sql(alpha)).alias("_d3"),
+    )
+
+    # total input row count and per-cluster sizes: a one-row aggregate of
+    # cluster_sizes, broadcast into the plan — not collected (plan
+    # construction stays job-free; tables.n_rows stays for callers that
+    # need the Python int). The NULL-cluster row counts toward the total
+    # but has no size-map entry (it can never be a targeting segment).
+    sizes_row = tables.cluster_sizes.agg(
+        F.collect_list(
+            F.struct(
+                F.col(tables.cluster_col).alias("cluster"),
+                F.col("cluster_n"),
+                F.col("cluster_w"),
+            )
+        ).alias("_sz"),
+        F.sum("cluster_n").cast("double").alias("_total_rows"),
+    )
+    vf = vf.crossJoin(F.broadcast(sizes_row))
+    from qudo_etl_pipeline_spark.functions.rounding import (
+        ref_round_spark_sql,
+    )
+
+    E = F.expr
+    vf = vf.select(
         "variable",
-        cluster_col,
-        "answered_n",
-        "answered_w",
-        "pop_mode",
-        "mode_count",
-        "weighted_pop_mode",
-        "wmode_count",
-        (F.col("_answered_tot") / F.col("_total_rows") * 100).alias(
-            "response_rate"
-        ),
+        "_cl",
+        "_cls",
+        "p_value",
+        "chi2_stat",
+        "_d3",
+        E(
+            "map_from_entries(transform("
+            "filter(_sz, x -> x.cluster IS NOT NULL),"
+            " x -> named_struct('key', x.cluster,"
+            " 'val', named_struct('n', x.cluster_n, 'w', x.cluster_w))))"
+        ).alias("_szm"),
+        E(
+            "aggregate(_cl, CAST(0 AS BIGINT),"
+            " (a, x) -> a + x.observed) / _total_rows * 100"
+        ).alias("response_rate"),
     )
 
-    # Significant "more" categories per (variable, cluster): post_hoc ==
-    # 'pos', 'not selected' stripped (chisquared_tester.py:1653 +
-    # helper_functions.py:24-30); arrays ordered by category value like the
-    # crosstab index iteration (chisquared_tester.py:1516-1538). The
-    # per-variable p/chi2 ride along via first() — post carries them on
-    # every row, so no distinct-projection self-join is needed.
-    pos = (
-        post.filter((F.col("post_hoc") == "pos") & (F.col("value") != NOT_SELECTED))
-        .join(grp, ["variable", cluster_col])
-        .select(
-            "*",
-            ref_round_expr("observed / answered_n * 100", 2).alias("cat_perc"),
-            # try_divide: a cluster whose weights are all NULL (coalesced
-            # to 0 upstream) has answered_w = 0 — ANSI plain division
-            # would kill the whole job; NULL here is the Spark-native
-            # spelling of the reference's NaN percentage
-            ref_round_expr("try_divide(w_observed, answered_w) * 100", 2).alias(
-                "w_cat_perc"
-            ),
+    def _mode_sql(field: str) -> str:
+        return (
+            "array_min(transform(filter(_cl, x -> x.cluster = c"
+            f" AND x.value <> '{NOT_SHOWN}'),"
+            f" x -> named_struct('neg_n', -x.{field},"
+            f" 'v', x.value, 'n', x.{field})))"
         )
+
+    percl = (
+        "transform(_cls, c -> named_struct("
+        "'cluster', c,"
+        " 'answered_n', aggregate(filter(_cl, x -> x.cluster = c),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x.observed),"
+        " 'answered_w', aggregate(filter(_cl, x -> x.cluster = c),"
+        " 0.0D, (a, x) -> a + x.w_observed),"
+        f" 'm', {_mode_sql('observed')},"
+        f" 'wm', {_mode_sql('w_observed')},"
+        " 'pos', filter(_d3, x -> x.post_hoc = 'pos' AND x.cluster = c"
+        f" AND x.value <> '{NOT_SELECTED}')))"
     )
-    pos_agg = pos.groupBy("variable", cluster_col).agg(
-        _ordered_list(F.col("value"), F.col("value")).alias("sig_more_category"),
-        _ordered_list(F.col("value"), F.col("cat_perc")).alias("category_percentages"),
-        _ordered_list(F.col("value"), F.col("w_cat_perc")).alias(
-            "weighted_category_percentages"
+    vf = vf.select(
+        "variable",
+        "p_value",
+        "chi2_stat",
+        "_szm",
+        "response_rate",
+        F.explode(E(percl)).alias("_s"),
+    ).filter(F.size("_s.pos") > 0)
+
+    # try_divide in the weighted percentages: a cluster whose weights are
+    # all NULL (coalesced to 0 upstream) has answered_w = 0 — ANSI plain
+    # division would kill the whole job; NULL is the Spark-native
+    # spelling of the reference's NaN percentage
+    out = vf.select(
+        F.col("variable").alias("q_code"),
+        F.col("_s.m.v").alias("pop_mode"),
+        "response_rate",
+        E(
+            ref_round_spark_sql(
+                "_s.m.n / element_at(_szm, _s.cluster).n * 100", 2
+            )
+        ).alias("mode_pop_perc"),
+        E(ref_round_spark_sql("p_value", 5)).alias("chi_2_result"),
+        E("transform(_s.pos, x -> x.value)").alias("sig_more_category"),
+        E(
+            "transform(_s.pos, x -> "
+            + ref_round_spark_sql("x.observed / _s.answered_n * 100", 2)
+            + ")"
+        ).alias("category_percentages"),
+        F.col("_s.cluster").cast("string").alias("targeting_seg"),
+        *(
+            [E(ref_round_spark_sql("chi2_stat", 2)).alias("chi2_stat")]
+            if include_chi2_stat
+            else []
         ),
-        F.first("p_value").alias("p_value"),
-        F.first("chi2_stat").alias("chi2_stat"),
-        F.first("pop_mode").alias("pop_mode"),
-        F.first("mode_count").alias("mode_count"),
-        F.first("weighted_pop_mode").alias("weighted_pop_mode"),
-        F.first("wmode_count").alias("wmode_count"),
-        F.first("response_rate").alias("response_rate"),
-    )
-
-    cluster_sizes = tables.cluster_sizes
-
-    out = (
-        pos_agg.join(F.broadcast(cluster_sizes), cluster_col)
-        .select(
-            F.col("variable").alias("q_code"),
-            "pop_mode",
-            "response_rate",
-            ref_round_expr("mode_count / cluster_n * 100", 2).alias(
-                "mode_pop_perc"
-            ),
-            ref_round_expr("p_value", 5).alias("chi_2_result"),
-            "sig_more_category",
-            "category_percentages",
-            F.col(cluster_col).cast("string").alias("targeting_seg"),
-            *(
-                [ref_round_expr("chi2_stat", 2).alias("chi2_stat")]
-                if include_chi2_stat
-                else []
-            ),
-            *(
-                [
-                    "weighted_pop_mode",
-                    ref_round_expr(
-                        "try_divide(wmode_count, cluster_w) * 100", 0
-                    ).alias("weighted_pop_mode_perc"),
-                    "weighted_category_percentages",
-                ]
-                if tables.weighted
-                else []
-            ),
-        )
-        # no empty-array filter needed: NOT_SELECTED rows are stripped
-        # BEFORE the aggregation, so every group has >= 1 category (the
-        # reference's empty-row drop is realized pre-agg)
-        .orderBy("chi_2_result", "q_code", "targeting_seg")
-    )
+        *(
+            [
+                F.col("_s.wm.v").alias("weighted_pop_mode"),
+                E(
+                    ref_round_spark_sql(
+                        "try_divide(_s.wm.n,"
+                        " element_at(_szm, _s.cluster).w) * 100",
+                        0,
+                    )
+                ).alias("weighted_pop_mode_perc"),
+                E(
+                    "transform(_s.pos, x -> "
+                    + ref_round_spark_sql(
+                        "try_divide(x.w_observed, _s.answered_w) * 100", 2
+                    )
+                    + ")"
+                ).alias("weighted_category_percentages"),
+            ]
+            if tables.weighted
+            else []
+        ),
+        # no empty-array filter needed beyond size(pos) > 0 above:
+        # NOT_SELECTED cells are stripped inside the pos filter, so the
+        # reference's empty-row drop is realized before the explode
+    ).orderBy("chi_2_result", "q_code", "targeting_seg")
     return out
 
 
@@ -739,30 +935,23 @@ def cramers_v(
     the chi-squared p-value (p says "dependent"; V says "how much"):
     V = sqrt(chi2 / (n * (min(r, c) - 1))), in [0, 1].
 
-    Reuses :func:`chi2_by_variable`'s per-variable aggregate and adds
-    only a per-variable observation total over the SAME dense frame —
-    both are |variables|-row frames, so the join is broadcast and the
-    whole statistic stays schema-bound.
+    Reads the per-variable array frame directly: the chi-squared columns
+    and the observation total (``_n``, the dense grid's grand total) are
+    already on the same |variables|-row frame, so the statistic is one
+    projection — no join at all. ``dense`` is accepted for backwards
+    compatibility and ignored.
     """
-    from qudo_etl_pipeline_spark.functions.rounding import ref_round
-
-    if dense is None:
-        dense = tables.dense_with_expected()
-    chi2 = chi2_by_variable(tables, dense)
-    totals = dense.groupBy("variable").agg(
-        F.sum("observed").alias("n_obs")
-    )
     k = (
         F.least(F.col("n_values"), F.col("n_clusters")) - F.lit(1)
     ).cast("double")
     # V from the 6-rounded statistic, mirroring the chi2 query's
     # rounding so the oracle derives from the identical value
     stat6 = F.round(F.col("chi2_stat"), 6)
-    v = F.sqrt(stat6 / (F.col("n_obs").cast("double") * k))
-    return chi2.join(F.broadcast(totals), "variable").select(
+    v = F.sqrt(stat6 / (F.col("_n").cast("double") * k))
+    return tables.var_frame().select(
         "variable",
         stat6.alias("chi2_stat"),
         F.col("dof").cast("bigint").alias("dof"),
-        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.col("_n").cast("bigint").alias("n_obs"),
         F.when(k > 0, ref_round(v, 6)).alias("cramers_v6"),
     )
