@@ -1141,8 +1141,21 @@ def weighted_quantile(
     src = df.filter(v.isNotNull() & F.col(weight_col).isNotNull()).select(
         *group_cols, v.alias("__v"), wt.alias("__w")
     )
+    # ONE map-side-combined groupBy collapses ties before the device:
+    # per (group, value) total weight + row count + per-value MIN weight
+    # (min over the per-value minima IS the global minimum, so the
+    # non-negativity gate below reads the device's cached frame instead
+    # of paying its own full-data aggregate pass)
+    per_v = src.groupBy(*group_cols, "__v").agg(
+        F.sum("__w").alias("__w"),
+        F.count(F.lit(1)).alias("__nv"),
+        F.min("__w").alias("__minw"),
+    )
+    cum = ranged_prefix_sums(
+        per_v, ["__v"], {"__cumw": "__w"}, group_cols=list(group_cols)
+    )
     ok = _domain_gate(
-        src.agg(F.min("__w").alias("_minw")),
+        cum.agg(F.min("__minw").alias("_minw")),
         # empty input -> NULL min -> pass (0-row output downstream)
         F.coalesce(F.col("_minw") >= 0, F.lit(True)),
         F.concat(
@@ -1151,15 +1164,7 @@ def weighted_quantile(
             F.lit("). Weights must be non-negative."),
         ),
     )
-    src = src.crossJoin(F.broadcast(ok)).drop("_domain_ok")
-    # ONE map-side-combined groupBy collapses ties before the device:
-    # per (group, value) total weight + row count
-    per_v = src.groupBy(*group_cols, "__v").agg(
-        F.sum("__w").alias("__w"), F.count(F.lit(1)).alias("__nv")
-    )
-    cum = ranged_prefix_sums(
-        per_v, ["__v"], {"__cumw": "__w"}, group_cols=list(group_cols)
-    )
+    cum = cum.drop("__minw").crossJoin(F.broadcast(ok)).drop("_domain_ok")
     gtot = cum.groupBy(*group_cols).agg(
         F.max("__cumw").alias("__totw"), F.sum("__nv").alias("__n")
     )
