@@ -7,20 +7,24 @@ single-shuffle Spark plan. The reference loops
 ``pd.crosstab`` per pair (chisquared_tester.py:1434-1589). Here the wide
 table is melted once (plans/melt.py) and ONE
 ``groupBy(variable, cluster, value).count()`` produces every crosstab cell
-simultaneously; all remaining statistics are arithmetic over that
-aggregated (small) cell table — windows, joins and one Arrow-batched
-pandas UDF for the chi-squared survival function.
+simultaneously; all remaining statistics are a per-variable ARRAY
+program (:func:`_var_frame`): one further ``groupBy(variable)`` collects
+each variable's cells, and the dense grid, expected counts, chi-squared
+test (pure-JVM survival function), post-hoc residuals and deliver
+assembly are higher-order-function expressions over that array.
 
 Scale notes (100 TB design):
 - The only full-data shuffle is the cell aggregation, with map-side
   partial aggregation; its output cardinality is
   |variables| x |categories| x |clusters| — millions at worst, independent
   of row count.
-- Everything downstream operates on that aggregated table; window
-  functions partition by ``variable`` (high cardinality, no skew pile-up).
-- No collect() on the big table; cluster sizes are a second map-side
-  combined aggregate over the same scan (Catalyst reuses the exchange
-  where possible).
+- Everything downstream operates per variable on that variable's cell
+  array — the same schema-bound state the old dense grid held per
+  partition key, now in exactly one row per variable (no re-exchange
+  per key switch, no skew pile-up: the widest variable is bounded by
+  its categorical domain).
+- No collect() on the big table; cluster sizes ride the SAME cell
+  aggregation as a constant pseudo-variable.
 
 Semantics replicated from the reference (file:line cites):
 - "Not shown" rows excluded from crosstabs        (chisquared_tester.py:229-236)
@@ -42,7 +46,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from qudo_etl_pipeline_spark.functions.rounding import ref_round, ref_round_expr
+from qudo_etl_pipeline_spark.functions.rounding import ref_round
 from qudo_etl_pipeline_spark.functions.stats import chi2_sf_col, z_threshold_table
 from qudo_etl_pipeline_spark.plans.melt import melt
 
@@ -311,55 +315,6 @@ def _dense_with_expected(cells: DataFrame, cluster_col: str) -> DataFrame:
     )
 
 
-def _chi2_parts() -> tuple[Column, Column]:
-    """(plain, Yates-corrected) per-cell chi-squared summands over the
-    dense grid's observed/expected columns."""
-    diff = F.col("observed") - F.col("expected")
-    corrected = F.greatest(F.abs(diff) - F.lit(0.5), F.lit(0.0))
-    return (
-        F.pow(diff, 2) / F.col("expected"),
-        F.pow(corrected, 2) / F.col("expected"),
-    )
-
-
-def _chi2_finalize(
-    df: DataFrame, stat_plain: str, stat_yates: str, min_obs: str
-) -> DataFrame:
-    """Shared scipy-semantics finalizer: adds dof / yates / chi2_stat /
-    p_value from the aggregated parts. One implementation serves both the
-    groupBy shape (chi2_by_variable) and the window shape (post_hoc_cells)
-    so the Yates gate and degenerate-table rule can never diverge.
-
-    Replicates scipy.stats.chi2_contingency as used by the reference
-    (chisquared_tester.py:331-379): Yates correction requested when any
-    observed cell <= 5, applied only when dof == 1, correction clamped so
-    |O-E| never increases; degenerate tables (dof <= 0) give p = 1.0.
-    Requires ``n_values``/``n_clusters`` columns on ``df``.
-    """
-    dof = (F.col("n_values") - 1) * (F.col("n_clusters") - 1)
-    yates = F.col(min_obs) <= 5
-    stat = F.when(yates & (dof == 1), F.col(stat_yates)).otherwise(
-        F.col(stat_plain)
-    )
-    # two fused selects (not four withColumns): chi2_sf_col references
-    # the just-created chi2_stat/dof columns, everything else lands in
-    # one projection. chi2_sf_col is the pure JVM survival function —
-    # the p-value stays inside whole-stage codegen (no Arrow/Python
-    # worker in the inference plan).
-    df = df.select(
-        "*",
-        dof.alias("dof"),
-        yates.alias("yates"),
-        F.when(dof > 0, stat).alias("chi2_stat"),
-    )
-    return df.select(
-        "*",
-        F.when(F.col("dof") > 0, chi2_sf_col("chi2_stat", "dof"))
-        .otherwise(F.lit(1.0))
-        .alias("p_value"),
-    )
-
-
 def _var_frame(tables: ContingencyTables) -> DataFrame:
     """One row per variable: the complete crosstab as ARRAYS plus every
     per-variable statistic (dense grid with expected counts, chi-squared,
@@ -381,9 +336,9 @@ def _var_frame(tables: ContingencyTables) -> DataFrame:
     stage-scheduling-bound. The 100 TB story is unchanged: per-group
     state is the same schema-bound cell set the dense grid always held.
 
-    Semantics are :func:`_observed` / :func:`_dense_grid` /
-    :func:`_chi2_finalize` verbatim (reference chisquared_tester.py:
-    229-256, 331-379). Fold orders over the sorted arrays are
+    Semantics are :func:`_observed` / :func:`_dense_grid` and the
+    scipy ``chi2_contingency`` finalizer verbatim (reference
+    chisquared_tester.py:229-256, 331-379). Fold orders over the sorted arrays are
     deterministic, where the old per-partition sums were engine-order
     (a strict improvement; counts are integers, so the sums are exact
     either way). The array expressions are emitted as SQL text — same
@@ -455,8 +410,8 @@ def _var_frame(tables: ContingencyTables) -> DataFrame:
     )
 
     # dense (value x cluster) grid, zero-filled, value-major order (so
-    # downstream per-cluster filters are already value-ascending — the
-    # order _ordered_list used to impose with a sort). expected goes
+    # downstream per-cluster filters are already value-ascending, the
+    # order the deliver arrays contract to). expected goes
     # through DOUBLE before the multiply: identical below 2^53 (counts),
     # and immune to the bigint-product overflow a 1e11-row variable
     # would hit under ANSI mode.
@@ -493,7 +448,7 @@ def _var_frame(tables: ContingencyTables) -> DataFrame:
         ).alias("_dense"),
     )
 
-    # _chi2_parts/_chi2_finalize verbatim over the array: Yates requested
+    # the scipy-semantics finalizer over the array: Yates requested
     # iff any dense cell <= 5, applied iff dof == 1, clamped at |O-E|;
     # degenerate tables (dof <= 0) give p = 1.0
     vf = vf.select(
@@ -609,9 +564,8 @@ def chi2_by_variable(
     """Per-variable chi-squared test over all crosstabs at once.
 
     Returns: variable, chi2_stat, dof, p_value, yates, n_values, n_clusters.
-    Statistical semantics live in :func:`_var_frame` (the array spelling
-    of :func:`_chi2_finalize`); ``dense`` is accepted for backwards
-    compatibility and ignored.
+    Statistical semantics live in :func:`_var_frame`; ``dense`` is
+    accepted for backwards compatibility and ignored.
     """
     return tables.var_frame().select(
         "variable", "chi2_stat", "dof", "yates", "n_values", "n_clusters", "p_value"
@@ -654,14 +608,6 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
         F.col("_x.post_hoc").alias("post_hoc"),
         "p_value",
         "chi2_stat",
-    )
-
-
-def _ordered_list(sort_key: Column, payload: Column) -> Column:
-    """collect_list with a deterministic order (by sort_key ascending)."""
-    return F.transform(
-        F.array_sort(F.collect_list(F.struct(sort_key.alias("k"), payload.alias("v")))),
-        lambda s: s["v"],
     )
 
 
