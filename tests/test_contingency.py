@@ -235,3 +235,53 @@ def test_cramers_v_known_table(spark):
     t2 = contingency_tables(df2, "cluster", id_vars=["id"])
     v2 = {r["variable"]: r for r in cramers_v(t2).collect()}
     assert v2["x"]["cramers_v6"] < 0.2
+
+
+def test_posthoc_bonferroni_fallback_wide_table(spark):
+    """Tables wider than the precomputed z-threshold range (m =
+    n_values * n_clusters > 1024) take the in-plan survival-function
+    fallback (``_z_thr`` NULL inside _dense_sig_sql). Pin that branch
+    against the Python chi2_sf on every emitted cell: the labels must
+    be exactly the |z| >= 1.96 AND chi2_sf(z^2, 1) <= alpha/m rule."""
+    from qudo_etl_pipeline_spark.functions.stats import chi2_sf
+    from qudo_etl_pipeline_spark.operators.contingency import (
+        contingency_tables,
+        post_hoc_cells,
+    )
+
+    # 8 clusters x 160 values -> m = 1280 > 1024. A planted dependence
+    # (every 3rd row answers its own cluster's sentinel value) makes
+    # the variable significant with strongly positive cells; the rest
+    # spread uniformly so the fallback sees both sides of the boundary.
+    rows = []
+    for i in range(16000):
+        c = f"c{i % 8}"
+        v = f"own{i % 8}" if i % 3 == 0 else f"v{i % 152}"
+        rows.append((i, c, v))
+    df = spark.createDataFrame(rows, "id bigint, cluster string, q string")
+    t = contingency_tables(df, "cluster", id_vars=["id"])
+    try:
+        cells = post_hoc_cells(t, alpha=0.05).collect()
+        assert cells, "wide planted table must be significant"
+        n_vals = len({r["value"] for r in cells})
+        n_cls = len({r["cluster"] for r in cells})
+        m = n_vals * n_cls
+        assert m > 1024, f"test must exercise the fallback (m={m})"
+        labels = {"pos": 0, "neg": 0, "neu": 0}
+        for r in cells:
+            z = r["adj_residual"]
+            if z is None:
+                expect = "neu"
+            else:
+                sig = abs(z) >= 1.96 and chi2_sf(z * z, 1.0) <= 0.05 / m
+                if sig:
+                    expect = "pos" if r["observed"] > r["expected"] else "neg"
+                else:
+                    expect = "neu"
+            assert r["post_hoc"] == expect, (r["value"], r["cluster"], z)
+            labels[r["post_hoc"]] += 1
+        # the planted cells are pos; the boundary rule must also leave
+        # plenty of neutral cells (both branches genuinely exercised)
+        assert labels["pos"] >= 8 and labels["neu"] > 100, labels
+    finally:
+        t.unpersist()
