@@ -39,6 +39,7 @@ def rake_weights(
     dims: dict[str, dict[str, float]],
     iters: int = 3,
     weight_col: str = "w",
+    max_cells: int = 200_000,
 ) -> DataFrame:
     """Rake ``df`` so each dimension's weighted category shares match
     ``dims[dim][category]`` targets (shares per dim should sum to 1;
@@ -47,16 +48,141 @@ def rake_weights(
 
     Weights start at 1 (or ``weight_col`` if present, pre-rounded).
 
-    Cost note for corpus-scale reweighting: each sweep runs small keyed
-    aggregates plus broadcast factor joins (the big side is never
-    re-shuffled), but the per-sweep ``localCheckpoint`` MATERIALIZES
-    the full frame on executor storage to truncate the growing lineage
-    — iters × table-size of checkpoint I/O. Sized for survey frames
-    (the reference's use case); to rake a 100 TB corpus, rake a
-    (category-tuple, count) CONTRACTION instead — weights are constant
-    within each category cell by construction, so the fit is identical
-    and the checkpoint is cell-count-sized.
+    100 TB shape: weights are constant within each (category-tuple,
+    starting-weight) CELL by construction, so the fit runs on the cell
+    CONTRACTION — one map-side-combinable groupBy collapses the input
+    to at most Π|categories| × |distinct start weights| cells, the
+    IPF loop runs on the driver over that schema-bound table (the
+    iterative-operator exception, like the k collected KMeans
+    centroids), and ONE broadcast join maps the fitted cell weights
+    back onto the rows. The row table is scanned twice total (cell
+    count + final join) instead of iters × dims aggregate passes plus
+    per-iteration checkpoint I/O of the full frame.
+
+    Bit-exactness: the row-level loop's per-category sums were
+    DECIMAL(28,9)-exact over 9-dp fixed-point weights, so the cell
+    sum Σ n·w (integer nano arithmetic here) is the SAME exact
+    rational, the factors are the same IEEE trees over the same exact
+    sums, and every fitted weight is bit-identical to the old
+    iters × dims join chain — the unrolled-CTE oracle needs no change.
+    NULL-category rows drop at their dimension's factor join exactly as
+    before (the oracle's USING join mirrors it); categories missing
+    from the target mapping keep their rows with a NULL weight.
+
+    Above ``max_cells`` distinct cells (continuous starting weights —
+    not a raking use case) the row-level loop runs unchanged.
     """
+    from qudo_etl_pipeline_spark.functions.rounding import fp_round
+
+    dim_cols = list(dims)
+    has_w = weight_col in df.columns
+    w0 = fp_round(F.col(weight_col), 9) if has_w else F.lit(1.0)
+    wcol = "_w0"
+    while wcol in df.columns or wcol in dim_cols:  # external names
+        wcol += "_"
+    base = df.withColumn(wcol, w0.cast("double"))
+    key = [*dim_cols, wcol]
+    cells = base.groupBy(*key).agg(F.count(F.lit(1)).alias("_n"))
+    cell_rows = cells.limit(max_cells + 1).collect()
+    if len(cell_rows) > max_cells:
+        return _rake_weights_rows(df, dims, iters, weight_col)
+
+    fitted = _ipf_cells(cell_rows, dims, iters, dim_cols, wcol)
+
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [cells.schema[c] for c in key]
+        + [T.StructField("_w_fit", T.DoubleType(), True)]
+    )
+    fin = spark.createDataFrame(fitted, schema)
+    joined = base.join(F.broadcast(fin), on=key)
+    out = []
+    for c in df.columns:
+        if c == "w":  # the fitted weight replaces an existing w in place
+            out.append(F.col("_w_fit").alias("w"))
+        else:
+            out.append(F.col(c))
+    if "w" not in df.columns:
+        out.append(F.col("_w_fit").alias("w"))
+    return joined.select(*out)
+
+
+def _ipf_cells(cell_rows, dims, iters, dim_cols, wcol):
+    """Driver-side IPF over the collected cell table — every float op
+    mirrors the row-level loop's IEEE tree exactly (fp_round =
+    floor(x·1e9 + 0.5)/1e9; per-category sums in integer nanos,
+    converted to double through a scale-9 Decimal, the same single
+    rounding as CAST(SUM(DECIMAL(28,9)) AS DOUBLE))."""
+    import math
+    from decimal import Decimal
+
+    def nanos(x: float) -> int:
+        return math.floor(x * 1e9 + 0.5)
+
+    state = []
+    for r in cell_rows:
+        w = float(r[wcol])
+        state.append(
+            {
+                "key": tuple(r[c] for c in dim_cols),
+                "w0": r[wcol],
+                "n": r["_n"],
+                "w": w,
+                "k": nanos(w),
+            }
+        )
+    active = state
+    for _ in range(iters):
+        for di, (dim, targets) in enumerate(dims.items()):
+            # NULL category: the factor equi-join drops these rows in
+            # the row-level loop (and the oracle's USING join) — drop
+            # the cell from this step on
+            active = [s for s in active if s["key"][di] is not None]
+            swc: dict = {}
+            st = 0
+            for s in active:
+                if s["w"] is None:
+                    continue  # NULL weights are skipped by SUM
+                nk = s["n"] * s["k"]
+                swc[s["key"][di]] = swc.get(s["key"][di], 0) + nk
+                st += nk
+            wt = float(Decimal(st).scaleb(-9))
+            tmap = {v: float(sh) for v, sh in targets.items()}
+            # string-keyed fallback mirrors the when-chain's implicit
+            # numeric/string coercion for non-string dimension columns
+            tmap_str = {str(v): float(sh) for v, sh in targets.items()}
+            for s in active:
+                if s["w"] is None:
+                    continue  # fp_round(NULL * f) stays NULL
+                cat = s["key"][di]
+                t = tmap.get(cat)
+                if t is None:
+                    t = tmap_str.get(str(cat))
+                if t is None:  # unmapped category: weight becomes NULL
+                    s["w"] = None
+                    s["k"] = None
+                    continue
+                wc = float(Decimal(swc[s["key"][di]]).scaleb(-9))
+                f = t * wt / wc
+                k = nanos(s["w"] * f)
+                s["w"] = float(k) / 1e9
+                s["k"] = k
+    return [(*s["key"], s["w0"], s["w"]) for s in active]
+
+
+def _rake_weights_rows(
+    df: DataFrame,
+    dims: dict[str, dict[str, float]],
+    iters: int,
+    weight_col: str,
+) -> DataFrame:
+    """The row-level IPF join chain — the fallback when the cell
+    contraction would not contract (more distinct (category-tuple,
+    start-weight) cells than ``max_cells``). Semantics identical to
+    :func:`rake_weights` by construction (the contraction was derived
+    from this loop)."""
     from qudo_etl_pipeline_spark.functions.rounding import fp_round
 
     if weight_col in df.columns:
