@@ -1159,3 +1159,41 @@ def test_gains_curve_no_responders_nulls_ratios(spark):
     assert all(r["cum_capture6"] is None and r["cum_lift6"] is None
                for r in out)
     assert all(r["resp_rate6"] == 0.0 for r in out)
+
+
+def test_rake_contraction_matches_row_fallback(spark):
+    """The cell-contraction fit and the row-level fallback loop must be
+    bit-identical — per-row starting weights included (cells keyed by
+    (category tuple, start weight)) — and max_cells must dispatch to
+    the fallback without changing a single weight."""
+    from qudo_etl_pipeline_spark.operators.weighting import (
+        _rake_weights_rows,
+        rake_weights,
+    )
+
+    rows = [
+        (i, ["a", "b", "c"][i % 3], ["x", "y"][i % 2], 1.0 + (i % 4) / 4)
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, d1 string, d2 string, sw double")
+    dims = {
+        "d1": {"a": 0.5, "b": 0.3, "c": 0.2},
+        "d2": {"x": 0.4, "y": 0.6},
+    }
+    contracted = {
+        r["id"]: r["w"]
+        for r in rake_weights(df, dims, iters=4, weight_col="sw").collect()
+    }
+    row_loop = {
+        r["id"]: r["w"]
+        for r in _rake_weights_rows(df, dims, 4, "sw").collect()
+    }
+    assert contracted == row_loop
+    # forcing the fallback through max_cells reproduces the same fit
+    forced = {
+        r["id"]: r["w"]
+        for r in rake_weights(
+            df, dims, iters=4, weight_col="sw", max_cells=2
+        ).collect()
+    }
+    assert forced == contracted
