@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.functions.rounding import ref_round
@@ -78,8 +78,9 @@ class ContingencyTables:
     weighted: bool
     _cached: DataFrame | None = None
     _n_rows: int | None = None
-    # derived cached frames (dense grid) — registered lazily so repeated
-    # post-hoc calls share one entry and unpersist() releases everything
+    # derived cached frames (variable-array frame, dense grid) —
+    # registered lazily so repeated calls share one entry and
+    # unpersist() releases everything
     _derived: dict = field(default_factory=dict)
 
     def dense_with_expected(self) -> DataFrame:
