@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.functions.rounding import ref_round
-from qudo_etl_pipeline_spark.functions.stats import chi2_sf_col, z_threshold_table
+from qudo_etl_pipeline_spark.functions.stats import chi2_sf_sql, z_threshold_table
 from qudo_etl_pipeline_spark.plans.melt import melt
 
 NOT_SHOWN = "Not shown"
@@ -344,21 +344,21 @@ def _var_frame(tables: ContingencyTables) -> DataFrame:
     (a strict improvement; counts are integers, so the sums are exact
     either way). The array expressions are emitted as SQL text — same
     reason as chi2_sf_col: one parser round-trip instead of hundreds of
-    py4j calls, which is most of this plan's build latency.
+    py4j calls, which is most of this plan's build latency. r12 cont.:
+    the layered ``select("*", ...)`` chain is fused into ONE
+    ``selectExpr`` whose later entries reference earlier aliases
+    laterally (Spark >= 3.4 lateral column aliases; the analyzer
+    expands them to the identical nested-Project tree the old layers
+    produced, so the optimized plan — and every hash — is unchanged),
+    cutting the per-build py4j/analysis round-trips further.
     """
     cluster_col = tables.cluster_col
-    E = F.expr
+    cc = cluster_col.replace("`", "``")
 
     cl = tables.cells.groupBy("variable").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("value"),
-                    F.col(cluster_col).alias("cluster"),
-                    F.col("observed"),
-                    F.col("w_observed"),
-                )
-            )
+        F.expr(
+            "array_sort(collect_list(struct("
+            f"value, `{cc}` AS cluster, observed, w_observed)))"
         ).alias("_cl")
     )
 
@@ -366,124 +366,96 @@ def _var_frame(tables: ContingencyTables) -> DataFrame:
     # never enter a crosstab (chisquared_tester.py:229-236); variables
     # with no valid cell have no crosstab at all (the old dense grid
     # simply had no rows for them)
-    vf = cl.select(
+    vf = cl.selectExpr(
         "variable",
         "_cl",
-        E(
-            "filter(_cl, x -> x.cluster IS NOT NULL"
-            f" AND x.value <> '{NOT_SHOWN}'"
-            f" AND CAST(x.cluster AS STRING) <> '{NOT_SHOWN}')"
-        ).alias("_obs"),
+        "filter(_cl, x -> x.cluster IS NOT NULL"
+        f" AND x.value <> '{NOT_SHOWN}'"
+        f" AND CAST(x.cluster AS STRING) <> '{NOT_SHOWN}') AS _obs",
     ).filter(F.size("_obs") > 0)
 
-    vf = vf.select(
-        "*",
-        E(
-            "array_sort(array_distinct(transform(_obs, x -> x.value)))"
-        ).alias("_vals"),
-        E(
-            "array_sort(array_distinct(transform(_obs, x -> x.cluster)))"
-        ).alias("_cls"),
-        E(
-            "aggregate(_obs, CAST(0 AS BIGINT), (a, x) -> a + x.observed)"
-        ).alias("_n"),
-    )
-
-    # observed-cell lookup and the row/col totals as little maps — the
-    # array spelling of _dense_grid's left join and the totals windows
-    vf = vf.select(
-        "*",
-        E(
-            "map_from_entries(transform(_obs, x -> named_struct("
-            "'key', named_struct('v', x.value, 'c', x.cluster),"
-            " 'val', named_struct('o', x.observed, 'w', x.w_observed))))"
-        ).alias("_cm"),
-        E(
-            "map_from_entries(transform(_vals, v -> named_struct("
-            "'key', v, 'val', aggregate(filter(_obs, x -> x.value = v),"
-            " CAST(0 AS BIGINT), (a, x) -> a + x.observed))))"
-        ).alias("_rt"),
-        E(
-            "map_from_entries(transform(_cls, c -> named_struct("
-            "'key', c, 'val', aggregate(filter(_obs, x -> x.cluster = c),"
-            " CAST(0 AS BIGINT), (a, x) -> a + x.observed))))"
-        ).alias("_ct"),
-    )
-
-    # dense (value x cluster) grid, zero-filled, value-major order (so
-    # downstream per-cluster filters are already value-ascending, the
-    # order the deliver arrays contract to). expected goes
-    # through DOUBLE before the multiply: identical below 2^53 (counts),
-    # and immune to the bigint-product overflow a 1e11-row variable
-    # would hit under ANSI mode.
-    vf = vf.select(
+    # ONE fused projection, later aliases referencing earlier ones
+    # laterally. In document order: value/cluster domains and the grand
+    # total; the observed-cell lookup and row/col totals as little maps
+    # (the array spelling of _dense_grid's left join and totals
+    # windows); the dense (value x cluster) grid, zero-filled,
+    # value-major (downstream per-cluster filters are already
+    # value-ascending, the order the deliver arrays contract to), with
+    # expected through DOUBLE before the multiply (identical below
+    # 2^53, immune to bigint-product overflow under ANSI mode); and the
+    # scipy-semantics finalizer (Yates requested iff any dense cell
+    # <= 5, applied iff dof == 1, clamped at |O-E|; degenerate tables
+    # give p = 1.0).
+    vf = vf.selectExpr(
         "variable",
         "_cl",
-        "_vals",
-        "_cls",
-        "_n",
-        E(
-            "flatten(transform(_vals, v -> transform(_cls, c ->"
-            " named_struct('value', v, 'cluster', c,"
-            " 'observed', coalesce("
-            "element_at(_cm, named_struct('v', v, 'c', c)).o,"
-            " CAST(0 AS BIGINT)),"
-            " 'w_observed', coalesce("
-            "element_at(_cm, named_struct('v', v, 'c', c)).w, 0.0D),"
-            " 'row_tot', element_at(_rt, v),"
-            " 'col_tot', element_at(_ct, c)))))"
-        ).alias("_d0"),
+        "_obs",
+        "array_sort(array_distinct(transform(_obs, x -> x.value)))"
+        " AS _vals",
+        "array_sort(array_distinct(transform(_obs, x -> x.cluster)))"
+        " AS _cls",
+        "aggregate(_obs, CAST(0 AS BIGINT), (a, x) -> a + x.observed)"
+        " AS _n",
+        "map_from_entries(transform(_obs, x -> named_struct("
+        "'key', named_struct('v', x.value, 'c', x.cluster),"
+        " 'val', named_struct('o', x.observed, 'w', x.w_observed))))"
+        " AS _cm",
+        "map_from_entries(transform(_vals, v -> named_struct("
+        "'key', v, 'val', aggregate(filter(_obs, x -> x.value = v),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x.observed)))) AS _rt",
+        "map_from_entries(transform(_cls, c -> named_struct("
+        "'key', c, 'val', aggregate(filter(_obs, x -> x.cluster = c),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x.observed)))) AS _ct",
+        "flatten(transform(_vals, v -> transform(_cls, c ->"
+        " named_struct('value', v, 'cluster', c,"
+        " 'observed', coalesce("
+        "element_at(_cm, named_struct('v', v, 'c', c)).o,"
+        " CAST(0 AS BIGINT)),"
+        " 'w_observed', coalesce("
+        "element_at(_cm, named_struct('v', v, 'c', c)).w, 0.0D),"
+        " 'row_tot', element_at(_rt, v),"
+        " 'col_tot', element_at(_ct, c))))) AS _d0",
+        "transform(_d0, x -> named_struct("
+        "'value', x.value, 'cluster', x.cluster,"
+        " 'observed', x.observed, 'w_observed', x.w_observed,"
+        " 'row_tot', x.row_tot, 'col_tot', x.col_tot,"
+        " 'expected', CAST(x.row_tot AS DOUBLE) * x.col_tot / _n))"
+        " AS _dense",
+        "aggregate(_dense, 0.0D, (a, x) ->"
+        " a + pow(x.observed - x.expected, 2) / x.expected)"
+        " AS _stat_plain",
+        "aggregate(_dense, 0.0D, (a, x) -> a + pow(greatest("
+        "abs(x.observed - x.expected) - 0.5D, 0.0D), 2) / x.expected)"
+        " AS _stat_yates",
+        "array_min(transform(_dense, x -> x.observed)) AS _min_obs",
+        "CAST(size(_vals) AS BIGINT) AS n_values",
+        "CAST(size(_cls) AS BIGINT) AS n_clusters",
+        "(n_values - 1) * (n_clusters - 1) AS dof",
+        "_min_obs <= 5 AS yates",
+        "CASE WHEN dof > 0 THEN CASE WHEN yates AND dof = 1"
+        " THEN _stat_yates ELSE _stat_plain END END AS chi2_stat",
+        "CASE WHEN dof > 0 THEN "
+        + chi2_sf_sql("chi2_stat", "dof")
+        + " ELSE 1.0D END AS p_value",
     )
-    vf = vf.select(
-        "variable",
-        "_cl",
-        "_vals",
-        "_cls",
-        "_n",
-        E(
-            "transform(_d0, x -> named_struct("
-            "'value', x.value, 'cluster', x.cluster,"
-            " 'observed', x.observed, 'w_observed', x.w_observed,"
-            " 'row_tot', x.row_tot, 'col_tot', x.col_tot,"
-            " 'expected', CAST(x.row_tot AS DOUBLE) * x.col_tot / _n))"
-        ).alias("_dense"),
-    )
-
-    # the scipy-semantics finalizer over the array: Yates requested
-    # iff any dense cell <= 5, applied iff dof == 1, clamped at |O-E|;
-    # degenerate tables (dof <= 0) give p = 1.0
-    vf = vf.select(
-        "*",
-        E(
-            "aggregate(_dense, 0.0D, (a, x) ->"
-            " a + pow(x.observed - x.expected, 2) / x.expected)"
-        ).alias("_stat_plain"),
-        E(
-            "aggregate(_dense, 0.0D, (a, x) -> a + pow(greatest("
-            "abs(x.observed - x.expected) - 0.5D, 0.0D), 2) / x.expected)"
-        ).alias("_stat_yates"),
-        E("array_min(transform(_dense, x -> x.observed))").alias(
-            "_min_obs"
-        ),
-        F.size("_vals").cast("bigint").alias("n_values"),
-        F.size("_cls").cast("bigint").alias("n_clusters"),
-    )
-    dof = (F.col("n_values") - 1) * (F.col("n_clusters") - 1)
-    yates = F.col("_min_obs") <= 5
-    stat = F.when(yates & (dof == 1), F.col("_stat_yates")).otherwise(
-        F.col("_stat_plain")
-    )
-    vf = vf.select(
-        "*",
-        dof.alias("dof"),
-        yates.alias("yates"),
-        F.when(dof > 0, stat).alias("chi2_stat"),
-    )
+    # prune the intermediates (_obs/_cm/_rt/_ct/_d0) so the cached
+    # frame keeps the exact pre-fusion schema every consumer pins
     return vf.select(
-        "*",
-        F.when(F.col("dof") > 0, chi2_sf_col("chi2_stat", "dof"))
-        .otherwise(F.lit(1.0))
-        .alias("p_value"),
+        "variable",
+        "_cl",
+        "_vals",
+        "_cls",
+        "_n",
+        "_dense",
+        "_stat_plain",
+        "_stat_yates",
+        "_min_obs",
+        "n_values",
+        "n_clusters",
+        "dof",
+        "yates",
+        "chi2_stat",
+        "p_value",
     )
 
 
@@ -503,7 +475,6 @@ def _dense_sig_sql(alpha: float) -> str:
     from qudo_etl_pipeline_spark.functions.rounding import (
         ref_round_spark_sql,
     )
-    from qudo_etl_pipeline_spark.functions.stats import chi2_sf_sql
 
     rr = ref_round_spark_sql(
         "try_divide(x.observed - x.expected,"
@@ -592,21 +563,22 @@ def post_hoc_cells(tables: ContingencyTables, alpha: float = 0.05) -> DataFrame:
     vf = _with_z_thresholds(
         tables.var_frame().filter(F.col("p_value") <= alpha), alpha
     )
-    vf = vf.select(
+    cc = cluster_col.replace("`", "``")
+    vf = vf.selectExpr(
         "variable",
         "p_value",
         "chi2_stat",
-        F.explode(F.expr(_dense_sig_sql(alpha))).alias("_x"),
+        f"explode({_dense_sig_sql(alpha)}) AS _x",
     )
-    return vf.select(
+    return vf.selectExpr(
         "variable",
-        F.col("_x.cluster").alias(cluster_col),
-        F.col("_x.value").alias("value"),
-        F.col("_x.observed").alias("observed"),
-        F.col("_x.w_observed").alias("w_observed"),
-        F.col("_x.expected").alias("expected"),
-        F.col("_x.adj_residual").alias("adj_residual"),
-        F.col("_x.post_hoc").alias("post_hoc"),
+        f"_x.cluster AS `{cc}`",
+        "_x.value AS value",
+        "_x.observed AS observed",
+        "_x.w_observed AS w_observed",
+        "_x.expected AS expected",
+        "_x.adj_residual AS adj_residual",
+        "_x.post_hoc AS post_hoc",
         "p_value",
         "chi2_stat",
     )
@@ -650,27 +622,17 @@ def deliver_stats(
     vf = _with_z_thresholds(
         tables.var_frame().filter(F.col("p_value") <= alpha), alpha
     )
-    vf = vf.select(
-        "variable",
-        "_cl",
-        "_cls",
-        "p_value",
-        "chi2_stat",
-        F.expr(_dense_sig_sql(alpha)).alias("_d3"),
-    )
 
     # total input row count and per-cluster sizes: a one-row aggregate of
     # cluster_sizes, broadcast into the plan — not collected (plan
     # construction stays job-free; tables.n_rows stays for callers that
     # need the Python int). The NULL-cluster row counts toward the total
     # but has no size-map entry (it can never be a targeting segment).
+    cc = tables.cluster_col.replace("`", "``")
     sizes_row = tables.cluster_sizes.agg(
-        F.collect_list(
-            F.struct(
-                F.col(tables.cluster_col).alias("cluster"),
-                F.col("cluster_n"),
-                F.col("cluster_w"),
-            )
+        F.expr(
+            f"collect_list(struct(`{cc}` AS cluster, cluster_n,"
+            " cluster_w))"
         ).alias("_sz"),
         F.sum("cluster_n").cast("double").alias("_total_rows"),
     )
@@ -679,24 +641,21 @@ def deliver_stats(
         ref_round_spark_sql,
     )
 
-    E = F.expr
-    vf = vf.select(
+    vf = vf.selectExpr(
         "variable",
         "_cl",
         "_cls",
         "p_value",
         "chi2_stat",
-        "_d3",
-        E(
-            "map_from_entries(transform("
-            "filter(_sz, x -> x.cluster IS NOT NULL),"
-            " x -> named_struct('key', x.cluster,"
-            " 'val', named_struct('n', x.cluster_n, 'w', x.cluster_w))))"
-        ).alias("_szm"),
-        E(
-            "aggregate(_cl, CAST(0 AS BIGINT),"
-            " (a, x) -> a + x.observed) / _total_rows * 100"
-        ).alias("response_rate"),
+        f"{_dense_sig_sql(alpha)} AS _d3",
+        "map_from_entries(transform("
+        "filter(_sz, x -> x.cluster IS NOT NULL),"
+        " x -> named_struct('key', x.cluster,"
+        " 'val', named_struct('n', x.cluster_n, 'w', x.cluster_w))))"
+        " AS _szm",
+        "aggregate(_cl, CAST(0 AS BIGINT),"
+        " (a, x) -> a + x.observed) / _total_rows * 100"
+        " AS response_rate",
     )
 
     def _mode_sql(field: str) -> str:
@@ -719,58 +678,52 @@ def deliver_stats(
         " 'pos', filter(_d3, x -> x.post_hoc = 'pos' AND x.cluster = c"
         f" AND x.value <> '{NOT_SELECTED}')))"
     )
-    vf = vf.select(
+    vf = vf.selectExpr(
         "variable",
         "p_value",
         "chi2_stat",
         "_szm",
         "response_rate",
-        F.explode(E(percl)).alias("_s"),
+        f"explode({percl}) AS _s",
     ).filter(F.size("_s.pos") > 0)
 
     # try_divide in the weighted percentages: a cluster whose weights are
     # all NULL (coalesced to 0 upstream) has answered_w = 0 — ANSI plain
     # division would kill the whole job; NULL is the Spark-native
     # spelling of the reference's NaN percentage
-    out = vf.select(
-        F.col("variable").alias("q_code"),
-        F.col("_s.m.v").alias("pop_mode"),
+    out = vf.selectExpr(
+        "variable AS q_code",
+        "_s.m.v AS pop_mode",
         "response_rate",
-        E(
-            ref_round_spark_sql(
-                "_s.m.n / element_at(_szm, _s.cluster).n * 100", 2
-            )
-        ).alias("mode_pop_perc"),
-        E(ref_round_spark_sql("p_value", 5)).alias("chi_2_result"),
-        E("transform(_s.pos, x -> x.value)").alias("sig_more_category"),
-        E(
-            "transform(_s.pos, x -> "
-            + ref_round_spark_sql("x.observed / _s.answered_n * 100", 2)
-            + ")"
-        ).alias("category_percentages"),
-        F.col("_s.cluster").cast("string").alias("targeting_seg"),
+        ref_round_spark_sql(
+            "_s.m.n / element_at(_szm, _s.cluster).n * 100", 2
+        )
+        + " AS mode_pop_perc",
+        ref_round_spark_sql("p_value", 5) + " AS chi_2_result",
+        "transform(_s.pos, x -> x.value) AS sig_more_category",
+        "transform(_s.pos, x -> "
+        + ref_round_spark_sql("x.observed / _s.answered_n * 100", 2)
+        + ") AS category_percentages",
+        "CAST(_s.cluster AS STRING) AS targeting_seg",
         *(
-            [E(ref_round_spark_sql("chi2_stat", 2)).alias("chi2_stat")]
+            [ref_round_spark_sql("chi2_stat", 2) + " AS chi2_stat"]
             if include_chi2_stat
             else []
         ),
         *(
             [
-                F.col("_s.wm.v").alias("weighted_pop_mode"),
-                E(
-                    ref_round_spark_sql(
-                        "try_divide(_s.wm.n,"
-                        " element_at(_szm, _s.cluster).w) * 100",
-                        0,
-                    )
-                ).alias("weighted_pop_mode_perc"),
-                E(
-                    "transform(_s.pos, x -> "
-                    + ref_round_spark_sql(
-                        "try_divide(x.w_observed, _s.answered_w) * 100", 2
-                    )
-                    + ")"
-                ).alias("weighted_category_percentages"),
+                "_s.wm.v AS weighted_pop_mode",
+                ref_round_spark_sql(
+                    "try_divide(_s.wm.n,"
+                    " element_at(_szm, _s.cluster).w) * 100",
+                    0,
+                )
+                + " AS weighted_pop_mode_perc",
+                "transform(_s.pos, x -> "
+                + ref_round_spark_sql(
+                    "try_divide(x.w_observed, _s.answered_w) * 100", 2
+                )
+                + ") AS weighted_category_percentages",
             ]
             if tables.weighted
             else []
