@@ -43,6 +43,7 @@ def pagerank_fixed_point(
     n_iter: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_collect_edges: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over distinct directed edges, damping 0.85, ``n_iter``
     rounds from the uniform start.
@@ -50,6 +51,18 @@ def pagerank_fixed_point(
     Output: ``node``, ``rank_fp`` (BIGINT fixed-point, scale 1e12),
     ``pagerank`` (rank_fp / 1e12 rounded to 9 — exact in both engines
     since the division inputs are identical integers).
+
+    Dispatch (the rake-contraction pattern): on a graph at or under
+    ``max_collect_edges`` distinct edges the power loop runs on the
+    driver over the collected (src, dst, outdeg) table — every one of
+    the n_iter matvec rounds on a small graph otherwise costs a fixed
+    ~100 ms of AQE stage scheduling over kilobyte frames, which
+    dominates end-to-end. Python/NumPy int64 arithmetic reproduces the
+    BIGINT recurrence exactly (non-negative ranks, truncating
+    division; |17*s| <= 1.7e13 << 2^63), so both paths are
+    bit-identical — a property test pins it. The probe is a LIMIT
+    collect off the already-checkpointed edge blocks, so the at-scale
+    fallback pays one truncated read, not an extra pass.
     """
     e = (
         edges.select(
@@ -64,6 +77,11 @@ def pagerank_fixed_point(
     # re-reads it every round, and without the checkpoint the
     # distinct+join subtree would re-execute n_iter times
     e = e.join(outdeg, "src").localCheckpoint()
+
+    if max_collect_edges > 0:
+        probe = e.limit(max_collect_edges + 1).toPandas()
+        if len(probe) <= max_collect_edges:
+            return _pagerank_driver(edges.sparkSession, probe, n_iter)
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -108,6 +126,53 @@ def pagerank_fixed_point(
         "node",
         F.col("r").alias("rank_fp"),
         F.round(F.col("r") / F.lit(float(FP_SCALE)), 9).alias("pagerank"),
+    )
+
+
+def _pagerank_driver(spark, edges_pdf, n_iter: int) -> DataFrame:
+    """Driver-side power iteration over a collected small graph: the
+    SAME integer recurrence as the distributed loop (init
+    ``FP_SCALE DIV n``, contribution ``r DIV outdeg``, damping
+    ``(17*s) DIV 20`` + ``base``), vectorized in int64. The final
+    ``pagerank`` column is computed by the SAME Spark ``round``
+    expression on the returned frame, so even the rounding is shared
+    with the distributed path rather than mirrored."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", T.LongType(), True),
+            T.StructField("rank_fp", T.LongType(), True),
+        ]
+    )
+    if len(edges_pdf) == 0:  # no usable edges: empty ranking
+        fin = spark.createDataFrame([], schema)
+    else:
+        src = edges_pdf["src"].to_numpy(dtype=np.int64)
+        dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
+        outdeg = edges_pdf["outdeg"].to_numpy(dtype=np.int64)
+        nodes, idx = np.unique(
+            np.concatenate([src, dst]), return_inverse=True
+        )
+        si, di = idx[: len(src)], idx[len(src):]
+        n = int(len(nodes))
+        base = (FP_SCALE * 15 // 100) // n
+        r = np.full(n, FP_SCALE // n, dtype=np.int64)
+        for _ in range(n_iter):
+            s = np.zeros(n, dtype=np.int64)
+            np.add.at(s, di, r[si] // outdeg)
+            r = base + (17 * s) // 20
+        fin = spark.createDataFrame(
+            pd.DataFrame({"node": nodes, "rank_fp": r}), schema
+        )
+    return fin.select(
+        "node",
+        "rank_fp",
+        F.round(
+            F.col("rank_fp") / F.lit(float(FP_SCALE)), 9
+        ).alias("pagerank"),
     )
 
 

@@ -1282,6 +1282,37 @@ def test_pagerank_empty_graph_returns_empty(spark):
 
     only_self = spark.createDataFrame([(1, 1)], "src long, dst long")
     assert pagerank_fixed_point(only_self).count() == 0
+    # the distributed fallback's empty path must agree
+    assert (
+        pagerank_fixed_point(only_self, max_collect_edges=0).count() == 0
+    )
+
+
+def test_pagerank_driver_contraction_matches_distributed(spark):
+    """The collected driver fast path and the distributed Pregel loop
+    must be bit-identical on every column — rank_fp integers AND the
+    rounded pagerank double — and max_collect_edges must dispatch to
+    the distributed loop without changing a single rank."""
+    from qudo_etl_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    # dense-ish multigraph with dangling nodes, duplicate edges and
+    # self-loops; 6 rounds keeps the test fast while exercising the
+    # damping + truncation recurrence well past the first step
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 7 + 3) % 19) for i in range(400)]
+        + [(97, 98), (98, 98)],
+        "src long, dst long",
+    )
+    fast = sorted(
+        tuple(r) for r in pagerank_fixed_point(edges, n_iter=6).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in pagerank_fixed_point(
+            edges, n_iter=6, max_collect_edges=0
+        ).collect()
+    )
+    assert fast == dist and len(fast) > 20
 
 
 def test_boolean_and_query_all_terms_absent(spark):

@@ -163,9 +163,12 @@ def test_expensive_extended_query_plan_shapes(spark):
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
 
-    # pagerank: the returned frame reads the checkpointed final ranks —
-    # lineage truncation held (no join/agg chain re-derived per action)
-    assert "Scan ExistingRDD" in plans["pagerank_events_graph"]
+    # pagerank: the small-graph dispatch ran the power loop on the
+    # collected contraction, so the returned frame is a driver-local
+    # table — no join/agg chain re-derived per action (the distributed
+    # >max_collect_edges loop is pinned bit-identical by
+    # test_pagerank_driver_contraction_matches_distributed)
+    assert "LocalTableScan" in plans["pagerank_events_graph"]
     assert "Join" not in plans["pagerank_events_graph"]
 
     # semantic dedup: ONE sort-merge join (the within-cell pair join —
