@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
 NOT_SELECTED = "not selected"
+# group-key sentinel for the whole-sample totals cell that rides the
+# melt shuffle next to the question cells (cannot collide with data:
+# question shortnames are guarded at the operator boundary)
+_TOTALS_KEY = "\x00__totals__"
 
 
 def _row_values(cols: list[str]):
@@ -69,37 +73,47 @@ def population_modes(
         if weight_col
         else F.lit(1.0)
     )
-    # Totals ride the plan as a 1-row broadcast (no eager collect: the
-    # old driver-side .collect() ran a full-data aggregate at PLAN-BUILD
-    # time — a whole extra input scan before the real job started).
+    # Totals (whole-sample row count + weight sum) ride the SAME melt
+    # shuffle as the cells: every row emits one sentinel struct next to
+    # its question structs, so the input is scanned ONCE — the old
+    # separate df.agg() totals branch cost a second full pass over the
+    # input. The sentinel cell accumulates exactly like the old global
+    # aggregate (per-partition partials merged once), and
     # ref_round == the reference's Python round(weights.sum(), 2)
     # (chisquared_tester.py:757) — HALF_EVEN on the true binary value.
-    totals = df.agg(
-        F.count(F.lit(1)).cast("double").alias("_n_tot"),
-        (
-            ref_round(F.sum(w), 2)
-            if weight_col
-            else F.count(F.lit(1)).cast("double")
-        ).alias("_w_tot"),
-    )
+    if _TOTALS_KEY in question_cols:
+        raise ValueError(
+            f"question shortname {_TOTALS_KEY!r} collides with the "
+            "internal totals sentinel"
+        )
 
-    # pandas groupby drops NaN GROUP KEYS — filter null clusters up
-    # front so unlabeled rows match the reference's groupby(cluster_col)
-    # semantics (same fix as cluster_mode_list; round-3 ADVICE class)
-    df = df.filter(F.col(cluster_col).isNotNull())
+    # pandas groupby drops NaN GROUP KEYS — null-cluster rows emit NO
+    # question cells, matching the reference's groupby(cluster_col)
+    # semantics (round-3 ADVICE class). They DO emit the sentinel:
+    # totals cover the whole sample, labeled or not.
+    labeled = F.col(cluster_col).isNotNull()
 
-    q_structs = []
+    q_structs = [
+        F.struct(
+            F.lit(_TOTALS_KEY).alias("shortname"),
+            F.array(F.lit(None).cast("string")).alias("vals"),
+        )
+    ]
+    n_present = 0
     for shortname, cols in question_cols.items():
         present = [c for c in cols if c in df.columns]
         if not present:
             continue
+        n_present += 1
         q_structs.append(
             F.struct(
                 F.lit(shortname).alias("shortname"),
-                _row_values(present).alias("vals"),
+                F.when(labeled, _row_values(present))
+                .otherwise(F.array())
+                .alias("vals"),
             )
         )
-    if not q_structs:
+    if n_present == 0:
         raise ValueError("no question columns present in the data")
 
     long = (
@@ -109,17 +123,42 @@ def population_modes(
             F.explode(F.array(*q_structs)).alias("q"),
         )
         .select(
-            "cluster",
+            # sentinel rows collapse to ONE group key regardless of the
+            # row's cluster — (sentinel, NULL, NULL)
+            F.when(
+                F.col("q.shortname") == _TOTALS_KEY, F.lit(None)
+            )
+            .otherwise(F.col("cluster"))
+            .alias("cluster"),
             "_w",
             F.col("q.shortname").alias("shortname"),
             F.explode("q.vals").alias("value"),
         )
     )
 
-    counts = long.groupBy("shortname", "cluster", "value").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("_w").alias("wn"),
+    # The cell table (schema-bound: |questions| x |clusters| x |answers|
+    # + the sentinel) feeds BOTH the mode argmax and the totals row;
+    # without the registry cache the sentinel filters would push below
+    # the aggregate into two separate scans of the input.
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
     )
+
+    cells = acquire_operator_cache(
+        long.groupBy("shortname", "cluster", "value").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_w").alias("wn"),
+        )
+    )
+    totals = cells.filter(F.col("shortname") == _TOTALS_KEY).select(
+        F.col("n").cast("double").alias("_n_tot"),
+        (
+            ref_round(F.col("wn"), 2)
+            if weight_col
+            else F.col("n").cast("double")
+        ).alias("_w_tot"),
+    )
+    counts = cells.filter(F.col("shortname") != _TOTALS_KEY)
     # Both modes from ONE aggregation: min over (-count, value) orders by
     # descending count then ascending value — identical tie semantics to
     # the reference's idxmax-first-occurrence.
