@@ -54,6 +54,20 @@ NOT_SHOWN = "Not shown"
 NOT_SELECTED = "not selected"
 
 
+def _cache_once(df: DataFrame) -> DataFrame:
+    """``.cache()`` unless the plan already sits in the CacheManager.
+
+    Catalog queries sharing one session build bit-identical cell plans
+    (e.g. chi2_stat and contingency_cells over the same survey view);
+    a second ``.cache()`` of an identical plan is a no-op that logs
+    "WARN CacheManager: Asked to cache already cached data" per call —
+    same guard as prefix.acquire_operator_cache.
+    """
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        return df
+    return df.cache()
+
+
 @dataclass
 class ContingencyTables:
     """Aggregated crosstab state shared by every downstream statistic.
@@ -92,9 +106,9 @@ class ContingencyTables:
         Cardinality is the cell table's (schema-bound, row-count
         independent), so the cache is tiny at any scale."""
         if "dense" not in self._derived:
-            self._derived["dense"] = _dense_with_expected(
-                self.cells, self.cluster_col
-            ).cache()
+            self._derived["dense"] = _cache_once(
+                _dense_with_expected(self.cells, self.cluster_col)
+            )
         return self._derived["dense"]
 
     def var_frame(self) -> DataFrame:
@@ -104,7 +118,7 @@ class ContingencyTables:
         deliver_stats and cramers_v. One row per variable — tiny at any
         scale."""
         if "varframe" not in self._derived:
-            self._derived["varframe"] = _var_frame(self).cache()
+            self._derived["varframe"] = _cache_once(_var_frame(self))
         return self._derived["varframe"]
 
     @property
@@ -228,7 +242,7 @@ def contingency_tables(
             F.count(F.lit(1)).alias("observed"),
             F.sum("_w").alias("w_observed"),
         )
-    all_cells = cells_agg.repartition("variable").cache()
+    all_cells = _cache_once(cells_agg.repartition("variable"))
     cells = all_cells.filter(F.col("variable") != row_marker)
 
     cluster_sizes = all_cells.filter(F.col("variable") == row_marker).select(
