@@ -1110,8 +1110,10 @@ def weighted_quantile(
     ``Window.partitionBy(group)`` — with few wide groups that window
     serializes each group into one task (measured 2.9 s at sf0.1 on 3
     groups; the device spreads the same work over every core). Weights
-    must be NON-NEGATIVE (quantile semantics) and accumulate in
-    DECIMAL; the crossing test is the integer-exact ``q_den * cumw >=
+    must be NON-NEGATIVE (quantile semantics) and accumulate as BIGINT
+    micros (one exact DECIMAL(18,6) cast + scale shift per row; ANSI
+    mode keeps the |group total| < 9.2e12-weight-unit range bound
+    loud); the crossing test is the integer-exact ``q_den * cumw >=
     q_num * totw`` — no float thresholds. Group totals come from the
     cum column's per-group maximum (exact under non-negative weights),
     a map-side-combinable aggregate over the device's cached frame.
@@ -1137,7 +1139,19 @@ def weighted_quantile(
     )
 
     v = F.col(value_col)
-    wt = F.col(weight_col).cast("decimal(18,6)")
+    # accumulate on the unscaled integer representation (micros), the
+    # same exact-rational device as bootstrap_ci_mean: one decimal cast
+    # + scale shift per row, then every aggregate/window in the plan
+    # sums BIGINT instead of DECIMAL (~15% off a cold device build at
+    # sf0.1). The shift is exact (the (18,6) cast already fixed the
+    # scale), the crossing test compares integers either way, and the
+    # outputs are shifted back through DECIMAL before the one double
+    # conversion — bit-identical results. ANSI mode keeps the BIGINT
+    # range bound loud: |group total| < 9.2e12 weight units (the same
+    # documented bound class as bootstrap's replicate sums).
+    wt = (F.col(weight_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
     src = df.filter(v.isNotNull() & F.col(weight_col).isNotNull()).select(
         *group_cols, v.alias("__v"), wt.alias("__w")
     )
@@ -1160,7 +1174,11 @@ def weighted_quantile(
         F.coalesce(F.col("_minw") >= 0, F.lit(True)),
         F.concat(
             F.lit("weighted_quantile: negative weight found (min="),
-            F.col("_minw").cast("string"),
+            # _minw is in micros — shift back to weight units for the
+            # message (same string the DECIMAL path produced)
+            (F.col("_minw").cast("decimal(28,6)") / 1_000_000)
+            .cast("decimal(18,6)")
+            .cast("string"),
             F.lit("). Weights must be non-negative."),
         ),
     )
@@ -1183,9 +1201,17 @@ def weighted_quantile(
     flagged = cum.join(F.broadcast(ren), cond).drop(
         *[f"_g{i}" for i in range(len(group_cols))]
     ).filter(crossed)
+    # micros -> DECIMAL(28,6) -> double: the division is exact (the
+    # value has <= 6 decimals), and (28,6) is the type the old
+    # sum-of-DECIMAL(18,6) produced — so the double is bit-identical
+    tot_units = (
+        (F.first("__totw").cast("decimal(28,6)") / 1_000_000)
+        .cast("decimal(28,6)")
+        .cast("double")
+    )
     return flagged.groupBy(*group_cols).agg(
         F.min("__v").alias("wq_value"),
-        F.first("__totw").cast("double").alias("total_weight"),
+        tot_units.alias("total_weight"),
         F.first("__n").alias("n"),
     )
 
