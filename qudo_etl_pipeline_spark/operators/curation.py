@@ -348,7 +348,9 @@ def token_budget_sample(
     # one is correctness-load-bearing for the returned (lazy) plan, so
     # it cannot be scoped here; it is reclaimed by ContextCleaner once
     # the caller drops the result plan (driver GC unpersists it).
-    scored = scored.cache()
+    from qudo_etl_pipeline_spark.operators.prefix import cache_once
+
+    scored = cache_once(scored)
     part = scored.withColumn("_pid", F.spark_partition_id())
     inner = Window.partitionBy("_pid").orderBy(*order)
     local = part.withColumn("_cum_in", F.sum("n_tokens").over(inner))

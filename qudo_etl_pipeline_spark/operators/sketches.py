@@ -435,8 +435,10 @@ def heavy_hitters(
     # it is load-bearing for the RETURNED lazy plan, so it cannot be
     # unpersisted here — ContextCleaner reclaims it when the caller
     # drops the plan.
-    summary = (
-        df.select(key_col).mapInPandas(mg_kernel, out_schema).cache()
+    from qudo_etl_pipeline_spark.operators.prefix import cache_once
+
+    summary = cache_once(
+        df.select(key_col).mapInPandas(mg_kernel, out_schema)
     )
     total = summary.agg(F.sum("__pn").alias("n_total"))
     cands = summary.filter(F.col(key_col).isNotNull()).select(
