@@ -885,18 +885,30 @@ def theil_sen_slope(
     """
     from qudo_etl_pipeline_spark.functions.hashing import hash64
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
 
     if on_excess not in ("error", "subsample"):
         raise ValueError(f"unknown on_excess policy: {on_excess!r}")
 
-    counts = series.groupBy(F.col(key_col).alias("_k")).agg(
-        F.count(F.lit(1)).alias("n_points")
+    # materialize the (key, x, y) collapse ONCE: the plan below
+    # references it from five branches (counts, the gate's broadcast
+    # build, both pair-join sides, the n_points join-back), and column
+    # pruning makes each branch's subtree physically distinct — without
+    # a cache every branch re-runs the caller's series aggregation from
+    # the source scan (measured: 5 parquet scans per execution). The
+    # series-frame contract bounds the frame by the key × bucket
+    # domain, so the cache is small by construction.
+    base = acquire_operator_cache(
+        series.select(
+            F.col(key_col).alias("_k"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
     )
-    src = series.select(
-        F.col(key_col).alias("_k"),
-        F.col(x_col).cast("double").alias("_x"),
-        F.col(y_col).cast("double").alias("_y"),
-    )
+    counts = base.groupBy("_k").agg(F.count(F.lit(1)).alias("n_points"))
+    src = base
     if on_excess == "error":
         # assert_true inside a FILTER is not prunable by the optimizer
         # and materializes with the broadcast build side below — the
