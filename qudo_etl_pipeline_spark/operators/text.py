@@ -327,11 +327,25 @@ def tfidf_top_terms(
     broadcast back. N rides along as a 1-row broadcast crossJoin —
     fully lazy, no plan-build job (the unigram_logprob totals device).
     """
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.col("term") != "")
     totals = df.agg(F.count(F.lit(1)).alias("_n"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the (doc, term) aggregate ONCE: the dfreq branch needs
+    # only the grouping keys, so column pruning makes its subtree
+    # physically distinct from the main branch's and exchange reuse
+    # never fires — without a cache the scan + tokenize-explode +
+    # (doc, term) shuffle runs twice per execution. The cached frame is
+    # the post-aggregation collapse (bounded by distinct (doc, term)
+    # pairs, strictly smaller than the token stream it replaces), and
+    # MEMORY_AND_DISK spill keeps the second pass a local read at scale.
+    tf = acquire_operator_cache(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
