@@ -21,6 +21,7 @@ from qudo_etl_pipeline_spark.catalog import (
 from qudo_etl_pipeline_spark.functions.hashing import hash_position_sql
 from qudo_etl_pipeline_spark.functions.zorder import zorder2, zorder2_sql
 from qudo_etl_pipeline_spark.operators import sketches as SK
+from qudo_etl_pipeline_spark.operators.prefix import acquire_operator_cache
 
 
 def _h(expr: str, seed: int, modulus: int) -> str:
@@ -76,13 +77,17 @@ def cms_part_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", depth=3, width=256,
     )
     li = load_table(spark, sf_dir, "lineitem")
-    probes = li.filter(F.col("l_partkey") <= 20).select("l_partkey").distinct()
-    est = SK.cms_lookup(cms, probes, "l_partkey", depth=3, width=256)
-    tru = (
+    # ONE cached probe-key collapse serves both branches: the probe set
+    # is exactly the truth table's key column (groupBy keys are
+    # distinct), so the separate distinct() scan was a second pass over
+    # the same pushed-filter read
+    tru = acquire_operator_cache(
         li.filter(F.col("l_partkey") <= 20)
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
     )
+    probes = tru.select("l_partkey")
+    est = SK.cms_lookup(cms, probes, "l_partkey", depth=3, width=256)
     return est.join(tru, "l_partkey")
 
 
