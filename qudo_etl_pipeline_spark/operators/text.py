@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qudo_etl_pipeline_spark.operators.dedup import _hash64_frag, _shingles_frag
+from qudo_etl_pipeline_spark.operators.prefix import acquire_operator_cache
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "in", "to", "is"],
@@ -327,10 +328,6 @@ def tfidf_top_terms(
     broadcast back. N rides along as a 1-row broadcast crossJoin —
     fully lazy, no plan-build job (the unigram_logprob totals device).
     """
-    from qudo_etl_pipeline_spark.operators.prefix import (
-        acquire_operator_cache,
-    )
-
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -425,7 +422,13 @@ def unigram_logprob(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # the vocabulary counts feed two branches (corpus totals and the
+    # per-token logprob table) — cached once (vocabulary-sized) so the
+    # token stream is not re-exploded per branch; the stream itself
+    # stays uncached by design (row-scale)
+    counts = acquire_operator_cache(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
     totals = counts.agg(
         F.sum("c").alias("_t"), F.count(F.lit(1)).alias("_v")
     )
@@ -473,7 +476,13 @@ def source_kl_divergence(
         F.col(source_col).alias("src"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    sc = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    # the (source, token) counts feed three branches (pooled corpus,
+    # per-source totals, the term join) — cached once (per-source
+    # vocabulary-sized) so "ONE explode" holds physically, not just in
+    # the lazy plan
+    sc = acquire_operator_cache(
+        toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    )
     corpus = sc.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     src_tot = sc.groupBy("src").agg(F.sum("c_st").alias("t_s"))
     pool_tot = corpus.agg(F.sum("c_t").alias("t"))
@@ -520,7 +529,13 @@ def source_js_divergence(
         F.col(source_col).alias("src"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    sc = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    # the (source, token) counts feed three branches (pooled corpus,
+    # per-source totals, the term join) — cached once (per-source
+    # vocabulary-sized) so "ONE explode" holds physically, not just in
+    # the lazy plan
+    sc = acquire_operator_cache(
+        toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    )
     corpus = sc.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     src_tot = sc.groupBy("src").agg(F.sum("c_st").alias("t_s"))
     pool_tot = corpus.agg(F.sum("c_t").alias("t"))
