@@ -2246,12 +2246,21 @@ def gains_curve(
         F.col(label_col).cast("bigint").alias("_y"),
         *[F.col(t) for t in (tiebreak or [])],
     )
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
     b = ntile_bucketize(
         src, "_negscore", n_buckets, list(tiebreak or [])
     )
-    per_b = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("_y").alias("responders"),
+    # the n_buckets-row aggregate feeds two branches (the totals
+    # broadcast and the output join) — cached so the bucketize consumer
+    # chain above the device cache runs once, not twice
+    per_b = acquire_operator_cache(
+        b.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("responders"),
+        )
     )
     tot = per_b.agg(
         F.sum("n").alias("_tn"), F.sum("responders").alias("_tr")
