@@ -1820,8 +1820,18 @@ def mutual_information(
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
 
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
     a, b = F.col(col_a), F.col(col_b)
-    cells = (
+    # materialize the cell collapse ONCE so "marginals and the grand
+    # total derive from that frame (never a second table scan)" holds
+    # physically: the gate probe, both marginals, the total and the MI
+    # join are five plan branches, and without a cache each re-runs
+    # the scan + groupBy (measured: 16 parquet scans for the catalog
+    # query). The frame is |A|·|B| rows, gate-bounded below.
+    cells = acquire_operator_cache(
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_nab"))
@@ -1933,13 +1943,20 @@ def kendall_tau_b(
     either margin is constant (denominator 0).
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
 
     if on_excess not in ("error", "bin"):
         raise ValueError(f"unknown on_excess policy: {on_excess!r}")
     if on_excess == "bin":
         df = _equiwidth_pair_bin(df, col_a, col_b, max_domain)
     a, b = F.col(col_a), F.col(col_b)
-    cells = (
+    # cached once: the gate probe and every marginal/pair branch below
+    # would otherwise each re-run the scan + groupBy from the source
+    # (measured: 6-8 parquet scans per catalog query); the frame is
+    # |A|·|B| cells, gate/bin-bounded
+    cells = acquire_operator_cache(
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_nab"))
@@ -2065,13 +2082,20 @@ def spearman_rho(
     either margin is constant.
     """
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
 
     if on_excess not in ("error", "bin"):
         raise ValueError(f"unknown on_excess policy: {on_excess!r}")
     if on_excess == "bin":
         df = _equiwidth_pair_bin(df, col_a, col_b, max_domain)
     a, b = F.col(col_a), F.col(col_b)
-    cells = (
+    # cached once: the gate probe and every marginal/pair branch below
+    # would otherwise each re-run the scan + groupBy from the source
+    # (measured: 6-8 parquet scans per catalog query); the frame is
+    # |A|·|B| cells, gate/bin-bounded
+    cells = acquire_operator_cache(
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_nab"))
