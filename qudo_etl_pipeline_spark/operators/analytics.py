@@ -2207,9 +2207,19 @@ def psi_drift(
         "_s",
         F.when(width > 0, bucket).otherwise(F.lit(0)).alias("_b"),
     )
-    per_b = binned.groupBy("_b").agg(
-        F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("cb"),
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
+    # the bins-row aggregate feeds the totals branch and the term join
+    # — cached so the union + range-attach + bin pass runs once, not
+    # three times (the pooled min/max pass stays: bounds must exist
+    # before the bins)
+    per_b = acquire_operator_cache(
+        binned.groupBy("_b").agg(
+            F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("cb"),
+        )
     )
     tot = per_b.agg(
         F.sum("ca").alias("n_a"),
