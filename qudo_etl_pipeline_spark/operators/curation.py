@@ -53,17 +53,33 @@ def curate_corpus(
             "quality_score below 5 tokens (the formula's own floor), so "
             "shorter documents are dropped as low_quality regardless"
         )
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
     q = TX.quality_exprs(text_col)
-    flagged = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.when(
-            (q["n_tokens"] < min_tokens)
-            | (q["quality_score"] < min_quality),
-            F.lit("low_quality"),
+    # materialized ONCE through the operator cache registry (the
+    # semantic_dedup precedent): the dedup cascade below references the
+    # gated frame from many branches (content hashes, the anti-join,
+    # minhash signatures, pair verification, the final verdict join),
+    # and without a cache each branch re-runs the scan PLUS the
+    # quality/langid expression battery (measured: 13 parquet scans
+    # per execution). MEMORY_AND_DISK keeps re-reads local at corpus
+    # scale; recompute-on-eviction is safe (deterministic exprs).
+    flagged = acquire_operator_cache(
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.when(
+                (q["n_tokens"] < min_tokens)
+                | (q["quality_score"] < min_quality),
+                F.lit("low_quality"),
+            )
+            .when(
+                ~TX.langid_pred(text_col).isin(*langs), F.lit("language")
+            )
+            .alias("_gate"),
         )
-        .when(~TX.langid_pred(text_col).isin(*langs), F.lit("language"))
-        .alias("_gate"),
     )
 
     s1 = flagged.filter(F.col("_gate").isNull()).select(id_col, text_col)
