@@ -77,6 +77,14 @@ def candidate_pairs(
     pair join is then block-local, so worst-case work is
     ``max_block_size`` × |blocks| — never all-pairs.
     """
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
+    # the narrow (block_key, id) table feeds the size gate and BOTH
+    # self-join sides — cached once so the caller's record plan (often
+    # a union of derived scans) is not re-run per branch
+    blocks = acquire_operator_cache(blocks)
     sized = blocks.groupBy("block_key").agg(
         F.count(F.lit(1)).alias("_bs")
     )
@@ -113,8 +121,16 @@ def score_pairs(
     sim >= threshold and all exact gates passing; ``sim`` is rounded
     to 6 for cross-engine determinism.
     """
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
     cols = [fuzzy_col] + list(exact_cols or [])
-    side = records.select(F.col(id_col).alias("id"), *cols)
+    # both join legs reference the narrow record side — cached once so
+    # the record plan is not re-run per leg
+    side = acquire_operator_cache(
+        records.select(F.col(id_col).alias("id"), *cols)
+    )
     a = side.alias("ra")
     b = side.alias("rb")
     j = (
