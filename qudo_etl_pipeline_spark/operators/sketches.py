@@ -218,11 +218,23 @@ def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     from qudo_etl_pipeline_spark.functions.rounding import ref_round
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
 
+    # each sketch is <= k rows but its BUILD is a full-input hash +
+    # dedup pass — cached once so the intersect and union branches do
+    # not re-run the build per reference (measured: 6 input scans per
+    # execution without the caches); the ranked union (<= 2k rows)
+    # likewise feeds both the k' probe and the match join
+    sk_a = acquire_operator_cache(sk_a)
+    sk_b = acquire_operator_cache(sk_b)
     both = sk_a.select("h").intersect(sk_b.select("h"))
     comb = sk_a.select("h").union(sk_b.select("h")).distinct()
-    ranked = comb.select(
-        "h", F.row_number().over(Window.orderBy("h")).alias("r")
+    ranked = acquire_operator_cache(
+        comb.select(
+            "h", F.row_number().over(Window.orderBy("h")).alias("r")
+        )
     )
     kp = ranked.agg(
         F.least(F.lit(k), F.count(F.lit(1))).cast("int").alias("kp")
