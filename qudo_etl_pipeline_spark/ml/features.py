@@ -278,8 +278,19 @@ def target_encode_oof(
         t.alias("_t"),
         fold.alias("_f"),
     ).filter(F.col("_t").isNotNull())
-    cells = src.groupBy("_c", "_f").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_t").alias("_s")
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
+    # cached once ((category, fold)-bounded) so "per-category totals
+    # derive from that cell frame (never a second scan)" holds
+    # physically: the per-category, global and stats branches would
+    # otherwise each re-run the scan + groupBy (measured: 5 scans per
+    # execution; 2 remain — the cell build and the encode join-back)
+    cells = acquire_operator_cache(
+        src.groupBy("_c", "_f").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_t").alias("_s")
+        )
     )
     per_cat = cells.groupBy("_c").agg(
         F.sum("_n").alias("_cn"), F.sum("_s").alias("_cs")
