@@ -1045,8 +1045,16 @@ def seasonal_decompose(
         )
         % F.lit(period)
     ).alias("_pos")
-    detr = src.select(
-        "_k", "_t", "_v", pos, trend.alias("_trend")
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
+    # the windowed trend pass feeds the seasonal-index aggregate AND
+    # the final output join — cached once (the series-frame contract
+    # bounds it by the key × bucket domain) so the shuffle + moving-
+    # average window runs once, not three times
+    detr = acquire_operator_cache(
+        src.select("_k", "_t", "_v", pos, trend.alias("_trend"))
     )
     raw_idx = (
         detr.filter(F.col("_trend").isNotNull())
