@@ -251,9 +251,22 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Set difference/intersection of distinct value sets",
 )
 def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
     part = load_table(spark, sf_dir, "part")
-    big = part.filter(F.col("p_size") > 40).select("p_type").distinct()
-    brand = part.filter(F.col("p_brand") == "Brand#11").select("p_type").distinct()
+    # both distinct value sets are consumed by the except AND the
+    # intersect branches (big three times) — cached once (value-domain
+    # -sized) so part is scanned twice, not five times
+    big = acquire_operator_cache(
+        part.filter(F.col("p_size") > 40).select("p_type").distinct()
+    )
+    brand = acquire_operator_cache(
+        part.filter(F.col("p_brand") == "Brand#11")
+        .select("p_type")
+        .distinct()
+    )
     ex = big.exceptAll(big.intersect(brand)).agg(
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("except").alias("op"), "n")

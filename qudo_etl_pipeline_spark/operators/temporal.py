@@ -171,23 +171,24 @@ def _boundary_carries(u: DataFrame, out_cols: list[str]) -> DataFrame:
     is kept (strictly below the chunk's start by construction, so it
     sorts before every real row of the chunk).
     """
-    chunk_last = (
-        u.filter(F.col("__side") == 0)
-        .groupBy("__k", "__chunk")
-        .agg(
-            F.max_by(
-                F.struct(F.col("__ts"), F.col("__payload")), F.col("__ts")
-            ).alias("__last")
-        )
+    # ONE groupBy yields both the per-chunk latest build row AND the
+    # active-chunk roster: max_by skips rows whose ordering key is NULL,
+    # so probe rows never win and probe-only chunks surface with a NULL
+    # __last — exactly the frame the former separate distinct() +
+    # left-join pair built, minus one full pass over the union
+    per_chunk = u.groupBy("__k", "__chunk").agg(
+        F.max_by(
+            F.struct(F.col("__ts"), F.col("__payload")),
+            F.when(F.col("__side") == 0, F.col("__ts")),
+        ).alias("__last")
     )
-    all_chunks = u.select("__k", "__chunk").distinct()
     wk = (
         Window.partitionBy("__k")
         .orderBy("__chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carries = (
-        all_chunks.join(chunk_last, ["__k", "__chunk"], "left")
+        per_chunk
         .withColumn("__carry", F.last("__last", ignorenulls=True).over(wk))
         .filter(F.col("__carry").isNotNull())
     )
