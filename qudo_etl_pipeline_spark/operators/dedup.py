@@ -520,7 +520,15 @@ def prefix_filter_candidates(
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     wd = Window.partitionBy("id")
     wr = wd.orderBy(F.col("f").asc(), F.col("tok").asc())
-    prefix = (
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
+    # cached once: BOTH sides of the candidate self-join consume the
+    # prefix table, and without a cache each side re-ran the explode +
+    # frequency join + doc window from the source scan; the frame holds
+    # only each doc's prefix tokens (n - ceil(t·n) + 1 per doc)
+    prefix = acquire_operator_cache(
         toks.join(freq, "tok")
         .select(
             "id",
