@@ -5,10 +5,14 @@ Prints exactly one JSON line:
    "queries": {name: sec, ...}, "sf": <scale factor>}
 
 Each query is forced with the noop sink (full computation, no result
-materialization on the driver) after a warm-up of the session. Queries
-cover the engine's hot paths: scan+agg, join+window top-k, the melt ->
-one-shuffle contingency inference, dedup signatures, ANN top-k, and
-sessionization windows.
+materialization on the driver) after a warm-up of the session, INSIDE
+``prefix_cache_scope()`` so that every operator cache acquired during
+the timed call is released when it ends — every pass is one full
+execution from the parquet inputs (r12 verdict item 1; an unscoped
+"legacy warm" series is still emitted for pre-r13 comparability).
+Queries cover the engine's hot paths: scan+agg, join+window top-k, the
+melt -> one-shuffle contingency inference, dedup signatures, ANN
+top-k, and sessionization windows.
 
 Paired A/B mode (the cross-round noise killer): this VM's
 noisy-neighbor band swings identical code up to 1.3x between bench
@@ -251,14 +255,32 @@ def main() -> None:
     # queries run-to-run (round 3's session_window_agg "regression" was
     # exactly this), and this VM additionally sees multi-second
     # noisy-neighbor windows (load-avg 15 with an idle guest, measured
-    # round 4) that can poison any single pass. Each pass still pays
-    # every real scan/shuffle/UDF cost (the noop sink materializes
-    # nothing and the catalog builds a fresh plan per call; only
-    # JVM-level compilation caches persist).
+    # round 4) that can poison any single pass.
     #
-    # For cross-round comparability BOTH series are emitted:
-    #   queries / value                — min-of-PASSES (r3 was min-of-2)
-    #   queries_single_shot / value_…  — first pass only (same as r1/r2)
+    # SCOPED passes (r12 verdict item 1 — the measurement-integrity
+    # fix): each timed call runs inside ``prefix_cache_scope()``, so
+    # every operator cache the query acquires (the plan-keyed registry
+    # that ~20 operators route through since r12) is RELEASED when the
+    # call's result is fully materialized — min-of-N selects the
+    # fastest FULL execution, never a pass that reuses a previous
+    # pass's materialized cache. Intra-query cache sharing (several
+    # plan branches reading one materialized collapse within a single
+    # execution) is preserved — that is the optimization being
+    # measured; cross-pass reuse is what the scope kills. Only
+    # JVM-level compilation caches persist across passes.
+    #
+    # Series emitted:
+    #   queries / value                  — min-of-PASSES, SCOPED (one
+    #                                      full execution per pass)
+    #   queries_single_shot / value_…    — first pass only (same
+    #                                      semantics as r1..r12: the
+    #                                      session's first execution)
+    #   queries_legacy_warm / value_…    — min over LEGACY_PASSES
+    #                                      unscoped back-to-back passes
+    #                                      run AFTER the scoped ones
+    #                                      (cross-pass cache reuse
+    #                                      allowed), comparable with the
+    #                                      r4-r12 warm min-of-3 records
     # PASS-MAJOR order (pass 0 for every query, then pass 1, ...): a
     # noisy-neighbor window on this VM lasts seconds, so three
     # back-to-back passes of ONE query can all land inside it and poison
@@ -266,6 +288,9 @@ def main() -> None:
     # isolated re-run measures 0.40-0.56 s). Interleaving puts a query's
     # passes minutes apart, so min-of-N sees at least one quiet window.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    legacy_passes = int(
+        os.environ.get("SPARK_GRAFT_BENCH_LEGACY_PASSES", "2")
+    )
     # SPARK_GRAFT_BENCH_EXTENDED=0 skips the extended series — for
     # off-SF anchor runs (sf1/sf3) where only the 16-query headline is
     # recorded and the 80-query extended sweep would multiply the cost
@@ -280,13 +305,33 @@ def main() -> None:
     ref_timings: dict[str, float] = {}
 
     def run_pass(
-        sp: dict, names: list[str], out: dict[str, float], i: int
+        sp: dict,
+        names: list[str],
+        out: dict[str, float],
+        i: int,
+        scoped: bool = True,
     ) -> None:
+        # the scope is imported from the LIVE module so the B segment's
+        # acquisitions release through ITS registry (bench._load_specs
+        # swaps qudo_etl_pipeline_spark* per segment). Caveat recorded
+        # in OPTIMIZATION_r13.md: a ref predating the registry routing
+        # of its cache sites keeps those warm across passes, which can
+        # only flatter the REF side (the head/ref ratio is conservative)
+        from qudo_etl_pipeline_spark.operators.prefix import (
+            prefix_cache_scope,
+        )
+
         for name in names:
             t0 = time.time()
-            sp[name].spark(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            if scoped:
+                with prefix_cache_scope():
+                    sp[name].spark(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+            else:
+                sp[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             elapsed = time.time() - t0
             if i == 0:
                 if out is timings:
@@ -314,6 +359,17 @@ def main() -> None:
             run_pass(ref_specs, ab_queries, ref_timings, i)
             specs = _load_specs(REPO, roots)
 
+    # legacy-warm series: unscoped back-to-back passes AFTER the scoped
+    # ones (all operator caches start released, so pass 0 rebuilds them
+    # and pass 1+ reuses — the r4-r12 warm-pass behavior). Emitted for
+    # cross-round continuity with the pre-r13 records only; the primary
+    # series above is the corrected one.
+    legacy: dict[str, float] = {}
+    ext_legacy: dict[str, float] = {}
+    for i in range(legacy_passes):
+        run_pass(specs, HEADLINE, legacy, i, scoped=False)
+        run_pass(specs, extended, ext_legacy, i, scoped=False)
+
     total = round(sum(timings.values()), 3)
     # Round-4 lesson: the driver's stdout capture is bounded and truncated
     # the single ~4 KB JSON line mid-way, losing the warm headline total
@@ -327,10 +383,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "passes": passes,
+        # r13 measurement fix: the primary series is SCOPED — min over
+        # full executions (operator caches released per timed call)
+        "series": "scoped-full-execution",
         "value_single_shot": round(sum(first_pass.values()), 3),
         "value_extended": round(sum(ext.values()), 3),
         "sf": sf,
     }
+    if legacy:
+        summary["value_legacy_warm"] = round(sum(legacy.values()), 3)
+        summary["value_extended_legacy_warm"] = round(
+            sum(ext_legacy.values()), 3
+        )
     if ref_timings:
         ref_total = round(sum(ref_timings.values()), 3)
         head_total = round(
@@ -352,6 +416,9 @@ def main() -> None:
     detail = dict(summary)
     detail["queries_single_shot"] = first_pass
     detail["queries_extended"] = ext
+    if legacy:
+        detail["queries_legacy_warm"] = legacy
+        detail["queries_extended_legacy_warm"] = ext_legacy
     if ref_timings:
         detail["queries_prev_head"] = ref_timings
     # Detail destination: BENCH_DETAIL.json is the committed per-round

@@ -55,17 +55,22 @@ NOT_SELECTED = "not selected"
 
 
 def _cache_once(df: DataFrame) -> DataFrame:
-    """``.cache()`` unless the plan already sits in the CacheManager.
+    """Materialize-once through the operator-cache REGISTRY.
 
     Catalog queries sharing one session build bit-identical cell plans
-    (e.g. chi2_stat and contingency_cells over the same survey view);
-    a second ``.cache()`` of an identical plan is a no-op that logs
-    "WARN CacheManager: Asked to cache already cached data" per call —
-    same guard as prefix.acquire_operator_cache.
+    (e.g. chi2_stat and contingency_cells over the same survey view) —
+    the registry returns the one live entry instead of issuing a
+    duplicate ``.cache()``. Registry (rather than a bare guarded
+    ``.cache()``, the pre-r13 form) so the cells/dense/varframe caches
+    share the harness release lifecycle: a ``prefix_cache_scope`` exit
+    or ``clear_prefix_caches`` drops them, which is what lets the bench
+    measure every pass as one full execution (r12 verdict item 1).
     """
-    if df.storageLevel.useMemory or df.storageLevel.useDisk:
-        return df
-    return df.cache()
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
+
+    return acquire_operator_cache(df)
 
 
 @dataclass

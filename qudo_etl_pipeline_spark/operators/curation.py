@@ -360,13 +360,17 @@ def token_budget_sample(
     # the same materialized partitions; a recomputed-on-eviction
     # partition refetches the same shuffle output, so assignments stay
     # stable). The cached projection is 3 narrow columns, not the
-    # corpus text. Lifecycle: unlike decontaminate's sizing cache this
-    # one is correctness-load-bearing for the returned (lazy) plan, so
-    # it cannot be scoped here; it is reclaimed by ContextCleaner once
-    # the caller drops the result plan (driver GC unpersists it).
-    from qudo_etl_pipeline_spark.operators.prefix import cache_once
+    # corpus text. Lifecycle: correctness-load-bearing for the returned
+    # (lazy) plan, so it cannot be released HERE — it goes through the
+    # operator-cache registry, which keeps a strong reference until the
+    # caller's prefix_cache_scope exits (after full materialization) or
+    # clear_prefix_caches runs; a re-acquire after an external
+    # unpersist re-arms the cache (prefix.py registry guard).
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
 
-    scored = cache_once(scored)
+    scored = acquire_operator_cache(scored)
     part = scored.withColumn("_pid", F.spark_partition_id())
     inner = Window.partitionBy("_pid").orderBy(*order)
     local = part.withColumn("_cum_in", F.sum("n_tokens").over(inner))

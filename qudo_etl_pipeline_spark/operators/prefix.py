@@ -1,6 +1,13 @@
-"""Range-partitioned distributed prefix sums.
+"""Range-partitioned distributed prefix sums, and the session-wide
+OPERATOR-CACHE REGISTRY (:func:`acquire_operator_cache` /
+:func:`prefix_cache_scope` / :func:`clear_prefix_caches`) that grew
+out of the prefix device's ranged-frame lifecycle and now governs
+every operator's materialize-once caches (curation, text, analytics,
+entity, sketches, temporal, ml, contingency, similarity — one
+plan-keyed entry per session, scope-released).
 
-The device behind ``quantile_normalize`` / ``weighted_quantile`` /
+The prefix device itself is the machinery behind
+``quantile_normalize`` / ``weighted_quantile`` /
 ``token_budget_sample``, extracted so every rank-statistic operator
 shares ONE scale-safe implementation instead of each hand-rolling a
 ``Window.orderBy(...)`` — which has no PARTITION BY and therefore moves
@@ -42,25 +49,7 @@ __all__ = [
     "prefix_cache_scope",
     "clear_prefix_caches",
     "acquire_operator_cache",
-    "cache_once",
 ]
-
-
-def cache_once(df: DataFrame) -> DataFrame:
-    """``.cache()`` unless the plan already sits in the CacheManager.
-
-    For UNREGISTERED cache sites (plans reclaimed by ContextCleaner or
-    unpersisted by their owner): a bit-identical plan built again while
-    the first instance is still cached (bench passes, repeated catalog
-    queries in one session) makes the second ``.cache()`` a no-op that
-    logs "WARN CacheManager: Asked to cache already cached data" per
-    call. The guard is the registry's storageLevel check without the
-    registry's lifecycle — behavior (reuse of the live entry) is
-    unchanged, the log noise is gone.
-    """
-    if df.storageLevel.useMemory or df.storageLevel.useDisk:
-        return df
-    return df.cache()
 
 # ranged-frame cache registry: semanticHash -> cached frames. ONE
 # cache entry per distinct logical plan per session — a repeated plan
@@ -115,6 +104,21 @@ def _acquire_ranged(ranged: DataFrame) -> DataFrame:
             if cand.sparkSession is ranged.sparkSession and cand.sameSemantics(
                 ranged
             ):
+                # re-arm: an external unpersist (ContextCleaner, an
+                # owner's direct release, ContingencyTables.unpersist)
+                # can drop the CacheManager entry while the registry
+                # still holds the frame — returning it uncached would
+                # silently lose the materialize-once contract (for
+                # ranged frames, a CORRECTNESS contract: both branches
+                # must observe one physical partitioning)
+                if not (
+                    cand.storageLevel.useMemory
+                    or cand.storageLevel.useDisk
+                ):
+                    cand.cache()
+                    stack = _scope_stack()
+                    if stack:
+                        stack[-1].append(cand)
                 return cand
         # storageLevel check: the plan may already sit in Spark's
         # CacheManager (cached outside the registry, or re-acquired
@@ -161,11 +165,14 @@ def _forget(frame: DataFrame) -> None:
 
 
 def clear_prefix_caches() -> int:
-    """Release EVERY live ranged-frame cache acquired by
-    :func:`ranged_prefix_sums` — the batch-boundary call for
-    long-lived drivers (surgical, unlike ``spark.catalog.clearCache()``
-    which also evicts unrelated user caches). Returns the number of
-    entries released.
+    """Release EVERY live operator cache in the registry — the
+    ranged frames of :func:`ranged_prefix_sums` AND every frame any
+    operator routed through :func:`acquire_operator_cache` (curation,
+    text, analytics, entity, sketches, temporal, ml, contingency,
+    similarity — roughly twenty operators since r12/r13). The
+    batch-boundary call for long-lived drivers (surgical, unlike
+    ``spark.catalog.clearCache()`` which also evicts unrelated user
+    caches). Returns the number of entries released.
     """
     with _LOCK:
         n = 0
@@ -182,8 +189,10 @@ def clear_prefix_caches() -> int:
 
 @contextmanager
 def prefix_cache_scope():
-    """Scope whose exit releases every ranged-frame cache FIRST
-    acquired inside it. Wrap code that fully materializes its outputs
+    """Scope whose exit releases every operator cache FIRST acquired
+    inside it — ranged prefix-sum frames and every
+    :func:`acquire_operator_cache` acquisition alike. Wrap code that
+    fully materializes its outputs
     (a selfcheck/bench query, one batch of a long-lived driver)::
 
         with prefix_cache_scope():

@@ -445,11 +445,14 @@ def heavy_hitters(
     # cap x n_partitions rows; the cache is correctness-neutral but
     # stops the MG pass running twice. Like token_budget_sample's cache
     # it is load-bearing for the RETURNED lazy plan, so it cannot be
-    # unpersisted here — ContextCleaner reclaims it when the caller
-    # drops the plan.
-    from qudo_etl_pipeline_spark.operators.prefix import cache_once
+    # released here — it goes through the operator-cache registry
+    # (strong ref until the caller's prefix_cache_scope exits after
+    # full materialization, or clear_prefix_caches runs).
+    from qudo_etl_pipeline_spark.operators.prefix import (
+        acquire_operator_cache,
+    )
 
-    summary = cache_once(
+    summary = acquire_operator_cache(
         df.select(key_col).mapInPandas(mg_kernel, out_schema)
     )
     total = summary.agg(F.sum("__pn").alias("n_total"))

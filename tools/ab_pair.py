@@ -65,11 +65,19 @@ def main() -> int:
         spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # warm
 
         def run(specs, out, i):
+            # scope from the LIVE module (each segment swaps
+            # qudo_etl_pipeline_spark*): every timed call is one full
+            # execution — same r13 protocol as bench.py run_pass
+            from qudo_etl_pipeline_spark.operators.prefix import (
+                prefix_cache_scope,
+            )
+
             for q in queries:
                 t0 = time.time()
-                specs[q].spark(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                with prefix_cache_scope():
+                    specs[q].spark(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
                 dt = time.time() - t0
                 out[q] = min(out.get(q, dt), dt)
 
